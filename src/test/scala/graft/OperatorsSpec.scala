@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Unit tests per operator over tiny in-memory frames (SURVEY.md §5.1). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Profiling.nullCounts counts nulls per column in one pass") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (None, Some(2.0)), (Some("c"), None), (None, None)
+    ).toDF("s", "d")
+    val r = Profiling.nullCounts(df).first()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+  }
+
+  test("Profiling.duplicateCount matches pandas duplicated().sum() semantics") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Profiling.duplicateCount(df).first().getLong(0) == 2)
+    val noDup = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Profiling.duplicateCount(noDup).first().getLong(0) == 0)
+  }
+
+  test("Profiling.valueCounts normalizes and orders by count desc") {
+    val df = Seq("Y", "Y", "Y", "N").toDF("status")
+    val rows = Profiling.valueCounts(df, "status").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Y", "N"))
+    assert(rows.head.getDouble(2) == 0.75)
+  }
+
+  test("Profiling.mode breaks ties by smallest value (sklearn parity)") {
+    val df = Seq("b", "a", "b", "a", "c").toDF("x")
+    assert(Profiling.mode(df, "x").first().getString(0) == "a")
+  }
+
+  test("TextStats token/punct counts on known strings") {
+    val df = Seq("one two  three.", "hi! bye?").toDF("text")
+    val r = df.select(
+      TextStats.tokenCount(col("text")).as("t"),
+      TextStats.punctCount(col("text")).as("p")).collect()
+    assert(r(0).getInt(0) == 3 && r(0).getInt(1) == 1)
+    assert(r(1).getInt(0) == 2 && r(1).getInt(1) == 2)
+  }
+
+  test("Vectors.cosine is 1 for parallel, 0 for orthogonal") {
+    val df = Seq(
+      (Array(1.0f, 0f), Array(2.0f, 0f)),
+      (Array(1.0f, 0f), Array(0f, 3.0f))
+    ).toDF("a", "b")
+    val sims = df.select(Vectors.cosine(
+      Vectors.asDouble(col("a")), Vectors.asDouble(col("b"))).as("sim"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+  }
+
+  test("Vectors.bruteForceKnn finds the exact nearest vector") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Vectors.bruteForceKnn(df.filter(col("vec_id") === 0), df,
+      "vec_id", "embedding", k = 2).collect()
+    assert(knn.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+  }
+
+  test("Sessionize splits on gap and keeps within-gap events together") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)), (1L, 3L, ts(90)),  // gap 80min > 30min
+      (2L, 4L, ts(0))
+    ).toDF("user_id", "event_id", "ts")
+    val sess = Sessionize.sessions(df, "user_id", "ts", "event_id", 1800L)
+      .collect()
+    val u1 = sess.filter(_.getLong(0) == 1L)
+    assert(u1.length == 2)
+    assert(u1.map(r => r.getLong(2)).toSeq == Seq(2L, 1L)) // n_events per session
+    assert(sess.count(_.getLong(0) == 2L) == 1)
+  }
+}

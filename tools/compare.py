@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-validation of the driver's correctness gate.
+
+Mimics the driver: run Verify's parquet dumps against the DuckDB oracle in
+oracle_sql.json; for each query sort columns by name, sort rows, and compare
+row count, schema and exact values. Usage:
+
+    python3 tools/compare.py /tmp/verify_r1 /root/testdata/sf0.01
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got = canon(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+        want = canon(con.sql(sql).df())
+    except Exception as e:
+        print(f"FAIL {name}: exec error: {str(e)[:200]}")
+        n_fail += 1
+        continue
+    problems = []
+    if list(got.columns) != list(want.columns):
+        problems.append(f"columns {list(got.columns)} vs {list(want.columns)}")
+    elif len(got) != len(want):
+        problems.append(f"rows {len(got)} vs {len(want)}")
+    else:
+        for c in got.columns:
+            gv, wv = got[c].tolist(), want[c].tolist()
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if not cell_eq(a, b)]
+            if bad:
+                i, a, b = bad[0]
+                problems.append(f"col {c}: {len(bad)} diffs, first at row {i}: {a!r} vs {b!r}")
+    if problems:
+        print(f"FAIL {name}: " + "; ".join(problems))
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(got)} rows x {len(got.columns)} cols)")
+        n_pass += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail")
+sys.exit(1 if n_fail else 0)
