@@ -1,0 +1,44 @@
+package graft.ml
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.ml.param.Params
+import org.apache.spark.sql.SparkSession
+
+/** Metadata reader/writer compatible with Spark ML's DefaultParamsReader
+  * JSON layout (class/timestamp/sparkVersion/uid/paramMap/defaultParamMap),
+  * so graft's custom stages participate in native `Pipeline.save` /
+  * `PipelineModel.load` round-trips. Spark's own DefaultParamsWriter is
+  * `private[ml]`, hence this public-API reimplementation (format documented
+  * in the Spark source: ml/util/ReadWrite.scala).
+  */
+private[graft] object MetaIO {
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods._
+
+  def write(instance: Params, className: String, path: String,
+      spark: SparkSession, paramMap: JObject = JObject()): Unit = {
+    val json: JObject =
+      ("class" -> className) ~
+      ("timestamp" -> System.currentTimeMillis()) ~
+      ("sparkVersion" -> spark.version) ~
+      ("uid" -> instance.uid) ~
+      ("paramMap" -> paramMap) ~
+      ("defaultParamMap" -> JObject())
+    val metadataPath = new Path(path, "metadata").toString
+    import spark.implicits._
+    spark.createDataset(Seq(compact(render(json)))).repartition(1)
+      .write.mode("overwrite").text(metadataPath)
+  }
+
+  /** Returns (uid, parsed paramMap). */
+  def read(path: String, spark: SparkSession): (String, JValue) = {
+    val metadataPath = new Path(path, "metadata").toString
+    val line = spark.read.text(metadataPath).head().getString(0)
+    implicit val fmt: Formats = DefaultFormats
+    val json = parse(line)
+    ((json \ "uid").extract[String], json \ "paramMap")
+  }
+
+  def dataPath(path: String): String = new Path(path, "data").toString
+}

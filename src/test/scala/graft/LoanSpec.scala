@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.loan._
+import graft.sources.JdbcUpsert
+
+/** End-to-end specs for the loan domain: cleaning expressions, the 3-way
+  * star join, train/select/evaluate, model persistence + single-row serving
+  * (app.py parity), and the keyed JDBC upsert against embedded Derby.
+  */
+class LoanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanDependents: '3+' sentinel, numerics, junk -> null") {
+    val out = Seq("3+", "2", "0", "junk", null).toDF("d")
+      .select(LoanTransforms.cleanDependents(col("d")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(3.0), Some(2.0), Some(0.0), None, None))
+  }
+
+  test("encodeTarget: Y->1, N->0, unmapped -> null (pandas .map semantics)") {
+    val out = Seq("Y", "N", "weird", null).toDF("s")
+      .select(LoanTransforms.encodeTarget(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(1.0), Some(0.0), None, None))
+  }
+
+  test("merged: 3-way join keeps a single Loan_ID column, inner semantics") {
+    val a = Seq(("L1", "Male"), ("L2", "Female"), ("L3", "Male"))
+      .toDF("Loan_ID", "Gender")
+    val f = Seq(("L1", 100.0), ("L2", 200.0)).toDF("Loan_ID", "ApplicantIncome")
+    val l = Seq(("L1", "Y"), ("L2", "N")).toDF("Loan_ID", "Loan_Status")
+    val m = LoanTransforms.merged(a, f, l)
+    assert(m.columns.count(_ == "Loan_ID") == 1)
+    assert(m.count() == 2) // L3 has no financial/loan row -> dropped (inner)
+  }
+
+  test("withDerivedFeatures adds the README-surface feature set") {
+    val df = Seq(("L1", 100.0, 50.0, 30.0, 12.0)).toDF(
+      "Loan_ID", "ApplicantIncome", "CoapplicantIncome", "LoanAmount", "Loan_Amount_Term")
+    val r = LoanTransforms.withDerivedFeatures(df).head()
+    assert(r.getAs[Double]("Total_Income") == 150.0)
+    assert(r.getAs[Double]("EMI_proxy") == 2.5)
+    assert(math.abs(r.getAs[Double]("Loan_to_Income") - 0.2) < 1e-12)
+    assert(math.abs(r.getAs[Double]("Log_Total_Income") - math.log1p(150.0)) < 1e-12)
+  }
+
+  test("Evaluation.report reproduces sklearn metrics incl. the r2 quirk") {
+    // labels [1,1,1,0], preds [1,1,0,0]: acc .75; r2 = 1 - 1/0.75 = -1/3
+    val scored = Seq((1.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0))
+      .toDF("label", "prediction")
+    val rep = Evaluation.report(scored)
+    assert(rep.accuracy == 0.75)
+    assert(math.abs(rep.r2 - (1.0 - 1.0 / 0.75)) < 1e-12)
+    val pos = rep.perClass(1.0)
+    assert(pos.precision == 1.0 && math.abs(pos.recall - 2.0 / 3) < 1e-12)
+    assert(pos.support == 3L)
+  }
+
+  /** Deterministic synthetic loan table exercising nulls + the sentinel. */
+  private def syntheticLoans(n: Int) = {
+    val rows = (1 to n).map { i =>
+      val gender = if (i % 7 == 0) null else if (i % 3 == 0) "Female" else "Male"
+      val married = if (i % 11 == 0) null else if (i % 2 == 0) "Yes" else "No"
+      val deps = i % 5 match {
+        case 0 => "3+"; case 1 => "0"; case 2 => "1"; case 3 => "2"; case _ => null
+      }
+      val edu = if (i % 4 == 0) "Not Graduate" else "Graduate"
+      val selfEmp = if (i % 13 == 0) null else if (i % 6 == 0) "Yes" else "No"
+      val income: java.lang.Double = 2000.0 + (i % 17) * 350.0
+      val coIncome: java.lang.Double = if (i % 3 == 0) 0.0 else 800.0 + (i % 5) * 200.0
+      val loanAmt: java.lang.Double = if (i % 19 == 0) null else 80.0 + (i % 23) * 8.0
+      val term: java.lang.Double = if (i % 29 == 0) null else 360.0
+      val credit: java.lang.Double = if (i % 9 == 0) null else if (i % 8 == 0) 0.0 else 1.0
+      val area = i % 3 match { case 0 => "Urban"; case 1 => "Semiurban"; case _ => "Rural" }
+      // approval driven by credit history + income, with deterministic noise
+      val approved = (credit != null && credit == 1.0 && income > 2600.0) || i % 10 == 0
+      (f"LP$i%04d", gender, married, deps, edu, selfEmp,
+        income, coIncome, loanAmt, term, credit, area, if (approved) "Y" else "N")
+    }
+    rows.toDF("Loan_ID", "Gender", "Married", "Dependents", "Education",
+      "Self_Employed", "ApplicantIncome", "CoapplicantIncome", "LoanAmount",
+      "Loan_Amount_Term", "Credit_History", "Property_Area", "Loan_Status")
+  }
+
+  test("end-to-end: train/select on synthetic loans, persist, serve one row") {
+    val merged = syntheticLoans(200)
+    val (bestName, best, reports) = LoanPipeline.trainAndSelect(merged)
+    assert(Set("RandomForestClassifier", "LogisticRegression").contains(bestName))
+    assert(reports.size == 2)
+    // the signal is learnable: credit+income decide ~90% of labels
+    assert(reports(bestName).accuracy > 0.7, s"accuracy ${reports(bestName).accuracy}")
+
+    val dir = Files.createTempDirectory("graft-loan-model").toString + "/model"
+    best.write.overwrite().save(dir)
+    val scorer = Scorer.load(dir, spark)
+    val pred = scorer.score(Map(
+      "Gender" -> "Male", "Married" -> "Yes", "Dependents" -> "3+",
+      "Education" -> "Graduate", "Self_Employed" -> "No",
+      "ApplicantIncome" -> 5000.0, "CoapplicantIncome" -> 1500.0,
+      "LoanAmount" -> 120.0, "Loan_Amount_Term" -> 360.0,
+      "Credit_History" -> 1.0, "Property_Area" -> "Urban"))
+    assert(pred.probability >= 0.0 && pred.probability <= 1.0)
+    // high-income + good credit row should be approved by the learned rule
+    assert(pred.approved, s"expected approval, got $pred")
+    // unseen category (app.py:25 Gender='Other') must not throw: one-hot
+    // routes it to the dropped 'keep' bucket -> all-zeros, like sklearn
+    val other = scorer.score(Map(
+      "Gender" -> "Other", "Married" -> "Yes", "Dependents" -> "1",
+      "Education" -> "Graduate", "Self_Employed" -> "No",
+      "ApplicantIncome" -> 5000.0, "CoapplicantIncome" -> 1500.0,
+      "LoanAmount" -> 120.0, "Loan_Amount_Term" -> 360.0,
+      "Credit_History" -> 1.0, "Property_Area" -> "Urban"))
+    assert(other.probability >= 0.0 && other.probability <= 1.0)
+  }
+
+  test("JdbcUpsert: keyed upsert into Derby is idempotent and last-write-wins") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE loans (loan_id VARCHAR(50) PRIMARY KEY, amount DOUBLE, status VARCHAR(10))")
+    conn.close()
+
+    val v1 = Seq(("L1", 100.0, "Y"), ("L2", 200.0, "N"), ("L2", 250.0, "N"))
+      .toDF("loan_id", "amount", "status")
+    // dedup: L2 appears twice -> keep deterministic winner (amount 250)
+    val deduped = JdbcUpsert.dedupLastWins(v1, Seq("loan_id"), Seq("amount"))
+    assert(deduped.count() == 2)
+    JdbcUpsert.upsert(deduped, url, "loans", Seq("loan_id"), JdbcUpsert.DerbyMerge)
+    JdbcUpsert.upsert(deduped, url, "loans", Seq("loan_id"), JdbcUpsert.DerbyMerge) // idempotent
+    // second wave updates L1 and inserts L3
+    val v2 = Seq(("L1", 111.0, "N"), ("L3", 300.0, "Y")).toDF("loan_id", "amount", "status")
+    JdbcUpsert.upsert(v2, url, "loans", Seq("loan_id"), JdbcUpsert.DerbyMerge)
+
+    val check = java.sql.DriverManager.getConnection(url)
+    val rs = check.createStatement().executeQuery(
+      "SELECT loan_id, amount, status FROM loans ORDER BY loan_id")
+    val got = Iterator.continually(rs)
+      .takeWhile(_.next()).map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+      .toList
+    check.close()
+    assert(got == List(("L1", 111.0, "N"), ("L2", 250.0, "N"), ("L3", 300.0, "Y")))
+  }
+}
