@@ -22,7 +22,8 @@ object Queries {
   final case class Q(
       build: (SparkSession, String) => DataFrame,
       oracle: Option[String],
-      bench: Boolean = false)
+      bench: Boolean = false,
+      whyNoOracle: Option[String] = None)
 
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
@@ -562,7 +563,161 @@ object Queries {
         FROM pairs
         GROUP BY label
         ORDER BY label""")),
+
+    // ------------------------------------------------------------------
+    // Near-duplicate detection (shingle / MinHash-LSH / SimHash)
+    // ------------------------------------------------------------------
+
+    "q27_ngram_jaccard_pairs" -> Q(
+      build = (s, dir) =>
+        NearDup.jaccardPairs(table(s, dir, "documents"), "doc_id", "text",
+            n = 3, minJ = 0.6)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some(ngramJaccardOracle)),
+
+    "q28_minhash_lsh_pairs" -> Q(
+      // Same verified output as q27, discovered the linear-cost way:
+      // shingle -> 128-hash MinHash signature -> 64 banded buckets ->
+      // verify only bucket collisions. Shares q27's oracle: at J >= 0.6 the
+      // per-pair miss probability is (1-J^2)^64 < 4e-13, i.e. exact.
+      build = (s, dir) =>
+        NearDup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
+            n = 3, minJ = 0.6, numHashes = 128, bandRows = 2)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some(ngramJaccardOracle),
+      bench = true),
+
+    "q29_simhash" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"), TextHash.simhash(col("text")).as("simhash"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents),
+        th AS (
+          SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+        votes AS (
+          SELECT doc_id, bit,
+            sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+          FROM th
+          CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
+          GROUP BY doc_id, bit)
+        SELECT doc_id,
+          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    "q30_embedding_near_dup" -> Q(
+      // Exact cosine near-dup report: top-50 id-ordered pairs >= 0.4. The
+      // 100 TB path feeds Similarity.lshNearDupCandidates into the same
+      // verifier expression; output contract identical.
+      build = (s, dir) =>
+        Vectors.cosineNearDupPairs(table(s, dir, "embeddings"), "vec_id",
+            "embedding", minSim = 0.4)
+          .orderBy(col("sim").desc, col("id_a"), col("id_b"))
+          .limit(50),
+      oracle = Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS sim
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, sim FROM pairs
+        WHERE sim >= 0.4
+        ORDER BY sim DESC, id_a, id_b
+        LIMIT 50""")),
+
+    // ------------------------------------------------------------------
+    // Text analysis: language id, fingerprints, BPE-ish token accounting
+    // ------------------------------------------------------------------
+
+    "q31_langid" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(col("lang"), LangId.predicted(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("lang_pred")),
+      oracle = Some(s"""
+        SELECT lang, ${LangId.sqlPredicted("text")} AS lang_pred, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY lang, lang_pred""")),
+
+    "q32_fingerprint" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextHash.polyHash(col("text")).as("doc_hash"),
+            TextHash.minGramHash(col("text"), 8).as("min_gram_hash"))
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id,
+          ${TextHash.sqlPolyHash("text")} AS doc_hash,
+          ${TextHash.sqlMinGramHash("text", 8)} AS min_gram_hash
+        FROM documents
+        ORDER BY doc_id""")),
+
+    "q33_bpe_tokens" -> Q(
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .withColumn("bpe", TextStats.bpeTokenCount(col("text")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("bpe")).as("total_bpe_tokens"),
+            (sum(col("bpe")).cast("double") / count(lit(1))).as("avg_bpe_tokens"))
+          .orderBy(col("lang")),
+      oracle = Some(s"""
+        SELECT lang, count(*) AS n_docs,
+          CAST(sum(len(regexp_extract_all(text, ${TextStats.sqlBpePattern}, 0))) AS BIGINT) AS total_bpe_tokens,
+          CAST(sum(len(regexp_extract_all(text, ${TextStats.sqlBpePattern}, 0))) AS DOUBLE) / count(*) AS avg_bpe_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // ------------------------------------------------------------------
+    // Approximate nearest neighbor (LSH scale path; no SQL oracle — the
+    // driver records the weaker rows-only check; recall vs brute force is
+    // asserted in SimilaritySpec)
+    // ------------------------------------------------------------------
+
+    "q34_ann_lsh" -> Q(
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.annTopK(e.filter(col("vec_id") < 20), e, "vec_id",
+            "embedding", k = 3, numPlanes = 4, numTables = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      oracle = None,
+      whyNoOracle = Some("LSH bucketing is not SQL-expressible in DuckDB " +
+        "(xxhash64-derived projections); correctness is gated by " +
+        "SimilaritySpec's determinism + recall-vs-brute-force assertions")),
   )
+
+  /** Shared oracle for q27/q28: exact word-3-gram Jaccard >= 0.6 pairs.
+    * (`lazy` is load-bearing: it is referenced from `all`, which is
+    * initialized above this definition.) */
+  private lazy val ngramJaccardOracle: String = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0)
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE jaccard >= 0.6
+    ORDER BY id_a, id_b"""
 
   /** name -> builder, for SparkEntry.queries. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over embedding columns via
+  * random-hyperplane LSH (Charikar '02 sign-random-projection): each of
+  * `numTables` hash tables assigns a vector to a 2^numPlanes-bucket by the
+  * sign pattern of `numPlanes` pseudo-random projections; query and corpus
+  * rows meet only inside shared buckets, and exact cosine ranks the
+  * candidates.
+  *
+  * Scale shape (the whole point vs [[Vectors.bruteForceKnn]]): the corpus is
+  * never cross-joined — it is hashed (numTables rows per vector, a linear
+  * map-side expansion), shuffled once on (table, bucket), and only bucket
+  * collisions pay a cosine. Probability a pair with angle θ collides in one
+  * table is (1-θ/π)^numPlanes; tables multiply recall, planes divide
+  * candidate volume. Tune (planes, tables) to the corpus geometry:
+  * clustered real-world embeddings → more planes; near-uniform synthetic
+  * data → fewer planes, more tables.
+  *
+  * The projection coefficients are derived from `xxhash64(table, plane,
+  * dim)` — deterministic, seedable, no driver-side randomness and nothing
+  * to broadcast.
+  */
+object Similarity {
+
+  /** Pseudo-random coefficient in [-1, 1] for (table, plane, dim). */
+  private def coef(table: Column, plane: Column, dim: Column): Column =
+    pmod(xxhash64(table, plane, dim), lit(2001L)).cast("double") / 1000.0 - 1.0
+
+  /** Bucket id in [0, 2^numPlanes) for a vector in the given table: one
+    * codegen'd expression (nested higher-order functions), no UDF. */
+  def bucketId(vec: Column, numPlanes: Int, table: Column): Column =
+    aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x * coef(table, p, j)),
+        lit(0.0), (s, v) => s + v)
+      acc * 2 + when(proj >= 0, 1L).otherwise(0L)
+    })
+
+  /** (id, table, bucket) rows — numTables rows per input vector. */
+  def bucketed(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, numTables: Int): DataFrame = {
+    val v = Vectors.asDouble(col(vecCol))
+    df.select(col(idCol), v.as("__v"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(numTables - 1)),
+          t => bucketId(col("__v"), numPlanes, t))).as(Seq("table", "bucket")))
+  }
+
+  /** Approximate top-k neighbors of each query row, searching only LSH
+    * bucket collisions. Output contract matches [[Vectors.bruteForceKnn]]
+    * (query_id, rank, neighbor_id, sim) — deterministic for fixed params. */
+  def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 16): DataFrame = {
+    val qb = bucketed(queries, idCol, vecCol, numPlanes, numTables)
+      .select(col(idCol).as("query_id"), col("table"), col("bucket"))
+    val cb = bucketed(corpus, idCol, vecCol, numPlanes, numTables)
+      .select(col(idCol).as("neighbor_id"), col("table"), col("bucket"))
+    val cand = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"),
+      Vectors.asDouble(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+      .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** LSH candidate pairs for embedding near-dup (the scale path feeding
+    * [[Vectors.cosineNearDupPairs]]' exact verifier): id-ordered distinct
+    * pairs that collide in at least one table. */
+  def lshNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int = 4, numTables: Int = 16): DataFrame = {
+    val b = bucketed(df, idCol, vecCol, numPlanes, numTables)
+    val l = b.select(col("table"), col("bucket"), col(idCol).as("id_a"))
+    val r = b.select(col("table"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+}

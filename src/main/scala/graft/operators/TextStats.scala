@@ -17,6 +17,22 @@ object TextStats {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[^.!?]", ""))
 
+  /** GPT-2-style pre-tokenizer pattern: contractions, space-prefixed
+    * letter/digit runs, punctuation runs. Restricted to syntax RE2 and the
+    * JVM regex engine interpret identically (`\p{L}`/`\p{N}`, no
+    * lookaround), so the DuckDB oracle counts the same tokens. */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: number of pre-tokenizer matches — the standard
+    * cheap proxy for LLM token budget accounting. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
+  /** [[BpePattern]] as a DuckDB string literal (apostrophe doubled). */
+  val sqlBpePattern: String =
+    "'''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'"
+
   /** Exact-dedup key: md5 over the raw text. Stable across engines and
     * runs; groupBy on the 128-bit digest shuffles 16 bytes + id per row
     * instead of the document body. */

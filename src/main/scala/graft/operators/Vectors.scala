@@ -27,6 +27,21 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Embedding-cosine near-duplicate pairs: all id-ordered pairs with
+    * similarity ≥ minSim. This is the exact O(n²) verifier — at corpus
+    * scale run it over LSH bucket candidates ([[Similarity.lshNearDupCandidates]])
+    * instead of the full cross product; the expression and output contract
+    * are identical. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Brute-force top-k neighbors for the `queries` rows against the full
     * corpus. The query side is broadcast (it is the small side by
     * construction); the corpus streams through map-side only — no shuffle

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Vectors}
+
+/** LSH ANN quality gates: deterministic output and recall vs brute force.
+  * (q34 has no SQL oracle — this spec is its correctness contract.)
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = graft.sources.Tables.load(spark, sf(), "embeddings")
+
+  test("annTopK is deterministic for fixed params") {
+    val q = emb.filter(col("vec_id") < 10)
+    val a = Similarity.annTopK(q, emb, "vec_id", "embedding", 3).collect().toSeq
+    val b = Similarity.annTopK(q, emb, "vec_id", "embedding", 3).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("annTopK recall@3 vs brute force on near-uniform synthetic data") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Vectors.bruteForceKnn(q, emb, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(q, emb, "vec_id", "embedding", 3,
+        numPlanes = 4, numTables = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // synthetic embeddings are near-uniform (no cluster structure), the
+    // hardest case for LSH; 4 planes x 16 tables still recovers most of
+    // the true top-3
+    assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+
+  test("lshNearDupCandidates covers all pairs above the report threshold") {
+    val truth = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.lshNearDupCandidates(emb, "vec_id", "embedding", 4, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val covered = (truth & cand).size.toDouble / math.max(truth.size, 1)
+    assert(covered >= 0.6, s"candidate coverage = $covered (${truth.size} true pairs)")
+  }
+}

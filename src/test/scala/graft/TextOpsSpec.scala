@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Specs for near-dup detection, content hashing, language id, and BPE-ish
+  * token counting.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles: distinct n-grams, short-doc guard yields empty set") {
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
+    val out = df.select(NearDup.wordShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(out(0) == Set("a b c", "b c d"))
+    assert(out(1) == Set.empty) // 2 tokens < n=3 -> empty, not sequence(1,0)
+    assert(out(2) == Set("x x x")) // distinct collapses repeats
+  }
+
+  test("jaccardPairs finds the planted near-dup, exact jaccard value") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.jaccardPairs(df, "doc_id", "text", n = 3, minJ = 0.3)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    // 8 shingles each, 6 shared -> J = 6 / (8+8-6) = 0.6
+    assert((p.getLong(0), p.getLong(1)) == ((1L, 2L)))
+    assert(math.abs(p.getDouble(2) - 0.6) < 1e-12)
+  }
+
+  test("minhash-LSH pairs equal the exact jaccard pairs on real documents") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.6)
+    val lsh = NearDup.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.6, 128, 2)
+    assert(exact.count() > 0) // 28 planted pairs at sf0.001
+    assert(exact.except(lsh).count() == 0 && lsh.except(exact).count() == 0)
+  }
+
+  test("nearDupSurvivors keeps exactly one doc per near-dup clique") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = NearDup.nearDupSurvivors(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash: equal token sets collide, near sets are close in hamming") {
+    val df = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "theta eta zeta epsilon delta gamma beta alpha"), // same set
+      ("c", "alpha beta gamma delta epsilon zeta eta iota"),  // 1 token diff
+      ("d", "totally unrelated words nothing shared whatsoever kappa lambda")
+    ).toDF("id", "text")
+    val h = df.select(col("id"), TextHash.simhash(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h("a") == h("b")) // order-independent
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h("a"), h("c")) < ham(h("a"), h("d")))
+    assert(h("a") >= 0L && h("a") < (1L << 60))
+  }
+
+  test("polyHash matches the hand-computed Rabin-Karp fold") {
+    val r = Seq("he").toDF("s")
+      .select(TextHash.polyHash(col("s"))).head().getLong(0)
+    assert(r == (104L * 131 + 101) % 1000000007L) // == 13725
+    val min8 = Seq("abcdefghij").toDF("s")
+      .select(TextHash.minGramHash(col("s"), 8)).head().getLong(0)
+    assert(min8 >= 0)
+    // shorter than k -> null (empty window set)
+    val short = Seq("abc").toDF("s")
+      .select(TextHash.minGramHash(col("s"), 8)).head()
+    assert(short.isNullAt(0))
+  }
+
+  test("LangId.predicted: marker argmax with deterministic tie-break") {
+    val out = Seq(
+      "the cat and the dog is in a tree",
+      "el que la de y los en un dia",
+      "zzz qqq www").toDF("text")
+      .select(LangId.predicted(col("text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("bpeTokenCount matches the DuckDB-checked GPT-2-ish segmentation") {
+    val r = Seq("Hello, world! 42 times").toDF("t")
+      .select(TextStats.bpeTokenCount(col("t"))).head().getInt(0)
+    assert(r == 6) // [Hello][,][ world][!][ 42][ times]
+  }
+}
