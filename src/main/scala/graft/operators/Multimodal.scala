@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: media (image / audio /
+  * video) travels as an opaque `binary` payload next to a typed metadata
+  * struct, and per-item compute (decode, feature extraction, resize, frame
+  * sampling) runs as partition-parallel typed transformations — the Spark
+  * side (schemas, encoders, batch shape, partition parallelism, no driver
+  * collect) is real and tested.
+  *
+  * STUB BOUNDARY: this container ships no image/audio codecs, so
+  * [[FakeCodec]] stands in for the real decoder. It defines a
+  * deterministic raster format (row-major grayscale bytes, dimensions from
+  * the metadata struct) so every downstream op (histogram, resize, frame
+  * sampling) computes real array math on real bytes. Swapping in an actual
+  * codec changes ONLY [[FakeCodec.decode]] — every schema, signature and
+  * partitioning decision stays.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the payload. */
+  final case class MediaMeta(format: String, width: Int, height: Int,
+      nFrames: Int, sampleRateHz: Int)
+
+  /** One media row: id + kind ("image" | "audio" | "video") + metadata +
+    * opaque payload. */
+  final case class MediaRow(media_id: Long, kind: String, meta: MediaMeta,
+      payload: Array[Byte])
+
+  /** Decoded image features: per-item summary + 16-bin byte histogram. */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      mean_byte: Double, histogram: Array[Long])
+
+  /** A (possibly resized) raster. */
+  final case class Raster(media_id: Long, width: Int, height: Int,
+      pixels: Array[Byte])
+
+  /** One sampled frame of a video payload. */
+  final case class Frame(media_id: Long, frame_idx: Int, width: Int,
+      height: Int, pixels: Array[Byte])
+
+  /** The stand-in decoder (STUB — see class doc). A real implementation
+    * would parse JPEG/PNG/WAV here; the fake treats the payload as a
+    * row-major `width*height` (per frame) grayscale raster. */
+  object FakeCodec {
+    def decode(meta: MediaMeta, payload: Array[Byte]): Array[Byte] = {
+      val expect = meta.width * meta.height
+      require(payload.length >= expect,
+        s"payload ${payload.length}B < ${meta.width}x${meta.height}")
+      java.util.Arrays.copyOfRange(payload, 0, expect)
+    }
+
+    /** Frame `i` of a video payload (frames concatenated row-major). */
+    def frame(meta: MediaMeta, payload: Array[Byte], i: Int): Array[Byte] = {
+      val sz = meta.width * meta.height
+      java.util.Arrays.copyOfRange(payload, i * sz, (i + 1) * sz)
+    }
+  }
+
+  /** Feature extraction: decode + mean + 16-bin histogram, one pass over
+    * the payload bytes, executed per partition (mapPartitions batch shape —
+    * a codec instance could be initialized once per partition, exactly
+    * where a real decoder would amortize its setup). */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = FakeCodec.decode(r.meta, r.payload)
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          hist(v >>> 4) += 1
+          sum += v
+          i += 1
+        }
+        ImageFeatures(r.media_id, r.meta.width, r.meta.height,
+          if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize of the decoded raster. */
+  def resize(media: Dataset[MediaRow], newW: Int, newH: Int): Dataset[Raster] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val src = FakeCodec.decode(r.meta, r.payload)
+        val out = new Array[Byte](newW * newH)
+        var y = 0
+        while (y < newH) {
+          val sy = y * r.meta.height / newH
+          var x = 0
+          while (x < newW) {
+            val sx = x * r.meta.width / newW
+            out(y * newW + x) = src(sy * r.meta.width + sx)
+            x += 1
+          }
+          y += 1
+        }
+        Raster(r.media_id, newW, newH, out)
+      }
+    }
+  }
+
+  /** Every k-th frame of each video payload — one output row per kept
+    * frame (flatMap: the expansion happens on executors, rows never
+    * concentrate). */
+  def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      (0 until r.meta.nFrames by everyK).map { i =>
+        Frame(r.media_id, i, r.meta.width, r.meta.height,
+          FakeCodec.frame(r.meta, r.payload, i))
+      }
+    }
+  }
+
+  /** Untyped view with the canonical multimodal schema: `media_id, kind,
+    * meta struct, payload binary` — what a parquet/lance-style media lake
+    * table looks like; metadata predicates (kind, dimensions) push down to
+    * the scan, payload bytes are only materialized for surviving rows. */
+  def asTable(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+
+  /** Payload-level exact dedup key (md5 of the bytes) — binary columns
+    * dedup exactly like text ([[TextStats.contentKey]]). */
+  def payloadKey: org.apache.spark.sql.Column = md5(col("payload"))
+}

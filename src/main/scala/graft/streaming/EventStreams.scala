@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Stable
+
+/** Structured Streaming counterparts of the batch event-log operators:
+  * watermarked windowed aggregation, within-watermark dedup, and stateful
+  * gap sessionization. Each transform takes a *streaming* DataFrame/Dataset
+  * (`spark.readStream...`) and is sink-agnostic — callers attach
+  * `writeStream` with their own trigger/output mode.
+  *
+  * Scale design: all state is keyed and bounded by the watermark — window
+  * state expires once the watermark passes the window end, dedup keys
+  * expire after the dedup horizon, and session state carries one open
+  * session per user with an event-time timeout. Nothing accumulates
+  * unboundedly, which is what makes these runnable forever on a real
+  * cluster.
+  */
+object EventStreams {
+
+  /** Event row of the `events` table (TESTDATA.md). */
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp,
+      event_type: String, value: Double)
+
+  /** A closed (or timed-out) session, same shape as the batch
+    * [[graft.operators.Sessionize]] output. */
+  final case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      session_start: Timestamp, session_end: Timestamp)
+
+  /** Mutable-across-batches state: the one open session per user. */
+  final case class OpenSession(sessionSeq: Long, nEvents: Long,
+      startMs: Long, endMs: Long)
+
+  /** Hourly (event-time) windowed counts + stable value sum per event
+    * type. Late events beyond `watermarkDelay` are dropped and the window
+    * state is freed — append mode emits each window exactly once, when the
+    * watermark passes its end. */
+  def hourlyCounts(events: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Stable.msum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Exactly-once event ids within the watermark horizon: duplicates of an
+    * `event_id` arriving inside `watermarkDelay` are dropped; the key is
+    * evicted from state afterwards (bounded memory, unlike plain
+    * `dropDuplicates` on a stream). */
+  def dedupEvents(events: DataFrame, tsCol: String = "ts",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization as a continuously-running stream: the
+    * streaming twin of the batch lag+cumsum formulation. One
+    * [[OpenSession]] per user in state; a session is emitted when a new
+    * event arrives more than `gapSeconds` after it ends, or when the
+    * event-time timeout fires (watermark passed end+gap with no successor).
+    * `session_seq` is continuous across micro-batches via the state. */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, open.sessionSeq, open.nEvents,
+              new Timestamp(open.startMs), new Timestamp(open.endMs)))
+          } else {
+            // Within a micro-batch, order by (ts, event_id) — the same total
+            // order as the batch operator.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var open = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (open == null) {
+                val seq = 1L
+                open = OpenSession(seq, 1L, t, t)
+              } else if (t - open.endMs > gapMs) {
+                closed += SessionOut(userId, open.sessionSeq, open.nEvents,
+                  new Timestamp(open.startMs), new Timestamp(open.endMs))
+                open = OpenSession(open.sessionSeq + 1, 1L, t, t)
+              } else {
+                open = open.copy(nEvents = open.nEvents + 1,
+                  endMs = math.max(open.endMs, t))
+              }
+            }
+            state.update(open)
+            // close by timeout once the watermark passes end + gap
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
+}
