@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** graft's engine extensions: native codegen'd SQL functions.
+  *
+  * Two installation paths:
+  *  - declarative (the library way): `spark.sql.extensions=graft.GraftExtensions`
+  *    or `SparkSession.builder.withExtensions(new GraftExtensions)`;
+  *  - imperative (what graft's own entry points use): [[GraftFunctions.register]]
+  *    — idempotent, works on any live session, so driver-owned sessions
+  *    that never saw the config still resolve the functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+      { case Seq(a, b) => DotProduct(a, b) }: Builder),
+    ("graft_cosine",
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two array<double>"),
+      { case Seq(a, b) => CosineSimilarity(a, b) }: Builder))
+
+  /** Idempotently register the functions on a live session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, inf, builder) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

