@@ -2,7 +2,10 @@ package graft.loan
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.tuning.{CrossValidator, CrossValidatorModel, ParamGridBuilder}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -67,6 +70,39 @@ object LoanPipeline {
 
   def pipeline(classifier: PipelineStage): Pipeline =
     new Pipeline().setStages(preprocessingStages :+ classifier)
+
+  /** §2.9 README-claimed surface as first-class engine features: k-fold
+    * cross-validation over a hyperparameter grid (sklearn GridSearchCV ↔
+    * MLlib CrossValidator + ParamGridBuilder). Returns the fitted
+    * CrossValidatorModel; `bestModel` is the refit-on-all-data winner,
+    * `avgMetrics` the per-grid-point CV scores. Candidate models fit in
+    * parallel (`parallelism`) — each fold's fit is itself a distributed
+    * job, so this scales in both directions. */
+  def crossValidated(prepared: DataFrame,
+      gridFor: RandomForestClassifier => Array[ParamMap] = defaultGrid,
+      numFolds: Int = 5, seed: Long = 42L,
+      parallelism: Int = 4): CrossValidatorModel = {
+    // the grid MUST be built against this exact estimator instance — param
+    // maps bind by (parent uid, param), so a grid from a different
+    // RandomForestClassifier would silently not apply
+    val rf = randomForest
+    new CrossValidator()
+      .setEstimator(pipeline(rf))
+      .setEvaluator(new BinaryClassificationEvaluator().setLabelCol("label"))
+      .setEstimatorParamMaps(gridFor(rf))
+      .setNumFolds(numFolds)
+      .setSeed(seed)
+      .setParallelism(parallelism)
+      .fit(prepared)
+  }
+
+  /** Default hyperparameter grid (GridSearchCV parity, README.md:15). */
+  def defaultGrid(rf: RandomForestClassifier): Array[ParamMap] =
+    new ParamGridBuilder()
+      .addGrid(rf.numTrees, Array(100, 200))
+      .addGrid(rf.maxDepth, Array(4, 8))
+      .addGrid(rf.minInstancesPerNode, Array(1, 10))
+      .build()
 
   /** Full training dataflow of the main notebook (SURVEY §3.2): clean ->
     * label-encode -> stratified 80/20 split (seed 42) -> fit both models ->

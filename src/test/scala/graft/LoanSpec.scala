@@ -117,6 +117,62 @@ class LoanSpec extends SparkSpec {
     assert(other.probability >= 0.0 && other.probability <= 1.0)
   }
 
+  test("LoanSources.jsonl: explicit schema, NaN in double cols becomes NULL") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    def write(name: String, lines: Seq[String]): String = {
+      val p = dir.resolve(name)
+      Files.write(p, String.join("\n", lines: _*).getBytes)
+      p.toString
+    }
+    val a = write("applicant.jsonl", Seq(
+      """{"Loan_ID":"L1","Gender":"Male","Married":"Yes","Dependents":"3+","Education":"Graduate","Self_Employed":null}""",
+      """{"Loan_ID":"L2","Gender":null,"Married":"No","Dependents":"0","Education":"Graduate","Self_Employed":"No"}"""))
+    val f = write("financial.jsonl", Seq(
+      """{"Loan_ID":"L1","ApplicantIncome":5000.0,"CoapplicantIncome":NaN,"LoanAmount":120.0,"Loan_Amount_Term":360.0,"Credit_History":1.0}""",
+      """{"Loan_ID":"L2","ApplicantIncome":3000.0,"CoapplicantIncome":0.0,"LoanAmount":null,"Loan_Amount_Term":360.0,"Credit_History":0.0}"""))
+    val l = write("loan.jsonl", Seq(
+      """{"Loan_ID":"L1","Property_Area":"Urban","Loan_Status":"Y"}""",
+      """{"Loan_ID":"L2","Property_Area":"Rural","Loan_Status":"N"}"""))
+    val src = LoanSources.jsonl(spark, a, f, l)
+    val m = src.merged
+    assert(m.count() == 2)
+    assert(m.schema("ApplicantIncome").dataType.typeName == "double")
+    // JSON NaN token -> SQL NULL, not Double.NaN (P7)
+    val r1 = m.filter($"Loan_ID" === "L1").head()
+    assert(r1.isNullAt(r1.fieldIndex("CoapplicantIncome")))
+    assert(m.filter($"CoapplicantIncome".isNull).count() == 1)
+  }
+
+  test("JDBC round-trip: typed DDL write (S4) then scan (S2) via Derby") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val df = Seq(("L1", "Urban", "Y"), ("L2", "Rural", "N"))
+      .toDF("Loan_ID", "Property_Area", "Loan_Status")
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", "loan_info")
+      .option("createTableColumnTypes",
+        "Loan_ID VARCHAR(50), Property_Area VARCHAR(20), Loan_Status VARCHAR(10)")
+      .mode("overwrite").save()
+    val back = LoanSources.jdbc(spark, url, loanTable = "loan_info").loanInfo
+    assert(back.count() == 2)
+    assert(back.filter(col("Loan_Status") === "Y").select("Loan_ID")
+      .head().getString(0) == "L1")
+  }
+
+  test("crossValidated runs k-fold grid search and refits the best model") {
+    val prepared = LoanTransforms.withLabel(
+      LoanTransforms.cleaned(syntheticLoans(120))).filter(col("label").isNotNull)
+    val small = (rf: org.apache.spark.ml.classification.RandomForestClassifier) =>
+      new org.apache.spark.ml.tuning.ParamGridBuilder()
+        .addGrid(rf.numTrees, Array(10, 20))
+        .build()
+    val cv = LoanPipeline.crossValidated(prepared, small, numFolds = 3)
+    assert(cv.avgMetrics.length == 2)
+    assert(cv.avgMetrics.forall(m => m >= 0.0 && m <= 1.0))
+    val scored = cv.bestModel.transform(prepared)
+    assert(scored.columns.contains("prediction"))
+    assert(scored.count() == prepared.count())
+  }
+
   test("JdbcUpsert: keyed upsert into Derby is idempotent and last-write-wins") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
