@@ -697,13 +697,83 @@ object Queries {
       whyNoOracle = Some("LSH bucketing is not SQL-expressible in DuckDB " +
         "(xxhash64-derived projections); correctness is gated by " +
         "SimilaritySpec's determinism + recall-vs-brute-force assertions")),
+
+    "q35_near_dup_survivors" -> Q(
+      // The dedup operation itself: keep the smallest doc_id of every
+      // near-dup clique (LSH-discovered, exactly verified), drop the rest.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
+        NearDup.nearDupSurvivors(docs, pairs, "doc_id")
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH $ngramPairCtes
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.6)
+        ORDER BY doc_id""")),
+
+    "q36_label_centroids" -> Q(
+      // Per-label centroid of the embedding column, one row per (label,
+      // dimension): posexplode -> stable decimal mean. The explode keeps
+      // the aggregation a plain codegen'd hash agg (no array HOFs) and the
+      // shuffle carries (label, pos, value) triples.
+      build = (s, dir) =>
+        table(s, dir, "embeddings")
+          .select(col("label"), posexplode(Vectors.asDouble(col("embedding")))
+            .as(Seq("pos", "v")))
+          .groupBy(col("label"), (col("pos") + 1).as("dim"))
+          .agg(davg(col("v")).as("centroid"), count(lit(1)).as("n"))
+          .orderBy(col("label"), col("dim")),
+      oracle = Some(s"""
+        WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        flat AS (
+          SELECT label, i AS dim, emb[i] AS val
+          FROM v, unnest(generate_series(1, len(emb))) t(i))
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+          ${sqlDavg("val")} AS centroid, count(*) AS n
+        FROM flat
+        GROUP BY label, dim
+        ORDER BY label, dim""")),
+
+    "q37_rollup_revenue" -> Q(
+      // Hierarchical totals region -> nation -> grand total in one pass
+      // (ROLLUP = partial aggregation reused across levels, no re-scan).
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(
+            msum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            grouping_id().as("gid"))
+          .orderBy(col("gid"), col("r_name").asc_nulls_first,
+            col("n_name").asc_nulls_first)
+      },
+      oracle = Some(s"""
+        SELECT r_name, n_name,
+          ${sqlMsum("o_totalprice")} AS revenue,
+          count(*) AS n_orders,
+          CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
   )
 
-  /** Shared oracle for q27/q28: exact word-3-gram Jaccard >= 0.6 pairs.
-    * (`lazy` is load-bearing: it is referenced from `all`, which is
-    * initialized above this definition.) */
-  private lazy val ngramJaccardOracle: String = """
-    WITH toks AS (
+  /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by
+    * q27/q28/q35 oracles; `lazy` is load-bearing — referenced from `all`,
+    * which is initialized above these definitions). */
+  private lazy val ngramPairCtes: String = """toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
     sh AS (
       SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -714,7 +784,11 @@ object Queries {
         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(a.s) > 0 AND len(b.s) > 0)
+      WHERE len(a.s) > 0 AND len(b.s) > 0)"""
+
+  /** Shared oracle for q27/q28: exact word-3-gram Jaccard >= 0.6 pairs. */
+  private lazy val ngramJaccardOracle: String = s"""
+    WITH $ngramPairCtes
     SELECT id_a, id_b, jaccard FROM pairs
     WHERE jaccard >= 0.6
     ORDER BY id_a, id_b"""
