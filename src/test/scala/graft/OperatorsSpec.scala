@@ -69,6 +69,18 @@ class OperatorsSpec extends SparkSpec {
     assert(knn.map(_.getLong(2)).toSeq == Seq(1L, 2L))
   }
 
+  test("SkewJoin.saltedJoin equals the plain join, including multiplicities") {
+    // skewed probe: key 1 dominates; build has duplicate keys too
+    val probe = (Seq.fill(50)(1) ++ Seq(2, 2, 3)).zipWithIndex
+      .map { case (k, i) => (k, s"p$i") }.toDF("k", "pv")
+    val build = Seq((1, "b1"), (1, "b1b"), (2, "b2"), (4, "b4")).toDF("k", "bv")
+    val plain = probe.join(build, Seq("k"))
+    val salted = SkewJoin.saltedJoin(probe, build, Seq("k"), saltFactor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("Sessionize splits on gap and keeps within-gap events together") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)

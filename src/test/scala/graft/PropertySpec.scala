@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.loan.StratifiedSplit
+import graft.ml.{MedianImputer, StringModeImputer}
+import graft.operators.NearDup
+
+/** Property-based invariants (SURVEY §5.4): null-handling, split
+  * partitioning, dedup idempotence — checked over ScalaCheck-generated
+  * inputs with fixed seeds (deterministic runs, a Spark job per case, so
+  * the sample count is kept small but varied).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val doubleRows: Gen[List[Option[Double]]] =
+    Gen.nonEmptyListOf(Gen.option(Gen.choose(-1000.0, 1000.0)))
+
+  test("MedianImputer leaves no nulls when any value exists") {
+    (1L to 5L).foreach { s =>
+      val xs = sample(doubleRows.suchThat(_.exists(_.isDefined)), s)
+      val df = xs.toDF("x")
+      val out = new MedianImputer().setInputCols(Array("x")).fit(df).transform(df)
+      assert(out.filter($"x".isNull).count() == 0, s"seed $s")
+      assert(out.count() == xs.length)
+    }
+  }
+
+  test("StringModeImputer fills every null with an existing value") {
+    val strRows = Gen.nonEmptyListOf(Gen.option(Gen.oneOf("a", "b", "c", "d")))
+    (1L to 5L).foreach { s =>
+      val xs = sample(strRows.suchThat(_.exists(_.isDefined)), s)
+      val df = xs.toDF("s")
+      val out = new StringModeImputer().setInputCols(Array("s")).fit(df).transform(df)
+      assert(out.filter($"s".isNull).count() == 0, s"seed $s")
+      val domain = xs.flatten.toSet
+      assert(out.collect().map(_.getString(0)).forall(domain.contains))
+    }
+  }
+
+  test("StratifiedSplit is always an exact partition with per-class ceil") {
+    val labeled = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 1000L), Gen.oneOf(0.0, 1.0)))
+    (1L to 5L).foreach { s =>
+      val xs = sample(labeled.suchThat(_.map(_._2).distinct.size == 2), s)
+      val df = xs.zipWithIndex.map { case ((v, l), i) => (i.toLong, v, l) }
+        .toDF("id", "v", "label")
+      val (train, test) = StratifiedSplit.split(df, "label", 0.8, seed = s)
+      assert(train.count() + test.count() == xs.size, s"seed $s")
+      assert(train.intersect(test).count() == 0)
+      val perClass = df.groupBy("label").count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      val trainPerClass = train.groupBy("label").count().collect()
+        .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      perClass.foreach { case (cls, n) =>
+        assert(trainPerClass.getOrElse(cls, 0L) == math.ceil(n * 0.8).toLong,
+          s"seed $s class $cls")
+      }
+    }
+  }
+
+  test("exact dedup by content key is idempotent and keeps one id per text") {
+    val docs = Gen.nonEmptyListOf(Gen.oneOf("t1", "t2", "t3", "t4 t5", ""))
+    (1L to 5L).foreach { s =>
+      val texts = sample(docs, s)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val dedup1 = df.groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      val kept = dedup1.count()
+      assert(kept == texts.distinct.size, s"seed $s")
+      // idempotent: dedup of the dedup result is itself
+      val again = df.join(dedup1.select("doc_id"), Seq("doc_id"), "left_semi")
+        .groupBy(md5($"text")).agg(min($"doc_id")).count()
+      assert(again == kept, s"seed $s")
+    }
+  }
+
+  test("nearDupSurvivors drops exactly the docs that pair with a smaller id") {
+    val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    (1L to 5L).foreach { s =>
+      val pairs = sample(pairGen, s)
+      val docs = (0L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      val kept = NearDup.nearDupSurvivors(docs, pairs.toDF("id_a", "id_b"), "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == (0L to 9L).toSet -- pairs.map(_._2).toSet, s"seed $s")
+    }
+  }
+}
