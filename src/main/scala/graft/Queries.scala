@@ -768,6 +768,33 @@ object Queries {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+
+    "q38_correlated_subquery" -> Q(
+      // Orders priced 1.5x above their customer's (stable-decimal) average
+      // — a correlated scalar subquery, which Catalyst decorrelates into
+      // an aggregate + join automatically; SQL surface + DataFrame surface
+      // coexist over the same session catalog.
+      build = (s, dir) => {
+        table(s, dir, "orders").createOrReplaceTempView("orders_q38")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_q38 o
+          WHERE o_totalprice > (
+            SELECT 1.5D * (CAST(round(sum(CAST(o2.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                           / count(*))
+            FROM orders_q38 o2
+            WHERE o2.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT 1.5 * (CAST(round(sum(CAST(o2.o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                        / count(*))
+          FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by

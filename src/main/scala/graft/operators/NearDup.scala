@@ -170,14 +170,14 @@ object NearDup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJ: Double = 0.6, numHashes: Int = 192,
       bandRows: Int = 3, materialize: Boolean = false): DataFrame = {
-    val rows = shingleRows(docs, idCol, textCol, n)
     def mat(df: DataFrame): DataFrame =
       if (materialize)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val bands = mat(minhashBands(rows, numHashes, bandRows))
+    val rows = mat(shingleRows(docs, idCol, textCol, n))
+    val bands = minhashBands(rows, numHashes, bandRows)
     val cand = lshCandidates(bands)
-    val sets = mat(shingleSets(rows))
+    val sets = shingleSets(rows)
     cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
       .join(sets.alias("sb"), col("id_b") === col("sb.id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
