@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,6 +75,55 @@ object Similarity {
     cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
       .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells and ranks only those members by exact cosine.
+    *
+    * Complements [[annTopK]]: random-hyperplane LSH needs no training and
+    * suits uniform data; IVF learns the cluster structure and dominates on
+    * real-world (clustered) embeddings — with `nprobe/nlist` directly
+    * controlling the scanned fraction. Scale shape: centroids are model
+    * metadata (nlist × dim, driver-held, broadcast), the corpus is
+    * assigned in one map pass, and the probe join is a cell-key equi-join;
+    * the corpus is never cross-joined. Deterministic for a fixed seed. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val fv = array_to_vector(Vectors.asDouble(col(vecCol)))
+    val corpusFv = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.asDouble(col(vecCol)).as("cv"), fv.as("__fv"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(corpusFv)
+    val assigned = model.transform(corpusFv).select(
+      col("neighbor_id"), col("cv"), col("__cell").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toSeq
+    val centroidDf = queries.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val qv = queries.select(col(idCol).as("query_id"),
+      Vectors.asDouble(col(vecCol)).as("qv"))
+    // rank this query's cells by distance to centroid, keep nprobe
+    val byDist = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val probed = qv.crossJoin(broadcast(centroidDf))
+      .withColumn("dist",
+        Vectors.dot(col("qv"), col("qv")) - lit(2.0) * Vectors.dot(col("qv"), col("centroid"))
+          + Vectors.dot(col("centroid"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(byDist))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val bySim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(bySim))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }

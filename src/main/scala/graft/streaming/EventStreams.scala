@@ -61,6 +61,13 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: left-join the event stream to a (batch)
+    * dimension table. The static side is re-planned per micro-batch —
+    * broadcast when small, so the stream side never shuffles; updates to
+    * the underlying dimension files are picked up between batches. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(dim, keys, "left")
+
   /** Gap-based sessionization as a continuously-running stream: the
     * streaming twin of the batch lag+cumsum formulation. One
     * [[OpenSession]] per user in state; a session is emitted when a new

@@ -34,6 +34,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@3 = $recall")
   }
 
+  test("ivfTopK: high recall on clustered data, scans a corpus fraction") {
+    import spark.implicits._
+    // 20 well-separated clusters x 10 members in 8 dims: the geometry IVF
+    // is built for (real embedding corpora cluster; LSH covers the
+    // uniform case)
+    def vec(cluster: Int, member: Int): Array[Float] =
+      Array.tabulate(8) { d =>
+        val center = if (d == cluster % 8) 10f * (1 + cluster / 8) else 0f
+        center + (member * 7 + d * 3) % 5 * 0.01f
+      }
+    val data = for (c <- 0 until 20; m <- 0 until 10)
+      yield (c * 10L + m, vec(c, m))
+    val corpus = data.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 10 === 0) // one per cluster
+
+    val exact = Vectors.bruteForceKnn(queries, corpus, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 3,
+        nlist = 20, nprobe = 3, seed = 42L)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall@3 = $recall")
+  }
+
+  test("ivfTopK is deterministic for a fixed seed") {
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3).collect().toSeq
+    val b = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 3).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("lshNearDupCandidates covers all pairs above the report threshold") {
     val truth = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

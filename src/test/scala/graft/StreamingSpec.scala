@@ -57,6 +57,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrich joins the stream to a static dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrich(in.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, 0), ev(2, 2, 1), ev(3, 3, 2)) // user 3 unknown
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(0), Option(r.getString(5)))).sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize matches batch gap semantics and closes by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
