@@ -60,31 +60,9 @@ class LoanSpec extends SparkSpec {
     assert(pos.support == 3L)
   }
 
-  /** Deterministic synthetic loan table exercising nulls + the sentinel. */
-  private def syntheticLoans(n: Int) = {
-    val rows = (1 to n).map { i =>
-      val gender = if (i % 7 == 0) null else if (i % 3 == 0) "Female" else "Male"
-      val married = if (i % 11 == 0) null else if (i % 2 == 0) "Yes" else "No"
-      val deps = i % 5 match {
-        case 0 => "3+"; case 1 => "0"; case 2 => "1"; case 3 => "2"; case _ => null
-      }
-      val edu = if (i % 4 == 0) "Not Graduate" else "Graduate"
-      val selfEmp = if (i % 13 == 0) null else if (i % 6 == 0) "Yes" else "No"
-      val income: java.lang.Double = 2000.0 + (i % 17) * 350.0
-      val coIncome: java.lang.Double = if (i % 3 == 0) 0.0 else 800.0 + (i % 5) * 200.0
-      val loanAmt: java.lang.Double = if (i % 19 == 0) null else 80.0 + (i % 23) * 8.0
-      val term: java.lang.Double = if (i % 29 == 0) null else 360.0
-      val credit: java.lang.Double = if (i % 9 == 0) null else if (i % 8 == 0) 0.0 else 1.0
-      val area = i % 3 match { case 0 => "Urban"; case 1 => "Semiurban"; case _ => "Rural" }
-      // approval driven by credit history + income, with deterministic noise
-      val approved = (credit != null && credit == 1.0 && income > 2600.0) || i % 10 == 0
-      (f"LP$i%04d", gender, married, deps, edu, selfEmp,
-        income, coIncome, loanAmt, term, credit, area, if (approved) "Y" else "N")
-    }
-    rows.toDF("Loan_ID", "Gender", "Married", "Dependents", "Education",
-      "Self_Employed", "ApplicantIncome", "CoapplicantIncome", "LoanAmount",
-      "Loan_Amount_Term", "Credit_History", "Property_Area", "Loan_Status")
-  }
+  /** Deterministic synthetic merged loan table (nulls + the sentinel),
+    * shared with [[graft.loan.LoanDemo]]. */
+  private def syntheticLoans(n: Int) = SyntheticLoanData.mergedDf(spark, n)
 
   test("end-to-end: train/select on synthetic loans, persist, serve one row") {
     val merged = syntheticLoans(200)
