@@ -795,6 +795,61 @@ object Queries {
           FROM orders o2
           WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")),
+
+    "q39_asof_attribution" -> Q(
+      // Attribution: each purchase joined to the user's latest prior (or
+      // simultaneous) click — AsOfJoin's union+window formulation vs
+      // DuckDB's native ASOF JOIN.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        // null-free output: NaT/NaN compare as unequal in float/datetime
+        // comparators, so unmatched purchases carry sentinels on BOTH sides
+        AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+            Seq("click_id", "click_ts"))
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            coalesce(col("click_ts"), lit("1970-01-01").cast("timestamp")).as("click_ts"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+          coalesce(c.click_id, -1) AS click_id,
+          coalesce(c.click_ts, TIMESTAMP '1970-01-01') AS click_ts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        ORDER BY p.event_id""")),
+
+    "q40_pivot_status" -> Q(
+      // Cross-tab (pandas crosstab / A5 analog): order counts by priority
+      // x status. Explicit pivot values keep the schema static — required
+      // for a deterministic plan (no value-discovery job at scale).
+      build = (s, dir) =>
+        table(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy(col("o_orderpriority")),
+      oracle = Some("""
+        SELECT o_orderpriority,
+          count(*) FILTER (o_orderstatus = 'F') AS n_f,
+          count(*) FILTER (o_orderstatus = 'O') AS n_o,
+          count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: attach to each left row the payload of the
+  * LATEST right row with the same keys and `right.ts <= left.ts` — the
+  * attribution / last-known-value join Spark has no built-in for.
+  *
+  * Formulation: tag both sides, union, and run one `last(payload,
+  * ignoreNulls) OVER (PARTITION BY keys ORDER BY ts, side)` window — right
+  * rows sort before left rows at equal timestamps, so "at or exactly at"
+  * rows are visible. Cost: ONE shuffle on the keys + one sort per key
+  * group, linear in |L|+|R| — never the range cross-product a naive
+  * `l.ts >= r.ts` join condition would plan (broadcast-nested-loop at
+  * scale). Skewed keys are bounded by per-key data, same as any window.
+  */
+object AsOfJoin {
+
+  /** @param payloadCols right-side columns to carry (they keep their
+    * names — make them distinct from left's columns); rows from the right
+    * are matched by `keyCols` and `rightTs <= leftTs`. Left rows with no
+    * prior right row get null payloads (left-join semantics). */
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        payloadCols.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+}

@@ -69,6 +69,22 @@ class OperatorsSpec extends SparkSpec {
     assert(knn.map(_.getLong(2)).toSeq == Seq(1L, 2L))
   }
 
+  test("AsOfJoin picks the latest right row at or before each left ts") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val left = Seq((1L, 10L, ts(5)), (1L, 11L, ts(20)), (2L, 20L, ts(5)))
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, 100L, ts(0)), (1L, 101L, ts(5)), (1L, 102L, ts(30)))
+      .toDF("k", "rid", "rts")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(10L) == Some(101L)) // equal-ts right row counts ("at or before")
+    assert(out(11L) == Some(101L)) // rid 102 is in the future
+    assert(out(20L) == None)       // key 2 has no right rows -> left-join null
+  }
+
   test("SkewJoin.saltedJoin equals the plain join, including multiplicities") {
     // skewed probe: key 1 dominates; build has duplicate keys too
     val probe = (Seq.fill(50)(1) ++ Seq(2, 2, 3)).zipWithIndex
