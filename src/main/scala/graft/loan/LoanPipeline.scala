@@ -113,19 +113,23 @@ object LoanPipeline {
       .filter(col("label").isNotNull)
     val (train, test) = StratifiedSplit.split(prepared, "label", 0.8, seed)
     train.cache(); test.cache()
-    val nTrain = train.count()
-    val candidates: Seq[(String, PipelineStage)] = Seq(
-      "RandomForestClassifier" -> randomForest,
-      "LogisticRegression" -> logisticRegression(nTrain))
-    val fitted = candidates.map { case (name, clf) =>
-      val model = pipeline(clf).fit(train)
-      val report = Evaluation.report(model.transform(test))
-      (name, model, report)
+    try {
+      val nTrain = train.count()
+      val candidates: Seq[(String, PipelineStage)] = Seq(
+        "RandomForestClassifier" -> randomForest,
+        "LogisticRegression" -> logisticRegression(nTrain))
+      val fitted = candidates.map { case (name, clf) =>
+        val model = pipeline(clf).fit(train)
+        val report = Evaluation.report(model.transform(test))
+        (name, model, report)
+      }
+      // Selection by accuracy (the notebook uses r2_score on labels —
+      // reproduced in Evaluation.r2 as a documented quirk, main ipynb:841 —
+      // but accuracy is the sane default and picks the same argmax here).
+      val (bestName, bestModel, _) = fitted.maxBy(_._3.accuracy)
+      (bestName, bestModel, fitted.map(f => f._1 -> f._3).toMap)
+    } finally {
+      train.unpersist(); test.unpersist()
     }
-    // Selection by accuracy (the notebook uses r2_score on labels —
-    // reproduced in Evaluation.r2 as a documented quirk, main ipynb:841 —
-    // but accuracy is the sane default and picks the same argmax here).
-    val (bestName, bestModel, _) = fitted.maxBy(_._3.accuracy)
-    (bestName, bestModel, fitted.map(f => f._1 -> f._3).toMap)
   }
 }

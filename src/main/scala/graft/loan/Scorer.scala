@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * schema-checked single rows (or micro-batches) and return
   * (prediction, P(approved)).
   *
-  * The serving input schema is the 12-field dict of app.py:52-65 —
+  * The serving input schema is the 11-field shape of app.py:52-65 —
   * `Dependents` arrives raw (possibly "3+") and is cleaned with the same
-  * expression used in training; `Total_Income` is derived server-side
-  * (app.py:50,59).
+  * expression used in training, so there is no train/serve skew. Batches
+  * are validated against [[inputSchema]] at the boundary (missing column →
+  * clear error here, not deep inside an MLlib stage) and columns are cast
+  * to the declared types.
   */
 class Scorer(val model: PipelineModel, spark: SparkSession) {
 
@@ -33,7 +35,13 @@ class Scorer(val model: PipelineModel, spark: SparkSession) {
   final case class Prediction(approved: Boolean, probability: Double)
 
   def scoreBatch(input: DataFrame): DataFrame = {
-    val prepared = LoanTransforms.cleaned(input)
+    val missing = inputSchema.fieldNames.filterNot(input.columns.contains)
+    require(missing.isEmpty,
+      s"scoring input is missing column(s): ${missing.mkString(", ")}")
+    val typed = inputSchema.fields.foldLeft(input) { (df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.dataType))
+    }
+    val prepared = LoanTransforms.cleaned(typed)
     model.transform(prepared)
       .withColumn("p_approved", vector_to_array(col("probability")).getItem(1))
   }

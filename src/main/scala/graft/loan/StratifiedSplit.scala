@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   * Rows are ranked within each class by a seeded hash; the first
   * ceil(trainFraction * classCount) go to train. Proportions are therefore
   * exact per class (like sklearn), not merely expected (like `sampleBy`).
+  *
+  * Duplicate rows: identical rows share a hash, so their relative rank is
+  * arbitrary — but they are interchangeable, so the split is deterministic
+  * AS A MULTISET (train+test always re-compose the input; per-class counts
+  * always exact). Only "which physical copy" of a duplicated row lands on
+  * which side can vary, which no value-based consumer can observe.
   */
 object StratifiedSplit {
 

@@ -32,7 +32,12 @@ class MedianImputer(override val uid: String)
       expr(s"percentile(`$c`, 0.5D)").as(c))
     val row = df.select(aggs: _*).head()
     val medians = $(inputCols).indices.map { i =>
-      $(inputCols)(i) -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+      // fail fast: an all-null column has no median, and imputing NaN
+      // would silently poison every downstream feature
+      require(!row.isNullAt(i),
+        s"MedianImputer: column '${$(inputCols)(i)}' is entirely null; " +
+          "drop it or impute it by other means")
+      $(inputCols)(i) -> row.getDouble(i)
     }.toMap
     copyValues(new MedianImputerModel(uid, medians).setParent(this))
   }

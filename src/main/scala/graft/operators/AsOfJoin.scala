@@ -21,22 +21,31 @@ object AsOfJoin {
   /** @param payloadCols right-side columns to carry (they keep their
     * names — make them distinct from left's columns); rows from the right
     * are matched by `keyCols` and `rightTs <= leftTs`. Left rows with no
-    * prior right row get null payloads (left-join semantics). */
+    * prior right row get null payloads (left-join semantics).
+    *
+    * The payload travels as ONE struct filled by a single
+    * `last(ignoreNulls)` — filling columns independently would skip
+    * value-level nulls and stitch columns from different right rows.
+    * Among right rows sharing (keys, ts) the largest payload struct wins
+    * (a total, deterministic order; match it in any oracle). */
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        payloadCols.map(col): _*)
+      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) :+
+        struct(payloadCols.map(col): _*).as("__payload"): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__payload").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    val filled = unioned
+      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(w))
+    payloadCols.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col(s"__filled.$c"))
+      }
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__payload", "__filled")
   }
 }

@@ -55,6 +55,11 @@ object Multimodal {
     /** Frame `i` of a video payload (frames concatenated row-major). */
     def frame(meta: MediaMeta, payload: Array[Byte], i: Int): Array[Byte] = {
       val sz = meta.width * meta.height
+      // fail fast like decode(): copyOfRange would zero-pad a boundary
+      // frame (silent corruption) or throw a bare AIOOBE mid-frame
+      require((i + 1) * sz <= payload.length,
+        s"payload ${payload.length}B too short for frame $i of ${meta.nFrames} " +
+          s"(${meta.width}x${meta.height})")
       java.util.Arrays.copyOfRange(payload, i * sz, (i + 1) * sz)
     }
   }

@@ -96,13 +96,16 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature as a single column expression: for seed i in
-    * [0, k), min over shingles of xxhash64(i, shingle). Convenient for
-    * ad-hoc use, but interpreted — the pipeline uses [[minhashBands]]'
+  /** MinHash signature as a single column expression — the SAME hash
+    * family as [[minhashBands]] (`xxhash64(seed, xxhash64(shingle))`), so
+    * ad-hoc signatures line up with the pipeline's buckets. Interpreted
+    * (column HOFs have no codegen); the pipeline uses [[minhashBands]]'
     * aggregation form instead. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val hashed = transform(shingles, s => xxhash64(s))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
+      i => array_min(transform(hashed, h => xxhash64(i, h))))
+  }
 
   /** (id, band, bhash) LSH bucket rows from (id, s) shingle rows, entirely
     * inside WholeStageCodegen.

@@ -32,9 +32,12 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
       session_start: Timestamp, session_end: Timestamp)
 
-  /** Mutable-across-batches state: the one open session per user. */
+  /** Mutable-across-batches state: the one open session per user.
+    * `emitted` marks a session already closed by timeout — kept (not
+    * removed) so `sessionSeq` keeps counting across session boundaries;
+    * state per user is a single fixed-size record either way. */
   final case class OpenSession(sessionSeq: Long, nEvents: Long,
-      startMs: Long, endMs: Long)
+      startMs: Long, endMs: Long, emitted: Boolean = false)
 
   /** Hourly (event-time) windowed counts + stable value sum per event
     * type. Late events beyond `watermarkDelay` are dropped and the window
@@ -88,7 +91,9 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val open = state.get
-            state.remove()
+            // keep the (emitted) state so sessionSeq stays continuous for
+            // this user's NEXT session instead of restarting at 1
+            state.update(open.copy(emitted = true))
             Iterator.single(SessionOut(userId, open.sessionSeq, open.nEvents,
               new Timestamp(open.startMs), new Timestamp(open.endMs)))
           } else {
@@ -100,8 +105,9 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               if (open == null) {
-                val seq = 1L
-                open = OpenSession(seq, 1L, t, t)
+                open = OpenSession(1L, 1L, t, t)
+              } else if (open.emitted) {
+                open = OpenSession(open.sessionSeq + 1, 1L, t, t)
               } else if (t - open.endMs > gapMs) {
                 closed += SessionOut(userId, open.sessionSeq, open.nEvents,
                   new Timestamp(open.startMs), new Timestamp(open.endMs))
@@ -112,8 +118,10 @@ object EventStreams {
               }
             }
             state.update(open)
-            // close by timeout once the watermark passes end + gap
-            state.setTimeoutTimestamp(open.endMs + gapMs)
+            // close by timeout once the watermark passes end + gap (no-op
+            // for an already-emitted placeholder: its timeout already fired
+            // and a fresh session will re-arm it)
+            if (!open.emitted) state.setTimeoutTimestamp(open.endMs + gapMs)
             closed.result().iterator
           }
       }

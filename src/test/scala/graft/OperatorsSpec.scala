@@ -85,6 +85,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(20L) == None)       // key 2 has no right rows -> left-join null
   }
 
+  test("AsOfJoin carries value-level nulls from the matched row (no tearing)") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    // latest right row at ts(10) has ref=null, amt=9: the left row must get
+    // exactly that row's payload — not ref stitched from the older row
+    val left = Seq((1L, 10L, ts(20))).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, ts(0), Some("x"), 5L),
+      (1L, ts(10), None: Option[String], 9L)
+    ).toDF("k", "rts", "ref", "amt")
+    val r = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts", Seq("ref", "amt"))
+      .select("ref", "amt").head()
+    assert(r.isNullAt(0) && r.getLong(1) == 9L)
+  }
+
   test("SkewJoin.saltedJoin equals the plain join, including multiplicities") {
     // skewed probe: key 1 dominates; build has duplicate keys too
     val probe = (Seq.fill(50)(1) ++ Seq(2, 2, 3)).zipWithIndex

@@ -93,16 +93,25 @@ class StreamingSpec extends SparkSpec {
       in.addData(ev(9, 98, 1200))
       q.processAllAvailable()
 
+      // a new event AFTER user 1's sessions were closed by timeout: the
+      // numbering must continue (session 3), not restart at 1
+      in.addData(ev(1, 4, 1300))
+      q.processAllAvailable()
+      in.addData(ev(9, 97, 2000))
+      q.processAllAvailable()
+
       val rows = spark.table("sessions")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(t => (t._1, t._2))
       // (user, session_seq, n_events); user 9's own session may also close
       val u12 = rows.filter(t => t._1 == 1L || t._1 == 2L)
-      assert(u12.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+      assert(u12.toSeq ==
+        Seq((1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L)))
 
       // parity with the batch operator on the same events
       val batch = graft.operators.Sessionize.sessions(
-        Seq(ev(1, 1, 0), ev(1, 2, 10), ev(2, 10, 0), ev(1, 3, 90)).toDF(),
+        Seq(ev(1, 1, 0), ev(1, 2, 10), ev(2, 10, 0), ev(1, 3, 90),
+          ev(1, 4, 1300)).toDF(),
         "user_id", "ts", "event_id", 1800L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(batch == u12.toSeq)
