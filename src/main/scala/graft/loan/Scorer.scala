@@ -32,8 +32,6 @@ class Scorer(val model: PipelineModel, spark: SparkSession) {
     StructField("Credit_History", DoubleType),
     StructField("Property_Area", StringType)))
 
-  final case class Prediction(approved: Boolean, probability: Double)
-
   def scoreBatch(input: DataFrame): DataFrame = {
     val missing = inputSchema.fieldNames.filterNot(input.columns.contains)
     require(missing.isEmpty,
@@ -47,16 +45,18 @@ class Scorer(val model: PipelineModel, spark: SparkSession) {
   }
 
   /** Single-row inference (app.py:67-71). */
-  def score(values: Map[String, Any]): Prediction = {
+  def score(values: Map[String, Any]): Scorer.Prediction = {
     val row = Row.fromSeq(inputSchema.fields.toIndexedSeq.map(f => values.getOrElse(f.name, null)))
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), inputSchema)
     val out = scoreBatch(df).select(col("prediction"), col("p_approved")).head()
-    Prediction(out.getDouble(0) == 1.0, out.getDouble(1))
+    Scorer.Prediction(out.getDouble(0) == 1.0, out.getDouble(1))
   }
 }
 
 object Scorer {
+  final case class Prediction(approved: Boolean, probability: Double)
+
   /** S7: model source. */
   def load(path: String, spark: SparkSession): Scorer =
     new Scorer(PipelineModel.load(path), spark)
