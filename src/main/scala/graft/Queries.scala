@@ -850,6 +850,49 @@ object Queries {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
+
+    "q41_monthly_delta" -> Q(
+      // Month-over-month revenue via lag. The window is unpartitioned by
+      // design: it runs AFTER aggregation on bounded-cardinality data
+      // (one row per month), where a single-partition window is correct
+      // and cheap at any corpus scale. Null-free output (first month's
+      // prev coalesces to 0 on both engines).
+      build = (s, dir) => {
+        val monthly = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(msum(col("o_totalprice")).as("revenue"))
+        val byMonth = Window.orderBy(col("month"))
+        monthly
+          .withColumn("prev_revenue", coalesce(lag(col("revenue"), 1).over(byMonth), lit(0.0)))
+          .withColumn("delta", col("revenue") - col("prev_revenue"))
+          .orderBy(col("month"))
+      },
+      oracle = Some(s"""
+        WITH monthly AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+            ${sqlMsum("o_totalprice")} AS revenue
+          FROM orders GROUP BY 1)
+        SELECT month, revenue,
+          coalesce(lag(revenue, 1) OVER (ORDER BY month), 0.0) AS prev_revenue,
+          revenue - coalesce(lag(revenue, 1) OVER (ORDER BY month), 0.0) AS delta
+        FROM monthly
+        ORDER BY month""")),
+
+    "q42_cube_counts" -> Q(
+      // Full CUBE over (status, priority): all four grouping levels in one
+      // pass, ordered by grouping id for a deterministic layout.
+      build = (s, dir) =>
+        table(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+          .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by
