@@ -4,9 +4,10 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.Stable
+import graft.sources.JdbcUpsert
 
 /** Structured Streaming counterparts of the batch event-log operators:
   * watermarked windowed aggregation, within-watermark dedup, and stateful
@@ -63,6 +64,26 @@ object EventStreams {
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Keyed upsert sink for a stream: every micro-batch is deduplicated to
+    * one row per key (deterministic last-write-wins on `versionCols`) and
+    * merged into the JDBC table — the streaming face of the reference's
+    * `REPLACE INTO` ETL (SURVEY §2.1 S5), giving an exactly-keyed,
+    * idempotent sink: replayed batches rewrite the same rows, so
+    * at-least-once delivery upstream still yields exactly-once table
+    * state. Attach `.trigger(...)/.start()` on the returned writer. */
+  def upsertSink[T](stream: Dataset[T], url: String, table: String,
+      keyCols: Seq[String], versionCols: Seq[String],
+      dialect: JdbcUpsert.Dialect,
+      batchSize: Int = 500): DataStreamWriter[T] =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        val df = batch.toDF()
+        JdbcUpsert.upsert(
+          JdbcUpsert.dedupLastWins(df, keyCols, versionCols),
+          url, table, keyCols, dialect, batchSize)
+      }
 
   /** Stream-static enrichment: left-join the event stream to a (batch)
     * dimension table. The static side is re-planned per micro-batch —

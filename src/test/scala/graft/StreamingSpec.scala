@@ -73,6 +73,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink: streamed micro-batches upsert idempotently into Derby") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE user_state (user_id BIGINT PRIMARY KEY, event_id BIGINT, value DOUBLE)")
+    conn.close()
+
+    val in = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.upsertSink(
+        in.toDS().select($"user_id", $"event_id", $"value").as[(Long, Long, Double)],
+        url, "user_state", Seq("user_id"), Seq("event_id"),
+        graft.sources.JdbcUpsert.DerbyMerge)
+      .start()
+    try {
+      // batch 1: two users; user 1 twice -> event_id 2 wins within batch
+      in.addData(ev(1, 1, 0, value = 10.0), ev(1, 2, 1, value = 20.0),
+        ev(2, 3, 0, value = 5.0))
+      q.processAllAvailable()
+      // batch 2: update user 2, insert user 3
+      in.addData(ev(2, 4, 2, value = 7.0), ev(3, 5, 2, value = 1.0))
+      q.processAllAvailable()
+
+      val check = java.sql.DriverManager.getConnection(url)
+      val rs = check.createStatement().executeQuery(
+        "SELECT user_id, event_id, value FROM user_state ORDER BY user_id")
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+      check.close()
+      assert(got == List((1L, 2L, 20.0), (2L, 4L, 7.0), (3L, 5L, 1.0)))
+    } finally q.stop()
+  }
+
   test("sessionize matches batch gap semantics and closes by timeout") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
