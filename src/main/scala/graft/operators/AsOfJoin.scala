@@ -34,8 +34,11 @@ object AsOfJoin {
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
     val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) :+
-        struct(payloadCols.map(col): _*).as("__payload"): _*)
+        keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) :+
+          struct(payloadCols.map(col): _*).as("__payload"): _*)
+      // a null right timestamp is "no time", not "before all time" (which
+      // NULLS FIRST ordering would make it): such rows can never match
+      .filter(col("__ts").isNotNull)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__payload").asc_nulls_first)

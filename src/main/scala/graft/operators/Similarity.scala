@@ -112,9 +112,11 @@ object Similarity {
     val byDist = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("cell"))
     val probed = qv.crossJoin(broadcast(centroidDf))
+      // squared euclidean MINUS the per-query-constant |q|² term — it
+      // cancels in the per-query argmin, so don't pay nlist extra dots
       .withColumn("dist",
-        Vectors.dot(col("qv"), col("qv")) - lit(2.0) * Vectors.dot(col("qv"), col("centroid"))
-          + Vectors.dot(col("centroid"), col("centroid")))
+        Vectors.dot(col("centroid"), col("centroid"))
+          - lit(2.0) * Vectors.dot(col("qv"), col("centroid")))
       .withColumn("cell_rank", row_number().over(byDist))
       .filter(col("cell_rank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))

@@ -32,7 +32,7 @@ object Bucketing {
     * AdaptiveSparkPlanExec, while the explain always renders the exchange
     * nodes. Exposed for tests and plan audits. */
   def shuffleExchangeCount(df: DataFrame): Int =
-    "Exchange hashpartitioning".r
+    "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)".r
       .findAllIn(df.queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
       .size

@@ -68,10 +68,15 @@ object EventStreams {
   /** Keyed upsert sink for a stream: every micro-batch is deduplicated to
     * one row per key (deterministic last-write-wins on `versionCols`) and
     * merged into the JDBC table — the streaming face of the reference's
-    * `REPLACE INTO` ETL (SURVEY §2.1 S5), giving an exactly-keyed,
-    * idempotent sink: replayed batches rewrite the same rows, so
-    * at-least-once delivery upstream still yields exactly-once table
-    * state. Attach `.trigger(...)/.start()` on the returned writer. */
+    * `REPLACE INTO` ETL (SURVEY §2.1 S5). Idempotent under micro-batch
+    * REPLAY (re-running a batch rewrites the same rows), which is the
+    * failure mode of checkpointed streaming. Note the contract boundary:
+    * version ordering is enforced only WITHIN a batch — if the source can
+    * deliver an older version in a LATER batch (producer-side duplicates
+    * rather than offset replay), the unconditional MERGE regresses that
+    * key; guard it with a version predicate in the target DB (`WHEN
+    * MATCHED AND v.version > t.version`) for such sources.
+    * Attach `.trigger(...)/.start()` on the returned writer. */
   def upsertSink[T](stream: Dataset[T], url: String, table: String,
       keyCols: Seq[String], versionCols: Seq[String],
       dialect: JdbcUpsert.Dialect,
@@ -97,12 +102,17 @@ object EventStreams {
     * [[OpenSession]] per user in state; a session is emitted when a new
     * event arrives more than `gapSeconds` after it ends, or when the
     * event-time timeout fires (watermark passed end+gap with no successor).
-    * `session_seq` is continuous across micro-batches via the state. */
+    * `session_seq` is continuous across micro-batches and across closed
+    * sessions for `seqRetentionSeconds` of inactivity, after which the
+    * user's numbering state is evicted (bounded state) and a returning
+    * user restarts at 1. */
   def sessionize(events: Dataset[Event], gapSeconds: Long,
-      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
+      watermarkDelay: String = "30 minutes",
+      seqRetentionSeconds: Long = 24 * 3600L): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapSeconds * 1000L
+    val retentionMs = seqRetentionSeconds * 1000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -112,11 +122,23 @@ object EventStreams {
         (userId: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
             val open = state.get
-            // keep the (emitted) state so sessionSeq stays continuous for
-            // this user's NEXT session instead of restarting at 1
-            state.update(open.copy(emitted = true))
-            Iterator.single(SessionOut(userId, open.sessionSeq, open.nEvents,
-              new Timestamp(open.startMs), new Timestamp(open.endMs)))
+            if (open.emitted) {
+              // retention expired for an already-emitted placeholder:
+              // evict it (state stays bounded; a user returning later
+              // restarts numbering at 1 — the bounded-memory tradeoff)
+              state.remove()
+              Iterator.empty
+            } else {
+              // keep an (emitted) placeholder so sessionSeq stays
+              // continuous for this user's NEXT session, with its own
+              // retention timeout so it cannot accumulate forever
+              state.update(open.copy(emitted = true))
+              state.setTimeoutTimestamp(math.max(
+                open.endMs + gapMs + retentionMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.single(SessionOut(userId, open.sessionSeq, open.nEvents,
+                new Timestamp(open.startMs), new Timestamp(open.endMs)))
+            }
           } else {
             // Within a micro-batch, order by (ts, event_id) — the same total
             // order as the batch operator.
@@ -139,9 +161,8 @@ object EventStreams {
               }
             }
             state.update(open)
-            // close by timeout once the watermark passes end + gap (no-op
-            // for an already-emitted placeholder: its timeout already fired
-            // and a fresh session will re-arm it)
+            // close by timeout once the watermark passes end + gap; an
+            // emitted placeholder keeps its retention timeout instead
             if (!open.emitted) state.setTimeoutTimestamp(open.endMs + gapMs)
             closed.result().iterator
           }
