@@ -893,6 +893,22 @@ object Queries {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
+    "q43_langid_trigrams" -> Q(
+      // Char-trigram profile language id (the n-gram flavor of q31's
+      // marker-word heuristic) — substring-occurrence scoring via the
+      // replace-length identity, exactly reproducible cross-engine.
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(col("lang"), LangId.predictedByTrigrams(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("lang_pred")),
+      oracle = Some(s"""
+        SELECT lang, ${LangId.sqlPredictedByTrigrams("text")} AS lang_pred,
+          count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY lang, lang_pred""")),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by

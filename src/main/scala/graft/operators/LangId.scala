@@ -46,10 +46,59 @@ object LangId {
     when(allZero, "und").otherwise(pick)
   }
 
+  /** (language, characteristic char trigrams) — the char-n-gram profile
+    * variant. Order is the tie-break priority. */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "tio"),
+    "es" -> Seq("que", "ión", "ado", "los", "ent"),
+    "fr" -> Seq("les", "ent", "ait", "eur", "oux"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und"))
+
+  /** Occurrences of a literal substring, via the replace-length identity
+    * `(len(s) - len(replace(s, t, ''))) / len(t)` — codegen'd (literal
+    * `replace`, no regex), and identical in any SQL engine. */
+  def substringCount(text: Column, t: String): Column =
+    (length(text) - length(replace(text, lit(t), lit("")))) / t.length
+
+  /** Char-trigram profile score for one language. */
+  def trigramScore(lowered: Column, trigrams: Seq[String]): Column =
+    trigrams.map(substringCount(lowered, _)).reduce(_ + _)
+
+  /** Predicted language by char-trigram profiles; ties and all-zero rows
+    * resolve like [[predicted]] (declaration order / "und"). */
+  def predictedByTrigrams(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = trigramProfiles.map { case (lang, g) => lang -> trigramScore(lowered, g) }
+    val best = greatest(scored.map(_._2): _*)
+    val allZero = scored.map(_._2 === 0).reduce(_ && _)
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best, lang).otherwise(acc)
+    }
+    when(allZero, "und").otherwise(pick)
+  }
+
   // --- DuckDB oracle mirrors ----------------------------------------------
 
   private def sqlToks(expr: String): String =
     s"regexp_split_to_array(lower(trim($expr)), '\\s+')"
+
+  private def sqlSubstringCount(expr: String, t: String): String = {
+    val lit = t.replace("'", "''")
+    s"(length($expr) - length(replace($expr, '$lit', ''))) / ${t.length}"
+  }
+
+  /** DuckDB mirror of [[predictedByTrigrams]]. */
+  def sqlPredictedByTrigrams(expr: String): String = {
+    val lowered = s"lower($expr)"
+    val scores = trigramProfiles.map { case (lang, g) =>
+      lang -> g.map(sqlSubstringCount(lowered, _)).mkString(" + ")
+    }
+    val best = s"greatest(${scores.map(s => s"(${s._2})").mkString(", ")})"
+    val cases = scores.map { case (lang, s) => s"WHEN ($s) = $best THEN '$lang'" }
+    s"""CASE WHEN ${scores.map(s => s"(${s._2}) = 0").mkString(" AND ")} THEN 'und'
+       |${cases.mkString("\n")}
+       |ELSE 'und' END""".stripMargin
+  }
 
   def sqlScore(expr: String, markers: Seq[String]): String = {
     val list = markers.map(m => s"'$m'").mkString(", ")

@@ -88,6 +88,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "es", "und"))
   }
 
+  test("LangId.predictedByTrigrams scores char n-gram profiles") {
+    val out = Seq(
+      "the king is singing and the nation",  // the/ing/and/ion/tio
+      "aquellos que han llegado a los montes", // que/los/ado
+      "zzz qqq").toDF("text")
+      .select(LangId.predictedByTrigrams(col("text")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "und"))
+    val c = Seq("abcabcab").toDF("t")
+      .select(LangId.substringCount(col("t"), "abc").as("c")).head()
+    assert(c.getDouble(0) == 2.0)
+  }
+
   test("bpeTokenCount matches the DuckDB-checked GPT-2-ish segmentation") {
     val r = Seq("Hello, world! 42 times").toDF("t")
       .select(TextStats.bpeTokenCount(col("t"))).head().getInt(0)
