@@ -124,6 +124,34 @@ object Multimodal {
     }
   }
 
+  /** One analysis window of an audio payload (1-D signal framing). */
+  final case class AudioWindow(media_id: Long, window_idx: Int,
+      start_sample: Int, energy: Double)
+
+  /** Frame each audio payload (bytes as 8-bit samples) into windows of
+    * `windowSize` samples every `hopSize`, emitting mean-square energy per
+    * window — the standard first step of any audio featurizer, with the
+    * same flatMap shape as [[sampleFrames]] (expansion on executors). A
+    * real decoder would feed PCM floats through the identical framing. */
+  def audioWindows(media: Dataset[MediaRow], windowSize: Int,
+      hopSize: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(windowSize > 0 && hopSize > 0, "windowSize and hopSize must be positive")
+    media.flatMap { r =>
+      val n = r.payload.length
+      (0 to n - windowSize by hopSize).zipWithIndex.map { case (start, idx) =>
+        var sum = 0.0
+        var i = start
+        while (i < start + windowSize) {
+          val v = (r.payload(i) & 0xff) - 128.0
+          sum += v * v
+          i += 1
+        }
+        AudioWindow(r.media_id, idx, start, sum / windowSize)
+      }
+    }
+  }
+
   /** Untyped view with the canonical multimodal schema: `media_id, kind,
     * meta struct, payload binary` — what a parquet/lance-style media lake
     * table looks like; metadata predicates (kind, dimensions) push down to

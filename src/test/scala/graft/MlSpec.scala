@@ -24,6 +24,14 @@ class MlSpec extends SparkSpec {
     assert(out.sorted.toSeq == Seq(1.0, 2.0, 2.5, 3.0, 4.0))
   }
 
+  test("MedianImputer fails fast on an all-null column") {
+    val df = Seq[Option[Double]](None, None, None).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      new MedianImputer().setInputCols(Array("x")).fit(df)
+    }
+    assert(e.getMessage.contains("entirely null"))
+  }
+
   test("StringModeImputer fills with mode, ties to smallest value") {
     val df = Seq(Some("b"), Some("a"), Some("b"), Some("a"), None, Some("c"))
       .toDF("s")

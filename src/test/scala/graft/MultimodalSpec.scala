@@ -54,6 +54,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1).pixels.toSeq == expect2)
   }
 
+  test("audioWindows frames the signal with hop and exact energies") {
+    // constant signal at 130 -> per-sample deviation 2 -> energy 4
+    val audio = MediaRow(7L, "audio", MediaMeta("fake-pcm8", 0, 0, 0, 8000),
+      Array.fill[Byte](10)(130.toByte))
+    val w = Multimodal.audioWindows(Seq(audio).toDS(), windowSize = 4, hopSize = 3)
+      .collect().sortBy(_.window_idx)
+    assert(w.map(_.start_sample).toSeq == Seq(0, 3, 6)) // last full window at 6
+    assert(w.forall(_.energy == 4.0))
+  }
+
   test("payload dedup key groups identical binaries") {
     val rows = Seq(image(1, 4, 4), image(1, 4, 4), image(2, 4, 4))
     val df = Multimodal.asTable(rows.toDS())
