@@ -909,6 +909,23 @@ object Queries {
         FROM documents
         GROUP BY 1, 2
         ORDER BY lang, lang_pred""")),
+
+    "q44_describe" -> Q(
+      // pandas describe() in long form over the lineitem measures: one
+      // melt + one aggregation pass regardless of column count.
+      build = (s, dir) =>
+        Profiling.describe(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      oracle = Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val selects = cols.map { c =>
+          s"""SELECT '$c' AS col_name, count(CAST($c AS DOUBLE)) AS n,
+             |  ${sqlDavg(s"CAST($c AS DOUBLE)")} AS mean,
+             |  min(CAST($c AS DOUBLE)) AS min_v, max(CAST($c AS DOUBLE)) AS max_v
+             |FROM lineitem""".stripMargin
+        }
+        selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by

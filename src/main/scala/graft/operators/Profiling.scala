@@ -51,4 +51,21 @@ object Profiling {
   def shape(df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("n_rows"))
       .withColumn("n_cols", lit(df.columns.length))
+
+  /** pandas `df.describe()` analog in long form — (column, n, mean, min,
+    * max) for any number of numeric columns in ONE melt + ONE aggregation
+    * pass (no per-column scan loop). The mean is combine-order-independent
+    * ([[graft.functions.Stable.davg]]); quartiles/std live in the q19-style
+    * grouped-statistics query. */
+  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackExpr = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.select(expr(s"stack(${cols.length}, $stackExpr) as (col_name, v)"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(col("v")).as("n"),
+        graft.functions.Stable.davg(col("v")).as("mean"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("col_name"))
+  }
 }
