@@ -926,6 +926,54 @@ object Queries {
         }
         selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }),
+
+    "q45_session_funnel" -> Q(
+      // Conversion funnel over gap sessions: of all user sessions, how
+      // many contain a purchase / an error, and the conversion rate —
+      // session assignment reused from the q18 machinery, then two
+      // bounded aggregations.
+      build = (s, dir) => {
+        val tagged = Sessionize.withSessionSeq(table(s, dir, "events"),
+          "user_id", "ts", "event_id", gapSeconds = 1800L)
+        tagged
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"),
+            max(when(col("event_type") === "error", 1).otherwise(0)).as("errored"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("converted")).as("n_converted"),
+            sum(col("errored")).as("n_errored"),
+            (sum(col("converted")).cast("double") / count(lit(1))).as("conversion_rate"))
+      },
+      oracle = Some("""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts, event_type,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_type,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess,
+            ts, event_id
+          FROM lagged),
+        numbered AS (
+          SELECT user_id, event_type,
+            sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_seq,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+            max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errored
+          FROM numbered
+          GROUP BY user_id, session_seq)
+        SELECT count(*) AS n_sessions,
+          CAST(sum(converted) AS BIGINT) AS n_converted,
+          CAST(sum(errored) AS BIGINT) AS n_errored,
+          CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+        FROM per_session""")),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by

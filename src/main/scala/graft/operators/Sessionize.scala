@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  def sessions(events: DataFrame, userCol: String, tsCol: String,
+  /** Events annotated with their `session_seq` (1-based per user) — the
+    * per-event view, for funnel/attribution analyses that need columns
+    * beyond the session envelope. */
+  def withSessionSeq(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSeconds: Long): DataFrame = {
     val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     val gapMicros = gapSeconds * 1000000L
@@ -30,11 +33,16 @@ object Sessionize {
       .withColumn("session_seq",
         sum(col("new_sess")).over(
           order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "new_sess")
+  }
+
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame =
+    withSessionSeq(events, userCol, tsCol, idCol, gapSeconds)
       .groupBy(col(userCol), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
       .orderBy(col(userCol), col("session_seq"))
-  }
 }
