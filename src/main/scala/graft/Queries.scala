@@ -323,6 +323,20 @@ object Queries {
     // Event log: time bucketing, JSON extraction, sessionization
     // ------------------------------------------------------------------
 
+    "q15b_intersect" -> Q(
+      // Nations having BOTH customers and suppliers — completes the set-op
+      // family (union q14 / except q15 / intersect here).
+      build = (s, dir) => {
+        val c = table(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sp = table(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        c.intersect(sp).orderBy(col("nationkey"))
+      },
+      oracle = Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")),
+
     "q16_events_hourly" -> Q(
       build = (s, dir) =>
         table(s, dir, "events")

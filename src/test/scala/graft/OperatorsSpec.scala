@@ -69,6 +69,16 @@ class OperatorsSpec extends SparkSpec {
     assert(knn.map(_.getLong(2)).toSeq == Seq(1L, 2L))
   }
 
+  test("approx_count_distinct (HLL sketch) lands within rsd of exact") {
+    val orders = spark.read.parquet(s"/root/testdata/sf0.001/orders.parquet")
+    val exact = orders.select(countDistinct(col("o_custkey"))).first().getLong(0)
+    val approx = orders.select(approx_count_distinct(col("o_custkey"), 0.02))
+      .first().getLong(0)
+    // HLL++ with rsd=0.02: allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx $approx vs exact $exact")
+  }
+
   test("AsOfJoin picks the latest right row at or before each left ts") {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
