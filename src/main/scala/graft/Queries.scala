@@ -818,9 +818,14 @@ object Queries {
         val ev = table(s, dir, "events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"))
+        // pre-dedup to one click per (user_id, ts): when several clicks
+        // share the as-of timestamp, AsOfJoin and DuckDB ASOF JOIN are both
+        // free to pick any of them — collapsing ties to max(event_id) makes
+        // the attribution well-defined on BOTH engines
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("event_id").as("click_id"),
-            col("ts").as("click_ts"))
+          .groupBy(col("user_id"), col("ts").as("click_ts"))
+          .agg(max(col("event_id")).as("click_id"))
+          .select(col("user_id"), col("click_id"), col("click_ts"))
         // null-free output: NaT/NaN compare as unequal in float/datetime
         // comparators, so unmatched purchases carry sentinels on BOTH sides
         AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "click_ts",
@@ -834,8 +839,8 @@ object Queries {
         WITH p AS (
           SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
         c AS (
-          SELECT user_id, event_id AS click_id, ts AS click_ts
-          FROM events WHERE event_type = 'click')
+          SELECT user_id, max(event_id) AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
         SELECT p.event_id, p.user_id,
           coalesce(c.click_id, -1) AS click_id,
           coalesce(c.click_ts, TIMESTAMP '1970-01-01') AS click_ts

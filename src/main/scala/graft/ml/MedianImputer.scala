@@ -61,7 +61,8 @@ class MedianImputerModel(override val uid: String, val medians: Map[String, Doub
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
       MetaIO.write(MedianImputerModel.this,
-        classOf[MedianImputerModel].getName, path, sparkSession)
+        classOf[MedianImputerModel].getName, path, sparkSession,
+        MetaIO.inputColsJson(get(inputCols)))
       val ss = sparkSession
       import ss.implicits._
       medians.toSeq.toDF("col", "median")
@@ -73,10 +74,12 @@ class MedianImputerModel(override val uid: String, val medians: Map[String, Doub
 object MedianImputerModel extends MLReadable[MedianImputerModel] {
   override def read: MLReader[MedianImputerModel] = new MLReader[MedianImputerModel] {
     override def load(path: String): MedianImputerModel = {
-      val (uid, _) = MetaIO.read(path, sparkSession)
+      val (uid, paramMap) = MetaIO.read(path, sparkSession)
       val medians = sparkSession.read.parquet(MetaIO.dataPath(path))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      new MedianImputerModel(uid, medians)
+      val m = new MedianImputerModel(uid, medians)
+      MetaIO.readInputCols(paramMap).foreach(m.set(m.inputCols, _))
+      m
     }
   }
 }

@@ -31,6 +31,18 @@ private[graft] object MetaIO {
       .write.mode("overwrite").text(metadataPath)
   }
 
+  /** paramMap JSON for a stage whose only param is `inputCols` (unset →
+    * empty map, matching DefaultParamsWriter's explicit-params-only rule). */
+  def inputColsJson(cols: Option[Array[String]]): JObject =
+    cols.fold(JObject())(a => JObject("inputCols" -> JArray(a.toList.map(JString(_)))))
+
+  /** Extracts `inputCols` from a parsed paramMap, if persisted. */
+  def readInputCols(paramMap: JValue): Option[Array[String]] =
+    paramMap \ "inputCols" match {
+      case JArray(vs) => Some(vs.collect { case JString(s) => s }.toArray)
+      case _ => None
+    }
+
   /** Returns (uid, parsed paramMap). */
   def read(path: String, spark: SparkSession): (String, JValue) = {
     val metadataPath = new Path(path, "metadata").toString

@@ -60,7 +60,8 @@ class PopulationScalerModel(override val uid: String,
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
       MetaIO.write(PopulationScalerModel.this,
-        classOf[PopulationScalerModel].getName, path, sparkSession)
+        classOf[PopulationScalerModel].getName, path, sparkSession,
+        MetaIO.inputColsJson(get(inputCols)))
       val ss = sparkSession
       import ss.implicits._
       stats.toSeq.map { case (c, (m, s)) => (c, m, s) }.toDF("col", "mean", "std")
@@ -72,10 +73,12 @@ class PopulationScalerModel(override val uid: String,
 object PopulationScalerModel extends MLReadable[PopulationScalerModel] {
   override def read: MLReader[PopulationScalerModel] = new MLReader[PopulationScalerModel] {
     override def load(path: String): PopulationScalerModel = {
-      val (uid, _) = MetaIO.read(path, sparkSession)
+      val (uid, paramMap) = MetaIO.read(path, sparkSession)
       val stats = sparkSession.read.parquet(MetaIO.dataPath(path))
         .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-      new PopulationScalerModel(uid, stats)
+      val m = new PopulationScalerModel(uid, stats)
+      MetaIO.readInputCols(paramMap).foreach(m.set(m.inputCols, _))
+      m
     }
   }
 }

@@ -62,7 +62,8 @@ class StringModeImputerModel(override val uid: String, val modes: Map[String, St
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
       MetaIO.write(StringModeImputerModel.this,
-        classOf[StringModeImputerModel].getName, path, sparkSession)
+        classOf[StringModeImputerModel].getName, path, sparkSession,
+        MetaIO.inputColsJson(get(inputCols)))
       val ss = sparkSession
       import ss.implicits._
       modes.toSeq.toDF("col", "mode")
@@ -74,10 +75,12 @@ class StringModeImputerModel(override val uid: String, val modes: Map[String, St
 object StringModeImputerModel extends MLReadable[StringModeImputerModel] {
   override def read: MLReader[StringModeImputerModel] = new MLReader[StringModeImputerModel] {
     override def load(path: String): StringModeImputerModel = {
-      val (uid, _) = MetaIO.read(path, sparkSession)
+      val (uid, paramMap) = MetaIO.read(path, sparkSession)
       val modes = sparkSession.read.parquet(MetaIO.dataPath(path))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-      new StringModeImputerModel(uid, modes)
+      val m = new StringModeImputerModel(uid, modes)
+      MetaIO.readInputCols(paramMap).foreach(m.set(m.inputCols, _))
+      m
     }
   }
 }

@@ -33,7 +33,12 @@ object Similarity {
     pmod(xxhash64(table, plane, dim), lit(2001L)).cast("double") / 1000.0 - 1.0
 
   /** Bucket id in [0, 2^numPlanes) for a vector in the given table: one
-    * codegen'd expression (nested higher-order functions), no UDF. */
+    * Catalyst expression, no UDF — but note the nested higher-order
+    * functions run INTERPRETED (no codegen; see NearDup's posexplode
+    * rewrite), costing O(numPlanes · dims) boxed lambda calls per vector
+    * per table. Fine off the hot path; if ANN bucketing becomes a
+    * bottleneck, reshape as posexplode + conditional aggregation like
+    * [[NearDup]]'s minhash, or a native `Expression` with `doGenCode`. */
   def bucketId(vec: Column, numPlanes: Int, table: Column): Column =
     aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L), (acc, p) => {
       val proj = aggregate(

@@ -111,6 +111,7 @@ object JdbcUpsert {
               // check (MySQL_Data_Loading.ipynb:522-524)
               val v = row.get(binds(slot)) match {
                 case d: java.lang.Double if d.isNaN => null
+                case f: java.lang.Float if f.isNaN => null
                 case other => other
               }
               if (v == null) stmt.setObject(slot + 1, null)

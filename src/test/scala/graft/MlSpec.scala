@@ -66,6 +66,14 @@ class MlSpec extends SparkSpec {
     val a = model.transform(df).orderBy("x", "s").collect().toSeq
     val b = loaded.transform(df).orderBy("x", "s").collect().toSeq
     assert(a == b)
+    // params survive the round-trip too: getInputCols on a loaded stage
+    // must not throw (paramMap is persisted, not just the fitted data)
+    val loadedCols = loaded.stages.map {
+      case m: MedianImputerModel => m.getInputCols.toSeq
+      case m: PopulationScalerModel => m.getInputCols.toSeq
+      case m: StringModeImputerModel => m.getInputCols.toSeq
+    }
+    assert(loadedCols.toSeq == Seq(Seq("x"), Seq("x"), Seq("s")))
   }
 
   test("StratifiedSplit is an exact per-class partition, repartition-invariant") {
