@@ -36,10 +36,16 @@ private[graft] object MetaIO {
   def inputColsJson(cols: Option[Array[String]]): JObject =
     cols.fold(JObject())(a => JObject("inputCols" -> JArray(a.toList.map(JString(_)))))
 
-  /** Extracts `inputCols` from a parsed paramMap, if persisted. */
+  /** Extracts `inputCols` from a parsed paramMap, if persisted. Fails
+    * loudly on malformed metadata (non-string array elements) rather than
+    * silently truncating the column list. */
   def readInputCols(paramMap: JValue): Option[Array[String]] =
     paramMap \ "inputCols" match {
-      case JArray(vs) => Some(vs.collect { case JString(s) => s }.toArray)
+      case JArray(vs) =>
+        val strs = vs.collect { case JString(s) => s }
+        require(strs.size == vs.size,
+          s"malformed inputCols metadata: expected JSON strings, got ${vs.mkString(", ")}")
+        Some(strs.toArray)
       case _ => None
     }
 

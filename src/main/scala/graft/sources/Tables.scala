@@ -25,10 +25,22 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  private val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** Events with `ts` as a proper TimestampType (micros, truncated from
-    * nanos exactly like DuckDB truncates). */
+    * nanos exactly like DuckDB truncates).
+    *
+    * Session-conf note: `ParquetToSparkSchemaConverter` reads the
+    * `nanosAsLong` switch from the live session conf ONLY — both at schema
+    * inference and again inside every scan task; passing it as a reader
+    * option is ignored (verified empirically: [PARQUET_TYPE_ILLEGAL] either
+    * way). So the conf must be set here and must REMAIN set while plans
+    * over this relation execute — Spark offers no narrower mechanism. The
+    * set is skipped when already in effect, so repeated loads don't touch
+    * the conf again. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(NanosAsLong).forall(_ != "true"))
+      spark.conf.set(NanosAsLong, "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

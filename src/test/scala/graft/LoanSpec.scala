@@ -178,4 +178,34 @@ class LoanSpec extends SparkSpec {
     check.close()
     assert(got == List(("L1", 111.0, "N"), ("L2", 250.0, "N"), ("L3", 300.0, "Y")))
   }
+
+  test("JdbcUpsert dialects: generated SQL matches golden strings") {
+    // No live MySQL exists in this environment, so the REPLACE INTO dialect
+    // (the reference's actual target, MySQL_Data_Loading.ipynb:515-527) is
+    // pinned against golden statements instead.
+    val cols = Seq("loan_id", "amount", "status")
+    assert(JdbcUpsert.MySqlReplace.upsertSql("loan_data", cols, Seq("loan_id")) ==
+      "REPLACE INTO loan_data (loan_id, amount, status) VALUES (?, ?, ?)")
+    // key columns don't change REPLACE INTO (keyed-ness lives in the table's
+    // PRIMARY KEY), and bind order is plain column order
+    assert(JdbcUpsert.MySqlReplace.upsertSql("loan_data", cols, Seq("loan_id", "status")) ==
+      JdbcUpsert.MySqlReplace.upsertSql("loan_data", cols, Seq("loan_id")))
+    assert(JdbcUpsert.MySqlReplace.bindOrder(cols, Seq("loan_id")) == Seq(0, 1, 2))
+    // single-column table (no non-key columns) still yields valid SQL
+    assert(JdbcUpsert.MySqlReplace.upsertSql("t", Seq("k"), Seq("k")) ==
+      "REPLACE INTO t (k) VALUES (?)")
+
+    assert(JdbcUpsert.AnsiMerge.upsertSql("loans", cols, Seq("loan_id")) ==
+      """MERGE INTO loans t
+        |USING (VALUES (?, ?, ?)) AS v(loan_id, amount, status)
+        |ON t.loan_id = v.loan_id
+        |WHEN MATCHED THEN UPDATE SET t.amount = v.amount, t.status = v.status WHEN NOT MATCHED THEN INSERT (loan_id, amount, status) VALUES (v.loan_id, v.amount, v.status)""".stripMargin)
+    // all-key table: no UPDATE branch at all (an UPDATE SET of nothing is a
+    // syntax error on every engine)
+    assert(!JdbcUpsert.AnsiMerge.upsertSql("t", Seq("k"), Seq("k")).contains("WHEN MATCHED"))
+
+    // Derby MERGE binds key cols, then non-key cols, then all cols (INSERT)
+    assert(JdbcUpsert.DerbyMerge.bindOrder(cols, Seq("loan_id")) == Seq(0, 1, 2, 0, 1, 2))
+    assert(JdbcUpsert.DerbyMerge.bindOrder(cols, Seq("status")) == Seq(2, 0, 1, 0, 1, 2))
+  }
 }

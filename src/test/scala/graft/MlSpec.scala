@@ -72,6 +72,7 @@ class MlSpec extends SparkSpec {
       case m: MedianImputerModel => m.getInputCols.toSeq
       case m: PopulationScalerModel => m.getInputCols.toSeq
       case m: StringModeImputerModel => m.getInputCols.toSeq
+      case other => fail(s"unexpected pipeline stage after load: $other")
     }
     assert(loadedCols.toSeq == Seq(Seq("x"), Seq("x"), Seq("s")))
   }
