@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, MinGramHash, PolyHash, SimHash60}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -37,7 +37,20 @@ object GraftFunctions {
       { case Seq(a, b) => DotProduct(a, b) }: Builder),
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two array<double>"),
-      { case Seq(a, b) => CosineSimilarity(a, b) }: Builder))
+      { case Seq(a, b) => CosineSimilarity(a, b) }: Builder),
+    ("graft_simhash60",
+      info("graft_simhash60", "graft_simhash60(tokens) - 60-bit SimHash sketch of array<string>"),
+      { case Seq(t) => SimHash60(t) }: Builder),
+    ("graft_polyhash",
+      info("graft_polyhash", "graft_polyhash(str) - Rabin-Karp polynomial fingerprint"),
+      { case Seq(s) => PolyHash(s) }: Builder),
+    ("graft_mingram_hash",
+      info("graft_mingram_hash", "graft_mingram_hash(str, k) - min rolling hash over k-char windows"),
+      { case Seq(s, k) => MinGramHash(s, k) }: Builder),
+    ("graft_hyperplane_buckets",
+      info("graft_hyperplane_buckets",
+        "graft_hyperplane_buckets(vec, planes, tables) - LSH bucket ids per table"),
+      { case Seq(v, p, t) => HyperplaneBuckets(v, p, t) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

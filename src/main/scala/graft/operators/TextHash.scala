@@ -6,9 +6,15 @@ import org.apache.spark.sql.functions._
 /** Content-hashing operators: SimHash sketches and rolling-hash document
   * fingerprints. Both are defined over *portable* primitives (md5, integer
   * polynomial arithmetic) rather than engine-native hash functions, so a
-  * DuckDB oracle can recompute bit-identical values — and both are pure
-  * codegen'd column expressions evaluated at scan speed (the per-document
-  * cost is O(tokens), there is no shuffle at all until someone aggregates).
+  * DuckDB oracle can recompute bit-identical values.
+  *
+  * Each operator runs as a native codegen'd expression
+  * ([[graft.functions.SimHash60]] / [[graft.functions.PolyHash]] /
+  * [[graft.functions.MinGramHash]] — one static-kernel call per row inside
+  * WholeStageCodegen), with an interpreted higher-order-function twin
+  * (`*Hof`) kept as the executable specification: the A/B equality tests in
+  * TextOpsSpec pin the two formulations together, and the HOF form is what
+  * the DuckDB oracle mirrors line by line.
   */
 object TextHash {
 
@@ -22,14 +28,17 @@ object TextHash {
     * positions according to its md5 bits; the sketch keeps the sign of each
     * position's total. Near-identical token sets differ in few bits, so
     * Hamming distance on the sketch approximates token-set overlap.
-    *
-    * Implemented as one `aggregate` over the token array building a 60-slot
-    * vote vector (`zip_with` add), then folding votes back into a long.
     * Ties (vote == 0) resolve to bit 0 on both engines. */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(split(trim(text), "\\s+"))
+  def simhash(text: Column): Column =
+    call_function("graft_simhash60", tokens(text))
+
+  /** Interpreted HOF twin of [[simhash]]: one `aggregate` over the token
+    * array building a 60-slot vote vector (`zip_with` add), then a fold of
+    * votes back into a long. Same result, ~60 boxed lambda calls per token
+    * — kept as the executable spec, not for hot paths. */
+  def simhashHof(text: Column): Column = {
     val votes = aggregate(
-      toks,
+      tokens(text),
       array_repeat(lit(0L), 60),
       (acc, tok) => {
         val h = md5Bits60(tok)
@@ -45,6 +54,9 @@ object TextHash {
       lit(0L), (acc, b) => acc + b)
   }
 
+  private def tokens(text: Column): Column =
+    array_distinct(split(trim(text), "\\s+"))
+
   /** Hamming distance between two simhash sketches (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -54,18 +66,26 @@ object TextHash {
   /** Polynomial rolling hash of a string: fold `acc*131 + codepoint mod
     * (1e9+7)` over the characters. The classic Rabin-Karp fingerprint,
     * reproducible in any engine with integer arithmetic. */
-  def polyHash(c: Column): Column =
+  def polyHash(c: Column): Column = call_function("graft_polyhash", c)
+
+  /** Interpreted HOF twin of [[polyHash]] (per-character lambda fold). */
+  def polyHashHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * Base + ascii(ch)) % Mod)
 
   /** Winnowed gram fingerprint: the minimum rolling hash over all k-char
     * windows — a 1-fingerprint winnow (Schleimer et al. '03 "winnowing"
     * with window = document). Two documents sharing any k-gram region have
-    * correlated minima; equality is a strong copy signal. */
-  def minGramHash(text: Column, k: Int): Column = {
+    * correlated minima; equality is a strong copy signal. The native
+    * kernel is O(len) via hash rolling; the HOF twin is O(len·k). */
+  def minGramHash(text: Column, k: Int): Column =
+    call_function("graft_mingram_hash", text, lit(k))
+
+  /** Interpreted HOF twin of [[minGramHash]]. */
+  def minGramHashHof(text: Column, k: Int): Column = {
     val starts = when(length(text) >= k, sequence(lit(1), length(text) - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    array_min(transform(starts, i => polyHash(substr(text, i, lit(k)))))
+    array_min(transform(starts, i => polyHashHof(substr(text, i, lit(k)))))
   }
 
   // --- DuckDB oracle mirrors ----------------------------------------------

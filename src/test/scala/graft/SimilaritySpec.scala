@@ -11,6 +11,18 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = graft.sources.Tables.load(spark, sf(), "embeddings")
 
+  test("native HyperplaneBuckets is bit-identical to the HOF bucket formula") {
+    val v = Vectors.asDouble(col("embedding"))
+    val numPlanes = 4
+    val numTables = 16
+    val cmp = emb.select(
+      Similarity.bucketIds(v, numPlanes, numTables).as("native"),
+      transform(sequence(lit(0), lit(numTables - 1)),
+        t => Similarity.bucketIdHof(v, numPlanes, t)).as("hof"))
+    val bad = cmp.filter(!(col("native") <=> col("hof")))
+    assert(bad.count() == 0, s"bucket mismatch: ${bad.take(1).mkString}")
+  }
+
   test("annTopK is deterministic for fixed params") {
     val q = emb.filter(col("vec_id") < 10)
     val a = Similarity.annTopK(q, emb, "vec_id", "embedding", 3).collect().toSeq
@@ -32,6 +44,15 @@ class SimilaritySpec extends SparkSpec {
     // hardest case for LSH; 4 planes x 16 tables still recovers most of
     // the true top-3
     assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+
+  test("annTopK at default params EQUALS brute force (q34's oracle contract)") {
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Vectors.bruteForceKnn(q, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ann = Similarity.annTopK(q, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(ann == exact, s"ANN != brute force: missing=${(exact -- ann).take(3)}")
   }
 
   test("ivfTopK: high recall on clustered data, scans a corpus fraction") {
@@ -70,9 +91,23 @@ class SimilaritySpec extends SparkSpec {
   test("lshNearDupCandidates covers all pairs above the report threshold") {
     val truth = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // degraded params (more planes, fewer tables) still cover most pairs...
     val cand = Similarity.lshNearDupCandidates(emb, "vec_id", "embedding", 4, 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val covered = (truth & cand).size.toDouble / math.max(truth.size, 1)
     assert(covered >= 0.6, s"candidate coverage = $covered (${truth.size} true pairs)")
+    // ...and the tuned defaults cover ALL of them (q30's oracle contract)
+    val candDefault = Similarity.lshNearDupCandidates(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((truth -- candDefault).isEmpty,
+      s"default-params candidates miss true pairs: ${(truth -- candDefault).take(3)}")
+  }
+
+  test("lshNearDupPairs equals the exact cosine near-dup operator") {
+    val exact = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact, s"LSH pairs != exact pairs (missing ${(exact -- lsh).take(3)})")
   }
 }

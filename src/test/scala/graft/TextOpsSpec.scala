@@ -78,6 +78,31 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(0))
   }
 
+  test("native hash kernels are bit-identical to their interpreted HOF twins") {
+    // the codegen'd expressions (SimHash60/PolyHash/MinGramHash) must agree
+    // with the aggregate/zip_with formulations everywhere: real corpus +
+    // adversarial edges (empty, 1-char, unicode, surrogate pair, repeated
+    // whitespace, exactly-k-length strings)
+    val edges = Seq("", "a", "  spaced   out  ", "héllo wörld €uro",
+      "emoji 😀 pair", "abcdefgh", "abcdefg",
+      "same same same", "tab\tand\nnewline sep").toDF("text")
+    val docs = graft.sources.Tables.load(spark, sf(), "documents").select("text")
+    for (df <- Seq(edges, docs)) {
+      val cmp = df.select(
+        TextHash.simhash(col("text")).as("s_native"),
+        TextHash.simhashHof(col("text")).as("s_hof"),
+        TextHash.polyHash(col("text")).as("p_native"),
+        TextHash.polyHashHof(col("text")).as("p_hof"),
+        TextHash.minGramHash(col("text"), 8).as("g_native"),
+        TextHash.minGramHashHof(col("text"), 8).as("g_hof"))
+      val bad = cmp.filter(
+        !(col("s_native") <=> col("s_hof")) ||
+        !(col("p_native") <=> col("p_hof")) ||
+        !(col("g_native") <=> col("g_hof")))
+      assert(bad.count() == 0, s"native/HOF mismatch rows: ${bad.take(3).mkString}")
+    }
+  }
+
   test("LangId.predicted: marker argmax with deterministic tie-break") {
     val out = Seq(
       "the cat and the dog is in a tree",
