@@ -950,17 +950,25 @@ object Queries {
         ORDER BY lang, lang_pred""")),
 
     "q44_describe" -> Q(
-      // pandas describe() in long form over the lineitem measures: one
-      // melt + one aggregation pass regardless of column count.
+      // pandas describe() in long form over the lineitem measures — the
+      // full count/mean/std/min/25/50/75/max panel in one melt + one
+      // aggregation pass regardless of column count.
       build = (s, dir) =>
         Profiling.describe(table(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
       oracle = Some {
         val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         val selects = cols.map { c =>
-          s"""SELECT '$c' AS col_name, count(CAST($c AS DOUBLE)) AS n,
-             |  ${sqlDavg(s"CAST($c AS DOUBLE)")} AS mean,
-             |  min(CAST($c AS DOUBLE)) AS min_v, max(CAST($c AS DOUBLE)) AS max_v
+          val v = s"CAST($c AS DOUBLE)"
+          s"""SELECT '$c' AS col_name, count($v) AS n,
+             |  ${sqlDavg(v)} AS mean,
+             |  sqrt((${sqlDsumsq(v)} - ${sqlDsum(v)} * ${sqlDsum(v)} / count($v))
+             |       / (count($v) - 1)) AS std,
+             |  min($v) AS min_v,
+             |  quantile_cont($v, 0.25) AS p25,
+             |  quantile_cont($v, 0.5) AS median,
+             |  quantile_cont($v, 0.75) AS p75,
+             |  max($v) AS max_v
              |FROM lineitem""".stripMargin
         }
         selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
@@ -1013,6 +1021,51 @@ object Queries {
           CAST(sum(errored) AS BIGINT) AS n_errored,
           CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
         FROM per_session""")),
+
+    "q46_binary_payloads" -> Q(
+      // Multimodal binary columns, driver-checked: documents' UTF-8 bytes
+      // stand in for media payloads (deterministic, so the oracle can
+      // recompute them), flowing through the typed MediaRow schema
+      // (media_id + kind + meta struct + binary payload) whose raster ops
+      // MultimodalSpec gates. Per media kind: item count, exact payload
+      // dedup on the md5 of the BYTES (the binary twin of q21's text
+      // dedup), and byte-volume accounting. Scale shape: one scan, one
+      // hash agg; the shuffle carries 16-byte digests + counters, never
+      // payloads.
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val media = docs.select(
+          col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "image")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+            .otherwise("video").as("kind"),
+          struct(lit("raw").as("format"),
+            length(col("text")).cast("int").as("width"),
+            lit(1).as("height"), lit(1).as("nFrames"),
+            lit(0).as("sampleRateHz")).as("meta"),
+          col("text").cast("binary").as("payload"))
+          .as[Multimodal.MediaRow]
+        Multimodal.asTable(media)
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            countDistinct(Multimodal.payloadKey).as("n_unique_payloads"),
+            sum(length(col("payload"))).as("total_bytes"),
+            max(length(col("payload"))).as("max_bytes"))
+          .orderBy(col("kind"))
+      },
+      oracle = Some("""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+          count(*) AS n_items,
+          count(DISTINCT md5(text)) AS n_unique_payloads,
+          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+          max(octet_length(encode(text))) AS max_bytes
+        FROM documents
+        GROUP BY 1
+        ORDER BY kind""")),
   )
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by

@@ -58,6 +58,18 @@ object Stable {
   def davg(c: Column): Column =
     round(sum(c.cast("decimal(14,8)")), 6).cast("double") / count(lit(1))
 
+  /** 6-decimal exact snap for generic measure values (|v| < 10^12) — wide
+    * enough for every numeric column in the star schema, narrow enough
+    * that v·v (decimal(37,12)) and its sum stay inside 38 digits. */
+  private def d6(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Order-independent sum of a generic measure (finalized at 4 decimals). */
+  def dsum(c: Column): Column = round(sum(d6(c)), 4).cast("double")
+
+  /** Order-independent sum of squares of a generic measure — the second
+    * moment for spread statistics, exact in decimal until the final snap. */
+  def dsumsq(c: Column): Column = round(sum(d6(c) * d6(c)), 4).cast("double")
+
   // --- DuckDB-side mirrors -------------------------------------------------
   // Oracle SQL fragments computing the *identical* exact-decimal pipeline.
 
@@ -83,4 +95,15 @@ object Stable {
   /** DuckDB mirror of [[davg]]. */
   def sqlDavg(expr: String): String =
     s"CAST(round(sum(CAST(($expr) AS DECIMAL(14,8))),6) AS DOUBLE) / count(*)"
+
+  /** DuckDB mirror of [[dsum]]. */
+  def sqlDsum(expr: String): String =
+    s"CAST(round(sum(CAST(($expr) AS DECIMAL(18,6))),4) AS DOUBLE)"
+
+  /** DuckDB mirror of [[dsumsq]]. Declared width 19 (not 18): DuckDB
+    * multiplies width-18 decimals in their int64 storage and overflows;
+    * width 19 forces int128 and yields the exact DECIMAL(38,12) product —
+    * numerically identical to Spark's (18,6)→(37,12). */
+  def sqlDsumsq(expr: String): String =
+    s"CAST(round(sum(CAST(($expr) AS DECIMAL(19,6)) * CAST(($expr) AS DECIMAL(19,6))),4) AS DOUBLE)"
 }

@@ -52,20 +52,31 @@ object Profiling {
     df.agg(count(lit(1)).as("n_rows"))
       .withColumn("n_cols", lit(df.columns.length))
 
-  /** pandas `df.describe()` analog in long form — (column, n, mean, min,
-    * max) for any number of numeric columns in ONE melt + ONE aggregation
-    * pass (no per-column scan loop). The mean is combine-order-independent
-    * ([[graft.functions.Stable.davg]]); quartiles/std live in the q19-style
-    * grouped-statistics query. */
+  /** pandas `df.describe()` analog in long form — the full
+    * count/mean/std/min/25%/50%/75%/max panel for any number of numeric
+    * columns in ONE melt + ONE aggregation pass (no per-column scan loop).
+    * The mean is combine-order-independent ([[graft.functions.Stable.davg]]);
+    * std comes from exact-decimal first/second moments via the textbook
+    * identity (identical IEEE ops on identical doubles in both engines);
+    * quartiles use exact type-7 interpolated percentile. */
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.functions.Stable.{davg, dsum, dsumsq}
     val stackExpr = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val v = col("v")
+    val n = count(v)
+    val s1 = dsum(v)
+    val s2 = dsumsq(v)
     df.select(expr(s"stack(${cols.length}, $stackExpr) as (col_name, v)"))
       .groupBy(col("col_name"))
       .agg(
-        count(col("v")).as("n"),
-        graft.functions.Stable.davg(col("v")).as("mean"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
+        n.as("n"),
+        davg(v).as("mean"),
+        sqrt((s2 - s1 * s1 / n) / (n - 1)).as("std"),
+        min(v).as("min_v"),
+        expr("percentile(v, 0.25D)").as("p25"),
+        expr("percentile(v, 0.5D)").as("median"),
+        expr("percentile(v, 0.75D)").as("p75"),
+        max(v).as("max_v"))
       .orderBy(col("col_name"))
   }
 }
