@@ -3,12 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (Queries.benchNames) against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line the driver parses.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line (stdout's last line) the
+  * driver parses.
   *
   * Each query is fully materialized through the `noop` sink (all partitions
   * computed, nothing collected to the driver), which measures engine
-  * throughput rather than driver serialization. One untimed warmup absorbs
-  * JVM/classloader/codegen startup so the numbers reflect steady state.
+  * throughput rather than driver serialization. Each query runs
+  * SPARK_GRAFT_BENCH_ITERS times (default 3) and reports the MIN — the
+  * least-noise estimator for a shared machine (background load only ever
+  * adds time); the first iteration doubles as the per-query codegen/JIT
+  * warmup, and a global warmup absorbs JVM/classloader startup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,26 +34,38 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     val names = Queries.benchNames
-    // warmup: run the first two headline queries untimed
-    names.take(2).foreach(run)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // global warmup: one query untimed (JVM/classloader/parquet-footer
+    // startup); per-query codegen warmup is covered by min-of-iters
+    names.take(1).foreach(run)
 
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { run(name); true }
-        catch { case e: Throwable =>
+      var best = Double.MaxValue
+      var failed = false
+      var i = 0
+      while (i < iters && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          run(name)
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          failed = true
         }
+        i += 1
+      }
       // a failed query must not masquerade as a (fast) success — mark it
       // with -1 so any consumer of the JSON sees the failure
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (failed) -1.0 else best)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop FIRST so the JSON is guaranteed to be stdout's last line
     spark.stop()
+    println(json)
   }
 }

@@ -400,7 +400,8 @@ object Queries {
           min(ts) AS session_start, max(ts) AS session_end
         FROM numbered
         GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq""")),
+        ORDER BY user_id, session_seq"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // Deterministic statistics (SURVEY §2.4 A7-A9 analogs)
@@ -623,7 +624,8 @@ object Queries {
           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes
         GROUP BY doc_id
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     "q30_embedding_near_dup" -> Q(
       // Embedding near-dup report, top-50 pairs >= 0.4 — via the 100 TB
@@ -647,7 +649,8 @@ object Queries {
         SELECT id_a, id_b, sim FROM pairs
         WHERE sim >= 0.4
         ORDER BY sim DESC, id_a, id_b
-        LIMIT 50""")),
+        LIMIT 50"""),
+      bench = true),
 
     // ------------------------------------------------------------------
     // Text analysis: language id, fingerprints, BPE-ish token accounting
@@ -677,7 +680,8 @@ object Queries {
           ${TextHash.sqlPolyHash("text")} AS doc_hash,
           ${TextHash.sqlMinGramHash("text", 8)} AS min_gram_hash
         FROM documents
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     "q33_bpe_tokens" -> Q(
       build = (s, dir) =>
@@ -747,7 +751,8 @@ object Queries {
         WITH $ngramPairCtes
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.6)
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     "q36_label_centroids" -> Q(
       // Per-label centroid of the embedding column, one row per (label,
@@ -801,7 +806,8 @@ object Queries {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
-        ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")),
+        ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""),
+      bench = true),
 
     "q38_correlated_subquery" -> Q(
       // Orders priced 1.5x above their customer's (stable-decimal) average
@@ -865,7 +871,8 @@ object Queries {
           coalesce(c.click_id, -1) AS click_id,
           coalesce(c.click_ts, TIMESTAMP '1970-01-01') AS click_ts
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts
-        ORDER BY p.event_id""")),
+        ORDER BY p.event_id"""),
+      bench = true),
 
     "q40_pivot_status" -> Q(
       // Cross-tab (pandas crosstab / A5 analog): order counts by priority
