@@ -607,23 +607,9 @@ object Queries {
         table(s, dir, "documents")
           .select(col("doc_id"), TextHash.simhash(col("text")).as("simhash"))
           .orderBy(col("doc_id")),
-      oracle = Some("""
-        WITH toks AS (
-          SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
-          FROM documents),
-        th AS (
-          SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
-          FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
-        votes AS (
-          SELECT doc_id, bit,
-            sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
-          FROM th
-          CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
-          GROUP BY doc_id, bit)
-        SELECT doc_id,
-          CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-        FROM votes
-        GROUP BY doc_id
+      oracle = Some(s"""
+        WITH $simhashCtes
+        SELECT doc_id, simhash FROM sk
         ORDER BY doc_id"""),
       bench = true),
 
@@ -1073,7 +1059,47 @@ object Queries {
         FROM documents
         GROUP BY 1
         ORDER BY kind""")),
+
+    "q47_simhash_pairs" -> Q(
+      // SimHash near-dup pairs at Hamming <= 3 via pigeonhole banding
+      // (4 x 15-bit bands): the candidate set PROVABLY contains every true
+      // pair — a guarantee, not a recall probability — so the exact
+      // all-pairs SQL is the oracle. The Hamming-space complement of
+      // q27/q28's Jaccard dedup.
+      build = (s, dir) =>
+        NearDup.simhashNearDupPairs(table(s, dir, "documents"), "doc_id",
+            "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some(s"""
+        WITH $simhashCtes
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b"""),
+      bench = true),
   )
+
+  /** Shared CTE body computing per-document 60-bit simhash sketches (used
+    * by the q29/q47 oracles; `lazy` is load-bearing — referenced from
+    * `all`, which is initialized above these definitions). */
+  private lazy val simhashCtes: String = """toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    votes AS (
+      SELECT doc_id, bit,
+        sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM th
+      CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
+      GROUP BY doc_id, bit),
+    sk AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id)"""
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by
     * q27/q28/q35 oracles; `lazy` is load-bearing — referenced from `all`,

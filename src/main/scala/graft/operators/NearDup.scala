@@ -190,6 +190,58 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs — the Hamming-space analog of the MinHash
+    * pipeline, for "same content, lightly edited" dedup where what matters
+    * is token-set drift rather than shingle overlap.
+    *
+    * Every document is sketched once (the codegen'd
+    * [[graft.functions.SimHash60]] expression), the 60-bit sketch is cut
+    * into `maxHamming + 1` equal bit-slices, and only documents sharing a
+    * (band, value) pair ever meet. The guarantee is *pigeonhole, not
+    * probabilistic* (contrast minhash banding's 1-(1-J^r)^b recall): two
+    * sketches within `maxHamming` bits differ in at most `maxHamming`
+    * covered bands, so at least one of the `maxHamming + 1` bands matches
+    * exactly — the candidate set provably contains every true pair, and
+    * the exact `bit_count(xor)` verify makes the output identical to the
+    * all-pairs scan. Bits beyond `bands·⌊60/bands⌋` are simply uncovered,
+    * which only ever ADDS candidates, so the guarantee survives non-dividing
+    * band counts (maxHamming ≤ 29 keeps every band ≥ 2 bits).
+    *
+    * Scale shape: `maxHamming + 1` (id, band, value) rows per document —
+    * linear map-side expansion of 16-byte rows — then the bucket-grouped
+    * pair expansion used by [[lshCandidates]] (sketch pipeline evaluated
+    * once, not per self-join side), then two id equi-joins to re-attach
+    * sketches for the verify. Unrelated documents (uniform sketches)
+    * collide per band with probability 2^-bits (2^-15 at the default), so
+    * false candidates are rare; identical-content cliques are the output
+    * itself, as in every dedup pipeline. */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 29,
+      s"maxHamming must be in [0, 29], got $maxHamming")
+    val numBands = maxHamming + 1
+    val bits = 60 / numBands
+    val sk = docs.select(col(idCol).as("id"),
+      TextHash.simhash(col(textCol)).as("sk"))
+    val banded = sk.select(col("id"),
+      posexplode(array((0 until numBands).map { i =>
+        shiftrightunsigned(col("sk"), i * bits).bitwiseAND(lit((1L << bits) - 1))
+      }: _*)).as(Seq("band", "bv")))
+    val cand = banded.groupBy(col("band"), col("bv"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    cand
+      .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), Seq("id_b"))
+      .withColumn("hamming", TextHash.hamming(col("sk_a"), col("sk_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Dedup survivors under a "keep the smallest id of each near-dup
     * cluster" policy: connected components over the pair graph would be
     * exact; the standard streaming-friendly approximation removes any doc

@@ -78,6 +78,22 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(0))
   }
 
+  test("simhashNearDupPairs equals the all-pairs Hamming scan (pigeonhole)") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    val banded = NearDup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force truth: sketch every doc, scan every pair
+    val sk = docs.select(col("doc_id"), TextHash.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val truth = (for {
+      (ia, sa) <- sk; (ib, sb) <- sk if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(banded == truth,
+      s"banded=${banded.size} truth=${truth.size} missing=${(truth -- banded).take(3)}")
+    assert(truth.nonEmpty) // the corpus really contains close sketches
+  }
+
   test("native hash kernels are bit-identical to their interpreted HOF twins") {
     // the codegen'd expressions (SimHash60/PolyHash/MinGramHash) must agree
     // with the aggregate/zip_with formulations everywhere: real corpus +
