@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{NearDup, Similarity}
+
+/** Scale-linearity check for the round-3 LSH paths (not part of the driver
+  * contract): inflates the sf0.1 corpora by replication-with-perturbation
+  * and measures how simhash banding (q47) and embedding LSH near-dup (q30)
+  * grow with corpus size. The minhash pipeline got the same treatment in
+  * round 1 (50k docs, 1000× pairs → 2.2× time).
+  *
+  * `sbt "runMain graft.tools.ScaleCheck [sfDir]"`
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftFunctions.register(spark)
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s  (rows=$n)")
+    }
+
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    // k copies with SHIFTED ids; each copy gets a long distinct prefix
+    // (~10 tokens vs ~50 distinct tokens/doc) so cross-copy sketches drift
+    // well past Hamming 3 — output pairs grow ~linearly with k and the
+    // measurement isolates the banding/verify cost from the (inherently
+    // quadratic-in-clique) pair output
+    def docsX(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val prefix = (0 until 10).map(j => s"cp${i}x$j").mkString("", " ", " ")
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          (if (i == 0) col("text") else concat(lit(prefix), col("text"))).as("text"))
+      }.reduce(_ union _)
+
+    docs.count() // warm
+    time("simhash pairs 1x (5k docs)")(
+      NearDup.simhashNearDupPairs(docsX(1), "doc_id", "text", 3).count())
+    time("simhash pairs 10x (50k docs)")(
+      NearDup.simhashNearDupPairs(docsX(10), "doc_id", "text", 3).count())
+
+    // Embedding LSH in its actual regime: clustered corpus, high
+    // similarity threshold (0.9), selective params (8 planes x 8 tables).
+    // The shipped catalog setting (threshold 0.4 over near-uniform
+    // vectors) is the information-theoretic worst case — most pairs are
+    // moderately similar, so no method can prune much and candidate
+    // volume is ~n²; with cluster structure the same operator prunes hard.
+    def clustered(n: Int): DataFrame = {
+      import spark.implicits._
+      (0 until n).map { i =>
+        val c = i % 200 // 200 clusters
+        val vec = Array.tabulate(32) { d =>
+          val center = if (d == c % 32) 10f + (c / 32) else 0.1f * ((c * 7 + d) % 5)
+          center + ((i * 13 + d * 3) % 7) * 0.02f
+        }
+        (i.toLong, vec)
+      }.toDF("vec_id", "embedding")
+    }
+
+    def lshClustered(n: Int): Long =
+      Similarity.lshNearDupPairs(clustered(n), "vec_id", "embedding", 0.9,
+        numPlanes = 8, numTables = 8).count()
+
+    time("clustered LSH near-dup 5k vecs")(lshClustered(5000))
+    time("clustered LSH near-dup 20k vecs")(lshClustered(20000))
+    // exactness at the selective params: LSH output == brute-force output
+    val n = 4000
+    val exact = graft.operators.Vectors
+      .cosineNearDupPairs(clustered(n), "vec_id", "embedding", 0.9).count()
+    val lsh = lshClustered(n)
+    println(s"clustered exactness @4k: lsh=$lsh exact=$exact equal=${lsh == exact}")
+    spark.stop()
+  }
+}
