@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, MinGramHash, PolyHash, SimHash60}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, MinGramHash, PolyHash, SimHash60, StopwordCount}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -50,7 +50,11 @@ object GraftFunctions {
     ("graft_hyperplane_buckets",
       info("graft_hyperplane_buckets",
         "graft_hyperplane_buckets(vec, planes, tables) - LSH bucket ids per table"),
-      { case Seq(v, p, t) => HyperplaneBuckets(v, p, t) }: Builder))
+      { case Seq(v, p, t) => HyperplaneBuckets(v, p, t) }: Builder),
+    ("graft_stopword_count",
+      info("graft_stopword_count",
+        "graft_stopword_count(tokens, stopwords) - tokens present in the stopword set"),
+      { case Seq(t, s) => StopwordCount(t, s) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -513,17 +513,19 @@ object Queries {
       build = (s, dir) =>
         TextStats.withQualitySignals(table(s, dir, "documents"), "text")
           .select(col("doc_id"), col("q_chars"), col("q_tokens"), col("q_punct"),
-            col("avg_token_len"), col("punct_ratio"))
+            col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"))
           .orderBy(col("doc_id")),
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT doc_id,
           length(text) AS q_chars,
-          len(regexp_split_to_array(trim(text), '\s+')) AS q_tokens,
+          len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
           length(regexp_replace(text, '[^.!?]', '', 'g')) AS q_punct,
-          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-            / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
           CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE)
-            / length(text) AS punct_ratio
+            / length(text) AS punct_ratio,
+          CAST(${TextStats.sqlStopwordCount("text")} AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
         FROM documents
         ORDER BY doc_id""")),
 

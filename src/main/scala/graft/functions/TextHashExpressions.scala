@@ -223,6 +223,54 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_stopword_count(tokens, stopwords)` — how many elements of the
+  * token array appear in the (foldable) stopword array. A hash-set probe
+  * per token inside WholeStageCodegen; the `filter`-HOF formulation runs
+  * interpreted. */
+case class StopwordCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_stopword_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: StringType, _), ArrayType(_: StringType, _)) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable array<string>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val arr = right.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[UTF8String](arr.numElements() * 2)
+    var i = 0
+    while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
+    s
+  }
+
+  /** Public for generated code (called via a codegen reference object). */
+  def countIn(toks: ArrayData): Int = {
+    var n = 0
+    var i = 0
+    while (i < toks.numElements()) {
+      if (!toks.isNullAt(i) && stopSet.contains(toks.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(toks: Any, stops: Any): Any =
+    countIn(toks.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordCounter", this, classOf[StopwordCount].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $ref.countIn($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StopwordCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_hyperplane_buckets(vec, numPlanes, numTables)` — all LSH table
   * buckets of an array<double> vector in one pass, as array<bigint> of
   * length numTables. Plane/table counts must be foldable ints. */

@@ -38,9 +38,25 @@ object TextStats {
     * instead of the document body. */
   def contentKey(text: Column): Column = md5(text)
 
+  /** Compact English stopword list for the stopword-ratio quality signal
+    * (a C4/Gopher-style filter input: natural prose has a healthy share of
+    * function words, keyword spam and boilerplate do not). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "was", "for", "on", "with", "as", "at", "by", "be", "this", "are",
+    "from", "not", "but", "they", "his", "her", "she", "he", "you", "we")
+
+  /** How many lowercase whitespace tokens are stopwords — a native
+    * hash-set probe per token ([[graft.functions.StopwordCount]], inside
+    * WholeStageCodegen; a `filter` HOF would run interpreted). */
+  def stopwordCount(text: Column): Column =
+    call_function("graft_stopword_count",
+      split(trim(lower(text)), "\\s+"),
+      lit(Stopwords.toArray))
+
   /** Adds deterministic per-document quality-signal columns:
     * character count, token count, punctuation count, mean token length,
-    * punctuation ratio. */
+    * punctuation ratio, stopword ratio. */
   def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     df.withColumn("q_chars", length(t))
@@ -49,5 +65,14 @@ object TextStats {
       .withColumn("avg_token_len",
         (length(regexp_replace(t, "\\s+", "")).cast("double")) / col("q_tokens"))
       .withColumn("punct_ratio", col("q_punct").cast("double") / col("q_chars"))
+      .withColumn("stopword_ratio",
+        stopwordCount(t).cast("double") / col("q_tokens"))
+  }
+
+  /** DuckDB mirror of [[stopwordCount]]. */
+  def sqlStopwordCount(expr: String): String = {
+    val list = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""len(list_filter(regexp_split_to_array(trim(lower($expr)), '\\s+'),
+       |  t -> t IN ($list)))""".stripMargin
   }
 }

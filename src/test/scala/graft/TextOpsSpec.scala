@@ -119,6 +119,21 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("stopwordCount native probe equals the filter-HOF formulation") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents").select("text")
+    val edges = Seq("", "THE the The", "no stop words here xyzzy",
+      "the  the\tthe\nthe").toDF("text")
+    val stopArray = lit(TextStats.Stopwords.toArray)
+    for (df <- Seq(edges, docs)) {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val bad = df.select(
+          TextStats.stopwordCount(col("text")).as("native"),
+          size(filter(toks, t => array_contains(stopArray, t))).as("hof"))
+        .filter(!(col("native") <=> col("hof")))
+      assert(bad.count() == 0, s"stopword mismatch: ${bad.take(3).mkString}")
+    }
+  }
+
   test("LangId.predicted: marker argmax with deterministic tie-break") {
     val out = Seq(
       "the cat and the dog is in a tree",
