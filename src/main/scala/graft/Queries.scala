@@ -1080,6 +1080,22 @@ object Queries {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         ORDER BY id_a, id_b"""),
       bench = true),
+
+    "q48_repetition_signals" -> Q(
+      // Gopher-style repetition quality filters: duplicate-token fraction
+      // and most-frequent-bigram share, per document — exact integer
+      // ratios, relational plan (posexplode -> lead window -> hash aggs),
+      // everything codegen'd.
+      build = (s, dir) =>
+        TextStats.repetitionSignals(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH ${TextStats.sqlRepetitionCtes("doc_id", "text")}
+        SELECT id AS doc_id, n_tokens, n_distinct,
+          dup_token_fraction, top_bigram_fraction
+        FROM rep
+        ORDER BY doc_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -75,4 +75,63 @@ object TextStats {
     s"""len(list_filter(regexp_split_to_array(trim(lower($expr)), '\\s+'),
        |  t -> t IN ($list)))""".stripMargin
   }
+
+  /** Gopher-style repetition signals, per document:
+    * `dup_token_fraction` (1 − distinct/total tokens — repeated-content
+    * proxy) and `top_bigram_fraction` (occurrences of the most frequent
+    * word bigram / total bigrams — a single dominating 2-gram marks
+    * boilerplate). Both are exact integer ratios → deterministic doubles.
+    *
+    * Relational all the way (posexplode → window lead → two hash aggs), so
+    * everything stays codegen'd; the shuffles carry (id, token/bigram)
+    * rows and each aggregation collapses map-side. Documents with fewer
+    * than two tokens have no bigrams → fraction 0. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val tok = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w0")))
+    val tokStats = tok.groupBy(col("id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("w0")).as("n_distinct"))
+    val bigramCounts = tok
+      .withColumn("w1", lead(col("w0"), 1).over(w))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("id"), concat_ws(" ", col("w0"), col("w1")).as("bg"))
+      .agg(count(lit(1)).as("c"))
+    val bigramStats = bigramCounts.groupBy(col("id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("total_bg"))
+    tokStats.join(bigramStats, Seq("id"), "left")
+      .select(col("id"),
+        col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_token_fraction"),
+        coalesce(col("top_c").cast("double") / col("total_bg"), lit(0.0))
+          .as("top_bigram_fraction"))
+  }
+
+  /** DuckDB mirror of [[repetitionSignals]] (CTE body; final SELECT is the
+    * caller's, columns `id, n_tokens, n_distinct, dup_token_fraction,
+    * top_bigram_fraction` from `rep`). */
+  def sqlRepetitionCtes(idCol: String, textCol: String): String =
+    s"""tok AS (
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w,
+       |    generate_subscripts(regexp_split_to_array(trim($textCol), '\\s+'), 1) AS pos
+       |  FROM documents),
+       |tok_stats AS (
+       |  SELECT id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct
+       |  FROM tok GROUP BY id),
+       |big AS (
+       |  SELECT id, w || ' ' || lead(w) OVER (PARTITION BY id ORDER BY pos) AS bg
+       |  FROM tok),
+       |bigram_counts AS (
+       |  SELECT id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL GROUP BY id, bg),
+       |bigram_stats AS (
+       |  SELECT id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS total_bg
+       |  FROM bigram_counts GROUP BY id),
+       |rep AS (
+       |  SELECT t.id, t.n_tokens, t.n_distinct,
+       |    1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS dup_token_fraction,
+       |    coalesce(CAST(b.top_c AS DOUBLE) / b.total_bg, 0.0) AS top_bigram_fraction
+       |  FROM tok_stats t LEFT JOIN bigram_stats b ON t.id = b.id)""".stripMargin
 }
