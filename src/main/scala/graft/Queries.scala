@@ -32,6 +32,20 @@ object Queries {
   private val revSql = sqlRevenue("l_extendedprice", "l_discount")
   private val chargeSql = sqlCharge("l_extendedprice", "l_discount", "l_tax")
 
+  /** Shared oracle for q02 and its salted twin q50 — by construction the
+    * salted join must produce identical rows. */
+  private val revenueByNationOracle: String = s"""
+        SELECT r_name, n_name,
+          ${sqlMsum("o_totalprice")} AS revenue,
+          count(*) AS n_orders,
+          count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""
+
   val all: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------------------------
@@ -89,17 +103,7 @@ object Queries {
             countDistinct(col("o_custkey")).as("n_custs"))
           .orderBy(col("r_name"), col("n_name"))
       },
-      oracle = Some(s"""
-        SELECT r_name, n_name,
-          ${sqlMsum("o_totalprice")} AS revenue,
-          count(*) AS n_orders,
-          count(DISTINCT o_custkey) AS n_custs
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        GROUP BY r_name, n_name
-        ORDER BY r_name, n_name"""),
+      oracle = Some(revenueByNationOracle),
       bench = true),
 
     "q03_filtered_revenue" -> Q(
@@ -1110,6 +1114,30 @@ object Queries {
         SELECT id AS doc_id, rank, term, tf, df_docs, score
         FROM ranked
         ORDER BY doc_id, rank""")),
+
+    "q50_salted_join_revenue" -> Q(
+      // q02's star join with the fact⋈customer edge routed through
+      // explicit salting (SkewJoin.saltedInnerJoin, factor 4): the skew
+      // remedy for hot keys that AQE's sort-merge splitter can't reach.
+      // Same oracle as q02 — salting must be answer-invariant.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        val oc = SkewJoin.saltedInnerJoin(
+          o.withColumn("c_custkey", col("o_custkey")), c,
+          Seq("c_custkey"), saltFactor = 4, saltCols = Seq("o_orderkey"))
+        oc.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            msum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      oracle = Some(revenueByNationOracle)),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

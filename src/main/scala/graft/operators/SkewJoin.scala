@@ -1,39 +1,50 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Explicit key-salting for skewed equi-joins.
+/** Salting for skewed equi-joins — the standard remedy when one join key
+  * carries a disproportionate share of the rows and a single reducer
+  * becomes the straggler.
   *
-  * AQE's skew-join handling (on by default) splits oversized sort-merge
-  * partitions at runtime and is the right first answer; explicit salting
-  * remains necessary when a single key's rows must still be joined — e.g.
-  * a shuffle hash join against a mid-sized build side that cannot
-  * broadcast, or a skewed aggregation-after-join pattern AQE can't split.
+  * Mechanics: the skewed (large) side scatters each row into one of
+  * `saltFactor` sub-keys via a DETERMINISTIC hash of the row's content
+  * (never `rand()`/`monotonically_increasing_id()` — task retries and
+  * recomputed partitions would re-salt differently, silently corrupting
+  * the join under fault recovery); the other side is replicated once per
+  * salt value. Joining on (keys, salt) then splits every hot key across
+  * `saltFactor` reducers. Output is row-for-row identical to the plain
+  * equi-join (asserted by OperatorsSpec on a 10^5-row hot-key corpus).
   *
-  * Mechanics: the probe (large, skewed) side gets a uniform pseudo-random
-  * salt in [0, saltFactor); the build side is replicated `saltFactor`
-  * times with every salt value; the join adds the salt to the key. One
-  * hot key's rows then spread over `saltFactor` reducers instead of one.
-  * Replication multiplies the build side — keep `saltFactor` ≈ (hot-key
-  * rows / average-partition rows), not larger.
-  *
-  * The salt derives from `xxhash64` of the probe row's whole key set plus
-  * a monotonic id — deterministic per run-shape, uniform, no RNG state.
+  * When to reach for it: AQE's skew-join (`spark.sql.adaptive.skewJoin`)
+  * already splits oversized *sort-merge* partitions at runtime and is the
+  * first choice. Explicit salting still covers the cases AQE can't: skewed
+  * shuffled-hash joins, skew hidden behind a pre-existing partitioning the
+  * planner wants to reuse, and pipelines where the replicated side must be
+  * co-partitioned for later stages. Cost: `saltFactor` copies of the
+  * replicated side's shuffle — keep the factor near the hot-key
+  * multiplicity, not higher.
   */
 object SkewJoin {
 
-  /** Inner equi-join of `probe` (skewed) with `build` on `keys`, salted
-    * `saltFactor` ways. Result equals `probe.join(build, keys)` row-for-row
-    * (duplicate multiplicities included). */
-  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
-      saltFactor: Int): DataFrame = {
-    require(saltFactor > 0, "saltFactor must be positive")
-    val salted = probe.withColumn("__salt",
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
-        lit(saltFactor.toLong)).cast("int"))
-    val replicated = build.withColumn("__salt",
+  /** Deterministic salt in [0, saltFactor) from the given columns (use the
+    * row's stable identifier columns, or all of them). */
+  def salt(saltFactor: Int, cols: Seq[Column]): Column =
+    pmod(xxhash64(cols: _*), lit(saltFactor.toLong)).cast("int")
+
+  /** Inner equi-join of `skewed` against `other` on `keys`, with the
+    * skewed side scattered across `saltFactor` sub-keys and `other`
+    * replicated per salt. Column layout matches
+    * `skewed.join(other, keys)`: key columns first, then the remaining
+    * columns of each side. */
+  def saltedInnerJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      saltFactor: Int, saltCols: Seq[String] = Seq.empty): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val saltSrc =
+      (if (saltCols.nonEmpty) saltCols else skewed.columns.toSeq).map(col)
+    val l = skewed.withColumn("__salt", salt(saltFactor, saltSrc))
+    val r = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    l.join(r, keys :+ "__salt").drop("__salt")
   }
 }

@@ -110,13 +110,13 @@ class OperatorsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.getLong(1) == 9L)
   }
 
-  test("SkewJoin.saltedJoin equals the plain join, including multiplicities") {
+  test("SkewJoin.saltedInnerJoin equals the plain join, incl. multiplicities") {
     // skewed probe: key 1 dominates; build has duplicate keys too
     val probe = (Seq.fill(50)(1) ++ Seq(2, 2, 3)).zipWithIndex
       .map { case (k, i) => (k, s"p$i") }.toDF("k", "pv")
     val build = Seq((1, "b1"), (1, "b1b"), (2, "b2"), (4, "b4")).toDF("k", "bv")
     val plain = probe.join(build, Seq("k"))
-    val salted = SkewJoin.saltedJoin(probe, build, Seq("k"), saltFactor = 4)
+    val salted = SkewJoin.saltedInnerJoin(probe, build, Seq("k"), saltFactor = 4)
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
@@ -135,5 +135,23 @@ class OperatorsSpec extends SparkSpec {
     assert(u1.length == 2)
     assert(u1.map(r => r.getLong(2)).toSeq == Seq(2L, 1L)) // n_events per session
     assert(sess.count(_.getLong(0) == 2L) == 1)
+  }
+
+  test("SkewJoin.saltedInnerJoin equals the plain join on a hot-key corpus") {
+    import spark.implicits._
+    // 90% of the large side lands on key 1 — the classic straggler shape
+    val large = (1 to 100000).map { i =>
+      (if (i % 10 != 0) 1L else (i % 1000).toLong.max(2L), i.toLong)
+    }.toDF("k", "payload")
+    val small = (1L to 1000L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"))
+    val salted = operators.SkewJoin.saltedInnerJoin(large, small, Seq("k"), 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+    // determinism under recomputation: two evaluations salt identically
+    assert(salted.exceptAll(operators.SkewJoin.saltedInnerJoin(
+      large.repartition(7), small, Seq("k"), 8)).count() == 0)
   }
 }
