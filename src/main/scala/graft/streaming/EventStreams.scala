@@ -97,6 +97,42 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(dim, keys, "left")
 
+  /** Stream-stream interval join for click→purchase attribution — the
+    * streaming face of the batch as-of join (q39): every purchase is
+    * paired with the same user's clicks from the preceding `horizon`.
+    *
+    * Both sides are real streams (not stream-static), so Spark buffers
+    * each in keyed state; the time-range predicate is what BOUNDS that
+    * state — clicks can be evicted once the watermark passes
+    * `click_ts + horizon` (no future purchase can join them), purchases
+    * once their own watermark passes. Without the range condition the
+    * planner would (rightly) reject the join as unbounded.
+    *
+    * Semantics note: the batch as-of join picks exactly the LATEST prior
+    * click; a streaming join cannot do per-row argmax at join time, so
+    * this emits all in-horizon candidate pairs — the standard shape —
+    * and the latest-click selection is a downstream windowed max-by (or
+    * the batch [[graft.operators.AsOfJoin]] in a lambda view). Inner by
+    * design: append-mode outer interval joins emit null rows only after
+    * the watermark fully closes, which adds latency without helping
+    * attribution. */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Gap-based sessionization as a continuously-running stream: the
     * streaming twin of the batch lag+cumsum formulation. One
     * [[OpenSession]] per user in state; a session is emitted when a new

@@ -57,6 +57,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs purchases with in-horizon clicks, streams both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(
+        purchases.toDF(), clicks.toDF(), horizon = "30 minutes",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 10, 0), ev(1, 11, 20), ev(2, 12, 5))
+      purchases.addData(ev(1, 100, 25, typ = "purchase"),
+        ev(2, 101, 50, typ = "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).sorted.toSeq
+      // purchase 100 (t=25) joins clicks 10 (t=0) and 11 (t=20) — both in
+      // the 30-min horizon; purchase 101 (t=50) joins nothing (click 12 at
+      // t=5 is 45 min earlier, outside the horizon)
+      assert(rows == Seq((100L, 10L), (100L, 11L)))
+      // a batch-mode run of the same plan shape gives the same pairs
+      val bp = Seq(ev(1, 100, 25, "purchase"), ev(2, 101, 50, "purchase")).toDF()
+      val bc = Seq(ev(1, 10, 0), ev(1, 11, 20), ev(2, 12, 5)).toDF()
+      val batch = EventStreams.attributionJoin(bp, bc, horizon = "30 minutes")
+        .collect().map(r => (r.getLong(1), r.getLong(3))).sorted.toSeq
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("enrich joins the stream to a static dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
