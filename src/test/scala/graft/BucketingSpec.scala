@@ -4,11 +4,34 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Bucketing
 
-/** Bucketed-layout guarantees: a co-bucketed equi-join and a bucket-key
-  * aggregation plan with zero shuffle exchanges.
+/** Data-layout guarantees: a co-bucketed equi-join and a bucket-key
+  * aggregation plan with zero shuffle exchanges, and partition-pruned
+  * scans under a partitionBy directory layout.
   */
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
+
+  test("partitionBy layout prunes the scan to matching partitions only") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+      .toString + "/orders_by_year"
+    // the 100 TB ingest layout: one directory per coarse key (here
+    // order-year); readers filtering on it must never open other dirs
+    orders.withColumn("o_year", year($"o_orderdate"))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val part = spark.read.parquet(dir)
+    val q = part.filter($"o_year" === 1996)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty, s"no partition filters: $scan")
+    // orders span 7 order-years -> exactly one partition directory survives
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, got ${scan.selectedPartitions.partitionCount}")
+    // pruned read agrees with the unpartitioned filter row-for-row
+    val expected = orders.filter(year($"o_orderdate") === 1996).count()
+    assert(expected > 0 && q.count() == expected)
+  }
 
   test("co-bucketed join and bucket-key aggregation plan with no shuffle") {
     val orders = spark.read.parquet(s"${sf()}/orders.parquet")
