@@ -81,6 +81,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native hash kernels match their HOF twins on random unicode text") {
+    import graft.operators.TextHash
+    // mixed-plane text: ascii words, unicode letters, surrogate pairs,
+    // stray whitespace — one batch per seed, all three kernels at once
+    val wordGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.listOfN(4, Gen.oneOf("é", "ß", "λ", "中", "😀", "x")).map(_.mkString),
+      Gen.const(""))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    (1L to 5L).foreach { s =>
+      val texts = sample(Gen.listOfN(40, textGen), s)
+      val df = texts.toDF("text")
+      val bad = df.select(
+          TextHash.simhash($"text").as("sn"), TextHash.simhashHof($"text").as("sh"),
+          TextHash.polyHash($"text").as("pn"), TextHash.polyHashHof($"text").as("ph"),
+          TextHash.minGramHash($"text", 5).as("gn"), TextHash.minGramHashHof($"text", 5).as("gh"))
+        .filter(!($"sn" <=> $"sh") || !($"pn" <=> $"ph") || !($"gn" <=> $"gh"))
+      assert(bad.count() == 0, s"seed $s: ${bad.take(2).mkString}")
+    }
+  }
+
+  test("hyperplane buckets stay in range and match the HOF formula on random vectors") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0)).map(_.toArray)
+    (1L to 3L).foreach { s =>
+      val vecs = sample(Gen.listOfN(25, vecGen), s)
+      val df = vecs.toDF("v")
+      val planes = 3
+      val tables = 8
+      val out = df.select(
+        Similarity.bucketIds($"v", planes, tables).as("native"),
+        transform(sequence(lit(0), lit(tables - 1)),
+          t => Similarity.bucketIdHof($"v", planes, t)).as("hof"))
+      assert(out.filter(!($"native" <=> $"hof")).count() == 0, s"seed $s")
+      val flat = out.select(explode($"native").as("b"))
+      assert(flat.filter($"b" < 0 || $"b" >= (1 << planes)).count() == 0, s"seed $s")
+    }
+  }
+
   test("nearDupSurvivors drops exactly the docs that pair with a smaller id") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
