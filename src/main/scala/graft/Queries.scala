@@ -1138,6 +1138,26 @@ object Queries {
           .orderBy(col("r_name"), col("n_name"))
       },
       oracle = Some(revenueByNationOracle)),
+
+    "q51_hash_split" -> Q(
+      // Deterministic train/val carving by content-key hash (10% val):
+      // every row's split assignment is a pure function of its id —
+      // reproducible across engines/runs/partitionings, unlike
+      // df.sample()'s per-partition RNG. Scan-side only; no shuffle
+      // before the audit aggregation.
+      build = (s, dir) =>
+        Sampling.hashSplit(table(s, dir, "documents"), "doc_id",
+            valBuckets = 10, outOf = 100)
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"), col("lang")),
+      oracle = Some(s"""
+        SELECT CASE WHEN ${Sampling.sqlHashBucket("doc_id", 100)} < 10
+                    THEN 'val' ELSE 'train' END AS split,
+          lang, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY split, lang""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and splitting — how training-data
+  * pipelines carve stable subsets at corpus scale.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected rows change
+  * with partitioning, task retries, and input order, which silently breaks
+  * train/val hygiene (a row can cross splits between runs). Hashing a
+  * stable key instead gives every row a permanent bucket — reproducible
+  * across engines, runs, and cluster layouts, with no coordination and no
+  * extra pass. The hash is the portable md5-derived 60-bit value
+  * ([[TextHash.md5Bits60]]), so a SQL oracle (or any other engine) assigns
+  * the identical buckets.
+  *
+  * Scale shape: a pure scan-side filter/projection — no shuffle, no state;
+  * bucket predicates push into the scan like any other filter.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) for a key column (key is stringified so
+    * numeric and string keys hash identically across engines). */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    pmod(TextHash.md5Bits60(key.cast("string")), lit(buckets.toLong))
+  }
+
+  /** Keep rows whose key lands in `keep` of `outOf` buckets — a
+    * deterministic ≈(keep/outOf) sample. */
+  def deterministicSample(df: DataFrame, keyCol: String, keep: Int,
+      outOf: Int = 100): DataFrame =
+    df.filter(hashBucket(col(keyCol), outOf) < keep)
+
+  /** Adds a `split` column: "val" for `valBuckets` of `outOf` buckets,
+    * "train" otherwise. Every row keeps its assignment forever — the
+    * leakage-safe split for corpora that grow between runs. */
+  def hashSplit(df: DataFrame, keyCol: String, valBuckets: Int,
+      outOf: Int = 100): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(keyCol), outOf) < valBuckets, "val")
+        .otherwise("train"))
+
+  /** DuckDB mirror of [[hashBucket]]. */
+  def sqlHashBucket(expr: String, buckets: Int): String =
+    s"(${TextHash.sqlMd5Bits60(s"CAST($expr AS VARCHAR)")} % $buckets)"
+}

@@ -137,6 +137,25 @@ class OperatorsSpec extends SparkSpec {
     assert(sess.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("Sampling: hash split is a stable partition, invariant to layout") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val split = operators.Sampling.hashSplit(df, "id", valBuckets = 10)
+    val byS = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("val") + byS("train") == 2000L)
+    // ~10% val, tolerance for hash variance
+    assert(byS("val") > 120 && byS("val") < 280, s"val=${byS("val")}")
+    // identical assignment under different physical layout
+    val again = operators.Sampling.hashSplit(df.repartition(13), "id", 10)
+    assert(split.exceptAll(again).count() == 0)
+    // sample ⊆ input, and equals the split's val side for matching params
+    val sampled = operators.Sampling.deterministicSample(df, "id", keep = 10)
+    val valIds = split.filter($"split" === "val").select("id")
+    assert(sampled.exceptAll(valIds).count() == 0)
+    assert(valIds.exceptAll(sampled).count() == 0)
+  }
+
   test("SkewJoin.saltedInnerJoin equals the plain join on a hot-key corpus") {
     import spark.implicits._
     // 90% of the large side lands on key 1 — the classic straggler shape
