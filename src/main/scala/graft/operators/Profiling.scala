@@ -79,4 +79,35 @@ object Profiling {
         max(v).as("max_v"))
       .orderBy(col("col_name"))
   }
+
+  /** The 100 TB face of [[describe]]: same panel, quartiles via
+    * `approx_percentile` (Greenwald-Khanna sketch, mergeable partials)
+    * instead of exact `percentile`. The exact aggregator buffers a
+    * value→count map per group — proportional to DISTINCT values, which
+    * for continuous measures at corpus scale means executor-memory
+    * pressure; the sketch is bounded by the accuracy parameter instead.
+    * Error ≤ 1/accuracy quantile-rank units (OperatorsSpec pins it against
+    * the exact panel). Not oracle-paired: sketch internals differ across
+    * engines, so cross-engine hash equality is not meaningful. */
+  def describeApprox(df: DataFrame, cols: Seq[String],
+      accuracy: Int = 10000): DataFrame = {
+    import graft.functions.Stable.{davg, dsum, dsumsq}
+    val stackExpr = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val v = col("v")
+    val n = count(v)
+    val s1 = dsum(v)
+    val s2 = dsumsq(v)
+    df.select(expr(s"stack(${cols.length}, $stackExpr) as (col_name, v)"))
+      .groupBy(col("col_name"))
+      .agg(
+        n.as("n"),
+        davg(v).as("mean"),
+        sqrt((s2 - s1 * s1 / n) / (n - 1)).as("std"),
+        min(v).as("min_v"),
+        expr(s"approx_percentile(v, 0.25D, $accuracy)").as("p25"),
+        expr(s"approx_percentile(v, 0.5D, $accuracy)").as("median"),
+        expr(s"approx_percentile(v, 0.75D, $accuracy)").as("p75"),
+        max(v).as("max_v"))
+      .orderBy(col("col_name"))
+  }
 }

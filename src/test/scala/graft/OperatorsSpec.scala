@@ -137,6 +137,25 @@ class OperatorsSpec extends SparkSpec {
     assert(sess.count(_.getLong(0) == 2L) == 1)
   }
 
+  test("describeApprox tracks the exact describe panel within sketch error") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val exact = Profiling.describe(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Profiling.describeApprox(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // non-quantile stats are identical by construction
+      Seq(1, 2, 3, 4, 8).foreach(i => assert(a.get(i) == e.get(i), s"$c field $i"))
+      // quantiles within 1% relative of exact on this data
+      Seq(5, 6, 7).foreach { i =>
+        val (ev, av) = (e.getDouble(i), a.getDouble(i))
+        assert(math.abs(av - ev) <= 0.01 * math.abs(ev).max(1.0), s"$c q$i: $av vs $ev")
+      }
+    }
+  }
+
   test("Sampling: hash split is a stable partition, invariant to layout") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id")
