@@ -1158,6 +1158,36 @@ object Queries {
         FROM documents
         GROUP BY 1, 2
         ORDER BY split, lang""")),
+
+    "q52_dup_components" -> Q(
+      // Exact dedup clustering: connected components over the verified
+      // near-dup pair graph (iterative min-label propagation, one shuffle
+      // per round, rounds = cluster diameter) vs DuckDB's recursive-CTE
+      // reachability closure. Every document gets its cluster id;
+      // singletons label themselves.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
+        Components.connectedComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $ngramPairCtes,
+        sym AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.6
+          UNION ALL
+          SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.6),
+        walk(id, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+        SELECT id AS doc_id, min(reach) AS component
+        FROM walk
+        GROUP BY id
+        ORDER BY doc_id"""),
+      bench = true),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -78,6 +78,27 @@ class TextOpsSpec extends SparkSpec {
     assert(short.isNullAt(0))
   }
 
+  test("connectedComponents resolves chains where the one-pass policy differs") {
+    import graft.operators.Components
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("id")
+    // chain via hub: 1~3, 2~3 (1 and 2 NOT directly paired), clique 4~5~6,
+    // singleton 7
+    val edges = Seq((1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 7L -> 7L))
+    // components keep ONE survivor for the chain cluster {1,2,3}; the
+    // one-pass policy keeps both 1 and 2 (neither is any pair's id_b)
+    val onePass = NearDup.nearDupSurvivors(nodes.withColumnRenamed("id", "doc_id"),
+      edges, "doc_id").collect().map(_.getLong(0)).toSet
+    assert(onePass == Set(1L, 2L, 4L, 7L))
+    val exact = Components.componentSurvivors(nodes, "id", edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact == Map(1L -> 3L, 4L -> 3L, 7L -> 1L))
+  }
+
   test("simhashNearDupPairs equals the all-pairs Hamming scan (pigeonhole)") {
     val docs = graft.sources.Tables.load(spark, sf(), "documents")
     val banded = NearDup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
