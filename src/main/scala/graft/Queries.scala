@@ -1188,6 +1188,59 @@ object Queries {
         GROUP BY id
         ORDER BY doc_id"""),
       bench = true),
+
+    "q53_price_histogram" -> Q(
+      // Fixed-width histogram (pandas cut + value_counts): 20 bins over
+      // [0, 500k); explicit edges keep it a single scan + tiny agg with a
+      // pure bin expression.
+      build = (s, dir) =>
+        Profiling.histogram(table(s, dir, "orders"), "o_totalprice",
+          lo = 0.0, hi = 500000.0, bins = 20),
+      oracle = Some("""
+        SELECT LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) AS bin,
+          0.0 + LEAST(GREATEST(CAST(floor((o_totalprice - 0.0) / 25000.0) AS BIGINT), 0), 19) * 25000.0 AS bin_lo,
+          count(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY bin""")),
+
+    "q54_window_suite" -> Q(
+      // The remaining rank-family windows over one partitioned pass:
+      // dense_rank, ntile(4), percent_rank, cume_dist per order priority —
+      // each a pure function of the same (priority, price desc, key) sort,
+      // so one window sort serves all four. Top-5 per group keeps output
+      // bounded.
+      build = (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(s, dir, "orders")
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("drank", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("prank", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("o_orderpriority"), col("rnk").cast("long").as("rnk"),
+            col("o_orderkey"), col("o_totalprice"),
+            col("drank").cast("long").as("drank"),
+            col("quartile").cast("long").as("quartile"),
+            col("prank"), col("cdist"))
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, rnk, o_orderkey, o_totalprice, drank, quartile, prank, cdist
+        FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+            CAST(row_number() OVER w AS BIGINT) AS rnk,
+            CAST(dense_rank() OVER w AS BIGINT) AS drank,
+            CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+            percent_rank() OVER w AS prank,
+            cume_dist() OVER w AS cdist
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE rnk <= 5
+        ORDER BY o_orderpriority, rnk""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -80,6 +80,25 @@ object Profiling {
       .orderBy(col("col_name"))
   }
 
+  /** Fixed-width histogram of a numeric column over [lo, hi): one scan,
+    * one tiny hash agg — the EDA binning step (pandas `cut` +
+    * `value_counts`). Bin edges are explicit parameters (not data-derived
+    * min/max) so the plan is one pass and the bin function is a pure
+    * expression both engines compute identically; values outside the
+    * range clamp to the edge bins. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0 and hi>lo, got $bins, [$lo,$hi)")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(c) - lo) / width).cast("long"), lit(0L)), lit(bins - 1L))
+    df.groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * width)
+      .select(col("bin"), col("bin_lo"), col("n"))
+      .orderBy(col("bin"))
+  }
+
   /** The 100 TB face of [[describe]]: same panel, quartiles via
     * `approx_percentile` (Greenwald-Khanna sketch, mergeable partials)
     * instead of exact `percentile`. The exact aggregator buffers a
