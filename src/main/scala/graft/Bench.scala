@@ -35,6 +35,9 @@ object Bench {
 
     val names = Queries.benchNames
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    require(iters > 0,
+      s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters — zero would " +
+        "report Double.MaxValue as a 'successful' timing for every query")
     // global warmup: one query untimed (JVM/classloader/parquet-footer
     // startup); per-query codegen warmup is covered by min-of-iters
     names.take(1).foreach(run)

@@ -961,8 +961,8 @@ object Queries {
           val v = s"CAST($c AS DOUBLE)"
           s"""SELECT '$c' AS col_name, count($v) AS n,
              |  ${sqlDavg(v)} AS mean,
-             |  sqrt((${sqlDsumsq(v)} - ${sqlDsum(v)} * ${sqlDsum(v)} / count($v))
-             |       / (count($v) - 1)) AS std,
+             |  sqrt(GREATEST(0.0, (${sqlDsumsq(v)} - ${sqlDsum(v)} * ${sqlDsum(v)} / count($v))
+             |       / (count($v) - 1))) AS std,
              |  min($v) AS min_v,
              |  quantile_cont($v, 0.25) AS p25,
              |  quantile_cont($v, 0.5) AS median,

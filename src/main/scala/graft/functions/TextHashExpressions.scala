@@ -35,18 +35,26 @@ object TextHashUtil {
   }
 
   /** SimHash sketch over a token array (see [[graft.operators.TextHash.simhash]]
-    * for the algorithm contract). Null element → null, like the HOF fold. */
+    * for the algorithm contract). A null element votes −1 on every bit —
+    * exactly what the HOF fold does (`md5(null)` → null makes the
+    * bit-test `when` fall through to the −1 branch), so the two
+    * formulations stay bit-identical even on inputs the catalog's
+    * `split` can never produce. */
   def simhash60(toks: ArrayData): java.lang.Long = {
     val n = toks.numElements()
     val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
-      if (toks.isNullAt(i)) return null
-      val h = md5Bits60(toks.getUTF8String(i))
-      var b = 0
-      while (b < 60) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (toks.isNullAt(i)) {
+        var b = 0
+        while (b < 60) { votes(b) -= 1; b += 1 }
+      } else {
+        val h = md5Bits60(toks.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -202,8 +210,6 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
       s"$prettyName requires (string, foldable int), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
-
-  private lazy val k: Int = right.eval().asInstanceOf[Int]
 
   override def nullSafeEval(text: Any, kv: Any): Any =
     TextHashUtil.minGramHash(text.asInstanceOf[UTF8String], kv.asInstanceOf[Int])

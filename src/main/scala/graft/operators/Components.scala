@@ -26,7 +26,14 @@ object Components {
 
   /** (id, component) for every node, where component = the smallest id
     * reachable in the undirected pair graph. Nodes absent from `edges`
-    * form singleton components. */
+    * form singleton components.
+    *
+    * Throws if the fixpoint is not reached within `maxIter` rounds (graph
+    * diameter exceeds it) — an unconverged labeling is silently WRONG
+    * (split clusters), never an acceptable partial answer; raise maxIter
+    * for long-chain graphs. The returned frame is persisted
+    * (MEMORY_AND_DISK) — callers that are done with it should
+    * `unpersist()` it in long-lived sessions. */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val sym = edges
@@ -55,6 +62,13 @@ object Components {
       i += 1
     }
     sym.unpersist()
+    if (!converged) {
+      comp.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "the graph diameter exceeds maxIter; raise it (rounds are cheap: " +
+          "one shuffle each) rather than consuming a split clustering")
+    }
     comp
   }
 

@@ -209,20 +209,28 @@ object NearDup {
     *
     * Scale shape: `maxHamming + 1` (id, band, value) rows per document —
     * linear map-side expansion of 16-byte rows — then the bucket-grouped
-    * pair expansion used by [[lshCandidates]] (sketch pipeline evaluated
-    * once, not per self-join side), then two id equi-joins to re-attach
-    * sketches for the verify. Unrelated documents (uniform sketches)
-    * collide per band with probability 2^-bits (2^-15 at the default), so
-    * false candidates are rare; identical-content cliques are the output
-    * itself, as in every dedup pipeline. */
+    * pair expansion used by [[lshCandidates]], then two id equi-joins to
+    * re-attach sketches for the verify. The sketch table is REFERENCED
+    * three times (banding + both verify sides) and Spark recomputes it
+    * per reference; each recompute is a scan-speed codegen'd pass, but a
+    * run that can afford cache should set `materialize` to sketch the
+    * corpus once (same knob and rationale as [[minhashNearDupPairs]]).
+    * Unrelated documents (uniform sketches) collide per band with
+    * probability 2^-bits (2^-15 at the default), so false candidates are
+    * rare; identical-content cliques are the output itself, as in every
+    * dedup pipeline. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, materialize: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 29,
       s"maxHamming must be in [0, 29], got $maxHamming")
     val numBands = maxHamming + 1
     val bits = 60 / numBands
-    val sk = docs.select(col(idCol).as("id"),
+    val sk0 = docs.select(col(idCol).as("id"),
       TextHash.simhash(col(textCol)).as("sk"))
+    val sk =
+      if (materialize)
+        sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sk0
     val banded = sk.select(col("id"),
       posexplode(array((0 until numBands).map { i =>
         shiftrightunsigned(col("sk"), i * bits).bitwiseAND(lit((1L << bits) - 1))

@@ -71,7 +71,10 @@ object Profiling {
       .agg(
         n.as("n"),
         davg(v).as("mean"),
-        sqrt((s2 - s1 * s1 / n) / (n - 1)).as("std"),
+        // greatest(0, ·): the independently-rounded moments can put the
+        // identity a few ulps below zero for (near-)constant columns —
+        // pandas describe() returns 0.0 there, never NaN
+        sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1))).as("std"),
         min(v).as("min_v"),
         expr("percentile(v, 0.25D)").as("p25"),
         expr("percentile(v, 0.5D)").as("median"),
@@ -121,7 +124,10 @@ object Profiling {
       .agg(
         n.as("n"),
         davg(v).as("mean"),
-        sqrt((s2 - s1 * s1 / n) / (n - 1)).as("std"),
+        // greatest(0, ·): the independently-rounded moments can put the
+        // identity a few ulps below zero for (near-)constant columns —
+        // pandas describe() returns 0.0 there, never NaN
+        sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1))).as("std"),
         min(v).as("min_v"),
         expr(s"approx_percentile(v, 0.25D, $accuracy)").as("p25"),
         expr(s"approx_percentile(v, 0.5D, $accuracy)").as("median"),

@@ -178,14 +178,32 @@ object Similarity {
     * equi-join producing candidates and two id equi-joins re-attaching
     * vectors for verification. At the default params the candidate set
     * provably contains every pair ≥ the shipped thresholds (see
-    * [[DefaultPlanes]]), so the result EQUALS the exact operator's. */
+    * [[DefaultPlanes]]), so the result EQUALS the exact operator's.
+    *
+    * The (id, vec-as-double) projection is referenced four times (both
+    * bucketing sides + both verify sides) and recomputed per reference;
+    * `materialize` caches it once for runs that can afford storage (the
+    * same knob as [[NearDup.minhashNearDupPairs]]). */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, numPlanes: Int = DefaultPlanes,
-      numTables: Int = DefaultTables): DataFrame = {
-    val cand = lshNearDupCandidates(df, idCol, vecCol, numPlanes, numTables)
-    val a = df.select(col(idCol).as("id_a"), Vectors.asDouble(col(vecCol)).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), Vectors.asDouble(col(vecCol)).as("__vb"))
-    cand.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      numTables: Int = DefaultTables, materialize: Boolean = false): DataFrame = {
+    val base0 = df.select(col(idCol).as("id"),
+      Vectors.asDouble(col(vecCol)).as("__v"))
+    val base =
+      if (materialize)
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    val b = base.select(col("id"), posexplode(
+      bucketIds(col("__v"), numPlanes, numTables)).as(Seq("table", "bucket")))
+    val cand = b.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(b.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
       .withColumn("sim", Vectors.cosine(col("__va"), col("__vb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))

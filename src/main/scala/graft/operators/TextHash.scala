@@ -36,9 +36,13 @@ object TextHash {
     * array building a 60-slot vote vector (`zip_with` add), then a fold of
     * votes back into a long. Same result, ~60 boxed lambda calls per token
     * — kept as the executable spec, not for hot paths. */
-  def simhashHof(text: Column): Column = {
+  def simhashHof(text: Column): Column = simhashHofTokens(tokens(text))
+
+  /** [[simhashHof]] over an already-built token array — lets the A/B
+    * parity tests feed inputs `split` can never produce (null elements). */
+  private[graft] def simhashHofTokens(toks: Column): Column = {
     val votes = aggregate(
-      tokens(text),
+      toks,
       array_repeat(lit(0L), 60),
       (acc, tok) => {
         val h = md5Bits60(tok)

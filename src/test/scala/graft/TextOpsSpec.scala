@@ -138,6 +138,13 @@ class TextOpsSpec extends SparkSpec {
         !(col("g_native") <=> col("g_hof")))
       assert(bad.count() == 0, s"native/HOF mismatch rows: ${bad.take(3).mkString}")
     }
+    // null token elements (unreachable via split, reachable via the public
+    // SQL function): a null votes -1 on every bit in BOTH formulations
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val r = Seq(1).toDF("x").select(
+      call_function("graft_simhash60", arr).as("native"),
+      TextHash.simhashHofTokens(arr).as("hof")).head()
+    assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1))
   }
 
   test("stopwordCount native probe equals the filter-HOF formulation") {
