@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, MinGramHash, PolyHash, SimHash60, StopwordCount}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -54,7 +54,10 @@ object GraftFunctions {
     ("graft_stopword_count",
       info("graft_stopword_count",
         "graft_stopword_count(tokens, stopwords) - tokens present in the stopword set"),
-      { case Seq(t, s) => StopwordCount(t, s) }: Builder))
+      { case Seq(t, s) => StopwordCount(t, s) }: Builder),
+    ("graft_nfc",
+      info("graft_nfc", "graft_nfc(str) - Unicode NFC normalization"),
+      { case Seq(s) => NfcNormalize(s) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -1241,6 +1241,27 @@ object Queries {
                        ORDER BY o_totalprice DESC, o_orderkey))
         WHERE rnk <= 5
         ORDER BY o_orderpriority, rnk""")),
+
+    "q55_canonical_dedup" -> Q(
+      // Normalized dedup audit: unique counts under the byte-exact key vs
+      // the canonical key (NFC + casefold + whitespace collapse) — the
+      // C4-style normalization pass that catches trivially-reformatted
+      // duplicates byte hashing misses.
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(TextStats.contentKey(col("text"))).as("n_unique_raw"),
+            countDistinct(TextStats.canonicalKey(col("text"))).as("n_unique_canonical"))
+          .orderBy(col("source")),
+      oracle = Some(s"""
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(text)) AS n_unique_raw,
+          count(DISTINCT md5(${TextStats.sqlCanonicalText("text")})) AS n_unique_canonical
+        FROM documents
+        GROUP BY source
+        ORDER BY source""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

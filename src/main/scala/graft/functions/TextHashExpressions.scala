@@ -64,6 +64,15 @@ object TextHashUtil {
     sketch
   }
 
+  /** Unicode NFC normalization (already-normalized strings — the common
+    * case — short-circuit on the isNormalized check without allocating). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   private final val Base = 131L
   private final val Mod = 1000000007L
 
@@ -227,6 +236,32 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinGramHash =
     copy(left = newLeft, right = newRight)
+}
+
+/** `graft_nfc(str)` — Unicode NFC normalization (canonical decomposition
+  * followed by canonical composition), the first step of a canonical
+  * content key: visually-identical strings with different codepoint
+  * sequences (e.g. precomposed é vs e + combining acute) normalize to one
+  * form. Wraps `java.text.Normalizer`; DuckDB's `nfc_normalize` computes
+  * the same Unicode-defined mapping, so oracles line up. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }
 
 /** `graft_stopword_count(tokens, stopwords)` — how many elements of the

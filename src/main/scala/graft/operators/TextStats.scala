@@ -38,6 +38,22 @@ object TextStats {
     * instead of the document body. */
   def contentKey(text: Column): Column = md5(text)
 
+  /** Canonical text form for normalized dedup (C4-style): Unicode NFC
+    * (native [[graft.functions.NfcNormalize]] — precomposed and combining
+    * sequences unify), casefold, trim, whitespace runs collapsed to one
+    * space. Everything stays codegen'd (NFC is one static call per row
+    * with an isNormalized fast path). */
+  def canonicalText(text: Column): Column =
+    regexp_replace(trim(lower(call_function("graft_nfc", text))), "\\s+", " ")
+
+  /** Dedup key over the canonical form — catches case/whitespace/Unicode
+    * -form variants that byte-exact [[contentKey]] treats as distinct. */
+  def canonicalKey(text: Column): Column = md5(canonicalText(text))
+
+  /** DuckDB mirror of [[canonicalText]]. */
+  def sqlCanonicalText(expr: String): String =
+    s"regexp_replace(trim(lower(nfc_normalize($expr))), '\\s+', ' ', 'g')"
+
   /** Compact English stopword list for the stopword-ratio quality signal
     * (a C4/Gopher-style filter input: natural prose has a healthy share of
     * function words, keyword spam and boilerplate do not). */

@@ -147,6 +147,22 @@ class TextOpsSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1))
   }
 
+  test("canonicalText unifies Unicode form, case, and whitespace variants") {
+    val variants = Seq(
+      "café au lait",        // precomposed é
+      "café au lait",       // e + combining acute (NFC-normalizes to é)
+      "  CAFÉ   au\tlait ",  // case + whitespace + precomposed É
+      "unrelated text").toDF("text")
+    val keys = variants.select(TextStats.canonicalKey(col("text")).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys(0) == keys(1) && keys(1) == keys(2)) // all one canonical form
+    assert(keys(3) != keys(0))
+    // the raw byte key sees all four as distinct
+    val raw = variants.select(TextStats.contentKey(col("text")).as("k"))
+      .collect().map(_.getString(0))
+    assert(raw.distinct.length == 4)
+  }
+
   test("stopwordCount native probe equals the filter-HOF formulation") {
     val docs = graft.sources.Tables.load(spark, sf(), "documents").select("text")
     val edges = Seq("", "THE the The", "no stop words here xyzzy",
