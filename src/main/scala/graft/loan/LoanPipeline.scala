@@ -22,8 +22,12 @@ import graft.ml.{MedianImputer, PopulationScaler, StringModeImputer}
   *  - `StringIndexer(stringOrderType="alphabetAsc")` == sklearn's sorted
   *    `categories_`; `handleInvalid="keep"` + `OneHotEncoder(dropLast=true,
   *    handleInvalid="keep")` routes unseen categories (e.g. app.py:25
-  *    Gender="Other") to an extra bucket that dropLast removes -> all-zero
-  *    encoding, exactly `handle_unknown='ignore'`;
+  *    Gender="Other") to the indexer's keep bucket, which IS a real
+  *    one-hot slot (dropLast removes the encoder's own invalid-extra
+  *    category, not the keep index — each block has numLabels+1 slots).
+  *    The keep slot never activates during training, so L2 pins its
+  *    coefficient to ~0: behaviorally `handle_unknown='ignore'`, with one
+  *    extra (inert) dimension per block vs sklearn's layout;
   *  - assembler order: numeric block first, then categorical blocks
   *    (sklearn ColumnTransformer declaration order, main ipynb:760-763).
   */

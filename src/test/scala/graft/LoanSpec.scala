@@ -151,6 +151,41 @@ class LoanSpec extends SparkSpec {
     assert(scored.count() == prepared.count())
   }
 
+  test("SqlScorer fused expression matches PipelineModel.transform scores") {
+    import org.apache.spark.ml.functions.vector_to_array
+    val prepared = LoanTransforms.withLabel(
+      LoanTransforms.cleaned(syntheticLoans(200))).filter(col("label").isNotNull)
+    val model = LoanPipeline.pipeline(
+      LoanPipeline.logisticRegression(prepared.count())).fit(prepared)
+
+    val mllib = model.transform(prepared)
+      .select(col("loan_id"),
+        vector_to_array(col("probability")).getItem(1).as("p1_ml"),
+        col("prediction").as("pred_ml"))
+    val fused = SqlScorer.score(model, prepared)
+      .select(col("loan_id"), col("p1"), col("prediction"))
+    val joined = fused.join(mllib, Seq("loan_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (p1, p1Ml) = (r.getDouble(1), r.getDouble(3))
+      assert(math.abs(p1 - p1Ml) <= 1e-10, s"p1 $p1 vs $p1Ml")
+      assert(r.getDouble(2) == r.getDouble(4), s"prediction mismatch at $r")
+    }
+    // the fused scorer is a pure projection: no MLlib transformer at
+    // scoring time, nothing but scan -> project in the plan
+    val plan = fused.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // unknown categories score via the zero-contribution branch, like the
+    // keep-bucket -> dropLast zero vector (app.py's Gender="Other" path)
+    val weird = prepared.limit(5).withColumn("Gender", lit("Zzz"))
+    val a = SqlScorer.score(model, weird).select("loan_id", "p1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = model.transform(weird)
+      .select(col("loan_id"), vector_to_array(col("probability")).getItem(1))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.foreach { case (id, p) => assert(math.abs(p - b(id)) <= 1e-10) }
+  }
+
   test("JdbcUpsert: keyed upsert into Derby is idempotent and last-write-wins") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
