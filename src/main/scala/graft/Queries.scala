@@ -1262,6 +1262,63 @@ object Queries {
         FROM documents
         GROUP BY source
         ORDER BY source""")),
+
+    "q56_chunking" -> Q(
+      // Chunk-for-embedding: 32-token windows every 8 tokens per document
+      // (overlapping, final partial kept) — a pure executor-side
+      // posexplode expansion, no shuffle.
+      build = (s, dir) =>
+        TextStats.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
+            chunkTokens = 32, stride = 8)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        starts AS (
+          SELECT doc_id, t,
+            unnest(generate_series(1, greatest(1, len(t) - 8), 8)) AS start_token,
+            generate_subscripts(generate_series(1, greatest(1, len(t) - 8), 8), 1) - 1 AS chunk_idx
+          FROM toks)
+        SELECT doc_id, chunk_idx, start_token,
+          least(32, len(t) - start_token + 1) AS n_tokens,
+          array_to_string(t[start_token : start_token + 31], ' ') AS chunk_text
+        FROM starts
+        ORDER BY doc_id, chunk_idx""")),
+
+    "q57_sequence_packing" -> Q(
+      // Deterministic sequence packing: docs assigned (in id order) to
+      // 2048-token training sequences by prefix-sum bucketing, plus a
+      // packing-efficiency audit per sequence.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), TextStats.tokenCount(col("text")).as("tok"))
+        TextStats.packSequences(docs, "doc_id", "tok", budget = 2048L)
+          .groupBy(col("seq_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("seq_id"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT doc_id, n_tokens,
+            CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+          FROM tok)
+        SELECT seq_id, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM packed
+        GROUP BY seq_id
+        ORDER BY seq_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

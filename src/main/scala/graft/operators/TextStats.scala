@@ -182,6 +182,56 @@ object TextStats {
        |  FROM scored
        |  QUALIFY rank <= $k)""".stripMargin
 
+  /** Overlapping token-window chunks — the chunk-for-embedding step of a
+    * retrieval/training pipeline: each document yields windows of
+    * `chunkTokens` whitespace tokens every `stride` tokens (the final
+    * partial window is kept iff it adds tokens beyond the previous one).
+    * Output: (id, chunk_idx, start_token, n_tokens, chunk_text).
+    *
+    * Scale shape: sequence+posexplode generates one row per chunk (a
+    * linear, executor-side expansion like [[Multimodal]]'s frame
+    * sampling); `slice` + `concat_ws` re-materialize each chunk's text
+    * from the token array — all codegen'd collection expressions, no
+    * shuffle at all. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // chunk starts: 1, 1+stride, ... while start <= max(1, n - stride)
+    // guarantees full coverage with no trailing chunk fully contained in
+    // the previous one
+    val n = size(toks)
+    val starts = sequence(lit(1), greatest(lit(1), n - stride), lit(stride))
+    df.select(col(idCol).as("id"), toks.as("__t"), n.as("__n"),
+        posexplode(starts).as(Seq("chunk_idx", "start_token")))
+      .select(col("id"), col("chunk_idx"), col("start_token"),
+        least(lit(chunkTokens), col("__n") - col("start_token") + 1).as("n_tokens"),
+        concat_ws(" ", slice(col("__t"), col("start_token"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Deterministic sequence packing: assign documents (in `orderCol`
+    * order) to fixed-token-budget training sequences by prefix-sum
+    * bucketing — `seq_id = floor(cumulative_tokens_before / budget)`, the
+    * streaming-friendly packing policy (documents are never split; a
+    * sequence may overflow by at most one document, the standard
+    * pack-then-truncate contract). One window pass; the unpartitioned
+    * running sum runs over (id, token_count) pairs, not documents —
+    * at true corpus scale partition the cumsum by shard key first. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(tokenCol).as("n_tokens"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        ((col("cum_after") - col("n_tokens")) / budget).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("seq_id"))
+  }
+
   /** DuckDB mirror of [[repetitionSignals]] (CTE body; final SELECT is the
     * caller's, columns `id, n_tokens, n_distinct, dup_token_fraction,
     * top_bigram_fraction` from `rep`). */
