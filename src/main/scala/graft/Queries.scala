@@ -238,8 +238,13 @@ object Queries {
 
     "q11_running_revenue" -> Q(
       build = (s, dir) => {
+        // ORDER must be total over value-bearing columns too: the generated
+        // data reuses (orderkey, linenumber), and at sf0.1 one tie group
+        // carries different prices — an engine-dependent cumsum otherwise
+        // (caught by the sf0.1 oracle sweep, invisible at sf0.01)
         val order = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"))
         table(s, dir, "lineitem")
           .withColumn("running_rev",
             m2(sum(revenue(col("l_extendedprice"), col("l_discount")))
@@ -250,7 +255,7 @@ object Queries {
       oracle = Some(s"""
         SELECT l_suppkey, l_orderkey, l_linenumber,
           CAST(round(sum($revSql) OVER (PARTITION BY l_suppkey
-            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_discount
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_rev
         FROM lineitem
         ORDER BY l_suppkey, l_orderkey, l_linenumber"""),
@@ -961,8 +966,8 @@ object Queries {
           val v = s"CAST($c AS DOUBLE)"
           s"""SELECT '$c' AS col_name, count($v) AS n,
              |  ${sqlDavg(v)} AS mean,
-             |  sqrt(GREATEST(0.0, (${sqlDsumsq(v)} - ${sqlDsum(v)} * ${sqlDsum(v)} / count($v))
-             |       / (count($v) - 1))) AS std,
+             |  round(sqrt(GREATEST(0.0, (${sqlDsumsq(v)} - ${sqlDsum(v)} * ${sqlDsum(v)} / count($v))
+             |       / (count($v) - 1))), 4) AS std,
              |  min($v) AS min_v,
              |  quantile_cont($v, 0.25) AS p25,
              |  quantile_cont($v, 0.5) AS median,
@@ -1175,7 +1180,7 @@ object Queries {
       },
       oracle = Some(s"""
         WITH RECURSIVE $ngramPairCtes,
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.6
           UNION ALL
           SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.6),
@@ -1345,13 +1350,13 @@ object Queries {
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by
     * q27/q28/q35 oracles; `lazy` is load-bearing — referenced from `all`,
     * which is initialized above these definitions). */
-  private lazy val ngramPairCtes: String = """toks AS (
+  private lazy val ngramPairCtes: String = """toks AS MATERIALIZED (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
       FROM toks),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard

@@ -73,8 +73,11 @@ object Profiling {
         davg(v).as("mean"),
         // greatest(0, ·): the independently-rounded moments can put the
         // identity a few ulps below zero for (near-)constant columns —
-        // pandas describe() returns 0.0 there, never NaN
-        sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1))).as("std"),
+        // pandas describe() returns 0.0 there, never NaN. The final
+        // round(·, 4): at ~19-significant-digit second moments the
+        // decimal→double CAST itself rounds differently across engines
+        // (measured: one ulp at sf0.1), so std is reported at 4 decimals
+        round(sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1))), 4).as("std"),
         min(v).as("min_v"),
         expr("percentile(v, 0.25D)").as("p25"),
         expr("percentile(v, 0.5D)").as("median"),
@@ -126,8 +129,11 @@ object Profiling {
         davg(v).as("mean"),
         // greatest(0, ·): the independently-rounded moments can put the
         // identity a few ulps below zero for (near-)constant columns —
-        // pandas describe() returns 0.0 there, never NaN
-        sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1))).as("std"),
+        // pandas describe() returns 0.0 there, never NaN. The final
+        // round(·, 4): at ~19-significant-digit second moments the
+        // decimal→double CAST itself rounds differently across engines
+        // (measured: one ulp at sf0.1), so std is reported at 4 decimals
+        round(sqrt(greatest(lit(0.0), (s2 - s1 * s1 / n) / (n - 1))), 4).as("std"),
         min(v).as("min_v"),
         expr(s"approx_percentile(v, 0.25D, $accuracy)").as("p25"),
         expr(s"approx_percentile(v, 0.5D, $accuracy)").as("median"),
