@@ -1324,6 +1324,127 @@ object Queries {
         FROM packed
         GROUP BY seq_id
         ORDER BY seq_id""")),
+
+    "q58_token_entropy" -> Q(
+      // Information-density quality signal: per-document Shannon entropy
+      // of the token distribution (exact integer tf counts; irrational
+      // log terms snapped to 12 dp and summed in exact decimal, so the
+      // result is combine-order-independent).
+      build = (s, dir) =>
+        TextStats.tokenEntropy(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH ${TextStats.sqlTokenEntropyCtes("doc_id", "text")}
+        SELECT id AS doc_id, n_tokens, n_distinct, entropy
+        FROM ent
+        ORDER BY doc_id""")),
+
+    "q59_balanced_sample" -> Q(
+      // Mixture rebalancing: deterministically thin every language to the
+      // smallest language's size (keep-rate = min_count/count as an exact
+      // integer bucket threshold over the stable md5 row hash). The audit
+      // reports per-group before/after; which rows survive is a pure
+      // function of doc_id, so both engines select identical rows.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+        val after = Sampling.balancedSample(docs, "doc_id", "lang")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+        before.join(after, Seq("lang"), "left")
+          .select(col("lang"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH ${Sampling.sqlBalancedKeptCtes("doc_id", "lang")},
+        after AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
+        SELECT c.lang, c.__cnt AS n_before, coalesce(a.n_after, 0) AS n_after
+        FROM counts c LEFT JOIN after a USING (lang)
+        ORDER BY c.lang""")),
+
+    "q60_decontamination" -> Q(
+      // Eval-set contamination check: corpus docs sharing any distinct
+      // word 5-gram with the benchmark partition (source = 'src0').
+      // Benchmark shingles broadcast; the corpus never shuffles bodies.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        NearDup.contaminationHits(
+            corpus = docs.filter(col("source") =!= "src0"),
+            bench = docs.filter(col("source") === "src0"),
+            "doc_id", "text", n = 5)
+          .select(col("id").as("doc_id"), col("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+            unnest(list_distinct(list_transform(generate_series(1, len(t) - 4),
+              i -> array_to_string(t[i:i+4], ' ')))) AS s
+          FROM toks),
+        bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        SELECT c.doc_id, count(*) AS n_shared
+        FROM sh c JOIN bench b ON c.s = b.s
+        WHERE c.source <> 'src0'
+        GROUP BY c.doc_id
+        ORDER BY c.doc_id""")),
+
+    "q61_pii_redaction" -> Q(
+      // Pre-training PII scrub: plant deterministic synthetic PII (the
+      // corpus has none), then redact emails/phones with RE2-safe
+      // patterns. Both engines build the same augmented text, so the
+      // match counts and the md5 of the redacted output must agree
+      // byte-for-byte.
+      build = (s, dir) => {
+        val aug = concat(col("text"), lit(" Contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or +1-202-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" now."))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            TextStats.emailCount(aug).cast("long").as("n_emails"),
+            TextStats.phoneCount(aug).cast("long").as("n_phones"),
+            md5(TextStats.redactPii(aug)).as("redacted_key"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH aug AS (
+          SELECT doc_id,
+            text || ' Contact user' || doc_id || '@example.com or +1-202-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.' AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, ${TextStats.sqlEmailPattern})) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(t, ${TextStats.sqlPhonePattern})) AS BIGINT) AS n_phones,
+          md5(${TextStats.sqlRedactPii("t")}) AS redacted_key
+        FROM aug
+        ORDER BY doc_id""")),
+
+    "q62_grouped_quantiles" -> Q(
+      // Grouped exact quantiles (pandas groupby().quantile()): per-language
+      // document-length quartiles — exact type-7 interpolation on both
+      // engines (parity established by q19's global quartiles).
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            expr("percentile(n_chars, 0.25D)").as("p25"),
+            expr("percentile(n_chars, 0.5D)").as("median"),
+            expr("percentile(n_chars, 0.75D)").as("p75"))
+          .orderBy(col("lang")),
+      oracle = Some("""
+        SELECT lang, count(*) AS n_docs,
+          quantile_cont(n_chars, 0.25) AS p25,
+          quantile_cont(n_chars, 0.5) AS median,
+          quantile_cont(n_chars, 0.75) AS p75
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -96,6 +96,27 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: for each corpus document, the number of
+    * distinct word n-grams it shares with ANY document of a benchmark set
+    * — the standard eval-contamination check run before training (e.g.
+    * 13-gram overlap in GPT-3's decontamination; n is a parameter here).
+    * Returns (id, n_shared) for contaminated docs only (n_shared ≥ 1).
+    *
+    * Scale shape: the benchmark side is tiny compared to the corpus (eval
+    * sets vs 100 TB), so its distinct shingle set is BROADCAST and the
+    * corpus side is a map-side hash-semi-probe + partial-aggregated count
+    * — the corpus never shuffles document bodies, only (id, count) rows.
+    */
+  def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchShingles = shingleRows(bench, idCol, textCol, n)
+      .select(col("s")).distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signature as a single column expression — the SAME hash
     * family as [[minhashBands]] (`xxhash64(seed, xxhash64(shingle))`), so
     * ad-hoc signatures line up with the pipeline's buckets. Interpreted

@@ -45,4 +45,43 @@ object Sampling {
   /** DuckDB mirror of [[hashBucket]]. */
   def sqlHashBucket(expr: String, buckets: Int): String =
     s"(${TextHash.sqlMd5Bits60(s"CAST($expr AS VARCHAR)")} % $buckets)"
+
+  /** Domain-balanced downsampling: deterministically thin every group to
+    * ≈ the smallest group's size — the mixture-rebalancing step of a
+    * training-data pipeline (a dominant domain would otherwise swamp the
+    * mixture). Each group's keep-rate is `min_count / count`, applied as
+    * an integer bucket threshold `(min_count · buckets) div count` over
+    * the same stable per-row hash as [[hashSplit]] — so which rows survive
+    * is a pure function of their key, reproducible across engines, runs,
+    * and layouts (integer `div` on both engines: no float-rounding drift).
+    *
+    * Scale shape: one tiny group-count aggregation (rows = #groups)
+    * broadcast back onto the scan, then a pure filter — the corpus itself
+    * is never shuffled. */
+  def balancedSample(df: DataFrame, keyCol: String, groupCol: String,
+      buckets: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min_cnt"))
+    val thresh = counts.crossJoin(broadcast(minCnt))
+      .select(col(groupCol),
+        expr(s"(__min_cnt * ${buckets}L) div __cnt").as("__thresh"))
+    df.join(broadcast(thresh), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), buckets) < col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** DuckDB mirror of [[balancedSample]]'s keep predicate (CTE body;
+    * expose `kept` = the surviving rows of `documents` plus `__cnt`). */
+  def sqlBalancedKeptCtes(keyExpr: String, groupCol: String,
+      buckets: Int = 10000): String =
+    s"""counts AS (SELECT $groupCol, count(*) AS __cnt FROM documents GROUP BY $groupCol),
+       |m AS (SELECT min(__cnt) AS __min_cnt FROM counts),
+       |thresh AS (
+       |  SELECT $groupCol, __cnt, (__min_cnt * $buckets) // __cnt AS __th
+       |  FROM counts CROSS JOIN m),
+       |kept AS (
+       |  SELECT d.*, t.__cnt
+       |  FROM documents d JOIN thresh t USING ($groupCol)
+       |  WHERE ${sqlHashBucket(keyExpr, buckets)} < t.__th)""".stripMargin
 }

@@ -232,6 +232,81 @@ object TextStats {
       .select(col(idCol), col("n_tokens"), col("seq_id"))
   }
 
+  /** Per-document Shannon entropy (bits) of the token distribution — the
+    * information-density quality signal: word-salad and boilerplate sit at
+    * the distribution extremes, natural prose in between.
+    *
+    * Determinism: tf counts are exact integers; `H = log2(n) − Σ c·log2(c)
+    * / n` is computed with each irrational term snapped to 12 decimals and
+    * summed in exact DECIMAL (combine-order-independent — a raw double sum
+    * would vary with partitioning), then the final value snapped to 8.
+    *
+    * Scale shape: posexplode → two hash aggregations over narrow (id,
+    * token) rows, both with map-side partial aggregation; no window, no
+    * join. */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("c") * log2(col("c")), 12).cast("decimal(28,12)"))
+          .as("__clogc"))
+      .select(col("id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens"))
+          - col("__clogc").cast("double") / col("n_tokens"), 8).as("entropy"))
+  }
+
+  /** DuckDB mirror of [[tokenEntropy]] (CTE body; expose `ent` with
+    * columns id, n_tokens, n_distinct, entropy). */
+  def sqlTokenEntropyCtes(idCol: String, textCol: String): String =
+    s"""tok AS (
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w
+       |  FROM documents),
+       |tf AS (SELECT id, w, count(*) AS c FROM tok GROUP BY id, w),
+       |ent AS (
+       |  SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |    round(log2(CAST(sum(c) AS DOUBLE))
+       |      - CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |        / sum(c), 8) AS entropy
+       |  FROM tf GROUP BY id)""".stripMargin
+
+  /** PII patterns for the redaction scrub. Restricted to syntax the JVM
+    * regex engine and RE2 (DuckDB) interpret identically — character
+    * classes and bounded repetition only, no lookaround, no backrefs. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
+
+  /** Replace email addresses and dashed phone numbers with typed
+    * placeholder tags — the standard pre-training PII scrub. Two codegen'd
+    * `regexp_replace` passes, scan-speed, no shuffle; order matters
+    * (emails first, so digits inside addresses are consumed before the
+    * phone pass sees them). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Number of email-pattern matches in a text column. */
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  /** Number of phone-pattern matches in a text column. */
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** [[EmailPattern]] / [[PhonePattern]] as DuckDB string literals. */
+  val sqlEmailPattern: String = "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'"
+  val sqlPhonePattern: String = "'\\+?\\d{1,2}-\\d{3}-\\d{3}-\\d{4}'"
+
+  /** DuckDB mirror of [[redactPii]]. */
+  def sqlRedactPii(expr: String): String =
+    s"""regexp_replace(regexp_replace($expr, $sqlEmailPattern, '<EMAIL>', 'g'),
+       |  $sqlPhonePattern, '<PHONE>', 'g')""".stripMargin
+
   /** DuckDB mirror of [[repetitionSignals]] (CTE body; final SELECT is the
     * caller's, columns `id, n_tokens, n_distinct, dup_token_fraction,
     * top_bigram_fraction` from `rep`). */

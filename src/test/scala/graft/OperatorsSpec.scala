@@ -175,6 +175,28 @@ class OperatorsSpec extends SparkSpec {
     assert(valIds.exceptAll(sampled).count() == 0)
   }
 
+  test("Sampling.balancedSample: min group intact, exact hash-rule rows, layout-invariant") {
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (2001 to 2100).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = Sampling.balancedSample(df, "id", "grp")
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest group's threshold is the full bucket range -> kept whole
+    assert(byGrp("small") == 100L)
+    // the big group's survivors are exactly the rows the hash rule admits:
+    // thresh = (100 * 10000) div 1000 = 1000
+    val expected = df.filter(col("grp") === "big")
+      .filter(Sampling.hashBucket(col("id"), 10000) < 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = kept.filter(col("grp") === "big")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.size == byGrp("big").toInt)
+    // deterministic under repartitioning (df.sample would not be)
+    val again = Sampling.balancedSample(df.repartition(7, col("id")), "id", "grp")
+      .filter(col("grp") === "big").select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
   test("SkewJoin.saltedInnerJoin equals the plain join on a hot-key corpus") {
     import spark.implicits._
     // 90% of the large side lands on key 1 — the classic straggler shape

@@ -201,6 +201,48 @@ class TextOpsSpec extends SparkSpec {
     assert(c.getDouble(0) == 2.0)
   }
 
+  test("tokenEntropy: uniform tokens hit log2(n), constant doc hits 0") {
+    val df = Seq(
+      (1L, "a b c d"),      // 4 distinct of 4 -> H = log2(4) = 2
+      (2L, "x x x x"),      // constant -> H = 0
+      (3L, "a a b b")       // two classes at 1/2 -> H = 1
+    ).toDF("doc_id", "text")
+    val out = TextStats.tokenEntropy(df, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.getDouble(3)).toSeq == Seq(2.0, 0.0, 1.0))
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((4L, 4L), (4L, 1L), (4L, 2L)))
+  }
+
+  test("redactPii scrubs planted emails/phones and counts match") {
+    val df = Seq(
+      (1L, "write to a.user+tag@sub.example.org or call +1-202-555-0100 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.com z@w.net and 12-345-678-9012 digits")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.redactPii(col("text")).as("r"),
+        TextStats.emailCount(col("text")).as("e"),
+        TextStats.phoneCount(col("text")).as("p"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "write to <EMAIL> or call <PHONE> now")
+    assert((out(0).getInt(2), out(0).getInt(3)) == ((1, 1)))
+    assert(out(1).getString(1) == "no pii here at all")
+    assert((out(1).getInt(2), out(1).getInt(3)) == ((0, 0)))
+    assert(out(2).getString(1) == "two mails <EMAIL> <EMAIL> and <PHONE> digits")
+  }
+
+  test("contaminationHits finds exactly the corpus docs sharing a 3-gram") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zz alpha beta gamma yy"),   // shares "alpha beta gamma"
+      (2L, "beta gamma delta tail here"), // shares "beta gamma delta"
+      (3L, "nothing in common at all")
+    ).toDF("doc_id", "text")
+    val hits = NearDup.contaminationHits(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("bpeTokenCount matches the DuckDB-checked GPT-2-ish segmentation") {
     val r = Seq("Hello, world! 42 times").toDF("t")
       .select(TextStats.bpeTokenCount(col("t"))).head().getInt(0)
