@@ -1445,6 +1445,34 @@ object Queries {
         FROM documents
         GROUP BY lang
         ORDER BY lang""")),
+
+    "q63_int8_quant" -> Q(
+      // Vector-store compression audit: symmetric int8 quantization of
+      // every embedding (scale = 127/max|x|, floor(+0.5) rounding — an
+      // unambiguous IEEE op on both engines), reporting per-vector max
+      // reconstruction error, zero-crush count, and L2 norm (decimal
+      // accumulation).
+      build = (s, dir) =>
+        Vectors.int8QuantAudit(table(s, dir, "embeddings"), "vec_id", "embedding")
+          .withColumnRenamed("id", "vec_id")
+          .orderBy(col("vec_id")),
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
+          FROM embeddings),
+        s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        el AS (SELECT vec_id, mx, unnest(v) AS x FROM s),
+        qn AS (
+          SELECT vec_id, mx, x,
+            greatest(-127, least(127, CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT))) AS q
+          FROM el)
+        SELECT vec_id,
+          round(max(abs(q / (127.0 / mx) - x)), 8) AS max_abs_err,
+          CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          round(sqrt(CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)), 8) AS l2_norm
+        FROM qn
+        GROUP BY vec_id
+        ORDER BY vec_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -50,6 +50,45 @@ object Vectors {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Symmetric int8 quantization audit — the storage/serving compression
+    * step of a vector pipeline: per vector, scale = 127 / max|x|,
+    * q_i = clamp(floor(x_i·scale + 0.5), ±127), and the audit reports the
+    * max reconstruction error, the count of values crushed to zero, and
+    * the L2 norm. `floor(+0.5)` (not `round`) keeps the rounding rule an
+    * unambiguous IEEE op on both engines; the L2 sum accumulates in exact
+    * decimal (order-independent), per-term snapped at 12 dp.
+    *
+    * Scale shape: explode → one window max per vector (a single hash
+    * shuffle of narrow (id, x) rows) → hash aggregation; everything stays
+    * codegen'd — no interpreted array HOFs. Zero vectors quantize to all
+    * zeros (guard, not NaN). */
+  def int8QuantAudit(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val el = df.select(col(idCol).as("id"),
+      explode(col(vecCol)).as("xf"))
+      .select(col("id"), col("xf").cast("double").as("x"))
+    val w = Window.partitionBy(col("id"))
+    val qn = el
+      .withColumn("mx", max(abs(col("x"))).over(w))
+      // ANSI mode: the division itself must be guarded (zero vectors),
+      // not just its consumers — the placeholder 1.0 never escapes because
+      // every use below branches on mx = 0 first
+      .withColumn("scale",
+        when(col("mx") === 0.0, lit(1.0)).otherwise(lit(127.0) / col("mx")))
+      .withColumn("q",
+        when(col("mx") === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L),
+            least(lit(127L), floor(col("x") * col("scale") + 0.5).cast("long")))))
+      .withColumn("err",
+        when(col("mx") === 0.0, lit(0.0))
+          .otherwise(abs(col("q") / col("scale") - col("x"))))
+    qn.groupBy(col("id"))
+      .agg(
+        round(max(col("err")), 8).as("max_abs_err"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"),
+        round(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(28,12)"))
+          .cast("double")), 8).as("l2_norm"))
+  }
+
   /** Brute-force top-k neighbors for the `queries` rows against the full
     * corpus. The query side is broadcast (it is the small side by
     * construction); the corpus streams through map-side only — no shuffle

@@ -197,6 +197,23 @@ class OperatorsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("Vectors.int8QuantAudit: hand-checked errors, zero-vector guard") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)), // mx=1, scale=127
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))    // zero vector -> guard path
+    ).toDF("vec_id", "embedding")
+    val out = Vectors.int8QuantAudit(df, "vec_id", "embedding")
+      .orderBy("id").collect()
+    // v1: x*127 = {127, -63.5, 31.75, 0} -> q = {127, -63, 32, 0}
+    //   errs = {0, 0.5/127, 0.25/127, 0}; max = 0.5/127 ~ 0.00393701
+    assert(math.abs(out(0).getDouble(1) - 0.00393701) < 1e-8)
+    assert(out(0).getLong(2) == 1L) // one exact zero survives as q=0
+    assert(math.abs(out(0).getDouble(3) - math.sqrt(1 + 0.25 + 0.0625)) < 1e-6)
+    // zero vector: all q=0, no NaN, zero error and norm
+    assert(out(1).getDouble(1) == 0.0 && out(1).getLong(2) == 4L
+      && out(1).getDouble(3) == 0.0)
+  }
+
   test("SkewJoin.saltedInnerJoin equals the plain join on a hot-key corpus") {
     import spark.implicits._
     // 90% of the large side lands on key 1 — the classic straggler shape
