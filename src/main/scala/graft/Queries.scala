@@ -1473,6 +1473,44 @@ object Queries {
         FROM qn
         GROUP BY vec_id
         ORDER BY vec_id""")),
+
+    "q64_winsorized_stats" -> Q(
+      // Robust grouped statistics: per-priority order values clamped to
+      // [p05, p95] (winsorization — the outlier-insensitive mean used for
+      // monitoring skewed revenue). Exact type-7 percentiles per group
+      // (tiny, broadcast back onto the scan), clamped values snapped at
+      // 6 dp and accumulated in exact decimal so the mean is
+      // combine-order-independent.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val bounds = o.groupBy(col("o_orderpriority")).agg(
+          expr("percentile(o_totalprice, 0.05D)").as("p05"),
+          expr("percentile(o_totalprice, 0.95D)").as("p95"))
+        o.join(broadcast(bounds), Seq("o_orderpriority"))
+          .withColumn("wp",
+            least(greatest(col("o_totalprice"), col("p05")), col("p95")))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            max(col("p05")).as("p05"),
+            max(col("p95")).as("p95"),
+            round(sum(round(col("wp"), 6).cast("decimal(28,6)")).cast("double")
+              / count(lit(1)), 6).as("winsor_mean"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT o_orderpriority,
+            quantile_cont(o_totalprice, 0.05) AS p05,
+            quantile_cont(o_totalprice, 0.95) AS p95
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, count(*) AS n_orders,
+          max(p05) AS p05, max(p95) AS p95,
+          round(CAST(sum(CAST(round(least(greatest(o_totalprice, p05), p95), 6)
+                AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS winsor_mean
+        FROM orders JOIN b USING (o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

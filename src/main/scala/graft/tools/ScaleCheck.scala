@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{NearDup, Similarity}
+import graft.operators.{NearDup, Similarity, TextStats}
 
 /** Scale-linearity check for the round-3 LSH paths (not part of the driver
   * contract): inflates the sf0.1 corpora by replication-with-perturbation
@@ -45,6 +45,22 @@ object ScaleCheck {
       }.reduce(_ union _)
 
     docs.count() // warm
+
+    // round-3 additions: token entropy (two hash aggs over token rows)
+    // and decontamination (broadcast bench shingle probe) — both should
+    // track corpus size ~linearly; the prefix perturbation leaves
+    // interior 5-grams intact, so contamination hits also scale with k
+    val bench = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    time("token entropy 1x (5k docs)")(
+      TextStats.tokenEntropy(docsX(1), "doc_id", "text").count())
+    time("token entropy 10x (50k docs)")(
+      TextStats.tokenEntropy(docsX(10), "doc_id", "text").count())
+    time("decontamination 1x corpus vs src0 bench")(
+      NearDup.contaminationHits(docsX(1), bench, "doc_id", "text", 5).count())
+    time("decontamination 10x corpus vs src0 bench")(
+      NearDup.contaminationHits(docsX(10), bench, "doc_id", "text", 5).count())
+
     time("simhash pairs 1x (5k docs)")(
       NearDup.simhashNearDupPairs(docsX(1), "doc_id", "text", 3).count())
     time("simhash pairs 10x (50k docs)")(
