@@ -120,6 +120,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenEntropy is bounded by [0, log2(n_distinct)] on random token bags") {
+    val bag = Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+    (1L to 5L).foreach { s =>
+      val docs = (0 until 8).map(i =>
+        (i.toLong, sample(bag, s * 100 + i).mkString(" ")))
+      val df = docs.toDF("doc_id", "text")
+      val out = graft.operators.TextStats.tokenEntropy(df, "doc_id", "text")
+        .collect()
+      assert(out.length == docs.length)
+      out.foreach { r =>
+        val (nd, h) = (r.getLong(2), r.getDouble(3))
+        val hi = math.log(nd.toDouble) / math.log(2.0)
+        assert(h >= -1e-9 && h <= hi + 1e-9,
+          s"seed $s: entropy $h outside [0, log2($nd)]")
+      }
+    }
+  }
+
+  test("balancedSample never grows a group and keeps a valid subset") {
+    val grpGen = Gen.listOfN(60, Gen.oneOf("a", "b", "c"))
+    (1L to 5L).foreach { s =>
+      val rows = sample(grpGen, s).zipWithIndex
+        .map { case (g, i) => (i.toLong, g) }
+      val df = rows.toDF("id", "grp")
+      val before = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val kept = graft.operators.Sampling.balancedSample(df, "id", "grp")
+        .collect().map(r => (r.getLong(1), r.getString(0)))
+      // subset of the input, and no group exceeds its original size
+      assert(kept.toSet.subsetOf(rows.map(t => (t._1, t._2)).toSet), s"seed $s")
+      kept.groupBy(_._2).foreach { case (g, ks) =>
+        assert(ks.size <= before(g), s"seed $s group $g grew")
+      }
+    }
+  }
+
   test("nearDupSurvivors drops exactly the docs that pair with a smaller id") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
