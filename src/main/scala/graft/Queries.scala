@@ -1511,6 +1511,52 @@ object Queries {
         FROM orders JOIN b USING (o_orderpriority)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
+
+    "q65_quality_funnel" -> Q(
+      // The C4/Gopher-style quality-filter funnel: per source, how many
+      // documents pass each gate (length ≥ 24 tokens, stopword ratio ≥
+      // 0.04, dup-token fraction ≤ 0.6) and all gates together — the
+      // retention audit run before committing a filter config. All gate
+      // inputs are exact integer ratios, so the pass sets are identical
+      // across engines.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val qs = TextStats.withQualitySignals(docs, "text")
+          .select(col("doc_id"), col("source"), col("q_tokens"),
+            col("stopword_ratio"))
+        val rep = TextStats.repetitionSignals(docs, "doc_id", "text")
+          .select(col("id"), col("dup_token_fraction"))
+        val passLen = col("q_tokens") >= 24
+        val passSw = col("stopword_ratio") >= 0.04
+        val passRep = col("dup_token_fraction") <= 0.6
+        qs.join(rep, qs("doc_id") === rep("id"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(passLen, 1L).otherwise(0L)).as("pass_len"),
+            sum(when(passSw, 1L).otherwise(0L)).as("pass_stopword"),
+            sum(when(passRep, 1L).otherwise(0L)).as("pass_repetition"),
+            sum(when(passLen && passSw && passRep, 1L).otherwise(0L))
+              .as("pass_all"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(s"""
+        WITH ${TextStats.sqlRepetitionCtes("doc_id", "text")},
+        qs AS (
+          SELECT doc_id, source,
+            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+            CAST(${TextStats.sqlStopwordCount("text")} AS DOUBLE)
+              / len(regexp_split_to_array(trim(text), '\\s+')) AS sw_ratio
+          FROM documents)
+        SELECT qs.source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN qs.n_tokens >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+          CAST(sum(CASE WHEN qs.sw_ratio >= 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+          CAST(sum(CASE WHEN rep.dup_token_fraction <= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS pass_repetition,
+          CAST(sum(CASE WHEN qs.n_tokens >= 24 AND qs.sw_ratio >= 0.04
+                         AND rep.dup_token_fraction <= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM qs JOIN rep ON qs.doc_id = rep.id
+        GROUP BY qs.source
+        ORDER BY qs.source""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
