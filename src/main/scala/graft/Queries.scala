@@ -1338,7 +1338,8 @@ object Queries {
         WITH ${TextStats.sqlTokenEntropyCtes("doc_id", "text")}
         SELECT id AS doc_id, n_tokens, n_distinct, entropy
         FROM ent
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     "q59_balanced_sample" -> Q(
       // Mixture rebalancing: deterministically thin every language to the
@@ -1390,7 +1391,8 @@ object Queries {
         FROM sh c JOIN bench b ON c.s = b.s
         WHERE c.source <> 'src0'
         GROUP BY c.doc_id
-        ORDER BY c.doc_id""")),
+        ORDER BY c.doc_id"""),
+      bench = true),
 
     "q61_pii_redaction" -> Q(
       // Pre-training PII scrub: plant deterministic synthetic PII (the
@@ -1472,7 +1474,8 @@ object Queries {
           round(sqrt(CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)), 8) AS l2_norm
         FROM qn
         GROUP BY vec_id
-        ORDER BY vec_id""")),
+        ORDER BY vec_id"""),
+      bench = true),
 
     "q64_winsorized_stats" -> Q(
       // Robust grouped statistics: per-priority order values clamped to
@@ -1556,7 +1559,8 @@ object Queries {
                          AND rep.dup_token_fraction <= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
         FROM qs JOIN rep ON qs.doc_id = rep.id
         GROUP BY qs.source
-        ORDER BY qs.source""")),
+        ORDER BY qs.source"""),
+      bench = true),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
