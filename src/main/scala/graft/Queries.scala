@@ -1561,6 +1561,20 @@ object Queries {
         GROUP BY qs.source
         ORDER BY qs.source"""),
       bench = true),
+
+    "q66_unigram_surprisal" -> Q(
+      // CCNet-style perplexity filter input: per-document mean token
+      // surprisal under the corpus unigram LM (decimal-accumulated like
+      // q58's entropy, so the result is combine-order-independent).
+      build = (s, dir) =>
+        TextStats.unigramSurprisal(table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(s"""
+        WITH ${TextStats.sqlUnigramSurprisalCtes("doc_id", "text")}
+        SELECT id AS doc_id, n_tokens, mean_surprisal
+        FROM surp
+        ORDER BY doc_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

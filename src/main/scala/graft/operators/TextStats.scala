@@ -274,6 +274,52 @@ object TextStats {
        |        / sum(c), 8) AS entropy
        |  FROM tf GROUP BY id)""".stripMargin
 
+  /** Per-document mean token surprisal under the corpus unigram LM —
+    * `(1/n_d)·Σ_tokens −log2(count(w)/N)` — the in-engine analogue of
+    * CCNet's perplexity filter: documents far from the corpus
+    * distribution (very low = boilerplate of frequent words, very high =
+    * noise/rare-token soup) are filter candidates.
+    *
+    * Determinism: identical to [[tokenEntropy]] — exact integer counts,
+    * per-token irrational terms snapped at 12 dp, decimal accumulation,
+    * final 8 dp snap. Scale shape: one corpus term-count aggregation
+    * joined back onto the token rows (AQE broadcasts the zipfian-head
+    * vocab when it fits; otherwise a hash join on the token — the corpus
+    * shuffles narrow (id, w) rows once), then a per-document hash agg. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = freq.agg(sum(col("cw")).as("n_total"))
+    tok.join(freq, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        max(col("n_total")).as("__nt"),
+        sum(round(log2(col("cw")), 12).cast("decimal(28,12)")).as("__slog"))
+      .select(col("id"), col("n_tokens"),
+        round(log2(col("__nt"))
+          - col("__slog").cast("double") / col("n_tokens"), 8)
+          .as("mean_surprisal"))
+  }
+
+  /** DuckDB mirror of [[unigramSurprisal]] (CTE body; expose `surp` with
+    * columns id, n_tokens, mean_surprisal). */
+  def sqlUnigramSurprisalCtes(idCol: String, textCol: String): String =
+    s"""tok AS (
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w
+       |  FROM documents),
+       |freq AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM freq),
+       |surp AS (
+       |  SELECT t.id, count(*) AS n_tokens,
+       |    round(log2(CAST(max(n_total) AS DOUBLE))
+       |      - CAST(sum(CAST(round(log2(CAST(f.cw AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE)
+       |        / count(*), 8) AS mean_surprisal
+       |  FROM tok t JOIN freq f USING (w) CROSS JOIN tot
+       |  GROUP BY t.id)""".stripMargin
+
   /** PII patterns for the redaction scrub. Restricted to syntax the JVM
     * regex engine and RE2 (DuckDB) interpret identically — character
     * classes and bounded repetition only, no lookaround, no backrefs. */
