@@ -1465,12 +1465,17 @@ object Queries {
         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
         el AS (SELECT vec_id, mx, unnest(v) AS x FROM s),
         qn AS (
+          -- mx = 0 guard mirrors the Spark side: zero vectors quantize to
+          -- zeros with zero error (unguarded, 0 * (127/0) = NaN here)
           SELECT vec_id, mx, x,
-            greatest(-127, least(127, CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT))) AS q
+            CASE WHEN mx = 0 THEN 0
+                 ELSE greatest(-127, least(127, CAST(floor(x * (127.0 / mx) + 0.5) AS BIGINT)))
+            END AS q
           FROM el)
         SELECT vec_id,
-          round(max(abs(q / (127.0 / mx) - x)), 8) AS max_abs_err,
-          CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          round(max(CASE WHEN mx = 0 THEN 0.0
+                         ELSE abs(q / (127.0 / mx) - x) END), 8) AS max_abs_err,
+          CAST(sum(CASE WHEN q = 0 AND x <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crushed,
           round(sqrt(CAST(sum(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE)), 8) AS l2_norm
         FROM qn
         GROUP BY vec_id

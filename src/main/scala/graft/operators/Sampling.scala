@@ -66,9 +66,16 @@ object Sampling {
     val thresh = counts.crossJoin(broadcast(minCnt))
       .select(col(groupCol),
         expr(s"(__min_cnt * ${buckets}L) div __cnt").as("__thresh"))
-    df.join(broadcast(thresh), Seq(groupCol))
+    // null-safe equality: a NULL group key is a group like any other
+    // (groupBy already counts it as one) — a plain equi-join would
+    // silently delete those rows while their count still drove min_count.
+    // The threshold-side key is RENAMED before the join: thresh derives
+    // from df, so df(groupCol)/thresh(groupCol) resolve to the same
+    // attribute and Spark would build a trivially-true self-join predicate
+    val t = broadcast(thresh.withColumnRenamed(groupCol, "__grp"))
+    df.join(t, col(groupCol) <=> col("__grp"), "inner")
       .filter(hashBucket(col(keyCol), buckets) < col("__thresh"))
-      .drop("__thresh")
+      .drop("__grp", "__thresh")
   }
 
   /** DuckDB mirror of [[balancedSample]]'s keep predicate (CTE body;

@@ -281,23 +281,31 @@ object TextStats {
     * noise/rare-token soup) are filter candidates.
     *
     * Determinism: identical to [[tokenEntropy]] — exact integer counts,
-    * per-token irrational terms snapped at 12 dp, decimal accumulation,
-    * final 8 dp snap. Scale shape: one corpus term-count aggregation
-    * joined back onto the token rows (AQE broadcasts the zipfian-head
-    * vocab when it fits; otherwise a hash join on the token — the corpus
-    * shuffles narrow (id, w) rows once), then a per-document hash agg. */
+    * per-TERM irrational log snapped at 12 dp, multiplied by the exact
+    * integer per-doc count in DECIMAL (exact: (15,12)×(9,0) → (25,12)),
+    * decimal accumulation, final 8 dp snap.
+    *
+    * Scale shape: token rows collapse to the (id, term, count) tf table
+    * FIRST (same as [[tokenEntropy]]); corpus term counts derive from tf
+    * (no second corpus scan) and join back onto tf — so the join and the
+    * per-document aggregation move only distinct (id, term) pairs, a
+    * large reduction on repetitive corpora (AQE broadcasts the
+    * zipfian-head vocab when it fits). */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("w"))
-    val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    val freq = tf.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val total = freq.agg(sum(col("cw")).as("n_total"))
-    tok.join(freq, Seq("w"))
+    tf.join(freq, Seq("w"))
       .crossJoin(broadcast(total))
       .groupBy(col("id"))
       .agg(
-        count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("n_tokens"),
         max(col("n_total")).as("__nt"),
-        sum(round(log2(col("cw")), 12).cast("decimal(28,12)")).as("__slog"))
+        sum(round(log2(col("cw")), 12).cast("decimal(15,12)")
+          * col("c").cast("decimal(9,0)")).as("__slog"))
       .select(col("id"), col("n_tokens"),
         round(log2(col("__nt"))
           - col("__slog").cast("double") / col("n_tokens"), 8)
@@ -310,15 +318,17 @@ object TextStats {
     s"""tok AS (
        |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w
        |  FROM documents),
-       |freq AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+       |tf AS (SELECT id, w, count(*) AS c FROM tok GROUP BY id, w),
+       |freq AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY w),
        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_total FROM freq),
        |surp AS (
-       |  SELECT t.id, count(*) AS n_tokens,
+       |  SELECT tf.id, CAST(sum(c) AS BIGINT) AS n_tokens,
        |    round(log2(CAST(max(n_total) AS DOUBLE))
-       |      - CAST(sum(CAST(round(log2(CAST(f.cw AS DOUBLE)), 12) AS DECIMAL(28,12))) AS DOUBLE)
-       |        / count(*), 8) AS mean_surprisal
-       |  FROM tok t JOIN freq f USING (w) CROSS JOIN tot
-       |  GROUP BY t.id)""".stripMargin
+       |      - CAST(sum(CAST(round(log2(CAST(f.cw AS DOUBLE)), 12) AS DECIMAL(15,12))
+       |                  * CAST(c AS DECIMAL(9,0))) AS DOUBLE)
+       |        / sum(c), 8) AS mean_surprisal
+       |  FROM tf JOIN freq f USING (w) CROSS JOIN tot
+       |  GROUP BY tf.id)""".stripMargin
 
   /** PII patterns for the redaction scrub. Restricted to syntax the JVM
     * regex engine and RE2 (DuckDB) interpret identically — character

@@ -53,8 +53,9 @@ object Vectors {
   /** Symmetric int8 quantization audit — the storage/serving compression
     * step of a vector pipeline: per vector, scale = 127 / max|x|,
     * q_i = clamp(floor(x_i·scale + 0.5), ±127), and the audit reports the
-    * max reconstruction error, the count of values crushed to zero, and
-    * the L2 norm. `floor(+0.5)` (not `round`) keeps the rounding rule an
+    * max reconstruction error, the count of NONZERO inputs crushed to
+    * zero (exact input zeros are excluded — they lose nothing), and the
+    * L2 norm. `floor(+0.5)` (not `round`) keeps the rounding rule an
     * unambiguous IEEE op on both engines; the L2 sum accumulates in exact
     * decimal (order-independent), per-term snapped at 12 dp.
     *
@@ -84,7 +85,8 @@ object Vectors {
     qn.groupBy(col("id"))
       .agg(
         round(max(col("err")), 8).as("max_abs_err"),
-        sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("q") === 0 && col("x") =!= 0.0, 1L).otherwise(0L))
+          .as("n_crushed"),
         round(sqrt(sum(round(col("x") * col("x"), 12).cast("decimal(28,12)"))
           .cast("double")), 8).as("l2_norm"))
   }

@@ -49,17 +49,27 @@ object ScaleCheck {
     // round-3 additions: token entropy (two hash aggs over token rows)
     // and decontamination (broadcast bench shingle probe) — both should
     // track corpus size ~linearly; the prefix perturbation leaves
-    // interior 5-grams intact, so contamination hits also scale with k
+    // interior 5-grams intact, so contamination hits also scale with k.
+    // The corpus side EXCLUDES the src0 bench partition (as q60 does) —
+    // otherwise every bench doc trivially self-matches and the hit
+    // counts measure a different operation
     val bench = docs.filter(col("source") === "src0")
       .select(col("doc_id"), col("text"))
+    def corpusX(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val prefix = (0 until 10).map(j => s"cp${i}x$j").mkString("", " ", " ")
+        docs.filter(col("source") =!= "src0")
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            (if (i == 0) col("text") else concat(lit(prefix), col("text"))).as("text"))
+      }.reduce(_ union _)
     time("token entropy 1x (5k docs)")(
       TextStats.tokenEntropy(docsX(1), "doc_id", "text").count())
     time("token entropy 10x (50k docs)")(
       TextStats.tokenEntropy(docsX(10), "doc_id", "text").count())
     time("decontamination 1x corpus vs src0 bench")(
-      NearDup.contaminationHits(docsX(1), bench, "doc_id", "text", 5).count())
+      NearDup.contaminationHits(corpusX(1), bench, "doc_id", "text", 5).count())
     time("decontamination 10x corpus vs src0 bench")(
-      NearDup.contaminationHits(docsX(10), bench, "doc_id", "text", 5).count())
+      NearDup.contaminationHits(corpusX(10), bench, "doc_id", "text", 5).count())
 
     time("simhash pairs 1x (5k docs)")(
       NearDup.simhashNearDupPairs(docsX(1), "doc_id", "text", 3).count())

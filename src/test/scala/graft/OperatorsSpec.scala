@@ -195,22 +195,30 @@ class OperatorsSpec extends SparkSpec {
     val again = Sampling.balancedSample(df.repartition(7, col("id")), "id", "grp")
       .filter(col("grp") === "big").select("id").collect().map(_.getLong(0)).toSet
     assert(again == got)
+    // a NULL group key is a real group: its rows survive (it IS the min
+    // group here) instead of being silently dropped by the threshold join
+    val withNull = ((1 to 10).map(i => (i.toLong, Some("a"))) ++
+      Seq((100L, None), (101L, None))).toDF("id", "grp")
+    val keptNull = Sampling.balancedSample(withNull, "id", "grp")
+    assert(keptNull.filter(col("grp").isNull).count() == 2L)
   }
 
-  test("Vectors.int8QuantAudit: hand-checked errors, zero-vector guard") {
+  test("Vectors.int8QuantAudit: hand-checked errors, crush count, zero-vector guard") {
     val df = Seq(
-      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)), // mx=1, scale=127
-      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))    // zero vector -> guard path
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.001f, 0.0f)), // mx=1, scale=127
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f, 0.0f))      // zero vector -> guard
     ).toDF("vec_id", "embedding")
     val out = Vectors.int8QuantAudit(df, "vec_id", "embedding")
       .orderBy("id").collect()
-    // v1: x*127 = {127, -63.5, 31.75, 0} -> q = {127, -63, 32, 0}
-    //   errs = {0, 0.5/127, 0.25/127, 0}; max = 0.5/127 ~ 0.00393701
-    assert(math.abs(out(0).getDouble(1) - 0.00393701) < 1e-8)
-    assert(out(0).getLong(2) == 1L) // one exact zero survives as q=0
-    assert(math.abs(out(0).getDouble(3) - math.sqrt(1 + 0.25 + 0.0625)) < 1e-6)
-    // zero vector: all q=0, no NaN, zero error and norm
-    assert(out(1).getDouble(1) == 0.0 && out(1).getLong(2) == 4L
+    // v1: x*127 = {127, -63.5, 31.75, 0.127, 0} -> q = {127, -63, 32, 0, 0}
+    //   errs = {0, 0.5/127, 0.25/127, 0.001, 0}; max = 0.5/127 ~ 0.00393701
+    assert(math.abs(out(0).getDouble(1) - 0.00393701) < 1e-7)
+    // only the nonzero 0.001 crushed to q=0 counts; the exact 0.0 does not
+    assert(out(0).getLong(2) == 1L)
+    assert(math.abs(out(0).getDouble(3)
+      - math.sqrt(1 + 0.25 + 0.0625 + 1e-6)) < 1e-6)
+    // zero vector: all q=0, no NaN, nothing "crushed", zero error and norm
+    assert(out(1).getDouble(1) == 0.0 && out(1).getLong(2) == 0L
       && out(1).getDouble(3) == 0.0)
   }
 

@@ -146,7 +146,8 @@ class PropertySpec extends SparkSpec {
       val df = rows.toDF("id", "grp")
       val before = rows.groupBy(_._2).view.mapValues(_.size).toMap
       val kept = graft.operators.Sampling.balancedSample(df, "id", "grp")
-        .collect().map(r => (r.getLong(1), r.getString(0)))
+        .select("id", "grp")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
       // subset of the input, and no group exceeds its original size
       assert(kept.toSet.subsetOf(rows.map(t => (t._1, t._2)).toSet), s"seed $s")
       kept.groupBy(_._2).foreach { case (g, ks) =>
