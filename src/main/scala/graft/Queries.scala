@@ -1580,6 +1580,76 @@ object Queries {
         SELECT id AS doc_id, n_tokens, mean_surprisal
         FROM surp
         ORDER BY doc_id""")),
+
+    "q67_date_spine_outer" -> Q(
+      // FULL OUTER join over two independently-aggregated date spines
+      // (order dates vs ship dates): the reconciliation shape that finds
+      // activity present on one side only. USING-join semantics coalesce
+      // the key, so the output date is never null (the NaT comparator
+      // hazard); both sides pre-aggregate before the join, so the shuffle
+      // carries one row per date, not per fact row.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .groupBy(col("o_orderdate").as("d"))
+          .agg(count(lit(1)).as("n_orders"))
+        val l = table(s, dir, "lineitem")
+          .groupBy(col("l_shipdate").as("d"))
+          .agg(count(lit(1)).as("n_ships"))
+        o.join(l, Seq("d"), "full_outer")
+          .select(col("d"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_ships"), lit(0L)).as("n_ships"),
+            when(col("n_orders").isNull, "ship_only")
+              .when(col("n_ships").isNull, "order_only")
+              .otherwise("both").as("side"))
+          .orderBy(col("d"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+        l AS (
+          SELECT l_shipdate AS d, count(*) AS n_ships FROM lineitem GROUP BY 1)
+        SELECT d,
+          coalesce(n_orders, 0) AS n_orders,
+          coalesce(n_ships, 0) AS n_ships,
+          CASE WHEN n_orders IS NULL THEN 'ship_only'
+               WHEN n_ships IS NULL THEN 'order_only'
+               ELSE 'both' END AS side
+        FROM o FULL JOIN l USING (d)
+        ORDER BY d""")),
+
+    "q68_string_battery" -> Q(
+      // The string scalar surface in one deterministic pass: case
+      // mapping, substring, search, padding, repetition, character
+      // translation, reversal, and edit distance — every function chosen
+      // for identical semantics on both engines (1-based positions,
+      // 0-for-absent instr, pad-truncation).
+      build = (s, dir) =>
+        table(s, dir, "part")
+          .filter(col("p_partkey") < 200)
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("u"),
+            substring(col("p_name"), 1, 12).as("sub"),
+            translate(substring(col("p_name"), 1, 12), "aeiou", "AEIOU").as("tr"),
+            instr(col("p_name"), "a").cast("long").as("pos_a"),
+            lpad(col("p_type"), 28, "*").as("pad"),
+            repeat(substring(col("p_brand"), 7, 2), 2).as("rep"),
+            reverse(col("p_name")).as("rev"),
+            levenshtein(col("p_name"), reverse(col("p_name"))).cast("long").as("lev"))
+          .orderBy(col("p_partkey")),
+      oracle = Some("""
+        SELECT p_partkey,
+          upper(p_name) AS u,
+          substring(p_name, 1, 12) AS sub,
+          translate(substring(p_name, 1, 12), 'aeiou', 'AEIOU') AS tr,
+          CAST(instr(p_name, 'a') AS BIGINT) AS pos_a,
+          lpad(p_type, 28, '*') AS pad,
+          repeat(substring(p_brand, 7, 2), 2) AS rep,
+          reverse(p_name) AS rev,
+          CAST(levenshtein(p_name, reverse(p_name)) AS BIGINT) AS lev
+        FROM part
+        WHERE p_partkey < 200
+        ORDER BY p_partkey""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
