@@ -1650,6 +1650,39 @@ object Queries {
         FROM part
         WHERE p_partkey < 200
         ORDER BY p_partkey""")),
+
+    "q69_temporal_battery" -> Q(
+      // The temporal scalar surface in one pass: truncation, day-of-week
+      // (Spark's Sunday=1 convention == DuckDB's dayofweek+1), day diffs,
+      // month arithmetic with end-of-month clamping (add_months ==
+      // + INTERVAL with both engines clamping Jan 31 + 1m -> Feb 28),
+      // last_day, year/quarter — aligned to DATE where return types
+      // differ.
+      build = (s, dir) =>
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey"), col("o_orderdate"),
+            date_trunc("month", col("o_orderdate")).as("mon"),
+            dayofweek(col("o_orderdate")).cast("long").as("dow"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+              .cast("long").as("days_since"),
+            add_months(col("o_orderdate"), 3).as("plus3m"),
+            last_day(col("o_orderdate")).as("eom"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            quarter(col("o_orderdate")).cast("long").as("qtr"))
+          .orderBy(col("o_orderkey")),
+      oracle = Some("""
+        SELECT o_orderkey, o_orderdate,
+          date_trunc('month', o_orderdate) AS mon,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+          CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+          CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+          last_day(CAST(o_orderdate AS DATE)) AS eom,
+          CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
