@@ -1683,6 +1683,39 @@ object Queries {
         FROM orders
         WHERE o_orderkey < 500
         ORDER BY o_orderkey""")),
+
+    "q70_array_battery" -> Q(
+      // The collection scalar surface in one pass over tokenized
+      // documents: size, distinct-size, sort+slice (binary collation on
+      // both engines), membership, and first-position (Spark's 0-for-
+      // absent aligned with coalesce(list_position, 0)). Output stays
+      // scalar — concat_ws flattens the sliced array — so the comparator
+      // never sees array cells.
+      build = (s, dir) => {
+        val toks = split(trim(col("text")), "\\s+")
+        table(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n"),
+            size(array_distinct(toks)).cast("long").as("nd"),
+            concat_ws(" ", slice(array_sort(toks), 1, 3)).as("first3"),
+            array_contains(toks, "the").cast("long").as("has_the"),
+            array_position(toks, "the").cast("long").as("pos_the"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents
+          WHERE doc_id < 200)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+          array_to_string(list_sort(toks)[1:3], ' ') AS first3,
+          CAST(list_contains(toks, 'the') AS BIGINT) AS has_the,
+          CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
+        FROM t
+        ORDER BY doc_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
