@@ -1716,6 +1716,48 @@ object Queries {
           CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
         FROM t
         ORDER BY doc_id""")),
+
+    "q71_json_battery" -> Q(
+      // JSON path extraction beyond q17's flat case: scalar fields, array
+      // indexing, nested objects, and array length. The JSON document is
+      // BUILT from columns with string concatenation (identical bytes on
+      // both engines — to_json's key order and number formatting are
+      // engine-specific, so it is deliberately avoided), then pulled
+      // apart with path expressions.
+      build = (s, dir) => {
+        val doc = concat(
+          lit("{\"k\":"), col("o_orderkey").cast("string"),
+          lit(",\"p\":\""), col("o_orderpriority"),
+          lit("\",\"tags\":[\"t"), pmod(col("o_orderkey"), lit(3)).cast("string"),
+          lit("\",\"x\"],\"nest\":{\"c\":"),
+          pmod(col("o_orderkey"), lit(7)).cast("string"), lit("}}"))
+        table(s, dir, "orders")
+          .filter(col("o_orderkey") < 300)
+          .select(col("o_orderkey"), doc.as("doc"))
+          .select(col("o_orderkey"), col("doc"),
+            get_json_object(col("doc"), "$.k").cast("long").as("k"),
+            get_json_object(col("doc"), "$.p").as("p"),
+            get_json_object(col("doc"), "$.tags[0]").as("tag0"),
+            get_json_object(col("doc"), "$.nest.c").cast("long").as("c"),
+            json_array_length(get_json_object(col("doc"), "$.tags"))
+              .cast("long").as("n_tags"))
+          .orderBy(col("o_orderkey"))
+      },
+      oracle = Some("""
+        WITH j AS (
+          SELECT o_orderkey,
+            '{"k":' || o_orderkey || ',"p":"' || o_orderpriority ||
+            '","tags":["t' || (o_orderkey % 3) || '","x"],"nest":{"c":' ||
+            (o_orderkey % 7) || '}}' AS doc
+          FROM orders WHERE o_orderkey < 300)
+        SELECT o_orderkey, doc,
+          CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k,
+          json_extract_string(doc, '$.p') AS p,
+          json_extract_string(doc, '$.tags[0]') AS tag0,
+          CAST(json_extract_string(doc, '$.nest.c') AS BIGINT) AS c,
+          CAST(json_array_length(doc, '$.tags') AS BIGINT) AS n_tags
+        FROM j
+        ORDER BY o_orderkey""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
