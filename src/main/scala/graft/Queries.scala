@@ -1584,15 +1584,20 @@ object Queries {
     "q67_date_spine_outer" -> Q(
       // FULL OUTER join over two independently-aggregated date spines
       // (order dates vs ship dates): the reconciliation shape that finds
-      // activity present on one side only. USING-join semantics coalesce
-      // the key, so the output date is never null (the NaT comparator
-      // hazard); both sides pre-aggregate before the join, so the shuffle
-      // carries one row per date, not per fact row.
+      // activity present on one side only. NULL dates are filtered
+      // identically on both engines BEFORE aggregating — a NULL group key
+      // would not join, FULL OUTER would emit a NULL coalesced key, and
+      // the comparator's NaT != NaT rule would flag identical results
+      // (the q39 hazard); with the filter the output date is provably
+      // never null. Both sides pre-aggregate before the join, so the
+      // shuffle carries one row per date, not per fact row.
       build = (s, dir) => {
         val o = table(s, dir, "orders")
+          .filter(col("o_orderdate").isNotNull)
           .groupBy(col("o_orderdate").as("d"))
           .agg(count(lit(1)).as("n_orders"))
         val l = table(s, dir, "lineitem")
+          .filter(col("l_shipdate").isNotNull)
           .groupBy(col("l_shipdate").as("d"))
           .agg(count(lit(1)).as("n_ships"))
         o.join(l, Seq("d"), "full_outer")
@@ -1606,9 +1611,11 @@ object Queries {
       },
       oracle = Some("""
         WITH o AS (
-          SELECT o_orderdate AS d, count(*) AS n_orders FROM orders GROUP BY 1),
+          SELECT o_orderdate AS d, count(*) AS n_orders FROM orders
+          WHERE o_orderdate IS NOT NULL GROUP BY 1),
         l AS (
-          SELECT l_shipdate AS d, count(*) AS n_ships FROM lineitem GROUP BY 1)
+          SELECT l_shipdate AS d, count(*) AS n_ships FROM lineitem
+          WHERE l_shipdate IS NOT NULL GROUP BY 1)
         SELECT d,
           coalesce(n_orders, 0) AS n_orders,
           coalesce(n_ships, 0) AS n_ships,
