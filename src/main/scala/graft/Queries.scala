@@ -1765,6 +1765,38 @@ object Queries {
           CAST(json_array_length(doc, '$.tags') AS BIGINT) AS n_tags
         FROM j
         ORDER BY o_orderkey""")),
+
+    "q72_repeated_spans" -> Q(
+      // Repeated-passage mining (the exact-substring-dedup family of Lee
+      // et al. 2022): word 10-grams appearing in ≥ 2 distinct documents,
+      // with occurrence counts and the bounding doc ids — the span list a
+      // scrubbing pass would remove. One inverted-index aggregation over
+      // the codegen'd shingle rows; the shuffle carries narrow (span, id)
+      // pairs, and at true corpus scale the group key would be the span's
+      // 64-bit hash with the text resolved for the tiny surviving set.
+      build = (s, dir) =>
+        NearDup.shingleRows(table(s, dir, "documents"), "doc_id", "text", 10)
+          .groupBy(col("s"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("id")).as("first_doc"),
+            max(col("id")).as("last_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("s")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 9),
+            i -> array_to_string(t[i:i+9], ' ')))) AS s
+          FROM toks)
+        SELECT s, count(*) AS n_docs,
+          min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM sh
+        GROUP BY s
+        HAVING count(*) >= 2
+        ORDER BY s""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
