@@ -1796,7 +1796,8 @@ object Queries {
         FROM sh
         GROUP BY s
         HAVING count(*) >= 2
-        ORDER BY s""")),
+        ORDER BY s"""),
+      bench = true),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
