@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries (Queries.benchNames) against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (stdout's last line) the
-  * driver parses.
+  * driver parses. The same line is also written to `target/bench.json` —
+  * sbt prefixes stdout with `[info] `, which defeats line-oriented JSON
+  * parsing, so a consumer can read the file instead.
   *
   * Each query is fully materialized through the `noop` sink (all partitions
   * computed, nothing collected to the driver), which measures engine
@@ -13,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * least-noise estimator for a shared machine (background load only ever
   * adds time); the first iteration doubles as the per-query codegen/JIT
   * warmup, and a global warmup absorbs JVM/classloader startup.
+  *
+  * A second tier times the FULL catalog, one iteration each, at sf0.01
+  * (`queries_all` in the JSON) so regressions in queries outside the
+  * headline set are still caught round-over-round. Opt out with
+  * SPARK_GRAFT_BENCH_ALL=0; point it elsewhere with
+  * SPARK_GRAFT_BENCH_ALL_DIR.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,9 +37,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
-      Queries.queries(name)(spark, sfDir)
+    def run(name: String, dir: String): Unit = {
+      Queries.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      // operators that persist internally (components' label frame, the
+      // embedding-dedup base) pin executor storage per invocation; free it
+      // between runs so a multi-query timing loop measures each query
+      // cold-cache and storage stays flat across the whole bench
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
+    def timeTier(names: Seq[String], dir: String, iters: Int): Seq[(String, Double)] =
+      names.map { name =>
+        var best = Double.MaxValue
+        var failed = false
+        var i = 0
+        while (i < iters && !failed) {
+          val t0 = System.nanoTime()
+          try {
+            run(name, dir)
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed = true
+          }
+          i += 1
+        }
+        // a failed query must not masquerade as a (fast) success — mark it
+        // with -1 so any consumer of the JSON sees the failure
+        name -> (if (failed) -1.0 else best)
+      }
+
+    def toJsonObj(results: Seq[(String, Double)]): String =
+      results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
 
     val names = Queries.benchNames
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
@@ -39,34 +78,34 @@ object Bench {
       s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters — zero would " +
         "report Double.MaxValue as a 'successful' timing for every query")
     // global warmup: one query untimed (JVM/classloader/parquet-footer
-    // startup); per-query codegen warmup is covered by min-of-iters
-    names.take(1).foreach(run)
-
-    val results = names.map { name =>
-      var best = Double.MaxValue
-      var failed = false
-      var i = 0
-      while (i < iters && !failed) {
-        val t0 = System.nanoTime()
-        try {
-          run(name)
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed = true
-        }
-        i += 1
-      }
-      // a failed query must not masquerade as a (fast) success — mark it
-      // with -1 so any consumer of the JSON sees the failure
-      name -> (if (failed) -1.0 else best)
+    // startup); per-query codegen warmup is covered by min-of-iters. A
+    // broken first query must not kill the whole bench — timeTier will
+    // re-surface the failure as that query's -1 marker.
+    try names.take(1).foreach(run(_, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+
+    val results = timeTier(names, sfDir, iters)
     // failed queries (-1 markers) must not subtract from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // full-catalog tier: every query once at sf0.01 — a regression tripwire
+    // for the ~50 queries outside the headline set
+    val allTier =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_ALL", "1") == "0") ""
+      else {
+        val allDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_ALL_DIR",
+          "/root/testdata/sf0.01")
+        val allResults = timeTier(Queries.all.map(_._1), allDir, 1)
+        val allTotal = allResults.map(_._2).filter(_ >= 0).sum
+        f""","queries_all":${toJsonObj(allResults)},"queries_all_total":$allTotal%.3f,"queries_all_sf":"$allDir""""
+      }
+
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(results)},"sf":"$sfDir"$allTier}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     // stop FIRST so the JSON is guaranteed to be stdout's last line
     spark.stop()
     println(json)

@@ -32,6 +32,14 @@ object Queries {
   private val revSql = sqlRevenue("l_extendedprice", "l_discount")
   private val chargeSql = sqlCharge("l_extendedprice", "l_discount", "l_tax")
 
+  /** Where q73 persists the fitted IVF centroid table — model-as-data,
+    * readable by BOTH engines (the Spark search half and the DuckDB
+    * oracle), which is what makes an ANN search with a *trained*
+    * quantizer oracle-checkable at all. Absolute path: Verify/Bench run
+    * under sbt with the repo root as CWD, but nothing should depend on
+    * that. */
+  private val ivfCentroidPath = "/root/repo/target/graft/ivf_centroids"
+
   /** Shared oracle for q02 and its salted twin q50 — by construction the
     * salted join must produce identical rows. */
   private val revenueByNationOracle: String = s"""
@@ -1770,19 +1778,35 @@ object Queries {
       // Repeated-passage mining (the exact-substring-dedup family of Lee
       // et al. 2022): word 10-grams appearing in ≥ 2 distinct documents,
       // with occurrence counts and the bounding doc ids — the span list a
-      // scrubbing pass would remove. One inverted-index aggregation over
-      // the codegen'd shingle rows; the shuffle carries narrow (span, id)
-      // pairs, and at true corpus scale the group key would be the span's
-      // 64-bit hash with the text resolved for the tiny surviving set.
-      build = (s, dir) =>
-        NearDup.shingleRows(table(s, dir, "documents"), "doc_id", "text", 10)
-          .groupBy(col("s"))
+      // scrubbing pass would remove. The span text never enters a
+      // shuffle: occurrences come from the non-distinct shingle stream
+      // (whose window exchange carries (id, pos, word)), dedup and the
+      // inverted-index aggregation key on xxhash64(span) longs, and the
+      // text is resolved only for the tiny ≥2-doc surviving set by
+      // re-scanning the stream against the broadcast survivor hashes (at
+      // a scale where survivors outgrow a broadcast, the same resolve is
+      // a long-keyed equi-join). A 64-bit collision would merge two
+      // spans' counts — ~1e-9 at 10^5 distinct spans, and the exact
+      // oracle fails closed if it ever happens.
+      build = (s, dir) => {
+        val raw = NearDup.shingleRowsAll(
+          table(s, dir, "documents"), "doc_id", "text", 10)
+        val agg = raw
+          .select(xxhash64(col("s")).as("hs"), col("id"))
+          .distinct()
+          .groupBy(col("hs"))
           .agg(
             count(lit(1)).as("n_docs"),
             min(col("id")).as("first_doc"),
             max(col("id")).as("last_doc"))
           .filter(col("n_docs") >= 2)
-          .orderBy(col("s")),
+        raw
+          .select(xxhash64(col("s")).as("hs"), col("s"))
+          .join(broadcast(agg), Seq("hs"))
+          .select(col("s"), col("n_docs"), col("first_doc"), col("last_doc"))
+          .distinct()
+          .orderBy(col("s"))
+      },
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -1797,6 +1821,62 @@ object Queries {
         GROUP BY s
         HAVING count(*) >= 2
         ORDER BY s"""),
+      bench = true),
+
+    "q73_ann_ivf" -> Q(
+      // IVF ANN with the coarse quantizer persisted as DATA: fit KMeans
+      // (nlist=16, seed 42) over the embeddings, write the centroid table
+      // to parquet, then run the pure-relational search half against it —
+      // nearest-cell assignment (argmin of |c|² − 2·v·c, ties to the
+      // smaller cell), nprobe=4 probing, exact-cosine top-3 inside the
+      // probed cells. Because the search is plain arithmetic over
+      // (centroids × embeddings) and both engines read the SAME centroid
+      // parquet, the DuckDB oracle reproduces the search bit-for-bit —
+      // KMeans itself (not SQL-expressible) stays on the Spark side, its
+      // output checked as data. Unlike q34 (exact-equality-by-tuning),
+      // this row checks the IVF search SEMANTICS, approximation included.
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        Similarity.ivfFitCentroids(e, "embedding", nlist = 16, seed = 42L)
+          .coalesce(1).write.mode("overwrite").parquet(ivfCentroidPath)
+        val centroids = s.read.parquet(ivfCentroidPath)
+        Similarity.ivfSearch(e.filter(col("vec_id") < 20), e, centroids,
+            "vec_id", "embedding", k = 3, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        c AS (SELECT cell, centroid FROM '$ivfCentroidPath/*.parquet'),
+        dists AS (
+          SELECT v.vec_id, v.emb, c.cell,
+            list_dot_product(c.centroid, c.centroid)
+              - 2.0 * list_dot_product(v.emb, c.centroid) AS d
+          FROM v CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, emb, cell FROM (
+            SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM dists)
+          WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS query_id, emb AS qemb, cell FROM (
+            SELECT vec_id, emb, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM dists WHERE vec_id < 20)
+          WHERE rn <= 4),
+        sims AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            list_dot_product(p.qemb, a.emb)
+              / (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(a.emb, a.emb))) AS sim
+          FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+          FROM sims)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim
+        FROM ranked
+        WHERE rank <= 3
+        ORDER BY query_id, rank"""),
       bench = true),
   )
 

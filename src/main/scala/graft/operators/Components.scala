@@ -28,20 +28,41 @@ object Components {
     * reachable in the undirected pair graph. Nodes absent from `edges`
     * form singleton components.
     *
+    * The `edges` frame is persisted and materialized exactly ONCE before
+    * the symmetrizing union references it twice — edge pipelines are
+    * typically the most expensive subtree of a dedup job (MinHash
+    * shingle→band→verify), and Spark recomputes un-persisted subtrees
+    * per reference. An empty edge set short-circuits: every node is its
+    * own singleton component, no propagation rounds at all.
+    *
+    * The convergence check is folded into the update pass: each round's
+    * frame carries a `chg` flag (did this node's label drop?) computed
+    * from columns already present, so deciding convergence is a filter +
+    * count over the freshly cached round — no extra join against the
+    * previous labeling.
+    *
     * Throws if the fixpoint is not reached within `maxIter` rounds (graph
     * diameter exceeds it) — an unconverged labeling is silently WRONG
     * (split clusters), never an acceptable partial answer; raise maxIter
     * for long-chain graphs. The returned frame is persisted
-    * (MEMORY_AND_DISK) — callers that are done with it should
-    * `unpersist()` it in long-lived sessions. */
+    * (MEMORY_AND_DISK) and all loop intermediates are freed before
+    * returning; callers that are done with it should `unpersist()` it in
+    * long-lived sessions ([[componentSurvivors]] does). */
   def connectedComponents(nodes: DataFrame, idCol: String,
       edges: DataFrame, maxIter: Int = 30): DataFrame = {
-    val sym = edges
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the edge pipeline once, BEFORE the union below makes two
+    // references to it (a cold cache + two concurrent union legs would
+    // still compute the subtree twice); the count doubles as the
+    // empty-graph early exit
+    val nEdges = e.count()
     var comp = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (nEdges == 0) { e.unpersist(); return comp }
+    // symmetrized view over the cached edges: two cache scans + a
+    // projection per round — cheaper than persisting a second 2× copy
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -50,34 +71,50 @@ object Components {
       val updated = comp.as("c")
         .join(neighborMin, col("c.id") === col("src"), "left")
         .select(col("c.id").as("id"),
-          least(col("c.comp"), coalesce(col("ncomp"), col("c.comp"))).as("comp"))
+          least(col("c.comp"), coalesce(col("ncomp"), col("c.comp"))).as("comp"),
+          (coalesce(col("ncomp"), col("c.comp")) < col("c.comp")).as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.as("u")
-        .join(comp.as("p"), col("u.id") === col("p.id"))
-        .filter(col("u.comp") =!= col("p.comp"))
-        .count()
+      val changed = updated.filter(col("chg")).count()
       comp.unpersist()
       comp = updated
       converged = changed == 0
       i += 1
     }
-    sym.unpersist()
     if (!converged) {
       comp.unpersist()
+      e.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
           "the graph diameter exceeds maxIter; raise it (rounds are cheap: " +
           "one shuffle each) rather than consuming a split clustering")
     }
-    comp
+    // re-cache the narrow (id, comp) result and free the loop frame (which
+    // carries the chg flag) + the edge cache — the caller sees exactly one
+    // persisted frame, served from cache, with nothing else pinned
+    val result = comp.select(col("id"), col("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    comp.unpersist()
+    e.unpersist()
+    result
   }
 
   /** Exact dedup survivors: the smallest id of every component (the
     * component label itself), one row per cluster — correct for chain
-    * topologies where the one-pass policy would over- or under-delete. */
+    * topologies where the one-pass policy would over- or under-delete.
+    *
+    * The (much smaller) cluster table is materialized and the per-node
+    * components frame unpersisted before returning, so no per-node cache
+    * outlives the call. */
   def componentSurvivors(nodes: DataFrame, idCol: String,
-      edges: DataFrame): DataFrame =
-    connectedComponents(nodes, idCol, edges)
+      edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(nodes, idCol, edges)
+    val out = comp
       .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       .select(col("comp").as(idCol), col("cluster_size"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    comp.unpersist()
+    out
+  }
 }

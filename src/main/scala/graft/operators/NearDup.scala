@@ -47,13 +47,21 @@ object NearDup {
   def wordShingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
-  /** (id, s): distinct word n-gram shingles as ROWS, fully codegen'd:
+  /** (id, s): every word n-gram occurrence as ROWS (NOT deduplicated — a
+    * span appearing k times in a document yields k rows), fully codegen'd:
     * posexplode the tokens, window-`lead` the next n-1 words per document,
-    * concat, distinct. Shuffles: one sort per document group (window), one
-    * hash shuffle for the distinct — both on narrow (id, word/shingle)
-    * rows. Documents shorter than n tokens vanish (their lead(n-1) is
-    * null), matching the empty-set semantics of [[shinglesFromTokens]]. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+    * concat. The only shuffle is the window sort, and it carries narrow
+    * (id, pos, word) rows — the n-gram text is assembled AFTER the
+    * exchange, so full spans never move. Documents shorter than n tokens
+    * vanish (their lead(n-1) is null), matching the empty-set semantics
+    * of [[shinglesFromTokens]].
+    *
+    * Use this form when the consumer can key on a hash of the span
+    * (occurrence counting, inverted indexes) — deduplicating here would
+    * shuffle the span text itself; hash-keyed consumers dedupe on
+    * `(xxhash64(s), id)` longs instead and resolve text only for the rows
+    * that survive. [[shingleRows]] adds the per-document distinct. */
+  def shingleRowsAll(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val exploded = docs.select(col(idCol).as("id"),
@@ -65,8 +73,15 @@ object NearDup {
       .filter(col(s"w${n - 1}").isNotNull)
       .select(col("id"),
         concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*).as("s"))
-      .distinct()
   }
+
+  /** (id, s): distinct word n-gram shingles as ROWS — [[shingleRowsAll]]
+    * plus the per-document distinct. The distinct is a hash shuffle keyed
+    * on the span text; consumers that only need span identity (not the
+    * text) should prefer [[shingleRowsAll]] with hash-keyed dedup. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleRowsAll(docs, idCol, textCol, n).distinct()
 
   /** (id, sh, sz): per-document shingle set + cardinality, for exact
     * verification (array_intersect). */

@@ -106,47 +106,75 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    * partitions the corpus into `nlist` cells; each query probes its
-    * `nprobe` nearest cells and ranks only those members by exact cosine.
+  /** Fit the IVF coarse quantizer: KMeans over the corpus, returned as a
+    * PLAIN (cell, centroid array<double>) DataFrame — model-as-data. The
+    * centroid table is tiny (nlist × dim) and portable: persist it to
+    * parquet and [[ivfSearch]] (or any engine, including the DuckDB
+    * oracle) can reproduce the exact same search, because the search half
+    * is pure relational arithmetic over (centroids × vectors).
+    * Deterministic for a fixed seed. */
+  def ivfFitCentroids(corpus: DataFrame, vecCol: String, nlist: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val fv = array_to_vector(Vectors.asDouble(col(vecCol)))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__fv").setPredictionCol("__cell")
+      .fit(corpus.select(fv.as("__fv")))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toSeq
+    corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
+  }
+
+  /** IVF (inverted-file) approximate top-k search against a fitted
+    * centroid table ([[ivfFitCentroids]]): every corpus vector is assigned
+    * to its nearest cell, each query probes its `nprobe` nearest cells,
+    * and only those members are ranked by exact cosine.
     *
     * Complements [[annTopK]]: random-hyperplane LSH needs no training and
     * suits uniform data; IVF learns the cluster structure and dominates on
     * real-world (clustered) embeddings — with `nprobe/nlist` directly
-    * controlling the scanned fraction. Scale shape: centroids are model
-    * metadata (nlist × dim, driver-held, broadcast), the corpus is
-    * assigned in one map pass, and the probe join is a cell-key equi-join;
-    * the corpus is never cross-joined. Deterministic for a fixed seed. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val fv = array_to_vector(Vectors.asDouble(col(vecCol)))
-    val corpusFv = corpus.select(col(idCol).as("neighbor_id"),
-      Vectors.asDouble(col(vecCol)).as("cv"), fv.as("__fv"))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__fv").setPredictionCol("__cell")
-      .fit(corpusFv)
-    val assigned = model.transform(corpusFv).select(
-      col("neighbor_id"), col("cv"), col("__cell").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-      .toSeq
-    val centroidDf = queries.sparkSession.createDataFrame(centroids)
-      .toDF("cell", "centroid")
-    val qv = queries.select(col(idCol).as("query_id"),
-      Vectors.asDouble(col(vecCol)).as("qv"))
-    // rank this query's cells by distance to centroid, keep nprobe
-    val byDist = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist"), col("cell"))
-    val probed = qv.crossJoin(broadcast(centroidDf))
-      // squared euclidean MINUS the per-query-constant |q|² term — it
-      // cancels in the per-query argmin, so don't pay nlist extra dots
-      .withColumn("dist",
-        Vectors.dot(col("centroid"), col("centroid"))
-          - lit(2.0) * Vectors.dot(col("qv"), col("centroid")))
-      .withColumn("cell_rank", row_number().over(byDist))
-      .filter(col("cell_rank") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    * controlling the scanned fraction. Scale shape: the centroid table is
+    * model metadata (nlist × dim, broadcast), assignment and probing are
+    * one map pass over each side (nlist dot products per vector, argmin
+    * keyed on |c|² − 2·q·c — the per-vector |q|² term cancels in the
+    * argmin, so it is never computed), and the probe join is a cell-key
+    * equi-join; the corpus is never cross-joined against itself.
+    * Deterministic: distance ties break on cell id, rank ties on
+    * neighbor id. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    // The centroid table is bounded model metadata (nlist × dim): collect
+    // it and compile the whole distance family into literal expressions,
+    // so cell assignment is a pure map pass over the corpus — no explode,
+    // no shuffle, no per-row join. |c|² is pre-summed driver-side with the
+    // same sequential left-to-right accumulation as Vectors.dot /
+    // DuckDB's list_dot_product, keeping the arithmetic bit-identical to
+    // a relational (centroids × vectors) evaluation of the same formula.
+    val cents: Array[(Int, Array[Double])] = centroids
+      .select(col("cell").cast("int"), Vectors.asDouble(col("centroid")))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfSearch needs a non-empty centroid table")
+    def distCells(v: Column): Column = array(cents.map { case (cell, c) =>
+      var c2 = 0.0
+      c.foreach(x => c2 += x * x)
+      // squared euclidean MINUS the per-vector-constant |v|² term — it
+      // cancels in the per-vector argmin, so don't pay nlist extra dots
+      struct((lit(c2) - lit(2.0) * Vectors.dot(v, typedlit(c))).as("d"),
+        lit(cell).as("c"))
+    }: _*)
+    // argmin by (distance, cell): struct ordering is lexicographic, so
+    // array_min IS the deterministic nearest-cell rule
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), Vectors.asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", array_min(distCells(col("cv"))).getField("c"))
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), Vectors.asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(distCells(col("qv"))), 1, nprobe)).as("__pc"))
+      .select(col("query_id"), col("qv"), col("__pc.c").as("cell"))
     val bySim = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     probed.join(assigned, Seq("cell"))
@@ -156,6 +184,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
+
+  /** Fit + search in one call — see [[ivfFitCentroids]] / [[ivfSearch]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame =
+    ivfSearch(queries, corpus,
+      ivfFitCentroids(corpus, vecCol, nlist, seed), idCol, vecCol, k, nprobe)
 
   /** LSH candidate pairs for embedding near-dup (the scale path feeding
     * [[Vectors.cosineNearDupPairs]]' exact verifier): id-ordered distinct
