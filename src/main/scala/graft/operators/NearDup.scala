@@ -199,16 +199,24 @@ object NearDup {
     * Jaccard — so the *output* is exact (same rows as [[jaccardPairs]]) while
     * the *work* is linear: shingle → banded signature → bucket join →
     * verify only colliding pairs against the collected shingle sets. */
-  /** @param materialize persist the band + shingle-set tables
-    * (MEMORY_AND_DISK). Spark's exchange reuse does not dedup the alias'd
-    * self-join sides in practice, so each is computed twice per action;
-    * with `materialize` they are computed once and every *further* action
-    * over the result is ~4× faster (the standard "materialize the
-    * signature table" step of production LSH dedup). Off by default: for a
-    * run-once query the cache write costs more than the recompute. */
+  /** @param materialize persist the shingle-row table (MEMORY_AND_DISK) —
+    * the standard "materialize the signature table" step of production
+    * LSH dedup, ON by default. The shingle subtree (window + distinct,
+    * the expensive part) is referenced twice per action (banding side +
+    * verify side) and Spark recomputes un-persisted subtrees per
+    * reference, so caching wins even for a RUN-ONCE action — measured
+    * min-of-3 at sf0.1 (tools/AbMaterialize): pairs 4.6→1.1 s, survivors
+    * 4.5→1.1 s, components 5.8→2.4 s. Callers that cannot spare executor
+    * storage (or feed a one-reference consumer) can turn it off; callers
+    * in long-lived sessions should free the cache when done (the
+    * Verify/Bench mains sweep persistent RDDs between queries). Contrast
+    * [[simhashNearDupPairs]]/[[Similarity.lshNearDupPairs]], whose
+    * re-referenced subtrees are scan-speed projections — caching those
+    * measured slightly WORSE (1.8→2.0 s, 2.7→3.1 s), so they default
+    * off. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJ: Double = 0.6, numHashes: Int = 192,
-      bandRows: Int = 3, materialize: Boolean = false): DataFrame = {
+      bandRows: Int = 3, materialize: Boolean = true): DataFrame = {
     def mat(df: DataFrame): DataFrame =
       if (materialize)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -248,9 +256,12 @@ object NearDup {
     * pair expansion used by [[lshCandidates]], then two id equi-joins to
     * re-attach sketches for the verify. The sketch table is REFERENCED
     * three times (banding + both verify sides) and Spark recomputes it
-    * per reference; each recompute is a scan-speed codegen'd pass, but a
-    * run that can afford cache should set `materialize` to sketch the
-    * corpus once (same knob and rationale as [[minhashNearDupPairs]]).
+    * per reference; each recompute is a scan-speed codegen'd pass, and
+    * measured at sf0.1 (tools/AbMaterialize) caching it is a slight LOSS
+    * for a run-once action (1.78 s recomputed vs 1.98 s cached) — the
+    * cache write costs more than three scan-speed passes, so the knob
+    * defaults off here while [[minhashNearDupPairs]]' defaults on (its
+    * re-referenced subtree carries a window + distinct shuffle).
     * Unrelated documents (uniform sketches) collide per band with
     * probability 2^-bits (2^-15 at the default), so false candidates are
     * rare; identical-content cliques are the output itself, as in every

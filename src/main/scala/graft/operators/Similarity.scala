@@ -217,8 +217,12 @@ object Similarity {
     *
     * The (id, vec-as-double) projection is referenced four times (both
     * bucketing sides + both verify sides) and recomputed per reference;
-    * `materialize` caches it once for runs that can afford storage (the
-    * same knob as [[NearDup.minhashNearDupPairs]]). */
+    * `materialize` caches it once. Measured at sf0.1
+    * (tools/AbMaterialize) the cache is a slight LOSS for a run-once
+    * action (2.66 s recomputed vs 3.06 s cached — the projection is
+    * scan-speed), so it defaults off; same knob family as
+    * [[NearDup.minhashNearDupPairs]], whose expensive shingle subtree
+    * makes the opposite default right. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, numPlanes: Int = DefaultPlanes,
       numTables: Int = DefaultTables, materialize: Boolean = false): DataFrame = {
