@@ -1878,6 +1878,82 @@ object Queries {
         WHERE rank <= 3
         ORDER BY query_id, rank"""),
       bench = true),
+
+    // ------------------------------------------------------------------
+    // Streaming twins, bounded-run oracle rows (SURVEY §2 streaming /
+    // S5's streaming face): the events table staged as files, streamed
+    // with Trigger.AvailableNow, final state / emitted rows materialized.
+    // ------------------------------------------------------------------
+
+    "q74_stream_upsert" -> Q(
+      // Streamed keyed upsert end-state: one file per micro-batch through
+      // foreachBatch + version-guarded Derby MERGE (DerbyMergeVersioned).
+      // The guard makes the end state arrival-order-independent — the
+      // max-ts row per user — so the oracle is plain last-value-per-key
+      // SQL, exactly the reference ETL's REPLACE INTO semantics
+      // (MySQL_Data_Loading.ipynb:515-527) run as a stream.
+      build = (s, dir) => graft.streaming.BoundedRuns.upsertEndState(s, dir),
+      oracle = Some("""
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+        ORDER BY user_id""")),
+
+    "q75_stream_sessions" -> Q(
+      // Bounded run of the stateful streaming sessionizer
+      // (flatMapGroupsWithState + event-time timeout). Emitted = sessions
+      // closed by a successor event (every non-final session per user) or
+      // by timeout under the terminal watermark max(ts) − 30min (strict:
+      // Spark fires a timeout only when the watermark advances BEYOND
+      // end + gap). Mirrors q18's batch sessionization minus the
+      // still-open tails.
+      build = (s, dir) => graft.streaming.BoundedRuns.emittedSessions(s, dir),
+      oracle = Some("""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+          FROM lagged),
+        numbered AS (
+          SELECT user_id, ts,
+            CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM flagged),
+        sess AS (
+          SELECT user_id, session_seq, count(*) AS n_events,
+            min(ts) AS session_start, max(ts) AS session_end
+          FROM numbered
+          GROUP BY user_id, session_seq),
+        wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
+        SELECT user_id, session_seq, n_events, session_start, session_end
+        FROM sess, wm
+        WHERE session_seq < (SELECT max(session_seq) FROM sess s2
+                             WHERE s2.user_id = sess.user_id)
+           OR epoch_us(session_end) + 1800000000 < w
+        ORDER BY user_id, session_seq""")),
+
+    "q76_stream_hourly" -> Q(
+      // Bounded run of the watermarked hourly windowed aggregation in
+      // append mode: a window is emitted exactly once, when the watermark
+      // reaches its end — so the emitted set is every hour with
+      // hour_end ≤ max(ts) − 2h, with q16's exact-decimal value sums.
+      build = (s, dir) => graft.streaming.BoundedRuns.emittedHourly(s, dir),
+      oracle = Some(s"""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+          count(*) AS n_events,
+          ${sqlMsum("value")} AS total_value
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
+              <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+        GROUP BY 1, 2
+        ORDER BY hour, event_type""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

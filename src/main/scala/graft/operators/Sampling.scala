@@ -79,16 +79,20 @@ object Sampling {
   }
 
   /** DuckDB mirror of [[balancedSample]]'s keep predicate (CTE body;
-    * expose `kept` = the surviving rows of `documents` plus `__cnt`). */
+    * expose `kept` = the surviving rows of `documents` plus `__cnt`).
+    * The join mirrors the operator's null-safe `<=>`: `IS NOT DISTINCT
+    * FROM`, not `USING` — a `USING` join is null-rejecting and would
+    * silently drop a NULL group that the operator (and the group counts)
+    * keep. */
   def sqlBalancedKeptCtes(keyExpr: String, groupCol: String,
       buckets: Int = 10000): String =
     s"""counts AS (SELECT $groupCol, count(*) AS __cnt FROM documents GROUP BY $groupCol),
        |m AS (SELECT min(__cnt) AS __min_cnt FROM counts),
        |thresh AS (
-       |  SELECT $groupCol, __cnt, (__min_cnt * $buckets) // __cnt AS __th
+       |  SELECT $groupCol AS __grp, __cnt, (__min_cnt * $buckets) // __cnt AS __th
        |  FROM counts CROSS JOIN m),
        |kept AS (
        |  SELECT d.*, t.__cnt
-       |  FROM documents d JOIN thresh t USING ($groupCol)
+       |  FROM documents d JOIN thresh t ON d.$groupCol IS NOT DISTINCT FROM t.__grp
        |  WHERE ${sqlHashBucket(keyExpr, buckets)} < t.__th)""".stripMargin
 }

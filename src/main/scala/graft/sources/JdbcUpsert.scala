@@ -76,6 +76,33 @@ object JdbcUpsert {
     }
   }
 
+  /** Derby MERGE with a **version guard**: an existing row is updated only
+    * when the incoming `versionCol` is strictly newer (`t.$versionCol < ?`).
+    * This closes the cross-batch contract boundary documented on
+    * [[graft.streaming.EventStreams.upsertSink]]: with an unconditional
+    * MERGE, a source that delivers an older version in a LATER micro-batch
+    * regresses the key; the guard makes the end state the true
+    * max-version row per key regardless of batch arrival order — and
+    * makes batch replay (same versions) a no-op. `versionCol` must be a
+    * non-key column with a total order (e.g. epoch micros). */
+  final case class DerbyMergeVersioned(versionCol: String) extends Dialect {
+    def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+      require(cols.contains(versionCol) && !keyCols.contains(versionCol),
+        s"versionCol $versionCol must be a non-key column of $cols")
+      val on = keyCols.map(k => s"t.$k = ?").mkString(" AND ")
+      val nonKey = cols.filterNot(keyCols.contains)
+      s"""MERGE INTO $table t USING SYSIBM.SYSDUMMY1 ON $on
+         |WHEN MATCHED AND t.$versionCol < ? THEN UPDATE SET ${nonKey.map(c => s"$c = ?").mkString(", ")}
+         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+         |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin
+    }
+    override def bindOrder(cols: Seq[String], keyCols: Seq[String]): Seq[Int] = {
+      val keyIdx = keyCols.map(cols.indexOf)
+      val nonKeyIdx = cols.indices.filterNot(keyIdx.contains)
+      (keyIdx :+ cols.indexOf(versionCol)) ++ nonKeyIdx ++ cols.indices
+    }
+  }
+
   /** Dedup to one row per key: deterministic last-write-wins ordered by
     * `versionCols` (ties broken by all remaining columns, so the outcome is
     * partitioning-independent). */

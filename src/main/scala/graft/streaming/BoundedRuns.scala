@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.sources.{JdbcUpsert, Tables}
+
+/** Bounded, run-to-completion executions of the [[EventStreams]] transforms
+  * over the TESTDATA events table — the bridge that makes streaming
+  * operators **oracle-checkable**: stage the bounded input as parquet
+  * files, stream them with `Trigger.AvailableNow` (micro-batches until the
+  * source is drained, then a final no-data batch that advances the
+  * watermark and fires event-time timeouts), and materialize the emitted
+  * output / final sink state as a plain DataFrame a SQL oracle can
+  * reproduce.
+  *
+  * Determinism notes (what the oracles rely on):
+  *  - **Upsert end state** is arrival-order-independent by construction:
+  *    the sink uses [[JdbcUpsert.DerbyMergeVersioned]], so whatever order
+  *    the file source feeds the micro-batches, the final table is the
+  *    max-version row per key — plain `last value per key` SQL.
+  *  - **Sessionize / windowed aggregation** run the staged input as ONE
+  *    data batch (single staged file): within a batch the operators order
+  *    events themselves, so no cross-batch arrival-order nondeterminism
+  *    exists; the final no-data batch then computes the terminal watermark
+  *    `max(ts) − delay` and emits exactly the windows/sessions it closes.
+  *    (Multi-batch state carry-over is pinned separately, with controlled
+  *    event order, in StreamingSpec.) Emission boundaries are strict:
+  *    a window emits iff `window_end ≤ watermark`, a session times out iff
+  *    `session_end + gap < watermark` — both pinned by StreamingSpec's
+  *    boundary test and mirrored with the same comparison in the q75/q76
+  *    oracles. Event times are full-microsecond random, so a boundary tie
+  *    is measure-zero in the shipped data either way.
+  *
+  * Scale shape: staging is a copy of the scanned projection (a real
+  * pipeline would point the file source at the landing directory and skip
+  * it); the streaming plans themselves are the production shapes — keyed
+  * state bounded by the watermark, sink fan-in = partition count.
+  */
+object BoundedRuns {
+
+  /** Work dirs live under target/ (repo-local, driver-CWD-independent);
+    * each invocation gets a fresh dir so Verify/Bench re-runs never share
+    * checkpoints. */
+  private def freshDir(prefix: String): String = {
+    val root = Paths.get("/root/repo/target/graft/stream")
+    Files.createDirectories(root)
+    Files.createTempDirectory(root, prefix).toString
+  }
+
+  /** The events projection used by the bounded runs, with `ts_us` = epoch
+    * micros (what [[JdbcUpsert.DerbyMergeVersioned]] guards on; unique per
+    * user in the shipped data — no (user, ts) ties at any SF). */
+  private def eventCols(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+
+  /** Streamed keyed upsert, end state: stage events as `nFiles` parquet
+    * files, stream them one file per micro-batch through
+    * [[EventStreams.upsertSink]] into an embedded Derby table with the
+    * version-guarded MERGE, then read the final table back. Returns one
+    * row per user: their latest event (max ts, which is unique per user).
+    */
+  def upsertEndState(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
+    val work = freshDir("upsert-")
+    val staged = eventCols(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+    staged.repartition(nFiles).write.parquet(s"$work/stage")
+
+    // one in-memory Derby DB per run (unique name = unique temp dir)
+    val url = s"jdbc:derby:memory:graft${Paths.get(work).getFileName};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE user_last (
+        |  user_id BIGINT NOT NULL PRIMARY KEY, event_id BIGINT,
+        |  ts_us BIGINT, event_type VARCHAR(32), value DOUBLE)""".stripMargin)
+    finally conn.close()
+
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+    val q = EventStreams.upsertSink(stream, url, "user_last",
+        keyCols = Seq("user_id"), versionCols = Seq("ts_us"),
+        dialect = JdbcUpsert.DerbyMergeVersioned("ts_us"))
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.jdbc(url, "user_last", new java.util.Properties())
+      .select(col("USER_ID").as("user_id"), col("EVENT_ID").as("event_id"),
+        col("TS_US").as("ts_us"), col("EVENT_TYPE").as("event_type"),
+        col("VALUE").as("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Runs a streaming transform of the staged (single-file) events through
+    * the parquet sink with AvailableNow and returns the emitted rows. */
+  private def runEmitted(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, prefix: String): DataFrame = {
+    val work = freshDir(prefix)
+    val staged = eventCols(spark, dir)
+    staged.coalesce(1).write.parquet(s"$work/stage")
+    val stream = spark.readStream.schema(staged.schema).parquet(s"$work/stage")
+    val q = transform(stream).writeStream
+      .format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/out")
+  }
+
+  /** Bounded [[EventStreams.sessionize]]: the emitted (closed) sessions.
+    * A session is emitted iff it was closed by a successor event (every
+    * non-final session of a user) or by event-time timeout under the
+    * terminal watermark (`session_end + gap < max(ts) − delay`). */
+  def emittedSessions(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800L, watermarkDelay: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    runEmitted(spark, dir,
+      df => EventStreams.sessionize(df.as[EventStreams.Event], gapSeconds,
+        watermarkDelay).toDF(),
+      "sessions-")
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start"), col("session_end"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Bounded [[EventStreams.hourlyCounts]]: the finalized hourly windows —
+    * every window whose end the terminal watermark reached
+    * (`hour + 1h ≤ max(ts) − delay`). */
+  def emittedHourly(spark: SparkSession, dir: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    runEmitted(spark, dir,
+      df => EventStreams.hourlyCounts(df, "ts", watermarkDelay), "hourly-")
+      .orderBy(col("hour"), col("event_type"))
+}

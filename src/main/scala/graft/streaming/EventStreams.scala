@@ -36,9 +36,22 @@ object EventStreams {
   /** Mutable-across-batches state: the one open session per user.
     * `emitted` marks a session already closed by timeout — kept (not
     * removed) so `sessionSeq` keeps counting across session boundaries;
-    * state per user is a single fixed-size record either way. */
+    * state per user is a single fixed-size record either way. Times are
+    * epoch MICROS — `Timestamp.getTime` would truncate to millis and the
+    * emitted sessions would disagree with the batch operator (and any
+    * SQL oracle) in the sub-millisecond digits. */
   final case class OpenSession(sessionSeq: Long, nEvents: Long,
-      startMs: Long, endMs: Long, emitted: Boolean = false)
+      startUs: Long, endUs: Long, emitted: Boolean = false)
+
+  /** Timestamp ↔ epoch-micros, precision-preserving (getTime alone loses
+    * the sub-millisecond digits; they live in getNanos). */
+  private def tsUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def usTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Hourly (event-time) windowed counts + stable value sum per event
     * type. Late events beyond `watermarkDelay` are dropped and the window
@@ -147,8 +160,13 @@ object EventStreams {
       seqRetentionSeconds: Long = 24 * 3600L): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
     val retentionMs = seqRetentionSeconds * 1000L
+    // Spark's timeout clock is millis; ceil so the timeout can never fire
+    // BEFORE end+gap in event time (at most ~1 ms late — the emitted set
+    // still matches the strict `end + gap < watermark` predicate for any
+    // data without sub-millisecond watermark-boundary ties).
+    def timeoutMs(endUs: Long): Long = math.floorDiv(endUs + gapUs + 999L, 1000L)
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -170,36 +188,36 @@ object EventStreams {
               // retention timeout so it cannot accumulate forever
               state.update(open.copy(emitted = true))
               state.setTimeoutTimestamp(math.max(
-                open.endMs + gapMs + retentionMs,
+                timeoutMs(open.endUs) + retentionMs,
                 state.getCurrentWatermarkMs() + 1))
               Iterator.single(SessionOut(userId, open.sessionSeq, open.nEvents,
-                new Timestamp(open.startMs), new Timestamp(open.endMs)))
+                usTs(open.startUs), usTs(open.endUs)))
             }
           } else {
             // Within a micro-batch, order by (ts, event_id) — the same total
             // order as the batch operator.
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             var open = state.getOption.orNull
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsUs(e.ts)
               if (open == null) {
                 open = OpenSession(1L, 1L, t, t)
               } else if (open.emitted) {
                 open = OpenSession(open.sessionSeq + 1, 1L, t, t)
-              } else if (t - open.endMs > gapMs) {
+              } else if (t - open.endUs > gapUs) {
                 closed += SessionOut(userId, open.sessionSeq, open.nEvents,
-                  new Timestamp(open.startMs), new Timestamp(open.endMs))
+                  usTs(open.startUs), usTs(open.endUs))
                 open = OpenSession(open.sessionSeq + 1, 1L, t, t)
               } else {
                 open = open.copy(nEvents = open.nEvents + 1,
-                  endMs = math.max(open.endMs, t))
+                  endUs = math.max(open.endUs, t))
               }
             }
             state.update(open)
             // close by timeout once the watermark passes end + gap; an
             // emitted placeholder keeps its retention timeout instead
-            if (!open.emitted) state.setTimeoutTimestamp(open.endMs + gapMs)
+            if (!open.emitted) state.setTimeoutTimestamp(timeoutMs(open.endUs))
             closed.result().iterator
           }
       }
