@@ -15,10 +15,16 @@ import org.apache.spark.storage.StorageLevel
   * itself and its neighbors, until a fixpoint. Each round is one shuffle
   * (edge⋈label join + min aggregation); rounds needed = graph diameter,
   * which for dup clusters is tiny (they are near-cliques). Each round's
-  * result is persisted and the previous round freed, so lineage and
-  * memory stay flat no matter the iteration count. At 100 TB scale with
-  * long-diameter graphs, the large-star/small-star variant (Kiveris et
-  * al. '14) halves rounds — not needed for dedup-shaped graphs.
+  * result is persisted, the previous round freed, AND the logical plan
+  * rebased onto the cached rows — persist alone does not truncate plans,
+  * and the body's two references to the running labeling would otherwise
+  * double the plan tree per round (analysis OOMs near round 25; pinned by
+  * PropertySpec's path-graph test). The truncation trade: losing a cached
+  * block recomputes through earlier rounds, so production long-diameter
+  * runs should add a reliable `checkpoint()` every ~10 rounds; and at
+  * 100 TB scale the large-star/small-star variant (Kiveris et al. '14)
+  * cuts round count from diameter to ~log(diameter) — neither needed for
+  * dedup-shaped near-clique graphs.
   *
   * Deterministic: labels are ids, min is order-independent.
   */
@@ -65,6 +71,17 @@ object Components {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     var converged = false
     var i = 0
+    // the loop body references `comp` TWICE (neighbor scan + update join),
+    // so without truncation the logical plan tree doubles every round —
+    // ~2^i nodes by round i; Catalyst analysis alone OOMs near round 25 on
+    // long-diameter graphs (pinned by PropertySpec's 1000-node path).
+    // Caching does NOT truncate plans, so each round's result is rebased
+    // onto a LogicalRDD over its cached rows: constant-depth plans, and
+    // the scan still serves from the persisted frame. Trade documented in
+    // the scaladoc: recompute-on-block-loss cascades to earlier rounds;
+    // production long-diameter runs should reliable-checkpoint every ~10
+    // rounds instead.
+    var cached = comp // the currently-persisted frame backing `comp`
     while (!converged && i < maxIter) {
       val neighborMin = sym.join(comp, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
@@ -75,13 +92,14 @@ object Components {
           (coalesce(col("ncomp"), col("c.comp")) < col("c.comp")).as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = updated.filter(col("chg")).count()
-      comp.unpersist()
-      comp = updated
+      cached.unpersist()
+      cached = updated
+      comp = updated.sparkSession.createDataFrame(updated.rdd, updated.schema)
       converged = changed == 0
       i += 1
     }
     if (!converged) {
-      comp.unpersist()
+      cached.unpersist()
       e.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds — " +
@@ -94,7 +112,7 @@ object Components {
     val result = comp.select(col("id"), col("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    comp.unpersist()
+    cached.unpersist()
     e.unpersist()
     result
   }

@@ -78,29 +78,48 @@ object NearDup {
   /** (id, s): distinct word n-gram shingles as ROWS — [[shingleRowsAll]]
     * plus the per-document distinct. The distinct is a hash shuffle keyed
     * on the span text; consumers that only need span identity (not the
-    * text) should prefer [[shingleRowsAll]] with hash-keyed dedup. */
+    * text) should prefer [[shingleHashRows]], whose dedup and every
+    * downstream exchange carry 16-byte (id, long) rows instead. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     shingleRowsAll(docs, idCol, textCol, n).distinct()
 
-  /** (id, sh, sz): per-document shingle set + cardinality, for exact
-    * verification (array_intersect). */
+  /** (id, hs): distinct word n-gram shingles as 64-bit `xxhash64` keys —
+    * the at-scale form of [[shingleRows]]. The span text is hashed BEFORE
+    * the per-document distinct, so from here on no exchange (dedup,
+    * inverted-index self-join, minhash seeding, verify sets) ever moves
+    * n-gram text, only fixed-width longs. The price is the 64-bit
+    * collision rate: two distinct spans hashing together (~1e-9 per 10^5
+    * distinct spans) would overcount one shared shingle — and the exact
+    * DuckDB oracles compare against true-text Jaccard, so a collision
+    * fails the gate loudly rather than passing silently. */
+  def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleRowsAll(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("s")).as("hs"))
+      .distinct()
+
+  /** (id, sh, sz): per-document shingle-hash set + cardinality, for exact
+    * verification (array_intersect over longs). */
   private def shingleSets(rows: DataFrame): DataFrame =
     rows.groupBy(col("id"))
-      .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("sz"))
+      .agg(collect_list(col("hs")).as("sh"), count(lit(1)).as("sz"))
 
   /** Exact all-pairs n-gram Jaccard ≥ minJ via a distributed inverted
-    * index: self-join the (id, shingle) rows on the shingle (docs sharing
-    * none never meet), count co-occurrences, then J = |∩| / (|A|+|B|-|∩|).
-    * Deterministic: Jaccard is a ratio of exact integers. */
+    * index: self-join the (id, shingle-hash) rows on the hash (docs
+    * sharing none never meet), count co-occurrences, then
+    * J = |∩| / (|A|+|B|-|∩|). Deterministic: Jaccard is a ratio of exact
+    * integers. The index keys on [[shingleHashRows]]' longs — the widest
+    * shuffle of the exact path carries (long, id) tuples, never span
+    * text. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJ: Double = 0.6): DataFrame = {
-    val inv = shingleRows(docs, idCol, textCol, n)
+    val inv = shingleHashRows(docs, idCol, textCol, n)
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
     // self-join via alias (renames ABOVE the join): both sides canonicalize
     // to the same subtree, so the exchange can be computed once and reused
     inv.alias("a").join(inv.alias("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
@@ -124,10 +143,13 @@ object NearDup {
     */
   def contaminationHits(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val benchShingles = shingleRows(bench, idCol, textCol, n)
-      .select(col("s")).distinct()
-    shingleRows(corpus, idCol, textCol, n)
-      .join(broadcast(benchShingles), Seq("s"))
+    // both sides hash-keyed: the broadcast ships 8-byte hashes (an eval
+    // suite's shingle set fits a broadcast at any realistic size) and the
+    // corpus-side probe compares longs, not span strings
+    val benchShingles = shingleHashRows(bench, idCol, textCol, n)
+      .select(col("hs")).distinct()
+    shingleHashRows(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("hs"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shared"))
   }
@@ -143,8 +165,8 @@ object NearDup {
       i => array_min(transform(hashed, h => xxhash64(i, h))))
   }
 
-  /** (id, band, bhash) LSH bucket rows from (id, s) shingle rows, entirely
-    * inside WholeStageCodegen.
+  /** (id, band, bhash) LSH bucket rows from (id, hs) shingle-HASH rows
+    * ([[shingleHashRows]]), entirely inside WholeStageCodegen.
     *
     * Shape matters twice here: (a) one groupBy(id) with numHashes
     * min-aggregates falls out of codegen (Spark's aggregate codegen gives
@@ -155,10 +177,10 @@ object NearDup {
     * which carries numBands rows of (two ints, long) per document. */
   def minhashBands(rows: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
     val seeded = rows
-      // hash the shingle STRING once; the per-seed family hashes the
-      // resulting long — numHashes long-hashes instead of numHashes
-      // string-hashes per shingle
-      .select(col("id"), xxhash64(col("s")).as("h0"))
+      // the shingle string was hashed once upstream; the per-seed family
+      // hashes the resulting long — numHashes long-hashes instead of
+      // numHashes string-hashes per shingle
+      .select(col("id"), col("hs").as("h0"))
       .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
       .select(col("id"),
         (col("seed") / bandRows).cast("int").as("band"),
@@ -221,7 +243,7 @@ object NearDup {
       if (materialize)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val rows = mat(shingleRows(docs, idCol, textCol, n))
+    val rows = mat(shingleHashRows(docs, idCol, textCol, n))
     val bands = minhashBands(rows, numHashes, bandRows)
     val cand = lshCandidates(bands)
     val sets = shingleSets(rows)

@@ -125,6 +125,15 @@ object Similarity {
     corpus.sparkSession.createDataFrame(centroids).toDF("cell", "centroid")
   }
 
+  /** Above this many compiled coefficients (nlist × dim), [[ivfSearch]]
+    * switches from literal-compiled cell distances to the relational
+    * broadcast-join form. The literal form embeds every centroid
+    * coordinate in the plan — fastest at small nlist (one codegen'd map
+    * pass, zero joins), but plan size and codegen grow with nlist × dim
+    * and production IVF runs nlist in the thousands; past ~10⁴
+    * coefficients the compiled plan stops being the right trade. */
+  val IvfCompileMaxCoeffs: Long = 10000L
+
   /** IVF (inverted-file) approximate top-k search against a fitted
     * centroid table ([[ivfFitCentroids]]): every corpus vector is assigned
     * to its nearest cell, each query probes its `nprobe` nearest cells,
@@ -135,46 +144,93 @@ object Similarity {
     * real-world (clustered) embeddings — with `nprobe/nlist` directly
     * controlling the scanned fraction. Scale shape: the centroid table is
     * model metadata (nlist × dim, broadcast), assignment and probing are
-    * one map pass over each side (nlist dot products per vector, argmin
-    * keyed on |c|² − 2·q·c — the per-vector |q|² term cancels in the
-    * argmin, so it is never computed), and the probe join is a cell-key
-    * equi-join; the corpus is never cross-joined against itself.
-    * Deterministic: distance ties break on cell id, rank ties on
-    * neighbor id. */
+    * nlist dot products per vector with the argmin keyed on |c|² − 2·q·c
+    * (the per-vector |q|² term cancels in the argmin, so it is never
+    * computed), and the probe join is a cell-key equi-join; the corpus is
+    * never cross-joined against itself. Deterministic: distance ties
+    * break on cell id, rank ties on neighbor id.
+    *
+    * Two physically different, numerically IDENTICAL evaluations of that
+    * arithmetic (equivalence pinned by SimilaritySpec):
+    *  - **nlist × dim ≤ `compileMaxCoeffs`** (default
+    *    [[IvfCompileMaxCoeffs]]): centroids are collected (bounded model
+    *    metadata) and the distance family is compiled into literal
+    *    expressions — assignment is a pure map pass, no explode, no
+    *    shuffle, no join.
+    *  - **above the bound**: the same formula as a broadcast
+    *    nested-loop join against the (cell, centroid, |c|²) frame — nlist
+    *    narrow (id, d, cell) rows per vector, argmin as a map-side-partial
+    *    min(struct(d, cell)) aggregation, vectors re-attached by id
+    *    equi-join so they never ride the argmin shuffle. */
   def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
-    // The centroid table is bounded model metadata (nlist × dim): collect
-    // it and compile the whole distance family into literal expressions,
-    // so cell assignment is a pure map pass over the corpus — no explode,
-    // no shuffle, no per-row join. |c|² is pre-summed driver-side with the
-    // same sequential left-to-right accumulation as Vectors.dot /
-    // DuckDB's list_dot_product, keeping the arithmetic bit-identical to
-    // a relational (centroids × vectors) evaluation of the same formula.
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+      compileMaxCoeffs: Long = IvfCompileMaxCoeffs): DataFrame = {
+    // |c|² is pre-summed with the same sequential left-to-right
+    // accumulation as Vectors.dot / DuckDB's list_dot_product, keeping the
+    // arithmetic bit-identical across both physical forms and the oracle.
     val cents: Array[(Int, Array[Double])] = centroids
       .select(col("cell").cast("int"), Vectors.asDouble(col("centroid")))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "ivfSearch needs a non-empty centroid table")
-    def distCells(v: Column): Column = array(cents.map { case (cell, c) =>
-      var c2 = 0.0
-      c.foreach(x => c2 += x * x)
-      // squared euclidean MINUS the per-vector-constant |v|² term — it
-      // cancels in the per-vector argmin, so don't pay nlist extra dots
-      struct((lit(c2) - lit(2.0) * Vectors.dot(v, typedlit(c))).as("d"),
-        lit(cell).as("c"))
-    }: _*)
-    // argmin by (distance, cell): struct ordering is lexicographic, so
-    // array_min IS the deterministic nearest-cell rule
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), Vectors.asDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", array_min(distCells(col("cv"))).getField("c"))
-      .select(col("neighbor_id"), col("cv"), col("cell"))
-    val probed = queries
-      .select(col(idCol).as("query_id"), Vectors.asDouble(col(vecCol)).as("qv"))
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(distCells(col("qv"))), 1, nprobe)).as("__pc"))
-      .select(col("query_id"), col("qv"), col("__pc.c").as("cell"))
+    val coeffs = cents.length.toLong * cents.head._2.length
+
+    val corpusProj = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.asDouble(col(vecCol)).as("cv"))
+    val queriesProj = queries.select(col(idCol).as("query_id"),
+      Vectors.asDouble(col(vecCol)).as("qv"))
+
+    val (assigned, probed) =
+      if (coeffs <= compileMaxCoeffs) {
+        def distCells(v: Column): Column = array(cents.map { case (cell, c) =>
+          var c2 = 0.0
+          c.foreach(x => c2 += x * x)
+          // squared euclidean MINUS the per-vector-constant |v|² term — it
+          // cancels in the per-vector argmin, so don't pay nlist extra dots
+          struct((lit(c2) - lit(2.0) * Vectors.dot(v, typedlit(c))).as("d"),
+            lit(cell).as("c"))
+        }: _*)
+        // argmin by (distance, cell): struct ordering is lexicographic, so
+        // array_min IS the deterministic nearest-cell rule
+        val a = corpusProj
+          .withColumn("cell", array_min(distCells(col("cv"))).getField("c"))
+        val p = queriesProj
+          .select(col("query_id"), col("qv"),
+            explode(slice(array_sort(distCells(col("qv"))), 1, nprobe)).as("__pc"))
+          .select(col("query_id"), col("qv"), col("__pc.c").as("cell"))
+        (a, p)
+      } else {
+        // relational twin: same d = |c|² − 2·v·c, same (d, cell) tie rule
+        val centRows = broadcast(centroids
+          .select(col("cell").cast("int").as("__cell"),
+            Vectors.asDouble(col("centroid")).as("__cc"))
+          .withColumn("__c2", Vectors.dot(col("__cc"), col("__cc"))))
+        def cellDists(df: DataFrame, id: String, v: String): DataFrame =
+          df.select(col(id), col(v)).crossJoin(centRows)
+            .select(col(id),
+              (col("__c2") - lit(2.0) * Vectors.dot(col(v), col("__cc"))).as("d"),
+              col("__cell"))
+        // argmin as an aggregation of narrow (id, d, cell) rows —
+        // map-side partial min collapses to one row per id per partition
+        // before the exchange; the vector joins back by id afterwards
+        val a = cellDists(corpusProj, "neighbor_id", "cv")
+          .groupBy(col("neighbor_id"))
+          .agg(min(struct(col("d"), col("__cell").as("c"))).as("__m"))
+          .select(col("neighbor_id"), col("__m.c").as("cell"))
+          .join(corpusProj, Seq("neighbor_id"))
+          .select(col("neighbor_id"), col("cv"), col("cell"))
+        val byDist = Window.partitionBy(col("query_id"))
+          .orderBy(col("d"), col("__cell"))
+        val p = cellDists(queriesProj, "query_id", "qv")
+          .withColumn("__pr", row_number().over(byDist))
+          .filter(col("__pr") <= nprobe)
+          .select(col("query_id"), col("__cell").as("cell"))
+          .join(queriesProj, Seq("query_id"))
+          .select(col("query_id"), col("qv"), col("cell"))
+        (a, p)
+      }
+
     val bySim = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     probed.join(assigned, Seq("cell"))

@@ -156,6 +156,118 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("JdbcUpsert dialect fuzz: random columns and NULL/NaN patterns round-trip Derby, MySQL SQL pinned") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    import graft.sources.JdbcUpsert
+
+    // identifiers prefixed to dodge SQL reserved words; distinct per draw
+    val ident: Gen[String] = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield "x_" + cs.mkString
+    val valueGen: Gen[Option[Double]] = Gen.oneOf(
+      Gen.const(None), Gen.const(Some(Double.NaN)),
+      Gen.choose(-100.0, 100.0).map(Some(_)))
+
+    (1L to 5L).foreach { s =>
+      val nVals = sample(Gen.choose(1, 4), s)
+      val names = sample(
+        Gen.listOfN(nVals + 1, ident).suchThat(l => l.distinct.size == l.size), s)
+      val keyCol = names.head
+      val valCols = names.tail
+
+      // the MySQL dialect is generate-only in this sandbox (no server), so
+      // its statement is pinned structurally for ANY column set: every
+      // column exactly once, placeholders 1:1, identity bind order —
+      // REPLACE INTO's delete-then-insert needs nothing else
+      val my = JdbcUpsert.MySqlReplace.upsertSql("t", names, Seq(keyCol))
+      assert(my == s"REPLACE INTO t (${names.mkString(", ")}) VALUES (${
+        names.map(_ => "?").mkString(", ")})")
+      assert(JdbcUpsert.MySqlReplace.bindOrder(names, Seq(keyCol)) == names.indices)
+
+      // the same logical upsert executed through the Derby MERGE dialect:
+      // two waves of rows over a small key pool (collisions force the
+      // UPDATE branch), values mixing NULL and NaN (NaN must scrub to NULL)
+      val schema = StructType(StructField(keyCol, StringType) +:
+        valCols.map(c => StructField(c, DoubleType)))
+      def toDf(rows: List[(String, List[Option[Double]])]) =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (k, vs) =>
+              Row.fromSeq(k +: vs.map(_.map(Double.box).orNull))
+            }, 2),
+          schema)
+      val rowGen = for {
+        k <- Gen.choose(1, 6)
+        vs <- Gen.listOfN(nVals, valueGen)
+      } yield (s"k$k", vs)
+      val wave1 = toDf(sample(Gen.listOfN(12, rowGen), s * 31 + 1))
+      val wave2 = toDf(sample(Gen.listOfN(8, rowGen), s * 31 + 2))
+
+      val url = s"jdbc:derby:memory:fuzz$s;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      conn.createStatement().execute(
+        s"CREATE TABLE fuzz_t ($keyCol VARCHAR(20) PRIMARY KEY, ${
+          valCols.map(c => s"$c DOUBLE").mkString(", ")})")
+      conn.close()
+
+      def winners(df: org.apache.spark.sql.DataFrame): Map[String, List[Any]] =
+        JdbcUpsert.dedupLastWins(df, Seq(keyCol), valCols).collect()
+          .map(r => r.getString(0) ->
+            (1 to nVals).map(i => r.get(i)).toList).toMap
+      JdbcUpsert.upsert(JdbcUpsert.dedupLastWins(wave1, Seq(keyCol), valCols),
+        url, "fuzz_t", Seq(keyCol), JdbcUpsert.DerbyMerge)
+      JdbcUpsert.upsert(JdbcUpsert.dedupLastWins(wave2, Seq(keyCol), valCols),
+        url, "fuzz_t", Seq(keyCol), JdbcUpsert.DerbyMerge)
+
+      // expected end state: wave-2 winner where present, else wave-1
+      // winner, with NaN scrubbed to NULL at write time
+      def scrub(v: Any): Any = v match {
+        case d: java.lang.Double if d.isNaN => null
+        case other => other
+      }
+      val expected = (winners(wave1) ++ winners(wave2))
+        .map { case (k, vs) => k -> vs.map(scrub) }
+
+      val check = java.sql.DriverManager.getConnection(url)
+      val rs = check.createStatement().executeQuery(
+        s"SELECT $keyCol, ${valCols.mkString(", ")} FROM fuzz_t")
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getString(1) -> (1 to nVals).map { i =>
+          val v = r.getObject(i + 1); v
+        }.toList).toMap
+      check.close()
+      assert(got == expected, s"seed $s cols $names:\n got $got\n exp $expected")
+    }
+  }
+
+  test("connectedComponents: adversarial-diameter path graph fails loudly, converges when allowed") {
+    import graft.operators.Components
+    // A 1000-node path (0-1-2-…-999) is the adversarial topology for
+    // min-label propagation: the label travels ONE hop per round, so the
+    // fixpoint needs ~999 rounds — far past the dedup-shaped default
+    // maxIter=30. The contract is loud failure (split clusters are wrong,
+    // not partial), after exactly maxIter rounds of one-shuffle work.
+    val nodes = (0L until 1000L).toDF("id")
+    val pathEdges = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(nodes, "id", pathEdges)
+    }
+    assert(ex.getMessage.contains("did not converge within 30 rounds"))
+    // a diameter the budget covers converges to the true labeling: a
+    // 25-node path is one component labeled by its smallest id (plus
+    // disconnected singletons keeping their own ids)
+    val nodes2 = (0L until 30L).toDF("id")
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Components.connectedComponents(nodes2, "id", chain, maxIter = 30)
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.unpersist()
+    (0L until 30L).foreach { i =>
+      assert(got(i) == (if (i <= 24L) 0L else i), s"node $i")
+    }
+  }
+
   test("nearDupSurvivors drops exactly the docs that pair with a smaller id") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)

@@ -88,6 +88,21 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("ivfSearch: broadcast-join fallback is bit-identical to the compiled form") {
+    val q = emb.filter(col("vec_id") < 10)
+    val centroids = Similarity.ivfFitCentroids(emb, "embedding", nlist = 16)
+    val compiled = Similarity.ivfSearch(q, emb, centroids, "vec_id",
+        "embedding", k = 3, nprobe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    // compileMaxCoeffs = 0 forces the relational path at any nlist; the
+    // outputs (including the double sims) must match exactly — same
+    // |c|² − 2·v·c arithmetic, same (d, cell) and (sim, id) tie rules
+    val relational = Similarity.ivfSearch(q, emb, centroids, "vec_id",
+        "embedding", k = 3, nprobe = 4, compileMaxCoeffs = 0L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(compiled.nonEmpty && compiled == relational)
+  }
+
   test("lshNearDupCandidates covers all pairs above the report threshold") {
     val truth = Vectors.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
