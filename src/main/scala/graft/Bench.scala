@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (all partitions
   * computed, nothing collected to the driver), which measures engine
   * throughput rather than driver serialization. Each query runs
-  * SPARK_GRAFT_BENCH_ITERS times (default 3) and reports the MIN — the
+  * SPARK_GRAFT_BENCH_ITERS times (default 5) and reports the MIN — the
   * least-noise estimator for a shared machine (background load only ever
-  * adds time); the first iteration doubles as the per-query codegen/JIT
-  * warmup, and a global warmup absorbs JVM/classloader startup.
+  * adds time; round 4's driver recording showed min-of-3 still letting
+  * 2-4x load spikes through, hence 5); the first iteration doubles as the
+  * per-query codegen/JIT warmup, and a global warmup absorbs
+  * JVM/classloader startup.
   *
   * A second tier times the FULL catalog, one iteration each, at sf0.01
   * (`queries_all` in the JSON) so regressions in queries outside the
@@ -73,7 +75,7 @@ object Bench {
         .mkString("{", ",", "}")
 
     val names = Queries.benchNames
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     require(iters > 0,
       s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters — zero would " +
         "report Double.MaxValue as a 'successful' timing for every query")
