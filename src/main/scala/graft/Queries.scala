@@ -1954,6 +1954,37 @@ object Queries {
               <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
         GROUP BY 1, 2
         ORDER BY hour, event_type""")),
+
+    "q77_dup_components_altstar" -> Q(
+      // The SAME clustering contract as q52, computed by the long-diameter
+      // scale path: alternating large-star/small-star edge rewriting
+      // (Kiveris et al. '14) instead of min-label propagation — O(log²)
+      // rounds on any topology vs q52's diameter rounds. Same pair graph,
+      // same recursive-CTE closure oracle; equality of the two operators
+      // on random graphs is property-tested, this row pins the scale path
+      // against the external oracle end-to-end.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
+        Components.alternatingComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $ngramPairCtes,
+        sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.6
+          UNION ALL
+          SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.6),
+        walk(id, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach)
+        SELECT id AS doc_id, min(reach) AS component
+        FROM walk
+        GROUP BY id
+        ORDER BY doc_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

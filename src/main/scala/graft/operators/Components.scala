@@ -117,6 +117,118 @@ object Components {
     result
   }
 
+  /** Connected components by alternating large-star / small-star edge
+    * rewriting (Kiveris et al. '14, "Connected Components in MapReduce and
+    * Beyond") — the long-diameter scale path. [[connectedComponents]]'
+    * min-label propagation needs exactly `diameter` rounds (a 1000-node
+    * path needs 999); the star operations contract paths toward the
+    * component minimum geometrically, converging in O(log² n) rounds on
+    * adversarial topologies (the same 1000-node path converges in ~10 —
+    * pinned by PropertySpec). Per phase: one window-min shuffle over the
+    * symmetrized edges, no joins; the per-node minimum is computed with a
+    * partition-local min window (map-side combinable), edges stay (long,
+    * long) rows throughout.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u})
+    *  - small-star(u): every neighbor v < u re-attaches to m, and u
+    *    itself links to m
+    *
+    * Both emit (child, m) with child > m, so self-loops vanish and the
+    * fixpoint is a star forest: every non-root carries exactly one edge to
+    * its component minimum. Convergence = the edge SET is unchanged by a
+    * full large+small round (checked exactly: equal counts + empty
+    * `exceptAll`, not a hash signature that could collide silently). Same
+    * lineage discipline as the label loop: each round's edges are
+    * persisted, the previous freed, and the plan rebased onto the cached
+    * rows. Deterministic: min is order-independent. Loud-fails past
+    * `maxIter` like [[connectedComponents]]. */
+  def alternatingComponents(nodes: DataFrame, idCol: String,
+      edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val init = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = init.count()
+    val singletons = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    if (nEdges == 0) {
+      init.unpersist()
+      val out = singletons.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      return out
+    }
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val out = if (large) {
+        // large-star(u): m = min(Γ(u) ∪ {u}); every neighbor v > u
+        // re-attaches to m
+        sym
+          .withColumn("m", least(col("src"),
+            min(col("dst")).over(Window.partitionBy(col("src")))))
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+      } else {
+        // small-star(u): over the SMALLER neighbors only (the paper's
+        // rule), m = min(N⁻(u) ∪ {u}); each v ∈ N⁻(u) and u itself
+        // re-attach to m. Local minima emit nothing — their edges
+        // reappear from the larger endpoint's perspective.
+        val smaller = sym.filter(col("dst") < col("src"))
+        val withMin = smaller
+          .withColumn("m", min(col("dst")).over(Window.partitionBy(col("src"))))
+        withMin.select(col("dst").as("src"), col("m").as("dst"))
+          .union(withMin.select(col("src"), col("m")))
+      }
+      out.filter(col("src") =!= col("dst")).distinct()
+    }
+    var e = init
+    var cached = init
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = phase(phase(e, large = true), large = false)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next.count()
+      // exact set equality: counts match and nothing in next is absent
+      // from the previous round (both sides are distinct by construction)
+      converged = nNext == nEdges && next.exceptAll(e).isEmpty
+      cached.unpersist()
+      cached = next
+      e = next.sparkSession.createDataFrame(next.rdd, next.schema)
+      nEdges = nNext
+      i += 1
+    }
+    if (!converged) {
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"alternatingComponents did not converge within $maxIter rounds — " +
+          "pathological growth; raise maxIter (rounds contract the graph " +
+          "geometrically) rather than consuming a split clustering")
+    }
+    // Star-forest validation (loud, two cheap jobs over the small final
+    // edge set): every child has exactly one parent, and no parent is
+    // itself a child. Converts any non-star fixpoint of the composite
+    // map — which would silently mislabel — into an error.
+    val multiParent = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val chained = e.alias("x").join(e.alias("y"), col("x.dst") === col("y.src"))
+    if (!multiParent.isEmpty || !chained.isEmpty) {
+      cached.unpersist()
+      throw new IllegalStateException(
+        "alternatingComponents fixpoint is not a star forest — refusing " +
+          "to read off a labeling from a malformed edge set")
+    }
+    val roots = e.groupBy(col("src").as("id")).agg(min(col("dst")).as("r"))
+    val result = singletons.as("n")
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r"), col("comp")).as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    cached.unpersist()
+    result
+  }
+
   /** Exact dedup survivors: the smallest id of every component (the
     * component label itself), one row per cluster — correct for chain
     * topologies where the one-pass policy would over- or under-delete.

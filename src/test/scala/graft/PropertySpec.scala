@@ -268,6 +268,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("alternatingComponents: equals min-label on random graphs, log-converges on the adversarial path") {
+    import graft.operators.Components
+    // random sparse graphs: the star-rewriting labeling must equal the
+    // min-label fixpoint exactly (both are THE component-min labeling)
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 49L), Gen.choose(0L, 49L)))
+      .map(_.filter { case (a, b) => a != b })
+    val nodes = (0L until 50L).toDF("id")
+    (1L to 3L).foreach { s =>
+      val es = sample(edgeGen, s)
+      val edges = (if (es.isEmpty) Seq((0L, 0L)).take(0) else es).toDF("id_a", "id_b")
+      val expected = Components.connectedComponents(nodes, "id", edges, maxIter = 60)
+      val got = Components.alternatingComponents(nodes, "id", edges)
+      assert(got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        expected.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, s"seed $s")
+      expected.unpersist(); got.unpersist()
+    }
+    // the 1000-node path defeats min-label at maxIter=30 (tested above);
+    // star alternation converges well inside the default 50 — this is the
+    // long-diameter scale path doing its job
+    val pathNodes = (0L until 1000L).toDF("id")
+    val pathEdges = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Components.alternatingComponents(pathNodes, "id", pathEdges)
+    val labels = comp.select(col("comp")).distinct().collect().map(_.getLong(0)).toSeq
+    comp.unpersist()
+    assert(labels == Seq(0L), s"path should collapse to component 0, got $labels")
+  }
+
   test("nearDupSurvivors drops exactly the docs that pair with a smaller id") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)

@@ -243,6 +243,34 @@ class TextOpsSpec extends SparkSpec {
     assert(hits.toSeq == Seq((1L, 1L), (2L, 1L)))
   }
 
+  test("near-dup exchanges are long-keyed: span text never rides a shuffle") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"),
+      (3L, "completely different text with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, "the quick brown fox")).toDF("doc_id", "text")
+    // the raw shingle column is `s` (string); every exchange downstream of
+    // shingleHashRows must key on `hs` longs / doc ids instead — the
+    // at-scale contract that made q27/q28/q60's widest shuffles narrow
+    val plans = Seq(
+      NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.3),
+      NearDup.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.3, 16, 2,
+        materialize = false),
+      NearDup.contaminationHits(docs, bench, "doc_id", "text", 3))
+    plans.foreach { df =>
+      val explained = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(explained).map(_.group(1)).toList
+      assert(exchanges.nonEmpty, explained)
+      exchanges.foreach { keys =>
+        assert(!"""\bs#\d+""".r.findFirstIn(keys).isDefined,
+          s"string shingle column in exchange keys: $keys\n$explained")
+      }
+    }
+  }
+
   test("bpeTokenCount matches the DuckDB-checked GPT-2-ish segmentation") {
     val r = Seq("Hello, world! 42 times").toDF("t")
       .select(TextStats.bpeTokenCount(col("t"))).head().getInt(0)
