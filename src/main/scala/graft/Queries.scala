@@ -1837,16 +1837,34 @@ object Queries {
       // this row checks the IVF search SEMANTICS, approximation included.
       build = (s, dir) => {
         val e = table(s, dir, "embeddings")
+        // The centroid handoff dir is keyed by an integer-exact content
+        // fingerprint of the corpus (count + Σ floor(|emb[1]|·1e6), both
+        // engine-identical arithmetic): concurrent or interleaved runs at
+        // DIFFERENT SFs write different subdirs instead of clobbering the
+        // table the other run's oracle is about to read. Same-corpus
+        // re-runs overwrite with byte-identical centroids (seed fixed).
+        val key = e.agg(count(lit(1)),
+          sum(floor(abs(element_at(col("embedding"), 1).cast("double"))
+            * lit(1e6)).cast("long"))).head
+        val sub = s"n${key.getLong(0)}_k${key.getLong(1)}"
         Similarity.ivfFitCentroids(e, "embedding", nlist = 16, seed = 42L)
-          .coalesce(1).write.mode("overwrite").parquet(ivfCentroidPath)
-        val centroids = s.read.parquet(ivfCentroidPath)
+          .coalesce(1).write.mode("overwrite").parquet(s"$ivfCentroidPath/$sub")
+        val centroids = s.read.parquet(s"$ivfCentroidPath/$sub")
         Similarity.ivfSearch(e.filter(col("vec_id") < 20), e, centroids,
             "vec_id", "embedding", k = 3, nprobe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
       oracle = Some(s"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        c AS (SELECT cell, centroid FROM '$ivfCentroidPath/*.parquet'),
+        ckey AS (
+          SELECT 'n' || count(*) || '_k' ||
+            CAST(sum(CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 1000000.0)
+              AS BIGINT)) AS VARCHAR) AS sub
+          FROM embeddings),
+        c AS (
+          SELECT cell, centroid
+          FROM read_parquet('$ivfCentroidPath/*/*.parquet', filename=true)
+          WHERE filename LIKE '%/' || (SELECT sub FROM ckey) || '/%'),
         dists AS (
           SELECT v.vec_id, v.emb, c.cell,
             list_dot_product(c.centroid, c.centroid)
@@ -1985,6 +2003,23 @@ object Queries {
         FROM walk
         GROUP BY id
         ORDER BY doc_id""")),
+
+    "q78_stream_attribution" -> Q(
+      // Bounded run of the stream-stream interval attribution join (the
+      // streaming face of q39's as-of): inner joins emit matches as both
+      // sides arrive — watermark + interval predicate bound the keyed
+      // STATE, not the output — so the emitted set equals the plain
+      // interval join over the same events.
+      build = (s, dir) => graft.streaming.BoundedRuns.emittedAttribution(s, dir),
+      oracle = Some("""
+        SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        JOIN events c ON c.user_id = p.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL '1 hour'
+        ORDER BY p.user_id, purchase_id, click_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

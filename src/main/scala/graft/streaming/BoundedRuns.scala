@@ -133,6 +133,35 @@ object BoundedRuns {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Bounded [[EventStreams.attributionJoin]]: the emitted purchase←click
+    * pairs. INNER stream-stream joins emit each match in the micro-batch
+    * where both sides are present — the watermark + interval predicate
+    * bound the join STATE, not the output (only outer joins hold rows
+    * back) — so with the whole input staged, the emitted set is exactly
+    * every in-horizon pair: a plain interval-predicate join in SQL. Both
+    * sides read the same staged file through two independent file
+    * sources, each carrying its own watermark, as in production. */
+  def emittedAttribution(spark: SparkSession, dir: String,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val work = freshDir("attr-")
+    val staged = eventCols(spark, dir)
+    staged.coalesce(1).write.parquet(s"$work/stage")
+    def src() = spark.readStream.schema(staged.schema).parquet(s"$work/stage")
+    val q = EventStreams.attributionJoin(
+        src().filter(col("event_type") === "purchase"),
+        src().filter(col("event_type") === "click"),
+        horizon, watermarkDelay)
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Bounded [[EventStreams.hourlyCounts]]: the finalized hourly windows —
     * every window whose end the terminal watermark reached
     * (`hour + 1h ≤ max(ts) − delay`). */
