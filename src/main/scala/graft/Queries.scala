@@ -2020,6 +2020,32 @@ object Queries {
          AND c.ts <= p.ts
          AND c.ts >= p.ts - INTERVAL '1 hour'
         ORDER BY p.user_id, purchase_id, click_id""")),
+
+    "q79_stream_dedup" -> Q(
+      // Bounded run of watermark-bounded streaming dedup
+      // (dropDuplicatesWithinWatermark): the corpus staged twice, one
+      // file per micro-batch — the duplicate copy is dropped via dedup
+      // state (keys still in the horizon) or via the watermark's late-row
+      // filter (keys already evicted), so the emitted set is the distinct
+      // corpus. event_id is unique per row in the shipped data, making
+      // the surviving arrivals byte-identical → deterministic.
+      build = (s, dir) => graft.streaming.BoundedRuns.emittedDedup(s, dir),
+      oracle = Some("""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM events
+        ORDER BY event_id""")),
+
+    "q80_stream_enrich" -> Q(
+      // Bounded run of stream-static enrichment: the event stream
+      // left-joined per micro-batch to the (broadcast) customer
+      // dimension. Stateless — emitted set ≡ the batch left join.
+      build = (s, dir) => graft.streaming.BoundedRuns.enrichedEvents(s, dir),
+      oracle = Some("""
+        SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value,
+               c.c_name, c.c_mktsegment
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

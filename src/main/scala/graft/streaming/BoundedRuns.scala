@@ -162,6 +162,48 @@ object BoundedRuns {
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Bounded [[EventStreams.dedupEvents]]: the corpus staged TWICE as
+    * byte-identical file copies, streamed one file per micro-batch. The
+    * duplicate copy is dropped through both of the operator's mechanisms:
+    * keys still in state when batch 2 runs are deduplicated, keys already
+    * evicted (`ts + delay ≤` the post-batch-1 watermark `max(ts) − delay`)
+    * arrive as late rows (`ts <` watermark) and are dropped by the
+    * watermark filter in front of the state store — every key falls in
+    * exactly one of the two regimes, so the emitted set is one row per
+    * event_id either way. Duplicates are byte-identical, so WHICH arrival
+    * survives is immaterial and the output is deterministic: the distinct
+    * corpus. */
+  def emittedDedup(spark: SparkSession, dir: String,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val work = freshDir("dedup-")
+    val staged = eventCols(spark, dir)
+    staged.coalesce(1).write.parquet(s"$work/stage")
+    staged.coalesce(1).write.mode("append").parquet(s"$work/stage")
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+    val q = EventStreams.dedupEvents(stream, "ts", watermarkDelay)
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/out").orderBy(col("event_id"))
+  }
+
+  /** Bounded [[EventStreams.enrich]]: the event stream left-joined to the
+    * static customer dimension (re-planned and broadcast per micro-batch;
+    * the stream side never shuffles). Stateless, so the emitted set is the
+    * plain batch left join. */
+  def enrichedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_name"),
+        col("c_mktsegment"))
+    runEmitted(spark, dir,
+      df => EventStreams.enrich(df, dim, Seq("user_id")), "enrich-")
+      .orderBy(col("event_id"))
+  }
+
   /** Bounded [[EventStreams.hourlyCounts]]: the finalized hourly windows —
     * every window whose end the terminal watermark reached
     * (`hour + 1h ≤ max(ts) − delay`). */
