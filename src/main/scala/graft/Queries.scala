@@ -1845,7 +1845,7 @@ object Queries {
         // re-runs overwrite with byte-identical centroids (seed fixed).
         val key = e.agg(count(lit(1)),
           sum(floor(abs(element_at(col("embedding"), 1).cast("double"))
-            * lit(1e6)).cast("long"))).head
+            * lit(1e6)).cast("long"))).head()
         val sub = s"n${key.getLong(0)}_k${key.getLong(1)}"
         Similarity.ivfFitCentroids(e, "embedding", nlist = 16, seed = 42L)
           .coalesce(1).write.mode("overwrite").parquet(s"$ivfCentroidPath/$sub")
@@ -2046,6 +2046,125 @@ object Queries {
         FROM events e
         LEFT JOIN customer c ON e.user_id = c.c_custkey
         ORDER BY e.event_id""")),
+
+    "q81_mixture_sample" -> Q(
+      // Temperature-weighted mixture rebalancing (α = ½): every language
+      // thinned toward the geometric mean √(min_count·count) — the
+      // LLM-pretraining mixture reweighting between q59's fully-balanced
+      // α = 0 and the natural α = 1. Same audit shape as q59; which rows
+      // survive is a pure function of doc_id (one correctly-rounded IEEE
+      // sqrt, then integer arithmetic), so both engines select identical
+      // rows.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val before = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+        val after = Sampling.mixtureSample(docs, "doc_id", "lang")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+        before.join(after, Seq("lang"), "left")
+          .select(col("lang"), col("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH ${Sampling.sqlMixtureKeptCtes("doc_id", "lang")},
+        after AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang)
+        SELECT c.lang, c.__cnt AS n_before, coalesce(a.n_after, 0) AS n_after
+        FROM counts c LEFT JOIN after a USING (lang)
+        ORDER BY c.lang""")),
+
+    "q82_cluster_representatives" -> Q(
+      // Quality-aware dedup: near-dup clusters (q52's components) each
+      // keep their highest-token-count member (ties → smallest doc_id) —
+      // "keep best", the policy real training pipelines want, vs q35/q52's
+      // reproducibility-first "keep smallest id". One extra hash-agg pass
+      // over the labeled members; the winner is a struct max, so no
+      // window/sort and map-side partial aggregation applies.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
+        val comp = Components.connectedComponents(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+        val scored = comp.join(
+          docs.select(col("doc_id"),
+            TextStats.tokenCount(col("text")).cast("long").as("tok")),
+          Seq("doc_id"))
+        Components.representatives(scored, "doc_id", "component", "tok")
+          .select(col("component"), col("n_members"),
+            col("rep_doc_id"), col("rep_tok"))
+          .orderBy(col("component"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $ngramPairCtes,
+        sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.6
+          UNION ALL
+          SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.6),
+        walk(id, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        comp AS (SELECT id AS doc_id, min(reach) AS component FROM walk GROUP BY id),
+        scored AS (
+          SELECT c.component, c.doc_id,
+            CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS tok
+          FROM comp c JOIN documents d USING (doc_id)),
+        best AS (
+          SELECT component, doc_id AS rep_doc_id, tok AS rep_tok
+          FROM scored
+          QUALIFY row_number() OVER (
+            PARTITION BY component ORDER BY tok DESC, doc_id ASC) = 1),
+        n AS (SELECT component, count(*) AS n_members FROM scored GROUP BY component)
+        SELECT n.component, n.n_members, b.rep_doc_id, b.rep_tok
+        FROM n JOIN best b USING (component)
+        ORDER BY n.component""")),
+
+    "q83_snapshot_diff" -> Q(
+      // Dataset-versioning diff: the per-(user, event_type) activity state
+      // of the first time-quartile vs the last, classified added / removed
+      // / changed / unchanged (all four classes occur at every shipped
+      // SF). One full-outer shuffle join; sentinel-coalesced outputs keep
+      // the comparator null-free.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        val evb = ev.crossJoin(broadcast(bounds))
+          .withColumn("us", unix_micros(col("ts")))
+        def snap(pred: Column): DataFrame = evb.filter(pred)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_eid"))
+        val a = snap(col("us") < expr("lo + (hi - lo) div 4"))
+        val b = snap(col("us") >= expr("hi - (hi - lo) div 4"))
+        SnapshotDiff.diff(a, b, Seq("user_id", "event_type"),
+            Seq("n", "max_eid"))
+          .select(col("user_id"), col("event_type"), col("change"),
+            coalesce(col("old_n"), lit(-1L)).as("old_n"),
+            coalesce(col("new_n"), lit(-1L)).as("new_n"),
+            coalesce(col("old_max_eid"), lit(-1L)).as("old_max_eid"),
+            coalesce(col("new_max_eid"), lit(-1L)).as("new_max_eid"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      oracle = Some("""
+        WITH bnd AS (SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+        a AS (SELECT user_id, event_type, count(*) AS n, max(event_id) AS max_eid
+              FROM events, bnd WHERE epoch_us(ts) < lo + (hi - lo) // 4
+              GROUP BY 1, 2),
+        b AS (SELECT user_id, event_type, count(*) AS n, max(event_id) AS max_eid
+              FROM events, bnd WHERE epoch_us(ts) >= hi - (hi - lo) // 4
+              GROUP BY 1, 2)
+        SELECT coalesce(a.user_id, b.user_id) AS user_id,
+          coalesce(a.event_type, b.event_type) AS event_type,
+          CASE WHEN a.user_id IS NULL THEN 'added'
+               WHEN b.user_id IS NULL THEN 'removed'
+               WHEN a.n = b.n AND a.max_eid = b.max_eid THEN 'unchanged'
+               ELSE 'changed' END AS change,
+          coalesce(a.n, -1) AS old_n, coalesce(b.n, -1) AS new_n,
+          coalesce(a.max_eid, -1) AS old_max_eid,
+          coalesce(b.max_eid, -1) AS new_max_eid
+        FROM a FULL JOIN b ON a.user_id = b.user_id
+                          AND a.event_type = b.event_type
+        ORDER BY user_id, event_type""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

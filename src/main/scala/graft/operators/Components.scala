@@ -247,4 +247,28 @@ object Components {
     comp.unpersist()
     out
   }
+
+  /** Quality-aware cluster representative selection: one row per
+    * component carrying its best-scoring member (ties → smallest id) —
+    * the "keep best" face of dedup. [[componentSurvivors]] (and
+    * [[NearDup.nearDupSurvivors]]) keep the smallest id, which is the
+    * convention for reproducibility; real training-data pipelines instead
+    * keep the highest-QUALITY member of each near-dup cluster so the
+    * surviving corpus is the best version of every document.
+    *
+    * `labeled` is a (member id, component, score) frame — compose from
+    * [[connectedComponents]] joined to any scoring pass (token count,
+    * quality signals, model scores). One hash-aggregation pass over the
+    * component key: the winner is `max(struct(score, −id))`, a total
+    * order (score desc, id asc), so the representative is unique and
+    * engine-reproducible, with map-side partial aggregation and no
+    * window/sort. */
+  def representatives(labeled: DataFrame, idCol: String, compCol: String,
+      scoreCol: String): DataFrame =
+    labeled.groupBy(col(compCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId"))).as("__b"))
+      .select(col(compCol), col("n_members"),
+        (-col("__b.negId")).as(s"rep_$idCol"),
+        col("__b.s").as(s"rep_$scoreCol"))
 }

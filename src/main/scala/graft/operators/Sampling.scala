@@ -78,6 +78,57 @@ object Sampling {
       .drop("__grp", "__thresh")
   }
 
+  /** Temperature-weighted mixture downsampling at α = ½: each group's
+    * target size is the geometric mean `⌊√(min_count · count)⌋` — the
+    * standard LLM-pretraining mixture reweighting (sampling weight
+    * ∝ countᵃ) pinned at the midpoint between [[balancedSample]] (α = 0,
+    * every group thinned to the minimum) and the natural distribution
+    * (α = 1, no thinning); the smallest group is kept in full, large
+    * groups are damped, not flattened.
+    *
+    * Engine determinism: the only floating-point step is one IEEE-754
+    * `sqrt` of an integer product (exact below 2⁵³; beyond that still
+    * deterministic, merely of a rounded product). `sqrt` is correctly
+    * rounded by spec on every IEEE engine — unlike `pow`, which is why
+    * the α = ½ point is the one exposed with a SQL-oracle mirror — so the
+    * integer thresholds, and therefore the surviving ROWS, are identical
+    * across engines, runs, and layouts.
+    *
+    * Scale shape: identical to [[balancedSample]] — a tiny group-count
+    * aggregation broadcast back onto the scan, then a pure filter; the
+    * corpus itself never shuffles. */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+      buckets: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min_cnt"))
+    val thresh = counts.crossJoin(broadcast(minCnt))
+      .select(col(groupCol),
+        expr(s"(CAST(floor(sqrt(CAST(__min_cnt * __cnt AS DOUBLE))) AS BIGINT)" +
+          s" * ${buckets}L) div __cnt").as("__thresh"))
+    // same null-safe, renamed-key join as balancedSample (see above)
+    val t = broadcast(thresh.withColumnRenamed(groupCol, "__grp"))
+    df.join(t, col(groupCol) <=> col("__grp"), "inner")
+      .filter(hashBucket(col(keyCol), buckets) < col("__thresh"))
+      .drop("__grp", "__thresh")
+  }
+
+  /** DuckDB mirror of [[mixtureSample]]'s keep predicate (CTE body; same
+    * contract as [[sqlBalancedKeptCtes]]). */
+  def sqlMixtureKeptCtes(keyExpr: String, groupCol: String,
+      buckets: Int = 10000): String =
+    s"""counts AS (SELECT $groupCol, count(*) AS __cnt FROM documents GROUP BY $groupCol),
+       |m AS (SELECT min(__cnt) AS __min_cnt FROM counts),
+       |thresh AS (
+       |  SELECT $groupCol AS __grp, __cnt,
+       |    (CAST(floor(sqrt(CAST(__min_cnt * __cnt AS DOUBLE))) AS BIGINT)
+       |     * $buckets) // __cnt AS __th
+       |  FROM counts CROSS JOIN m),
+       |kept AS (
+       |  SELECT d.*, t.__cnt
+       |  FROM documents d JOIN thresh t ON d.$groupCol IS NOT DISTINCT FROM t.__grp
+       |  WHERE ${sqlHashBucket(keyExpr, buckets)} < t.__th)""".stripMargin
+
   /** DuckDB mirror of [[balancedSample]]'s keep predicate (CTE body;
     * expose `kept` = the surviving rows of `documents` plus `__cnt`).
     * The join mirrors the operator's null-safe `<=>`: `IS NOT DISTINCT

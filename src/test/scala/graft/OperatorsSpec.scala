@@ -203,6 +203,62 @@ class OperatorsSpec extends SparkSpec {
     assert(keptNull.filter(col("grp").isNull).count() == 2L)
   }
 
+  test("Sampling.mixtureSample: geometric-mean targets, min group intact, exact hash rule") {
+    val df = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (2001 to 2100).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val kept = Sampling.mixtureSample(df, "id", "grp")
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // min group: target = floor(sqrt(100*100)) = 100 -> thresh 10000 -> whole
+    assert(byGrp("small") == 100L)
+    // big group: target = floor(sqrt(100*1000)) = 316 -> thresh = 3160;
+    // survivors are exactly the rows that hash rule admits, and the count
+    // sits strictly between balanced (~100) and natural (1000)
+    val expected = df.filter(col("grp") === "big")
+      .filter(Sampling.hashBucket(col("id"), 10000) < 3160)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = kept.filter(col("grp") === "big")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(byGrp("big") > 100L && byGrp("big") < 1000L)
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(df.repartition(7, col("id")), "id", "grp")
+      .filter(col("grp") === "big").select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("Components.representatives picks max score, ties to smallest id") {
+    val labeled = Seq(
+      (1L, 1L, 5L), (2L, 1L, 9L), (3L, 1L, 9L), // tie at 9 -> id 2 wins
+      (10L, 10L, 3L)
+    ).toDF("doc_id", "component", "tok")
+    val reps = Components.representatives(labeled, "doc_id", "component", "tok")
+      .orderBy("component").collect()
+    assert(reps.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq((1L, 3L, 2L, 9L), (10L, 1L, 10L, 3L)))
+  }
+
+  test("SnapshotDiff.diff classifies all four change kinds with null-safe compare") {
+    val a = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None, 30L), (5L, None, 50L)
+    ).toDF("k", "s", "v")
+    val b = Seq(
+      (2L, Some("b"), 20L), (3L, Some("z"), 30L),
+      (4L, Some("d"), 40L), (5L, None, 50L)
+    ).toDF("k", "s", "v")
+    val d = SnapshotDiff.diff(a, b, Seq("k"), Seq("s", "v"))
+      .orderBy("k").collect()
+    val byKey = d.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added", 5L -> "unchanged"))
+    // old/new carry the side values, NULL on the absent side
+    val r4 = d.find(_.getLong(0) == 4L).get
+    assert(r4.isNullAt(r4.fieldIndex("old_s")) &&
+      r4.getString(r4.fieldIndex("new_s")) == "d" &&
+      r4.getLong(r4.fieldIndex("new_v")) == 40L)
+  }
+
   test("Vectors.int8QuantAudit: hand-checked errors, crush count, zero-vector guard") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.001f, 0.0f)), // mx=1, scale=127
