@@ -2165,6 +2165,49 @@ object Queries {
         FROM a FULL JOIN b ON a.user_id = b.user_id
                           AND a.event_type = b.event_type
         ORDER BY user_id, event_type""")),
+
+    "q84_interval_attribution" -> Q(
+      // Point-in-interval range join: every purchase opens a half-open
+      // 30-minute window; count the clicks (any user — deliberately
+      // keyless, the pure range-join shape) landing inside it. Spark would
+      // plan the raw `c.ts >= p.ts AND c.ts < p.end` condition as a
+      // broadcast-nested-loop; RangeJoin turns it into a bin equi-join
+      // (binSeconds = window length → ≤ 2 bins/interval). Left semantics
+      // (zero-click purchases kept) composed by aggregating the inner
+      // join and left-joining it back to the interval list.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("p_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("value").as("c_value"))
+        val hits = RangeJoin.pointInInterval(clicks, "c_ts",
+            purchases, "p_ts", "p_end", binSeconds = 1800L)
+          .groupBy(col("p_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+            msum(col("c_value")).as("click_value"))
+        purchases.select(col("p_id")).join(hits, Seq("p_id"), "left")
+          .select(col("p_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            col("click_value"))
+          .orderBy(col("p_id"))
+      },
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT event_id AS p_id, ts AS p_ts, ts + INTERVAL 30 MINUTE AS p_end
+          FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT ts AS c_ts, value AS c_value
+              FROM events WHERE event_type = 'click'),
+        hits AS (
+          SELECT p.p_id, count(*) AS n_clicks,
+            ${sqlMsum("c.c_value")} AS click_value
+          FROM p JOIN c ON c.c_ts >= p.p_ts AND c.c_ts < p.p_end
+          GROUP BY p.p_id)
+        SELECT p.p_id, coalesce(h.n_clicks, 0) AS n_clicks, h.click_value
+        FROM p LEFT JOIN hits h USING (p_id)
+        ORDER BY p.p_id"""),
+      bench = true),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

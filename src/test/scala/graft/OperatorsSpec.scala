@@ -295,4 +295,55 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.exceptAll(operators.SkewJoin.saltedInnerJoin(
       large.repartition(7), small, Seq("k"), 8)).count() == 0)
   }
+
+  test("RangeJoin.pointInInterval: half-open bounds, exactly-once pairs, no BNLJ") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")),   // == start: IN
+      (2L, ts("2024-01-01 00:59:59")),   // inside
+      (3L, ts("2024-01-01 01:00:00")),   // == end: OUT (half-open)
+      (4L, ts("2024-01-02 12:00:00")),   // in overlap of i2 and i3
+      (5L, ts("2023-12-31 23:59:59"))    // before everything
+    ).toDF("p_id", "p_ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (20L, ts("2024-01-02 00:00:00"), ts("2024-01-03 00:00:00")),
+      (30L, ts("2024-01-02 06:00:00"), ts("2024-01-02 18:00:00")),
+      (40L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00"))  // empty
+    ).toDF("i_id", "i_start", "i_end")
+
+    val got = RangeJoin.pointInInterval(points, "p_ts",
+        intervals, "i_start", "i_end", binSeconds = 3600L)
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L), (4L, 30L)))
+
+    // equivalence to the naive range condition, at a bin width that forces
+    // multi-bin intervals (15 min) — still exactly-once per pair
+    val naive = points.join(intervals,
+        col("p_ts") >= col("i_start") && col("p_ts") < col("i_end"))
+      .select("p_id", "i_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val fine = RangeJoin.pointInInterval(points, "p_ts",
+        intervals, "i_start", "i_end", binSeconds = 900L)
+      .select("p_id", "i_id").as[(Long, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(fine == naive)
+    assert(fine.values.forall(_ == 1), "each qualifying pair exactly once")
+
+    // the plan must be an equi-join on the bin, not a nested loop
+    val plan = RangeJoin.pointInInterval(points, "p_ts",
+        intervals, "i_start", "i_end", binSeconds = 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop plan:\n$plan")
+
+    // mis-sized bins fail loudly instead of exploding
+    val boom = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p_ts",
+        intervals, "i_start", "i_end",
+        binSeconds = 1L, maxBinsPerInterval = 100L).count()
+    }
+    assert(boom.getMessage != null)
+  }
 }
