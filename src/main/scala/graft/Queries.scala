@@ -2208,6 +2208,45 @@ object Queries {
         FROM p LEFT JOIN hits h USING (p_id)
         ORDER BY p.p_id"""),
       bench = true),
+
+    "q85_scd2_history" -> Q(
+      // SCD type-2 dimension build: each customer's order-priority change
+      // log collapsed to validity intervals [effective_from, effective_to)
+      // — one row per ACTUAL change, effective_to NULL on the current row.
+      // One shuffle on the key, two window passes over the same sort
+      // (exchange reused). o_orderkey is the same-day tie-break and rides
+      // along in the output to keep the comparator total. The open
+      // current-row end is sentinel-coalesced to 9999-12-31: a NULL
+      // timestamp is NaT to the comparator and NaT ≠ NaT (same reason q67
+      // filters NULL dates).
+      build = (s, dir) =>
+        Scd2.fromChangeLog(
+            table(s, dir, "orders").select(
+              col("o_custkey"), col("o_orderdate"),
+              col("o_orderpriority"), col("o_orderkey")),
+            keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+            attrCols = Seq("o_orderpriority"), tieBreakCol = "o_orderkey")
+          .withColumn("effective_to", coalesce(col("effective_to"),
+            lit("9999-12-31 00:00:00").cast("timestamp")))
+          .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey")),
+      oracle = Some("""
+        WITH chg AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+            lag(o_orderpriority) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders),
+        f AS (SELECT * FROM chg
+              WHERE prev IS DISTINCT FROM o_orderpriority),
+        scd AS (
+          SELECT o_custkey, o_orderpriority,
+            o_orderdate AS effective_from,
+            coalesce(lead(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              TIMESTAMP '9999-12-31 00:00:00') AS effective_to,
+            o_orderkey
+          FROM f)
+        SELECT * FROM scd
+        ORDER BY o_custkey, effective_from, o_orderkey""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -346,4 +346,41 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(boom.getMessage != null)
   }
+
+  test("Scd2.fromChangeLog: change rows only, null-safe attrs, closed intervals") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val log = Seq(
+      // key 1: a->a (no change), a->NULL (change), NULL->NULL (no change),
+      // NULL->b (change): history must be a, NULL, b
+      (1L, ts("2024-01-01"), Option("a"), 101L),
+      (1L, ts("2024-01-02"), Option("a"), 102L),
+      (1L, ts("2024-01-03"), Option.empty[String], 103L),
+      (1L, ts("2024-01-04"), Option.empty[String], 104L),
+      (1L, ts("2024-01-05"), Option("b"), 105L),
+      // key 2: NULL as the FIRST observation still opens a row
+      (2L, ts("2024-01-01"), Option.empty[String], 201L),
+      (2L, ts("2024-01-02"), Option("x"), 202L)
+    ).toDF("k", "ts", "attr", "rid")
+    val got = Scd2.fromChangeLog(log, Seq("k"), "ts", Seq("attr"), "rid")
+      .orderBy("k", "effective_from")
+      .select("k", "attr", "effective_from", "effective_to")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), ts("2024-01-01"), Some(ts("2024-01-03"))),
+      (1L, None, ts("2024-01-03"), Some(ts("2024-01-05"))),
+      (1L, Some("b"), ts("2024-01-05"), None),
+      (2L, None, ts("2024-01-01"), Some(ts("2024-01-02"))),
+      (2L, Some("x"), ts("2024-01-02"), None)))
+    // intervals tile each key's history: every from (after the first)
+    // equals the previous row's to — no gaps, no overlaps
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 == a._4.get)
+        case _ =>
+      }
+    }
+  }
 }
