@@ -2247,6 +2247,33 @@ object Queries {
           FROM f)
         SELECT * FROM scd
         ORDER BY o_custkey, effective_from, o_orderkey""")),
+
+    "q86_zorder_layout" -> Q(
+      // Z-order (Morton) clustering audit: lineitem keyed by the bit
+      // interleave of (l_partkey, l_suppkey), rolled up per curve-aligned
+      // bucket (key >> 14) with both dimensions' min/max — the bounds a
+      // parquet row group written in this order would carry, i.e. the
+      // pruning a scan on EITHER dimension gets from one physical sort.
+      // Pure codegen'd integer arithmetic on the scan, one hash-agg.
+      build = (s, dir) =>
+        table(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            Layout.mortonKey(col("l_partkey"), col("l_suppkey")).as("zkey"))
+          .groupBy(shiftright(col("zkey"), 14).as("zbucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_partkey")).as("max_part"),
+            min(col("l_suppkey")).as("min_supp"),
+            max(col("l_suppkey")).as("max_supp"))
+          .orderBy(col("zbucket")),
+      oracle = Some(s"""
+        SELECT (${Layout.sqlMortonKey("l_partkey", "l_suppkey")} >> 14) AS zbucket,
+          count(*) AS n_rows,
+          min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+          min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY zbucket""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -383,4 +383,31 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("Layout.mortonKey: known interleaves, locality, loud out-of-range") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (3L, 5L),                       // 0b011 ⨯ 0b101 -> 0b100111 = 39
+      (2147483647L, 2147483647L)      // max coord: all 62 low bits set
+    ).toDF("x", "y")
+    val keys = df.select(Layout.mortonKey(col("x"), col("y")).as("z"))
+      .as[Long].collect()
+    assert(keys.toSeq == Seq(0L, 1L, 2L, 3L, 39L, (1L << 62) - 1))
+    // locality: within an aligned bucket, both dims are bounded by the
+    // bucket's span — the property the key exists for
+    val grid = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        shiftright(Layout.mortonKey(col("x"), col("y")), 4).as("b"))
+      .groupBy("b")
+      .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+      .as[(Long, Long, Long)].collect()
+    assert(grid.forall { case (_, dx, dy) => dx <= 3 && dy <= 3 })
+    val boom = intercept[Exception] {
+      Seq((-1L, 0L)).toDF("x", "y")
+        .select(Layout.mortonKey(col("x"), col("y"))).count()
+    }
+    assert(boom.getMessage != null)
+  }
 }
