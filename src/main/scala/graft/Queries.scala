@@ -2274,6 +2274,18 @@ object Queries {
         FROM lineitem
         GROUP BY 1
         ORDER BY zbucket""")),
+
+    "q87_heavy_hitters" -> Q(
+      // Frequent tokens (share ≥ 1/1000) with exact counts via
+      // Misra-Gries candidates + confirm pass — the full-vocabulary
+      // shuffle a naive groupBy(term) would pay never happens; the oracle
+      // IS that naive query, so the sketch's superset-then-confirm
+      // equivalence is driver-checked.
+      build = (s, dir) =>
+        HeavyHitters.frequentTerms(table(s, dir, "documents"), "text",
+          phiDen = 1000L),
+      oracle = Some(HeavyHitters.sqlFrequentTerms("text", phiDen = 1000L)),
+      bench = true),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -410,4 +410,34 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(boom.getMessage != null)
   }
+
+  test("HeavyHitters.frequentTerms equals the exact query, layout-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 heavy terms among a long unique tail — the shape that breaks a
+    // too-small summary if the MG guarantee is wrong
+    val words = Seq.fill(400)("alpha") ++ Seq.fill(150)("beta") ++
+      Seq.fill(60)("gamma") ++ (1 to 2000).map(i => s"tail$i")
+    val docs = rnd.shuffle(words).grouped(20).map(_.mkString(" ")).toSeq
+      .toDF("text")
+    val phiDen = 50L // threshold: 2610/50 ≈ 52 → alpha, beta, gamma
+    def exact(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val n = 2610L
+    val want = exact(docs).filter(col("cnt") * phiDen >= n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.map(_._1) == Set("alpha", "beta", "gamma"))
+    // minimum legal summary size AND generous one, across layouts
+    for (k <- Seq(50, 200); parts <- Seq(1, 7)) {
+      val got = HeavyHitters.frequentTerms(
+          docs.repartition(parts), "text", phiDen, summaryK = k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == want, s"k=$k parts=$parts")
+    }
+    // a summary below phiDen is refused, not silently incomplete
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentTerms(docs, "text", phiDen, summaryK = 10)
+    }
+  }
 }
