@@ -2286,6 +2286,18 @@ object Queries {
           phiDen = 1000L),
       oracle = Some(HeavyHitters.sqlFrequentTerms("text", phiDen = 1000L)),
       bench = true),
+
+    "q88_prefix_jaccard_pairs" -> Q(
+      // Exact Jaccard pairs by PREFIX FILTERING — q27's answer (same
+      // oracle) with an inverted index holding only each document's
+      // rarest-shingle prefix, the exact-discovery path that stays linear
+      // where the full inverted index goes quadratic on hot shingles.
+      build = (s, dir) =>
+        NearDup.prefixJaccardPairs(table(s, dir, "documents"),
+            "doc_id", "text", n = 3, minJ = 0.6)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some(ngramJaccardOracle),
+      bench = true),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

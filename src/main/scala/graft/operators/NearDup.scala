@@ -130,6 +130,63 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact all-pairs Jaccard ≥ minJ via PREFIX FILTERING (the
+    * SSJoin/PPJoin family: Chaudhuri et al. ICDE '06, Xiao et al. WWW
+    * '08) — identical output to [[jaccardPairs]], but the inverted index
+    * holds only each document's PREFIX: its `sz − ⌊minJ·sz⌋ + 1`
+    * globally-rarest shingles. The standard theorem (prefix length
+    * `|x| − ⌈t·|x|⌉ + 1` under ANY single global element order) says two
+    * sets with J ≥ t must collide inside those prefixes; the ⌊⌋ form used
+    * here is ≥ the ⌈⌉ bound, so float rounding can only lengthen a prefix
+    * — add candidates, never lose one. Candidates are then confirmed with
+    * the exact measure, so the output is deterministic even though the
+    * candidate set depends on the frequency order.
+    *
+    * This is the exact-discovery scale path [[jaccardPairs]] lacks: at
+    * t = 0.9 the index shrinks ~10×, and rarest-first ordering means hot
+    * shingles (the quadratic blowup of the plain inverted index) land in
+    * almost nobody's prefix. The extra cost is one (hs → df) aggregation
+    * and a per-document rank window over narrow (id, long) rows. Both are
+    * linear; everything shuffles 16-byte tuples, never span text.
+    *
+    * @param materialize persist the shingle-hash table, referenced three
+    *   times (frequency pass, rank pass, verify sets); same measured
+    *   rationale as [[minhashNearDupPairs]]'s default-on knob. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJ: Double = 0.6, materialize: Boolean = true): DataFrame = {
+    require(minJ > 0.0 && minJ <= 1.0, s"minJ must be in (0, 1], got $minJ")
+    val rows0 = shingleHashRows(docs, idCol, textCol, n)
+    val rows =
+      if (materialize)
+        rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows0
+    val freq = rows.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val ranked = rows
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+      .join(freq, Seq("hs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("hs"))))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - floor(lit(minJ) * col("sz")) + 1)
+      .select(col("id"), col("hs"), col("sz"))
+    val cand = prefix.alias("a").join(prefix.alias("b"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      // length filter: J ≤ min/max, and round-to-nearest division is
+      // monotone, so this can never prune a pair the verify would keep
+      .filter(least(col("a.sz"), col("b.sz")).cast("double")
+        / greatest(col("a.sz"), col("b.sz")) >= minJ)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sets = shingleSets(rows)
+    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+      .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa.sz") + col("sb.sz") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Benchmark decontamination: for each corpus document, the number of
     * distinct word n-grams it shares with ANY document of a benchmark set
     * — the standard eval-contamination check run before training (e.g.

@@ -42,6 +42,34 @@ class TextOpsSpec extends SparkSpec {
     assert(exact.except(lsh).count() == 0 && lsh.except(exact).count() == 0)
   }
 
+  test("prefix-filtered pairs equal the full inverted index at every threshold") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    // 0.6 = the catalog threshold; 0.9 = where the prefix is shortest and
+    // an off-by-one in its length would first drop a true pair; 0.31 = a
+    // non-representable t where ⌊t·sz⌋ rounding matters
+    for (t <- Seq(0.31, 0.6, 0.9)) {
+      val exact = NearDup.jaccardPairs(docs, "doc_id", "text", 3, t)
+      val pf = NearDup.prefixJaccardPairs(docs, "doc_id", "text", 3, t,
+        materialize = false)
+      assert(exact.except(pf).count() == 0 && pf.except(exact).count() == 0,
+        s"threshold $t")
+    }
+    // the prefix index must be strictly smaller than the full one
+    val full = NearDup.shingleHashRows(docs, "doc_id", "text", 3).count()
+    val rows = NearDup.shingleHashRows(docs, "doc_id", "text", 3)
+    val freq = rows.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val prefixLen = rows
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .join(freq, Seq("hs"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("hs"))))
+      .filter(col("rk") <= col("sz") - floor(lit(0.6) * col("sz")) + 1)
+      .count()
+    assert(prefixLen < full / 2, s"prefix $prefixLen vs full $full")
+  }
+
   test("nearDupSurvivors keeps exactly one doc per near-dup clique") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
@@ -256,6 +284,8 @@ class TextOpsSpec extends SparkSpec {
     val plans = Seq(
       NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.3),
       NearDup.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.3, 16, 2,
+        materialize = false),
+      NearDup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.3,
         materialize = false),
       NearDup.contaminationHits(docs, bench, "doc_id", "text", 3))
     plans.foreach { df =>
