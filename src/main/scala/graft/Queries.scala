@@ -2298,6 +2298,47 @@ object Queries {
           .orderBy(col("id_a"), col("id_b")),
       oracle = Some(ngramJaccardOracle),
       bench = true),
+
+    "q89_trailing_range_window" -> Q(
+      // Trailing 7-day revenue per order priority — the RANGE-frame window
+      // (value-based, gap-aware: a day with no orders still ages out of
+      // the frame) the suite's ROWS/rank windows don't cover. Daily totals
+      // first (hash-agg), then the range window over the small daily table
+      // — never a per-row window over the raw fact table. The trailing
+      // sum re-accumulates in exact decimal: 7 doubles added in frame
+      // order would already be deterministic, but decimal keeps the
+      // convention that NO float sum depends on order anywhere.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("day_rev"))
+          .withColumn("dayn",
+            datediff(col("day"), lit("1970-01-01").cast("date")))
+        val w = Window.partitionBy(col("prio")).orderBy(col("dayn"))
+          .rangeBetween(-6, 0)
+        daily
+          .withColumn("rev_7d", m2(sum(dec(col("day_rev"))).over(w)))
+          .withColumn("n_days_7d", count(lit(1)).over(w))
+          .select(col("prio"), col("day"), col("day_rev"),
+            col("rev_7d"), col("n_days_7d"))
+          .orderBy(col("prio"), col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS day_rev
+          FROM orders GROUP BY 1, 2),
+        d2 AS (
+          SELECT *, datediff('day', DATE '1970-01-01', day) AS dayn
+          FROM daily)
+        SELECT prio, day, day_rev,
+          CAST(round(sum(CAST(day_rev AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE) AS rev_7d,
+          count(*) OVER w AS n_days_7d
+        FROM d2
+        WINDOW w AS (PARTITION BY prio ORDER BY dayn
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY prio, day""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
