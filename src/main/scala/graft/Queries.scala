@@ -2339,6 +2339,36 @@ object Queries {
         WINDOW w AS (PARTITION BY prio ORDER BY dayn
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         ORDER BY prio, day""")),
+
+    "q90_mad_outliers" -> Q(
+      // Robust outlier audit: per-priority order totals gated by
+      // |x − median| > 3·MAD — the quality-filter form that is not dragged
+      // by the outliers it hunts (mean±kσ has a 0% breakdown point). Two
+      // grouped exact percentiles, each broadcast back onto the scan.
+      build = (s, dir) =>
+        Profiling.madOutliers(
+            table(s, dir, "orders")
+              .select(col("o_orderpriority").as("prio"),
+                col("o_totalprice").as("x")),
+            groupCol = "prio", valCol = "x", k = 3.0)
+          .orderBy(col("prio")),
+      oracle = Some("""
+        WITH med AS (
+          SELECT o_orderpriority AS prio,
+            quantile_cont(o_totalprice, 0.5) AS med
+          FROM orders GROUP BY 1),
+        dev AS (
+          SELECT o.o_orderpriority AS prio, m.med,
+            abs(o.o_totalprice - m.med) AS adev
+          FROM orders o JOIN med m ON o.o_orderpriority = m.prio),
+        mad AS (
+          SELECT prio, med, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY 1, 2)
+        SELECT d.prio, count(*) AS n, m.med, m.mad,
+          CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.prio = m.prio
+        GROUP BY d.prio, m.med, m.mad
+        ORDER BY d.prio""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -440,4 +440,17 @@ class OperatorsSpec extends SparkSpec {
       HeavyHitters.frequentTerms(docs, "text", phiDen, summaryK = 10)
     }
   }
+
+  test("Profiling.madOutliers: hand-computed MAD gate, robust to the outlier") {
+    import spark.implicits._
+    // {1..9, 1000}: median 5.5, adevs {0.5..4.5, 994.5}, MAD 2.5 — the
+    // outlier does not drag the gate (mean±3σ here would flag nothing)
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(("g", _)).toDF("grp", "x")
+    val r = Profiling.madOutliers(df, "grp", "x").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 10L)
+    assert(row.getDouble(2) == 5.5 && row.getDouble(3) == 2.5)
+    assert(row.getLong(4) == 1L)
+  }
 }
