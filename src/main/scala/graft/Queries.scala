@@ -2369,6 +2369,38 @@ object Queries {
         FROM dev d JOIN mad m ON d.prio = m.prio
         GROUP BY d.prio, m.med, m.mad
         ORDER BY d.prio""")),
+
+    "q91_incremental_state" -> Q(
+      // Incremental aggregation maintenance: history state (first three
+      // time-quartiles) merged with the delta batch (last quartile) must
+      // equal the full recompute — which is exactly what the oracle runs.
+      // The nightly-pipeline shape: aggregate the new slice only, merge
+      // one-row-per-key states; exact-decimal sums make the merged total
+      // independent of batch boundaries and arrival order.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val bounds = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        val evb = ev.crossJoin(broadcast(bounds))
+          .withColumn("us", unix_micros(col("ts")))
+        val cut = expr("hi - (hi - lo) div 4")
+        val hist = Incremental.aggState(
+          evb.filter(col("us") < cut), Seq("user_id"), "value")
+        val delta = Incremental.aggState(
+          evb.filter(col("us") >= cut), Seq("user_id"), "value")
+        Incremental.merge(hist, delta, Seq("user_id"))
+          .select(col("user_id"), col("st_n").as("n_events"),
+            m2(col("st_sum")).as("total_value"),
+            col("st_min").as("min_value"), col("st_max").as("max_value"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        SELECT user_id, count(value) AS n_events,
+          ${sqlMsum("value")} AS total_value,
+          min(value) AS min_value, max(value) AS max_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -453,4 +453,28 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getDouble(2) == 5.5 && row.getDouble(3) == 2.5)
     assert(row.getLong(4) == 1L)
   }
+
+  test("Incremental: merged batch states equal the full recompute, associatively") {
+    import spark.implicits._
+    // keys exclusive to each batch, a NULL measure, and an all-NULL key
+    val b1 = Seq(("a", Some(1.5)), ("a", Some(2.5)), ("b", Some(-1.0)),
+      ("n", Option.empty[Double])).toDF("k", "v")
+    val b2 = Seq(("a", Some(10.0)), ("c", Some(7.0)),
+      ("n", Option.empty[Double])).toDF("k", "v")
+    val b3 = Seq(("b", Some(100.0)), ("c", Some(-7.0))).toDF("k", "v")
+    val all = b1.unionByName(b2).unionByName(b3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("st_sum", col("st_sum").cast("decimal(22,2)"))
+        .orderBy("k").collect().toSeq
+    val merged = Incremental.merge(
+      Incremental.merge(
+        Incremental.aggState(b1, Seq("k"), "v"),
+        Incremental.aggState(b2, Seq("k"), "v"), Seq("k")),
+      Incremental.aggState(b3, Seq("k"), "v"), Seq("k"))
+    assert(canon(merged) == canon(Incremental.aggState(all, Seq("k"), "v")))
+    // the all-NULL key carries n=0 and NULL sum/extrema, like SQL aggregates
+    val nRow = merged.filter(col("k") === "n").collect().head
+    assert(nRow.getLong(1) == 0L && nRow.isNullAt(2) &&
+      nRow.isNullAt(3) && nRow.isNullAt(4))
+  }
 }
