@@ -2401,6 +2401,18 @@ object Queries {
         FROM events
         GROUP BY user_id
         ORDER BY user_id""")),
+
+    "q92_pmi_collocations" -> Q(
+      // Top bigram collocations by PMI (Church & Hanks '89): multiword-
+      // expression mining over the corpus — bigrams via one lead window
+      // over narrow (id, pos, word) rows, two vocabulary-keyed hash aggs,
+      // top-k as TakeOrdered. PMI snapped to 8 decimals (ln differs in the
+      // last ulp across engines; ties break on the words).
+      build = (s, dir) =>
+        TextStats.pmiCollocations(table(s, dir, "documents"),
+          "doc_id", "text", minCount = 5L, k = 100),
+      oracle = Some(TextStats.sqlPmiCollocations("doc_id", "text",
+        minCount = 5L, k = 100))),
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -330,6 +330,70 @@ object TextStats {
        |  FROM tf JOIN freq f USING (w) CROSS JOIN tot
        |  GROUP BY tf.id)""".stripMargin
 
+  /** Bigram collocations by pointwise mutual information — the classic
+    * corpus-exploration operator for multiword expressions (Church &
+    * Hanks '89): PMI = ln(c_xy · N / (c_x · c_y)) over adjacent token
+    * pairs, reported for bigrams seen ≥ `minCount` times (raw PMI is
+    * dominated by hapax noise otherwise), top `k` overall.
+    *
+    * Scale shape: tokens posexplode once; bigrams via one `lead` window
+    * per document (narrow (id, pos, word) rows, same shape as
+    * [[NearDup.shingleRowsAll]]); two vocabulary-keyed hash aggregations;
+    * the unigram table joins back by word (zipfian-head broadcast under
+    * AQE when it fits); top-k is TakeOrdered, never a global sort.
+    * Determinism: the PMI ratio is exact-integer arithmetic under one
+    * double division and one `ln`, snapped to 8 decimals (the tfidf
+    * precedent); ordering ties break on the words. */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w1")))
+    val big = toks
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val cxy = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val cx = toks.groupBy(col("w1")).agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    cxy.filter(col("c_xy") >= minCount)
+      .join(cx.select(col("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(cx.select(col("w1").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", round(log(
+        col("c_xy").cast("double") * col("n_tok") / (col("c_a") * col("c_b"))), 8))
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[pmiCollocations]]. */
+  def sqlPmiCollocations(idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, regexp_split_to_array(trim($textCol), '\\s+') AS t
+       |  FROM documents),
+       |uni AS (SELECT unnest(t) AS w FROM toks),
+       |cx AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+       |n AS (SELECT count(*) AS n_tok FROM uni),
+       |big AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS b
+       |  FROM toks),
+       |cxy AS (
+       |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+       |    count(*) AS c_xy
+       |  FROM big GROUP BY 1, 2)
+       |SELECT c.w1, c.w2, c.c_xy,
+       |  round(ln(CAST(c.c_xy AS DOUBLE) * n.n_tok / (ca.c * cb.c)), 8) AS pmi
+       |FROM cxy c
+       |JOIN cx ca ON c.w1 = ca.w
+       |JOIN cx cb ON c.w2 = cb.w
+       |CROSS JOIN n
+       |WHERE c.c_xy >= $minCount
+       |ORDER BY pmi DESC, w1, w2
+       |LIMIT $k""".stripMargin
+
   /** PII patterns for the redaction scrub. Restricted to syntax the JVM
     * regex engine and RE2 (DuckDB) interpret identically — character
     * classes and bounded repetition only, no lookaround, no backrefs. */
