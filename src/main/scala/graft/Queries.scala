@@ -2413,6 +2413,163 @@ object Queries {
           "doc_id", "text", minCount = 5L, k = 100),
       oracle = Some(TextStats.sqlPmiCollocations("doc_id", "text",
         minCount = 5L, k = 100))),
+
+    "q93_hll_distinct" -> Q(
+      // Mergeable HyperLogLog distinct-users per event type — the at-scale
+      // replacement for count(DISTINCT). The Spark side deliberately
+      // builds TWO sketches (even/odd user halves, the daily-rollup
+      // shape) and merges them; the oracle sketches the whole table
+      // directly — their hash-equality proves merge ≡ direct, which is
+      // the property that makes sketches roll up across days without
+      // re-reading raw keys. Estimate arithmetic is exact-integer up to
+      // one final division (see Hll scaladoc); the exact count rides
+      // along to audit the error.
+      build = (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(col("event_type").as("g"), col("user_id").as("key"))
+        val hist = Hll.sketch(base.filter(col("key") % 2 === 0), Seq("g"), "key")
+        val delta = Hll.sketch(base.filter(col("key") % 2 =!= 0), Seq("g"), "key")
+        val est = Hll.estimate(Hll.merge(hist, delta, Seq("g")), Seq("g"))
+        val exact = base.groupBy(col("g"))
+          .agg(countDistinct(col("key")).as("n_exact"))
+        est.join(exact, "g")
+          .select(col("g").as("event_type"), col("n_exact"), col("occupied"),
+            col("zeros"), col("s_scaled"), col("hll_est"),
+            round(abs(col("hll_est") - col("n_exact")) / col("n_exact")
+              * lit(100.0), 2).as("err_pct"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(s"""
+        WITH ${Hll.sqlSketchCtes("SELECT event_type AS g, user_id AS key FROM events")},
+        ex AS (
+          SELECT event_type AS g, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1)
+        SELECT e.g AS event_type, x.n_exact, e.occupied, e.zeros,
+          e.s_scaled, e.hll_est,
+          round(abs(e.hll_est - x.n_exact) / x.n_exact * 100.0, 2) AS err_pct
+        FROM hll_est e JOIN ex x ON e.g = x.g
+        ORDER BY event_type"""),
+      bench = true),
+
+    "q94_bloom_semi_join" -> Q(
+      // Bloom-pruned semi join: revenue of orders placed by nation-1
+      // customers, with the fact scan pre-filtered by a 4096-bit portable
+      // Bloom filter of the customer keys before the exact confirm join.
+      // The oracle is the PLAIN semi join — equality proves the composed
+      // operator has no false negatives (Bloom guarantee) and no false
+      // positives (confirm join). At 100 TB the filter is what keeps the
+      // fact table from shuffling: only Bloom survivors reach the join.
+      build = (s, dir) => {
+        val keys = table(s, dir, "customer")
+          .filter(col("c_nationkey") === 1).select(col("c_custkey"))
+        Bloom.prunedSemiJoin(table(s, dir, "orders"), "o_custkey",
+            keys, "c_custkey")
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(msum(col("o_totalprice")).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("prio"))
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority AS prio,
+          ${sqlMsum("o_totalprice")} AS revenue, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q95_grouped_auc" -> Q(
+      // Per-segment ROC-AUC (does order value predict status F?) via
+      // tie-averaged Mann-Whitney ranks — sliced model evaluation with an
+      // integer-exact statistic: one rank window + one hash agg per
+      // group, a single double division at the end (bit-equal across
+      // engines, no rounding snap).
+      build = (s, dir) =>
+        Auc.groupedAuc(
+            table(s, dir, "orders").select(
+              col("o_orderpriority").as("prio"),
+              col("o_totalprice").as("score"),
+              (col("o_orderstatus") === "F").cast("int").as("y")),
+            Seq("prio"), "score", "y")
+          .orderBy(col("prio")),
+      oracle = Some(s"""
+        WITH ${Auc.sqlAucCtes("orders", "o_orderpriority", "o_totalprice",
+          "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")}
+        SELECT g AS prio, n, pos, auc FROM auc_g ORDER BY prio"""),
+      bench = true),
+
+    "q96_woe_binning" -> Q(
+      // Decile binning + weight-of-evidence encoding of order totals vs
+      // status F — the scorecard feature transform of the reference's
+      // credit domain. Thresholds are exact type-7 percentiles (q19
+      // parity); bin assignment is pure threshold comparisons; the WOE ln
+      // is snapped to 8 decimals (PMI convention).
+      build = (s, dir) =>
+        Binning.woeTable(
+            table(s, dir, "orders").select(
+              col("o_totalprice").as("x"),
+              (col("o_orderstatus") === "F").cast("int").as("y")),
+            "x", "y", nBins = 10)
+          .orderBy(col("bin")),
+      oracle = Some(s"""
+        WITH ${Binning.sqlWoeCtes("orders", "o_totalprice",
+          "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")}
+        SELECT bin, n, pos, neg, woe, iv FROM woe_bins ORDER BY bin""")),
+
+    "q97_url_battery" -> Q(
+      // URL parsing surface: documents carry a synthesized (well-formed by
+      // construction) URL; Spark parses with the native parse_url
+      // expression, the oracle with anchored regexes — agreement pins the
+      // components a pipeline dedupes and filters on (host, TLD, query
+      // param). Grouped to (host, ref) rollups.
+      build = (s, dir) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc/"),
+          col("doc_id").cast("string"), lit("?ref=r"),
+          pmod(col("doc_id"), lit(7)).cast("string"), lit("&utm=x"))
+        table(s, dir, "documents")
+          .withColumn("url", url)
+          .withColumn("host", expr("parse_url(url, 'HOST')"))
+          .withColumn("tld", element_at(split(col("host"), "\\."), -1))
+          .withColumn("ref", expr("parse_url(url, 'QUERY', 'ref')"))
+          .groupBy(col("host"), col("tld"), col("ref"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("host"), col("ref"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+            'https://' || source || '.example.com/' || lang || '/doc/'
+              || CAST(doc_id AS VARCHAR) || '?ref=r'
+              || CAST(doc_id % 7 AS VARCHAR) || '&utm=x' AS url
+          FROM documents),
+        parsed AS (
+          SELECT doc_id,
+            regexp_extract(url, '^https://([^/]+)', 1) AS host,
+            regexp_extract(regexp_extract(url, '^https://([^/]+)', 1),
+              '([^.]+)$', 1) AS tld,
+            regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+          FROM u)
+        SELECT host, tld, ref, count(*) AS n_docs,
+          min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM parsed
+        GROUP BY host, tld, ref
+        ORDER BY host, ref""")),
+
+    "q98_edit_fuzzy_pairs" -> Q(
+      // Typo-level record linkage: all customer-name pairs within
+      // Levenshtein 1, found by the 1-deletion-neighborhood signature
+      // join (provably complete; see FuzzyJoin) and verified exactly. The
+      // oracle is the brute-force all-pairs answer — equality proves the
+      // blocking lossless. Signatures shuffle as xxhash64 longs, never as
+      // text.
+      build = (s, dir) =>
+        FuzzyJoin.editPairs1(table(s, dir, "customer"), "c_name")
+          .orderBy(col("a"), col("b")),
+      oracle = Some(s"""
+        WITH ${FuzzyJoin.sqlEditPairs1("customer", "c_name")}
+        SELECT a, b, dist FROM edit_pairs ORDER BY a, b"""),
+      bench = true),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -477,4 +477,93 @@ class OperatorsSpec extends SparkSpec {
     assert(nRow.getLong(1) == 0L && nRow.isNullAt(2) &&
       nRow.isNullAt(3) && nRow.isNullAt(4))
   }
+
+  test("Hll: merge of overlapping sketches equals the direct sketch, idempotently") {
+    val d1 = (1 to 3000).map(i => ("g", i.toString)).toDF("g", "key")
+    val d2 = (2000 to 5000).map(i => ("g", i.toString)).toDF("g", "key")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g", "reg").collect().toSeq
+    val m = Hll.merge(Hll.sketch(d1, Seq("g"), "key"),
+      Hll.sketch(d2, Seq("g"), "key"), Seq("g"))
+    // merge ≡ direct even with the 1000-key overlap (max is idempotent)
+    assert(canon(m) == canon(Hll.sketch(d1.unionByName(d2), Seq("g"), "key")))
+    // and re-merging the same sketch changes nothing
+    assert(canon(Hll.merge(m, m, Seq("g"))) == canon(m))
+    // estimate of 5000 distinct keys within 3 standard errors (1.04/16)
+    val est = Hll.estimate(m, Seq("g")).collect().head
+      .getAs[Double]("hll_est")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.20, s"estimate $est")
+  }
+
+  test("Bloom: zero false negatives, low fp rate, pruned semi join exact, loud bounds") {
+    val keys = (1 to 999 by 2).toDF("k")     // 500 odd keys
+    val bitmap = Bloom.fit(keys, "k", 4096, 3)
+    val probe = (1 to 1000).toDF("k")
+    val passed = probe
+      .filter(Bloom.mightContain(col("k"), bitmap, 4096, 3))
+      .collect().map(_.getInt(0)).toSet
+    // Bloom guarantee: every fitted key passes
+    assert((1 to 999 by 2).forall(passed.contains))
+    // false positives exist in principle but must be rare at this sizing
+    val fps = passed.count(_ % 2 == 0)
+    assert(fps < 25, s"$fps false positives out of 500 non-members")
+    // composed operator is exactly the semi join
+    val facts = (1 to 1000).map(i => (i % 200, i)).toDF("fk", "v")
+    val dim = Seq(3, 7, 11, 13).toDF("dk")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("fk", "v").collect().toSeq
+    assert(canon(Bloom.prunedSemiJoin(facts, "fk", dim, "dk")) ==
+      canon(facts.join(dim, col("fk") === col("dk"), "left_semi")))
+    intercept[IllegalArgumentException](Bloom.fit(keys, "k", 100, 3))
+    intercept[IllegalArgumentException](Bloom.fit(keys, "k", 1 << 17, 3))
+  }
+
+  test("Auc.groupedAuc: perfect, reversed, tie-averaged, and degenerate groups") {
+    val df = Seq(
+      ("a", 1.0, 0), ("a", 2.0, 0), ("a", 3.0, 1), ("a", 4.0, 1), // separable
+      ("b", 1.0, 0), ("b", 1.0, 1), ("b", 2.0, 1),                // tie at 1.0
+      ("c", 5.0, 1), ("c", 6.0, 1),                               // no negatives
+      ("d", 1.0, 1), ("d", 2.0, 0)                                // anti-predictive
+    ).toDF("g", "score", "y")
+    val r = Auc.groupedAuc(df, Seq("g"), "score", "y")
+      .orderBy("g").collect()
+    assert(r(0).getAs[Double]("auc") == 1.0)
+    // group b by hand: R+ = 1.5 + 3 = 4.5, P=2, N=1 → (4.5-3)/2 = 0.75
+    assert(r(1).getAs[Double]("auc") == 0.75)
+    assert(r(2).isNullAt(r(2).fieldIndex("auc")))
+    assert(r(3).getAs[Double]("auc") == 0.0)
+  }
+
+  test("Binning: exact quartile thresholds, boundary-stable bins, hand-computed WOE") {
+    val df = (1 to 100).map(i => (i.toDouble, if (i > 60) 1 else 0)).toDF("x", "y")
+    // type-7 interpolated quartiles of 1..100
+    assert(Binning.quantileThresholds(df, "x", 4).toSeq ==
+      Seq(25.75, 50.5, 75.25))
+    val t = Binning.woeTable(df, "x", "y", nBins = 4)
+      .orderBy("bin").collect()
+    assert(t.map(_.getLong(1)).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(t.map(_.getLong(2)).toSeq == Seq(0L, 0L, 15L, 25L))
+    // empty-class bins carry NULL woe, not ±Infinity
+    assert(t(0).isNullAt(4) && t(1).isNullAt(4) && t(3).isNullAt(4))
+    // bin 2: ln((15/40)/(10/60)) = ln(2.25)
+    assert(math.abs(t(2).getDouble(4) - 0.81093022) < 1e-8)
+  }
+
+  test("FuzzyJoin.editPairs1 equals brute-force levenshtein ≤ 1 on adversarial strings") {
+    // substitution / insertion / deletion / prefix-edit cases, plus dups
+    val names = Seq("alpha", "alpha", "alpha!", "blpha", "alph", "aXpha",
+      "gamma", "gamm", "delta").toDF("s")
+    val got = FuzzyJoin.editPairs1(names, "s")
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val d = names.select(col("s")).distinct()
+    val brute = d.as("l").join(d.as("r"), col("l.s") < col("r.s"))
+      .filter(levenshtein(col("l.s"), col("r.s")) <= 1)
+      .select(col("l.s"), col("r.s"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+    // and the cases we constructed are all in there
+    assert(got.contains(("alph", "alpha")) && got.contains(("alpha", "blpha"))
+      && got.contains(("alpha", "alpha!")) && got.contains(("aXpha", "alpha"))
+      && got.contains(("gamm", "gamma")))
+  }
 }
