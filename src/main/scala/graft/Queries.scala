@@ -2570,6 +2570,215 @@ object Queries {
         SELECT a, b, dist FROM edit_pairs ORDER BY a, b"""),
       bench = true),
 
+    "q99_calibration_audit" -> Q(
+      // Reliability-diagram calibration audit: min-max-normalized order
+      // value as a pseudo-probability of status F, binned into 10
+      // confidence buckets — per-bin mean confidence vs observed rate and
+      // the ECE contribution. Per-row confidence is pure deterministic
+      // IEEE arithmetic; bin means go through davg's exact-decimal snap;
+      // accuracies are single long-ratio divisions.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val mm = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        val binned = o.crossJoin(broadcast(mm))
+          .withColumn("conf",
+            (col("o_totalprice") - col("mn")) / (col("mx") - col("mn")))
+          .withColumn("bin",
+            least(floor(col("conf") * 10).cast("long"), lit(9L)))
+          .withColumn("y", (col("o_orderstatus") === "F").cast("long"))
+        val perBin = binned.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+            davg(col("conf")).as("conf_avg"))
+        val tot = perBin.agg(sum(col("n")).as("n_total"))
+        perBin.crossJoin(broadcast(tot))
+          .withColumn("acc", col("pos").cast("double") / col("n"))
+          .withColumn("gap", round(abs(col("acc") - col("conf_avg")), 8))
+          .withColumn("ece_term", round(
+            col("n").cast("double") / col("n_total") * col("gap"), 8))
+          .select(col("bin"), col("n"), col("pos"), col("conf_avg"),
+            col("acc"), col("gap"), col("ece_term"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some(s"""
+        WITH mm AS (
+          SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        b AS (
+          SELECT
+            least(CAST(floor((o_totalprice - mn) / (mx - mn) * 10) AS BIGINT), 9) AS bin,
+            (o_totalprice - mn) / (mx - mn) AS conf,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders, mm),
+        pb AS (
+          SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+            ${sqlDavg("conf")} AS conf_avg
+          FROM b GROUP BY bin),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM pb)
+        SELECT bin, n, pos, conf_avg,
+          CAST(pos AS DOUBLE) / n AS acc,
+          round(abs(CAST(pos AS DOUBLE) / n - conf_avg), 8) AS gap,
+          round(CAST(n AS DOUBLE) / n_total
+            * round(abs(CAST(pos AS DOUBLE) / n - conf_avg), 8), 8) AS ece_term
+        FROM pb, tot ORDER BY bin""")),
+
+    "q100_grouped_ols" -> Q(
+      // Per-priority linear trend of order value over time: closed-form
+      // OLS on exact-decimal moments (see Trend) — regr_slope semantics
+      // without float accumulation. One hash agg per group; the only
+      // float ops are the final divisions, bit-equal across engines.
+      build = (s, dir) =>
+        Trend.groupedLinearFit(
+            table(s, dir, "orders").select(
+              col("o_orderpriority").as("prio"),
+              datediff(col("o_orderdate").cast("date"),
+                lit("1970-01-01").cast("date")).as("dayn"),
+              col("o_totalprice")),
+            Seq("prio"), "dayn", "o_totalprice")
+          .orderBy(col("prio")),
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT o_orderpriority AS prio,
+            datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn,
+            o_totalprice
+          FROM orders),
+        ${Trend.sqlFitCtes("base", "prio", "dayn", "o_totalprice")}
+        SELECT g AS prio, n, slope, intercept FROM ols_g ORDER BY prio""")),
+
+    "q101_pareto_frontier" -> Q(
+      // 2-D skyline per priority over daily revenue points: the days not
+      // dominated by any earlier-or-equal day with higher-or-equal
+      // revenue. Spark computes it with ONE sort window (running min of
+      // day over the revenue-descending order — O(n log n), no pairwise
+      // comparisons); the oracle is the quadratic NOT EXISTS dominance
+      // definition. Day is unique within a group, so the window-skyline
+      // tie handling is exact.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("day_rev"))
+        Skyline.frontier2d(daily, Seq("prio"), "day_rev", "day")
+          .select(col("prio"), col("day"), col("day_rev"))
+          .orderBy(col("prio"), col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS day_rev
+          FROM orders GROUP BY 1, 2)
+        SELECT d.prio, d.day, d.day_rev
+        FROM daily d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM daily e
+          WHERE e.prio = d.prio
+            AND e.day_rev >= d.day_rev AND e.day <= d.day
+            AND (e.day_rev > d.day_rev OR e.day < d.day))
+        ORDER BY d.prio, d.day""")),
+
+    "q102_ordered_funnel" -> Q(
+      // Ordered event funnel with sequence constraints: first view, then
+      // first click strictly AFTER that view, then first purchase
+      // strictly after that click — per-user stage timestamps via three
+      // keyed min-aggregations (each a narrow user_id shuffle), counts
+      // and conversion ratios at the end. This is sequence matching, not
+      // the per-event-type counting of q65's quality funnel.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        t1.agg(count(lit(1)).as("n_view"))
+          .crossJoin(t2.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(t3.agg(count(lit(1)).as("n_purchase_after")))
+          .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+            round(col("n_click_after").cast("double") / col("n_view"), 8)
+              .as("view_to_click"),
+            round(col("n_purchase_after").cast("double") / col("n_click_after"), 8)
+              .as("click_to_purchase"))
+      },
+      oracle = Some("""
+        WITH t1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN t1 ON e.user_id = t1.user_id
+          WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        t3 AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN t2 ON e.user_id = t2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        SELECT
+          (SELECT count(*) FROM t1) AS n_view,
+          (SELECT count(*) FROM t2) AS n_click_after,
+          (SELECT count(*) FROM t3) AS n_purchase_after,
+          round(CAST((SELECT count(*) FROM t2) AS DOUBLE)
+            / (SELECT count(*) FROM t1), 8) AS view_to_click,
+          round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+            / (SELECT count(*) FROM t2), 8) AS click_to_purchase""")),
+
+    "q103_dq_checks" -> Q(
+      // Declarative data-quality audit over the star schema: uniqueness,
+      // null, range, accepted-set, and referential-integrity checks, each
+      // one aggregation, unioned into the (check_name, n_violations,
+      // pass) guardrail table a pipeline gates batches on.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders"); val c = table(s, dir, "customer")
+        val l = table(s, dir, "lineitem"); val d = table(s, dir, "documents")
+        DataChecks.run(Seq(
+          DataChecks.unique(o, Seq("o_orderkey")),
+          DataChecks.unique(c, Seq("c_custkey")),
+          DataChecks.notNull(o, "o_custkey"),
+          DataChecks.notNull(d, "text"),
+          DataChecks.refIntegrity(o, "o_custkey", c, "c_custkey", "orders.customer"),
+          DataChecks.refIntegrity(l, "l_orderkey", o, "o_orderkey", "lineitem.orders"),
+          DataChecks.inRange(o, "o_totalprice", 0.0, 1e9),
+          DataChecks.inRange(l, "l_discount", 0.0, 1.0),
+          DataChecks.acceptedValues(o, "o_orderstatus", Seq("F", "O", "P"))))
+      },
+      oracle = Some("""
+        SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+          SELECT 'unique:o_orderkey' AS check_name,
+            CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) AS n_violations
+          FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
+          UNION ALL
+          SELECT 'unique:c_custkey',
+            CAST(coalesce(sum(cnt - 1), 0) AS BIGINT)
+          FROM (SELECT count(*) AS cnt FROM customer GROUP BY c_custkey)
+          UNION ALL
+          SELECT 'not_null:o_custkey', count(*) - count(o_custkey) FROM orders
+          UNION ALL
+          SELECT 'not_null:text', count(*) - count(text) FROM documents
+          UNION ALL
+          SELECT 'ref:orders.customer', count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+          UNION ALL
+          SELECT 'ref:lineitem.orders', count(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'range:o_totalprice',
+            CAST(coalesce(sum(CASE WHEN o_totalprice < 0.0
+              OR o_totalprice > 1000000000.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'range:l_discount',
+            CAST(coalesce(sum(CASE WHEN l_discount < 0.0
+              OR l_discount > 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'accepted:o_orderstatus',
+            CAST(coalesce(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+              OR o_orderstatus IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
+          FROM orders
+        ) ORDER BY check_name""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

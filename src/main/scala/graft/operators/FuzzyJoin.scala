@@ -38,18 +38,36 @@ object FuzzyJoin {
 
   /** All unordered pairs of distinct values of `strCol` within Levenshtein
     * distance 1: (a, b, dist) with a < b. Input rows may repeat values;
-    * pairs are over the distinct strings. */
+    * pairs are over the distinct strings.
+    *
+    * Plan: every exchange after the initial distinct carries only 8-byte
+    * hashes — signatures join on `xxhash64(sig)`, candidate pairs dedupe
+    * on (name-hash, name-hash) — and the strings come back via two
+    * broadcast joins against the (bounded: distinct names) lookup only
+    * for candidates that reach the exact verify (the planner broadcasts
+    * the lookup while it fits, and degrades to a hash join keyed on the
+    * 8-byte name-hash — never on text — beyond that). A 64-bit name-hash
+    * collision would alias two names (~n²/2⁶⁴ ≈ 10⁻¹¹ at 10⁶ names) —
+    * the standard trade the span-mining path (q72) makes, accepted over
+    * shuffling full text at corpus scale. */
   def editPairs1(df: DataFrame, strCol: String): DataFrame = {
     val names = df.select(col(strCol).as("s")).distinct()
+      .withColumn("nh", xxhash64(col("s")))
     val sigs = names
-      .select(col("s"), explode(sequence(lit(0), length(col("s")))).as("__di"))
-      .select(col("s"), sigHashes(col("s")).as("sig"))
+      .select(col("s"), col("nh"),
+        explode(sequence(lit(0), length(col("s")))).as("__di"))
+      .select(col("nh"), sigHashes(col("s")).as("sig"))
       .distinct()
-    val cand = sigs.as("l").join(sigs.as("r"), col("l.sig") === col("r.sig"))
-      .filter(col("l.s") < col("r.s"))
-      .select(col("l.s").as("a"), col("r.s").as("b"))
+    val candH = sigs.as("l").join(sigs.as("r"), col("l.sig") === col("r.sig"))
+      .filter(col("l.nh") < col("r.nh"))
+      .select(col("l.nh").as("ha"), col("r.nh").as("hb"))
       .distinct()
-    cand
+    val lut = names
+    candH
+      .join(lut.select(col("nh").as("ha"), col("s").as("sa")), "ha")
+      .join(lut.select(col("nh").as("hb"), col("s").as("sb")), "hb")
+      .select(least(col("sa"), col("sb")).as("a"),
+        greatest(col("sa"), col("sb")).as("b"))
       .withColumn("dist", levenshtein(col("a"), col("b")))
       .filter(col("dist") <= 1)
   }

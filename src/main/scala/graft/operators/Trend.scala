@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable.dec
+
+/** Grouped closed-form linear regression (per-segment trend lines) —
+  * `regr_slope`/`regr_intercept` semantics, rebuilt on exact-decimal
+  * moments so the result is combine-order-independent and therefore
+  * reproducible at any partitioning (both engines' built-in `regr_*`
+  * aggregate in floats, which is unreproducible by construction at 100 TB
+  * — the same reason `Stable` exists).
+  *
+  * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`, `intercept = (Σy −
+  * slope·Σx)/n`. All five moments accumulate exactly: x is an integer
+  * regressor (day number, epoch week, position), y is snapped to 2
+  * decimals; products stay well inside decimal(38). The ONLY floating
+  * ops are the two final divisions and one multiply, performed on the
+  * same exact-decimal-derived doubles in both engines → bit-equal, then
+  * snapped (slope 8 decimals, intercept 6) out of caution.
+  *
+  * Scale shape: one hash aggregation per group computing five sums — the
+  * cheapest possible plan; no window, no second pass, map-side partials
+  * combine exactly (decimal addition is associative).
+  *
+  * Bounds (loud under ANSI casts, not silent): |x| < 10^7 and |y| < 10^10
+  * keep every intermediate inside both engines' 38-digit cliff with n up
+  * to ~10^11 rows per group (the post-aggregation casts throw on
+  * overflow rather than truncate).
+  */
+object Trend {
+
+  /** Per-group OLS fit of `yCol` on integer regressor `xCol`.
+    * Output: (group…, n, slope, intercept). Groups with zero x-variance
+    * (or a single point) yield NULL slope/intercept. */
+  def groupedLinearFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val grp = groupCols.map(col)
+    val x = col(xCol).cast("decimal(7,0)")
+    val y = dec(col(yCol))
+    val agg = df
+      .select(grp :+ x.as("x") :+ y.as("y"): _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(18,0)").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(25,0)").as("sxx"),
+        sum(col("y")).cast("decimal(16,2)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(23,2)").as("sxy"))
+    val nD = col("n").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = when(den =!= 0.0, round(num / den, 8))
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept", round(
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) / nD, 6))
+      .select(grp :+ col("n") :+ col("slope") :+ col("intercept"): _*)
+  }
+
+  /** DuckDB mirror of [[groupedLinearFit]] over `tbl`: emits CTE `ols_g`
+    * (g, n, slope, intercept). */
+  def sqlFitCtes(tbl: String, gSql: String, xSql: String, ySql: String): String =
+    s"""ols_m AS (
+      SELECT $gSql AS g, count(*) AS n,
+        CAST(sum(CAST($xSql AS DECIMAL(7,0))) AS DECIMAL(18,0)) AS sx,
+        CAST(sum(CAST($xSql AS DECIMAL(7,0)) * CAST($xSql AS DECIMAL(7,0))) AS DECIMAL(25,0)) AS sxx,
+        CAST(sum(CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(16,2)) AS sy,
+        CAST(sum(CAST($xSql AS DECIMAL(7,0)) * CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(23,2)) AS sxy
+      FROM $tbl GROUP BY 1),
+    ols_g AS (
+      SELECT g, n,
+        CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+        END AS slope,
+        round((CAST(sy AS DOUBLE)
+               - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+                    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+                  END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+      FROM ols_m)"""
+}

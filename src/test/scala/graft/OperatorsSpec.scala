@@ -566,4 +566,60 @@ class OperatorsSpec extends SparkSpec {
       && got.contains(("alpha", "alpha!")) && got.contains(("aXpha", "alpha"))
       && got.contains(("gamm", "gamma")))
   }
+
+  test("Trend.groupedLinearFit: exact fit on a known line, NULL on zero variance") {
+    // y = 3x + 10 exactly, plus a constant-x degenerate group
+    val pts = (1 to 50).map(i => ("line", i, 3.0 * i + 10.0)) ++
+      Seq(("flat", 5, 1.0), ("flat", 5, 2.0))
+    val df = pts.toDF("g", "x", "y")
+    val r = Trend.groupedLinearFit(df, Seq("g"), "x", "y")
+      .orderBy("g").collect()
+    assert(r(0).getString(0) == "flat" && r(0).isNullAt(2) && r(0).isNullAt(3))
+    assert(r(1).getDouble(2) == 3.0 && r(1).getDouble(3) == 10.0)
+  }
+
+  test("Skyline.frontier2d equals the quadratic dominance definition") {
+    // g1: a staircase frontier of 3 points, one revenue tie at a later
+    // day (dominated via the strict day axis), one interior point; g2:
+    // two mutually incomparable points (both on the frontier)
+    val df = Seq(
+      ("g1", 1, 90.0), ("g1", 2, 95.0), ("g1", 3, 93.0), ("g1", 5, 100.0),
+      ("g1", 7, 99.0), ("g1", 4, 95.0), ("g2", 7, 25.0), ("g2", 3, 20.0)
+    ).toDF("g", "day", "rev")
+    val got = Skyline.frontier2d(df, Seq("g"), "rev", "day")
+      .select("g", "day").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // brute force: keep p iff no q with rev >= and day <= and one strict
+    val rows = df.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val brute = rows.filter { case (g, d, v) =>
+      !rows.exists { case (g2, d2, v2) =>
+        g2 == g && v2 >= v && d2 <= d && (v2 > v || d2 < d) }
+    }.map(t => (t._1, t._2)).toSet
+    assert(got == brute)
+    assert(got == Set(("g1", 1), ("g1", 2), ("g1", 5), ("g2", 3), ("g2", 7)))
+  }
+
+  test("DataChecks: each check counts its violations, run() orders and flags") {
+    val child = Seq(
+      (Some(1), "a", 5.0), (Some(1), "b", -1.0), (Some(2), "c", 20.0),
+      (None, "zz", 3.0), (Some(9), "a", 4.0)
+    ).toDF("fk", "cat", "v")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val audit = DataChecks.run(Seq(
+      DataChecks.notNull(child, "fk"),            // 1 null
+      DataChecks.unique(child, Seq("fk")),        // fk=1 twice -> 1 extra
+      DataChecks.inRange(child, "v", 0.0, 10.0),  // -1 and 20 -> 2
+      DataChecks.acceptedValues(child, "cat", Seq("a", "b", "c")), // zz -> 1
+      DataChecks.refIntegrity(child, "fk", parent, "pk", "t")      // fk=9 -> 1
+    )).collect()
+    assert(audit.map(_.getString(0)).toSeq == audit.map(_.getString(0)).toSeq.sorted)
+    val byName = audit.map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byName("not_null:fk") == ((1L, false)))
+    assert(byName("unique:fk") == ((1L, false)))
+    assert(byName("range:v") == ((2L, false)))
+    assert(byName("accepted:cat") == ((1L, false)))
+    assert(byName("ref:t") == ((1L, false)))
+    // and a passing check flags true
+    val ok = DataChecks.run(Seq(DataChecks.notNull(parent, "pk"))).collect()
+    assert(ok.head.getLong(1) == 0L && ok.head.getBoolean(2))
+  }
 }
