@@ -2779,6 +2779,47 @@ object Queries {
           FROM orders
         ) ORDER BY check_name""")),
 
+    "q104_cms_frequency" -> Q(
+      // Mergeable count-min frequency sketch: per-user event counts
+      // estimated from a fixed 4x1024 counter grid instead of a
+      // key-space-sized exact table. Like q93, the Spark side builds TWO
+      // sketches (even/odd event halves — the daily-rollup shape) and
+      // merges them, while the oracle sketches the whole table directly:
+      // hash-equality proves merge ≡ direct, the property that lets
+      // per-day sketches roll up without re-reading raw events. All
+      // arithmetic is integer over the portable salted md5 hash, so the
+      // approximate operator is oracle-checked EXACTLY; the exact count
+      // rides along and `overcount` exhibits the CMS ≥-truth guarantee.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val hist = Cms.sketch(ev.filter(col("event_id") % 2 === 0), "user_id")
+        val delta = Cms.sketch(ev.filter(col("event_id") % 2 =!= 0), "user_id")
+        val sk = Cms.merge(hist, delta)
+        val exact = ev.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_exact"))
+        val probes = exact
+          .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+        probes
+          .join(Cms.lookup(sk, probes.select(col("user_id")), "user_id"),
+            "user_id")
+          .select(col("user_id"), col("n_exact"), col("cms_est"),
+            (col("cms_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH ${Cms.sqlSketchCtes("SELECT user_id AS key FROM events")},
+        ex AS (
+          SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+        probes AS (
+          SELECT user_id, n_exact FROM ex
+          ORDER BY n_exact DESC, user_id LIMIT 20),
+        ${Cms.sqlLookupCtes("SELECT user_id AS key FROM probes")}
+        SELECT p.user_id, p.n_exact, l.cms_est,
+          l.cms_est - p.n_exact AS overcount
+        FROM probes p JOIN cms_lk l ON l.key = p.user_id
+        ORDER BY p.user_id"""),
+      bench = true),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

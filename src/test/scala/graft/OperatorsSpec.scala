@@ -622,4 +622,30 @@ class OperatorsSpec extends SparkSpec {
     val ok = DataChecks.run(Seq(DataChecks.notNull(parent, "pk"))).collect()
     assert(ok.head.getLong(1) == 0L && ok.head.getBoolean(2))
   }
+
+  test("Cms: never underestimates, merge equals direct, bounded grid") {
+    // skewed corpus: key i occurs i times, i = 1..60 (1830 rows)
+    val rows = (1 to 60).flatMap(i => Seq.fill(i)(i.toString))
+    val df = rows.toDF("k")
+    val sk = Cms.sketch(df, "k")
+    // grid is bounded by d*w no matter the input size
+    assert(sk.count() <= Cms.D * Cms.W)
+    val probes = (1 to 60).map(_.toString).toDF("k")
+    val est = Cms.lookup(sk, probes, "k").collect()
+      .map(r => r.getString(0).toInt -> r.getLong(1)).toMap
+    // CMS guarantee: estimate >= true count, always
+    (1 to 60).foreach(i => assert(est(i) >= i, s"key $i: ${est(i)} < $i"))
+    // at n=1830, w=1024 the expected overcount is ~2/row; bound loosely
+    assert((1 to 60).map(i => est(i) - i).max <= 40)
+    // a never-seen key reports 0 or a small collision artifact
+    val unseen = Cms.lookup(sk, Seq("no-such-key").toDF("k"), "k")
+      .first().getLong(1)
+    assert(unseen <= 40)
+    // merge of disjoint halves equals the direct sketch exactly
+    val (a, b) = rows.splitAt(900)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("r", "c").collect().toSeq
+    assert(canon(Cms.merge(Cms.sketch(a.toDF("k"), "k"),
+      Cms.sketch(b.toDF("k"), "k"))) == canon(sk))
+  }
 }
