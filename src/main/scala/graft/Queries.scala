@@ -2820,6 +2820,43 @@ object Queries {
         ORDER BY p.user_id"""),
       bench = true),
 
+    "q105_kmv_intersections" -> Q(
+      // KMV theta-sketch set algebra: distinct-user union AND intersection
+      // estimates for every event-type pair, computed from k=64-minimum
+      // portable-hash sketches — never a pairwise exact-distinct pass over
+      // raw events. HLL (q93) can only union; this is the sketch that
+      // answers audience-overlap questions at 100 TB. The estimate
+      // arithmetic is integer up to two fixed-shape divisions (snapped to
+      // 4 decimals), so the oracle hash-matches exactly; the exact
+      // intersection rides along as the error audit.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("event_type").as("g"), col("user_id").as("key"))
+        val est = Kmv.intersectEstimates(Kmv.sketch(ev, "g", "key"), "g")
+        val ex = ev.distinct()
+        val exi = ex.as("a").join(ex.as("b"),
+            col("a.key") === col("b.key") && col("a.g") < col("b.g"))
+          .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+          .agg(count(lit(1)).as("n_inter_exact"))
+        est.join(exi, Seq("g_a", "g_b"), "left")
+          .select(col("g_a"), col("g_b"), col("n_kept"), col("theta"),
+            col("rho"), coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+            col("kmv_union_est"), col("kmv_inter_est"))
+          .orderBy(col("g_a"), col("g_b"))
+      },
+      oracle = Some(s"""
+        WITH ${Kmv.sqlCtes("SELECT event_type AS g, user_id AS key FROM events")},
+        ex AS (SELECT DISTINCT event_type AS g, user_id AS key FROM events),
+        exi AS (
+          SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter_exact
+          FROM ex a JOIN ex b ON a.key = b.key AND a.g < b.g
+          GROUP BY 1, 2)
+        SELECT e.g_a, e.g_b, e.n_kept, e.theta, e.rho,
+          CAST(coalesce(x.n_inter_exact, 0) AS BIGINT) AS n_inter_exact,
+          e.kmv_union_est, e.kmv_inter_est
+        FROM kmv_est e LEFT JOIN exi x ON e.g_a = x.g_a AND e.g_b = x.g_b
+        ORDER BY e.g_a, e.g_b""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -648,4 +648,31 @@ class OperatorsSpec extends SparkSpec {
     assert(canon(Cms.merge(Cms.sketch(a.toDF("k"), "k"),
       Cms.sketch(b.toDF("k"), "k"))) == canon(sk))
   }
+
+  test("Kmv: small sets estimate exactly, large sets within error bound") {
+    // small regime: every set below k=64 distinct -> the sketch IS the
+    // set and union/intersection estimates are EXACT counts
+    val small = ((1 to 40).map(i => ("a", i)) ++ (21 to 50).map(i => ("b", i)))
+      .toDF("g", "key")
+    val rSmall = Kmv.intersectEstimates(Kmv.sketch(small, "g", "key"), "g")
+      .collect().head
+    assert(rSmall.getAs[Long]("n_kept") == 50L)        // |A u B| = 50 < k
+    assert(rSmall.getAs[Double]("kmv_union_est") == 50.0)
+    assert(rSmall.getAs[Double]("kmv_inter_est") == 20.0)
+    // duplicate occurrences never change a distinct-value sketch
+    val dup = small.unionByName(small)
+    assert(Kmv.sketch(dup, "g", "key").orderBy("g", "h").collect().toSeq ==
+      Kmv.sketch(small, "g", "key").orderBy("g", "h").collect().toSeq)
+    // large regime: 2000-element sets with a 1000-element overlap
+    val big = ((1 to 2000).map(i => ("a", i)) ++
+      (1001 to 3000).map(i => ("b", i))).toDF("g", "key")
+    val rBig = Kmv.intersectEstimates(Kmv.sketch(big, "g", "key"), "g")
+      .collect().head
+    assert(rBig.getAs[Long]("n_kept") == 64L)
+    val u = rBig.getAs[Double]("kmv_union_est")
+    val i = rBig.getAs[Double]("kmv_inter_est")
+    // standard error ~1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert(math.abs(u - 3000.0) / 3000.0 < 0.4, s"union est $u")
+    assert(math.abs(i - 1000.0) / 1000.0 < 0.6, s"inter est $i")
+  }
 }
