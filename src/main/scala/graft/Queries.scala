@@ -2857,6 +2857,66 @@ object Queries {
         FROM kmv_est e LEFT JOIN exi x ON e.g_a = x.g_a AND e.g_b = x.g_b
         ORDER BY e.g_a, e.g_b""")),
 
+    "q106_cohort_retention" -> Q(
+      // Weekly cohort-retention triangle: users cohorted by first-seen
+      // week, counted distinct per (cohort, weeks-since) cell. Integer
+      // counts + one division per cell; Monday-truncated weeks and
+      // day-diff/7 offsets are identical across engines.
+      build = (s, dir) =>
+        Cohorts.weeklyRetention(table(s, dir, "events"), "user_id", "ts")
+          .orderBy(col("cohort_week"), col("week_offset")),
+      oracle = Some(s"""
+        WITH ${Cohorts.sqlCtes("SELECT user_id AS u, ts FROM events")}
+        SELECT cohort_week, week_offset, n_active, cohort_size,
+          retention_pct
+        FROM cohort_ret
+        ORDER BY cohort_week, week_offset""")),
+
+    "q107_markov_transitions" -> Q(
+      // First-order Markov transition matrix of event types per user
+      // stream (ties on ts broken by event_id): behavioral modeling /
+      // anomalous-journey detection. Counts exact; probabilities are one
+      // division each, snapped to 8 decimals.
+      build = (s, dir) =>
+        Sequences.transitions(table(s, dir, "events"),
+            "user_id", "ts", "event_id", "event_type")
+          .orderBy(col("from_tok"), col("to_tok")),
+      oracle = Some(s"""
+        WITH ${Sequences.sqlTransitionsCtes(
+          "SELECT user_id AS g, ts, event_id AS id, event_type AS tok FROM events")}
+        SELECT from_tok, to_tok, n, n_from, p FROM seq_trans
+        ORDER BY from_tok, to_tok""")),
+
+    "q108_session_paths" -> Q(
+      // Top-20 session journey paths: gap-bounded sessions (same 30-min
+      // sessionizer as q18), each session's ordered event types joined
+      // into a path string, heaviest paths first with a total tie-break —
+      // funnel discovery without pre-declared stages.
+      build = (s, dir) =>
+        Sequences.topPaths(table(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type",
+          gapSeconds = 1800L, k = 20),
+      oracle = Some("""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts, event_type,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        numbered AS (
+          SELECT user_id, ts, event_id, event_type,
+            sum(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM lagged),
+        paths AS (
+          SELECT user_id, session_seq,
+            string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM numbered GROUP BY user_id, session_seq)
+        SELECT path, count(*) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -675,4 +675,62 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(u - 3000.0) / 3000.0 < 0.4, s"union est $u")
     assert(math.abs(i - 1000.0) / 1000.0 < 0.6, s"inter est $i")
   }
+
+  test("Cohorts.weeklyRetention: hand-computed triangle, week-boundary users") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // cohort 2024-01-01 (Mon): u1 active wk0+wk1, u2 active wk0 only.
+    // cohort 2024-01-08: u3 active wk0+wk2. Sunday 23:59 stays in-week.
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00")), (1L, t("2024-01-07 23:59:59")),
+      (1L, t("2024-01-10 09:00:00")),
+      (2L, t("2024-01-03 08:00:00")),
+      (3L, t("2024-01-08 00:00:00")), (3L, t("2024-01-22 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Cohorts.weeklyRetention(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),
+      ("2024-01-01", 1, 1L, 2L, 0.5),
+      ("2024-01-08", 0, 1L, 1L, 1.0),
+      ("2024-01-08", 2, 1L, 1L, 1.0)))
+  }
+
+  test("Sequences: transition matrix row-normalizes; topPaths orders within session") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // u1: a->b->a; u2: a->b. Transitions: a->b x2, b->a x1.
+    val ev = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, t("2024-01-01 00:01:00"), 2L, "b"),
+      (1L, t("2024-01-01 00:02:00"), 3L, "a"),
+      (2L, t("2024-01-01 00:00:00"), 4L, "a"),
+      (2L, t("2024-01-01 00:05:00"), 5L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val tr = Sequences.transitions(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_tok", "to_tok").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(tr.toSeq == Seq(("a", "b", 2L, 2L, 1.0), ("b", "a", 1L, 1L, 1.0)))
+    // timestamp tie broken by event_id: ids 6,7 share a ts -> c before d
+    val tied = ev.unionByName(Seq(
+      (3L, t("2024-01-01 00:00:00"), 6L, "c"),
+      (3L, t("2024-01-01 00:00:00"), 7L, "d")
+    ).toDF("user_id", "ts", "event_id", "event_type"))
+    val paths = Sequences.topPaths(tied, "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 1800L, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(paths.toSeq == Seq(("a>b", 1L), ("a>b>a", 1L), ("c>d", 1L)))
+    // a gap beyond the threshold splits the session -> two paths
+    val gapped = Seq(
+      (9L, t("2024-01-01 00:00:00"), 8L, "x"),
+      (9L, t("2024-01-01 02:00:00"), 9L, "y")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val p2 = Sequences.topPaths(gapped, "user_id", "ts", "event_id",
+      "event_type", gapSeconds = 1800L, k = 10).collect()
+      .map(_.getString(0)).sorted
+    assert(p2.toSeq == Seq("x", "y"))
+  }
 }
