@@ -2917,6 +2917,62 @@ object Queries {
         FROM paths GROUP BY path
         ORDER BY n_sessions DESC, path LIMIT 20""")),
 
+    "q109_grouped_pearson" -> Q(
+      // Per-nation Pearson correlation (does customer balance track order
+      // value?) on exact-decimal moments — `corr` semantics rebuilt
+      // combine-order-independent, same machinery as q100's OLS. Star
+      // join streams the fact side; dims broadcast.
+      build = (s, dir) => {
+        val j = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(table(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+        Trend.groupedPearson(j, Seq("n_name"), "c_acctbal", "o_totalprice")
+          .orderBy(col("n_name"))
+      },
+      oracle = Some(s"""
+        WITH ${Trend.sqlPearsonCtes(
+          "orders JOIN customer ON o_custkey = c_custkey " +
+            "JOIN nation ON c_nationkey = n_nationkey",
+          "n_name", "c_acctbal", "o_totalprice")}
+        SELECT g AS n_name, n, r FROM corr_g ORDER BY n_name""")),
+
+    "q110_key_skew_audit" -> Q(
+      // Join-key skew pre-flight over the schema's real join keys: per-key
+      // count distribution (exact type-7 p50/p99, max, hottest-key share,
+      // max/avg skew ratio). This is the audit that decides salting /
+      // AQE skew handling BEFORE the 100 TB shuffle runs.
+      build = (s, dir) =>
+        Profiling.keySkew(table(s, dir, "lineitem"), "l_orderkey",
+            "lineitem.l_orderkey")
+          .unionByName(Profiling.keySkew(table(s, dir, "orders"),
+            "o_custkey", "orders.o_custkey"))
+          .unionByName(Profiling.keySkew(table(s, dir, "events"),
+            "user_id", "events.user_id"))
+          .unionByName(Profiling.keySkew(table(s, dir, "documents"),
+            "lang", "documents.lang"))
+          .orderBy(col("audit")),
+      oracle = Some(s"""
+        SELECT * FROM (
+          ${Profiling.sqlKeySkew("lineitem.l_orderkey", "lineitem", "l_orderkey")}
+          UNION ALL
+          ${Profiling.sqlKeySkew("orders.o_custkey", "orders", "o_custkey")}
+          UNION ALL
+          ${Profiling.sqlKeySkew("events.user_id", "events", "user_id")}
+          UNION ALL
+          ${Profiling.sqlKeySkew("documents.lang", "documents", "lang")}
+        ) ORDER BY audit""")),
+
+    "q111_chi_square" -> Q(
+      // Chi-square independence + Cramér's V for documents lang × source
+      // (is one source feeding all of one language?). Contingency cells
+      // and margins are exact integers over a bounded |A|x|B| frame; the
+      // chi2 total is an order-independent exact-decimal sum.
+      build = (s, dir) =>
+        Contingency.chiSquare(table(s, dir, "documents"), "lang", "source"),
+      oracle = Some(Contingency.sqlChiSquare("documents", "lang", "source"))),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -142,6 +142,46 @@ object Profiling {
       .orderBy(col("col_name"))
   }
 
+  /** Join-key skew audit — the pre-flight check that decides whether a
+    * join needs [[SkewJoin]] salting or AQE skew handling BEFORE a 100 TB
+    * shuffle discovers the hot key the hard way. One row per audited key:
+    * row/key totals, the per-key count distribution (exact type-7 p50/p99
+    * + max), the hottest key's share of all rows, and skew_ratio =
+    * max/avg (1.0 = perfectly uniform). Shape: one keyed count, then one
+    * aggregation over the #keys-row counts frame — NULL keys count as a
+    * key, exactly as a shuffle hashes them. */
+  def keySkew(df: DataFrame, keyCol: String, label: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        expr("percentile(cnt, 0.5D)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99D)").as("p99_cnt"),
+        max(col("cnt")).as("max_cnt"))
+      .select(lit(label).as("audit"), col("n_rows"), col("n_keys"),
+        round(col("n_rows").cast("double") / col("n_keys").cast("double"), 8)
+          .as("avg_cnt"),
+        col("p50_cnt"), col("p99_cnt"), col("max_cnt"),
+        round(col("max_cnt").cast("double") / col("n_rows").cast("double"), 8)
+          .as("top1_share"),
+        round(col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 8).as("skew_ratio"))
+
+  /** DuckDB mirror of [[keySkew]]: one SELECT over `tbl` grouped by
+    * `keySql`. */
+  def sqlKeySkew(label: String, tbl: String, keySql: String): String = s"""
+    SELECT '$label' AS audit,
+      CAST(sum(cnt) AS BIGINT) AS n_rows,
+      count(*) AS n_keys,
+      round(CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE), 8) AS avg_cnt,
+      quantile_cont(cnt, 0.5) AS p50_cnt,
+      quantile_cont(cnt, 0.99) AS p99_cnt,
+      max(cnt) AS max_cnt,
+      round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 8) AS top1_share,
+      round(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        / CAST(sum(cnt) AS DOUBLE), 8) AS skew_ratio
+    FROM (SELECT count(*) AS cnt FROM $tbl GROUP BY $keySql)"""
+
   /** Robust per-group outlier audit via MAD (median absolute deviation) —
     * the outlier gate that, unlike mean±kσ, is not dragged by the
     * outliers it is trying to find (50% breakdown point vs 0; Hampel '74,

@@ -60,6 +60,72 @@ object Trend {
       .select(grp :+ col("n") :+ col("slope") :+ col("intercept"): _*)
   }
 
+  /** Per-group Pearson correlation between two measure columns, on the
+    * same exact-decimal moment machinery as [[groupedLinearFit]] (both
+    * measures snapped to 2 decimals; five exact sums; floats only in the
+    * final covariance/variance expression, snapped to 8 decimals). Rows
+    * with a NULL in either column are excluded (pairwise-complete
+    * semantics, matching `corr`); zero variance on either side yields a
+    * NULL r. */
+  def groupedPearson(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val grp = groupCols.map(col)
+    val x = dec(col(xCol))
+    val y = dec(col(yCol))
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(grp :+ x.as("x") :+ y.as("y"): _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(20,2)").as("sx"),
+        sum(col("y")).cast("decimal(20,2)").as("sy"),
+        sum(col("x") * col("x")).cast("decimal(30,4)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(30,4)").as("syy"),
+        sum(col("x") * col("y")).cast("decimal(30,4)").as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg
+      .withColumn("r",
+        when(vx > 0.0 && vy > 0.0, round(cov / (sqrt(vx) * sqrt(vy)), 8)))
+      .select(grp :+ col("n") :+ col("r"): _*)
+  }
+
+  /** DuckDB mirror of [[groupedPearson]] over `tbl`: emits CTE `corr_g`
+    * (g, n, r). Decimal casts are declared width 19 so DuckDB multiplies
+    * in int128 (see Stable.sqlDsumsq for the width cliff). */
+  def sqlPearsonCtes(tbl: String, gSql: String, xSql: String,
+      ySql: String): String = {
+    val x = s"CAST($xSql AS DECIMAL(19,2))"
+    val y = s"CAST($ySql AS DECIMAL(19,2))"
+    val cov = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    val vx = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val vy = "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    s"""corr_m AS (
+      SELECT $gSql AS g, count(*) AS n,
+        CAST(sum($x) AS DECIMAL(20,2)) AS sx,
+        CAST(sum($y) AS DECIMAL(20,2)) AS sy,
+        CAST(sum($x * $x) AS DECIMAL(30,4)) AS sxx,
+        CAST(sum($y * $y) AS DECIMAL(30,4)) AS syy,
+        CAST(sum($x * $y) AS DECIMAL(30,4)) AS sxy
+      FROM $tbl
+      WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL
+      GROUP BY 1),
+    corr_g AS (
+      SELECT g, n,
+        CASE WHEN ($vx) > 0.0 AND ($vy) > 0.0 THEN
+          round(($cov) / (sqrt($vx) * sqrt($vy)), 8)
+        END AS r
+      FROM corr_m)"""
+  }
+
   /** DuckDB mirror of [[groupedLinearFit]] over `tbl`: emits CTE `ols_g`
     * (g, n, slope, intercept). */
   def sqlFitCtes(tbl: String, gSql: String, xSql: String, ySql: String): String =

@@ -733,4 +733,61 @@ class OperatorsSpec extends SparkSpec {
       .map(_.getString(0)).sorted
     assert(p2.toSeq == Seq("x", "y"))
   }
+
+  test("Trend.groupedPearson: exact +1/-1 lines, NULL variance, NULL rows dropped") {
+    val df = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("down", 1.0, 30.0), ("down", 2.0, 20.0), ("down", 3.0, 10.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0)
+    ).toDF("g", "x", "y")
+    val r = Trend.groupedPearson(df, Seq("g"), "x", "y").collect()
+      .map(row => row.getString(0) ->
+        (row.getLong(1), Option(row.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(r("up") == ((3L, Some(1.0))))
+    assert(r("down") == ((3L, Some(-1.0))))
+    assert(r("flat") == ((3L, None)))        // zero y-variance -> NULL
+    // a NULL in either column drops the row (pairwise-complete, like corr)
+    val withNull = df.unionByName(
+      Seq(("up", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(99.0)))
+        .toDF("g", "x", "y"))
+    assert(Trend.groupedPearson(withNull, Seq("g"), "x", "y")
+      .filter($"g" === "up").head().getLong(1) == 3L)
+  }
+
+  test("Profiling.keySkew: uniform vs hot-key distributions") {
+    val uniform = (1 to 100).map(i => i % 10).toDF("k")  // 10 keys x 10
+    val u = Profiling.keySkew(uniform, "k", "u").head()
+    assert(u.getAs[Long]("n_rows") == 100 && u.getAs[Long]("n_keys") == 10)
+    assert(u.getAs[Double]("skew_ratio") == 1.0)
+    assert(u.getAs[Double]("top1_share") == 0.1)
+    // one key holds 91 of 100 rows
+    val hot = (Seq.fill(91)(1) ++ (2 to 10)).toDF("k")
+    val h = Profiling.keySkew(hot, "k", "h").head()
+    assert(h.getAs[Long]("max_cnt") == 91 && h.getAs[Double]("top1_share") == 0.91)
+    assert(h.getAs[Double]("skew_ratio") == 9.1)
+    // NULL keys are a key like any other (a shuffle hashes them too)
+    val withNull = Seq[Integer](1, 1, null, null, null).toDF("k")
+    assert(Profiling.keySkew(withNull, "k", "n").head()
+      .getAs[Long]("n_keys") == 2)
+  }
+
+  test("Contingency.chiSquare: independent and dependent hand-checked tables") {
+    // perfectly independent 2x2: chi2 = 0, V = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val ri = Contingency.chiSquare(ind, "u", "v").head()
+    assert(ri.getAs[Double]("chi2") == 0.0)
+    assert(ri.getAs[Double]("cramers_v") == 0.0)
+    assert(ri.getAs[Long]("dof") == 1L)
+    // perfectly dependent 2x2 (n=4): chi2 = n = 4, V = 1
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val rd = Contingency.chiSquare(dep, "u", "v").head()
+    assert(rd.getAs[Double]("chi2") == 4.0)
+    assert(rd.getAs[Double]("cramers_v") == 1.0)
+    // degenerate 1xk: dof 0, NULL V, chi2 0
+    val deg = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
+    val rg = Contingency.chiSquare(deg, "u", "v").head()
+    assert(rg.getAs[Long]("dof") == 0L && rg.isNullAt(rg.fieldIndex("cramers_v")))
+  }
 }
