@@ -2973,6 +2973,44 @@ object Queries {
         Contingency.chiSquare(table(s, dir, "documents"), "lang", "source"),
       oracle = Some(Contingency.sqlChiSquare("documents", "lang", "source"))),
 
+    "q112_welch_ab" -> Q(
+      // Per-priority Welch two-sample test: does order value differ
+      // between finished (F) and open (O/P) orders? One conditional-
+      // moment aggregation pass; exact-decimal sums, fixed-shape double
+      // statistic snapped to 6 decimals.
+      build = (s, dir) =>
+        Hypothesis.welchTwoSample(
+            table(s, dir, "orders")
+              .withColumn("is_f", col("o_orderstatus") === "F"),
+            Seq("o_orderpriority"), "o_totalprice", "is_f")
+          .orderBy(col("o_orderpriority")),
+      oracle = Some(s"""
+        WITH ${Hypothesis.sqlWelchCtes("orders", "o_orderpriority",
+          "o_totalprice", "o_orderstatus = 'F'")}
+        SELECT g AS o_orderpriority, n_a, n_b, mean_a, mean_b, welch_z
+        FROM welch_g ORDER BY o_orderpriority""")),
+
+    "q113_hash_reservoir" -> Q(
+      // Exactly-5-per-language deterministic sample: rows ranked inside
+      // each group by the portable hash of their unique id — the
+      // reproducible per-group eyeball sample (TABLESAMPLE/rand() cannot
+      // give you the same rows twice). Window top-k per group; output
+      // bounded by #groups * k.
+      build = (s, dir) =>
+        Sampling.hashReservoir(
+            table(s, dir, "documents").select(col("doc_id"), col("lang")),
+            "lang", "doc_id", k = 5)
+          .orderBy(col("lang"), col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ${TextHash.sqlMd5Bits60("CAST(doc_id AS VARCHAR)")},
+              doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 5
+        ORDER BY lang, doc_id""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -46,6 +46,27 @@ object Sampling {
   def sqlHashBucket(expr: String, buckets: Int): String =
     s"(${TextHash.sqlMd5Bits60(s"CAST($expr AS VARCHAR)")} % $buckets)"
 
+  /** Exactly-k-per-group deterministic uniform sample ("hash reservoir"):
+    * rank rows inside each group by the portable hash of their key and
+    * keep the k smallest. Because the hash is a pure function of the key,
+    * the selected set is stable across runs, partitionings, and engines —
+    * a reproducible `GROUP BY ... LIMIT k` sample, which `TABLESAMPLE`
+    * and `rand()` fundamentally are not. Requires `keyCol` unique per row
+    * (use the row's natural id); the hash tie-breaks on the key itself so
+    * the rank is total.
+    *
+    * Scale shape: one window top-k per group — Spark sorts within group
+    * partitions only; the output is bounded by #groups·k. */
+  def hashReservoir(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(TextHash.md5Bits60(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Domain-balanced downsampling: deterministically thin every group to
     * ≈ the smallest group's size — the mixture-rebalancing step of a
     * training-data pipeline (a dominant domain would otherwise swamp the

@@ -790,4 +790,40 @@ class OperatorsSpec extends SparkSpec {
     val rg = Contingency.chiSquare(deg, "u", "v").head()
     assert(rg.getAs[Long]("dof") == 0L && rg.isNullAt(rg.fieldIndex("cramers_v")))
   }
+
+  test("Hypothesis.welchTwoSample: hand-computed z, degenerate arms NULL") {
+    // arm A = {10, 12, 14} (mean 12, var 4), arm B = {1, 3} (mean 2, var 2)
+    // se2 = 4/3 + 2/2 = 7/3; z = 10 / sqrt(7/3) = 6.546537
+    val df = Seq(
+      ("g", 10.0, true), ("g", 12.0, true), ("g", 14.0, true),
+      ("g", 1.0, false), ("g", 3.0, false)
+    ).toDF("g", "v", "f")
+    val r = Hypothesis.welchTwoSample(df, Seq("g"), "v", "f").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 12.0 && r.getAs[Double]("mean_b") == 2.0)
+    assert(math.abs(r.getAs[Double]("welch_z") - 6.546537) < 1e-6)
+    // a single-row arm cannot have a variance -> NULL z, means still real
+    val thin = Seq(("g", 5.0, true), ("g", 7.0, false)).toDF("g", "v", "f")
+    val rt = Hypothesis.welchTwoSample(thin, Seq("g"), "v", "f").head()
+    assert(rt.isNullAt(rt.fieldIndex("welch_z")))
+    // identical constant arms: se2 = 0 -> NULL, not a division blowup
+    val const = Seq(("g", 5.0, true), ("g", 5.0, true),
+      ("g", 5.0, false), ("g", 5.0, false)).toDF("g", "v", "f")
+    val rc = Hypothesis.welchTwoSample(const, Seq("g"), "v", "f").head()
+    assert(rc.isNullAt(rc.fieldIndex("welch_z")))
+  }
+
+  test("Sampling.hashReservoir: exactly k per group, layout-invariant") {
+    val df = (1 to 200).map(i => (s"g${i % 4}", i)).toDF("g", "id")
+    val got = Sampling.hashReservoir(df, "g", "id", 5)
+    val byG = got.collect().map(r => r.getString(0)).groupBy(identity)
+    assert(byG.values.forall(_.length == 5) && byG.size == 4)
+    // repartitioning must select the IDENTICAL rows
+    val re = Sampling.hashReservoir(df.repartition(7), "g", "id", 5)
+    assert(got.orderBy("g", "id").collect().toSeq ==
+      re.orderBy("g", "id").collect().toSeq)
+    // k larger than the group keeps the whole group
+    val tiny = Seq(("a", 1), ("a", 2)).toDF("g", "id")
+    assert(Sampling.hashReservoir(tiny, "g", "id", 5).count() == 2)
+  }
 }
