@@ -3011,6 +3011,46 @@ object Queries {
         WHERE rn <= 5
         ORDER BY lang, doc_id""")),
 
+    "q114_zipf_audit" -> Q(
+      // Corpus power-law (Zipf) audit: OLS fit of ln(frequency) on
+      // ln(rank) over the top-1000 terms — natural-text corpora fit a
+      // slope near -1; synthetic or template-heavy corpora don't, which
+      // makes the fit a cheap corpus-health signal. Top-k cut is total
+      // (count desc, term asc); the global rank window runs on the
+      // BOUNDED top-k frame, never the vocabulary. ln snapped to 8
+      // decimals before the exact-decimal moment accumulation (same
+      // convention as q92's PMI).
+      build = (s, dir) => {
+        val terms = table(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        val top = terms.orderBy(col("cnt").desc, col("w")).limit(1000)
+        val ranked = top.withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w"))))
+        val xy = ranked.select(lit("corpus").as("scope"),
+          log(col("rank").cast("double")).as("ln_rank"),
+          log(col("cnt").cast("double")).as("ln_cnt"))
+        Trend.fitContinuousXY(xy, Seq("scope"), "ln_rank", "ln_cnt")
+      },
+      oracle = Some(s"""
+        WITH terms AS (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents)
+          GROUP BY w),
+        topk AS (
+          SELECT w, cnt FROM terms ORDER BY cnt DESC, w LIMIT 1000),
+        ranked AS (
+          SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+          FROM topk),
+        xy AS (
+          SELECT 'corpus' AS scope,
+            ln(CAST(rank AS DOUBLE)) AS ln_rank,
+            ln(CAST(cnt AS DOUBLE)) AS ln_cnt
+          FROM ranked),
+        ${Trend.sqlFitContinuousCtes("xy", "scope", "ln_rank", "ln_cnt")}
+        SELECT g AS scope, n, slope, intercept, r FROM fit_g""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

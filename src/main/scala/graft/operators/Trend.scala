@@ -60,6 +60,81 @@ object Trend {
       .select(grp :+ col("n") :+ col("slope") :+ col("intercept"): _*)
   }
 
+  /** Per-group OLS fit AND correlation for CONTINUOUS regressors (log-log
+    * power-law fits, scatter trends) — [[groupedLinearFit]] requires an
+    * integer x; here both coordinates are snapped to 8 exact decimals
+    * (|x|,|y| < 10^6) and the six moments accumulate exactly in decimal,
+    * so slope/intercept/r are combine-order-independent. Floats appear
+    * only in the final fixed-shape expressions (slope/r snapped to 8
+    * decimals, intercept 6). */
+  def fitContinuousXY(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    val grp = groupCols.map(col)
+    val x = round(col(xCol), 8).cast("decimal(14,8)")
+    val y = round(col(yCol), 8).cast("decimal(14,8)")
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(grp :+ x.as("x") :+ y.as("y"): _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(24,8)").as("sx"),
+        sum(col("y")).cast("decimal(24,8)").as("sy"),
+        sum(col("x") * col("x")).cast("decimal(38,16)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,16)").as("syy"),
+        sum(col("x") * col("y")).cast("decimal(38,16)").as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    agg
+      .withColumn("slope", when(vx =!= 0.0, round(cov / vx, 8)))
+      .withColumn("intercept", round(
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / nD, 6))
+      .withColumn("r",
+        when(vx > 0.0 && vy > 0.0, round(cov / (sqrt(vx) * sqrt(vy)), 8)))
+      .select(grp ++ Seq(col("n"), col("slope"), col("intercept"),
+        col("r")): _*)
+  }
+
+  /** DuckDB mirror of [[fitContinuousXY]] over `tbl`: emits CTE `fit_g`
+    * (g, n, slope, intercept, r). Width-15 casts force DuckDB's int128
+    * multiply (see Stable.sqlDsumsq for the storage-width cliff). */
+  def sqlFitContinuousCtes(tbl: String, gSql: String, xSql: String,
+      ySql: String): String = {
+    val x = s"CAST(round($xSql, 8) AS DECIMAL(15,8))"
+    val y = s"CAST(round($ySql, 8) AS DECIMAL(15,8))"
+    val cov = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    val vx = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    val vy = "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    val slope = s"CASE WHEN ($vx) <> 0.0 THEN round(($cov) / ($vx), 8) END"
+    s"""fit_m AS (
+      SELECT $gSql AS g, count(*) AS n,
+        CAST(sum($x) AS DECIMAL(24,8)) AS sx,
+        CAST(sum($y) AS DECIMAL(24,8)) AS sy,
+        CAST(sum($x * $x) AS DECIMAL(38,16)) AS sxx,
+        CAST(sum($y * $y) AS DECIMAL(38,16)) AS syy,
+        CAST(sum($x * $y) AS DECIMAL(38,16)) AS sxy
+      FROM $tbl
+      WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL
+      GROUP BY 1),
+    fit_g AS (
+      SELECT g, n,
+        $slope AS slope,
+        round((CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE), 6) AS intercept,
+        CASE WHEN ($vx) > 0.0 AND ($vy) > 0.0 THEN
+          round(($cov) / (sqrt($vx) * sqrt($vy)), 8)
+        END AS r
+      FROM fit_m)"""
+  }
+
   /** Per-group Pearson correlation between two measure columns, on the
     * same exact-decimal moment machinery as [[groupedLinearFit]] (both
     * measures snapped to 2 decimals; five exact sums; floats only in the

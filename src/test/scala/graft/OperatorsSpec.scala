@@ -826,4 +826,21 @@ class OperatorsSpec extends SparkSpec {
     val tiny = Seq(("a", 1), ("a", 2)).toDF("g", "id")
     assert(Sampling.hashReservoir(tiny, "g", "id", 5).count() == 2)
   }
+
+  test("Trend.fitContinuousXY: exact line recovery, r = ±1, zero variance NULL") {
+    val line = (1 to 10).map(i => ("l", i * 0.5, 2.0 * (i * 0.5) + 1.0))
+      .toDF("g", "x", "y")
+    val r = Trend.fitContinuousXY(line, Seq("g"), "x", "y").head()
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r") == 1.0)
+    val anti = (1 to 10).map(i => ("a", i * 1.0, -3.0 * i + 4.0))
+      .toDF("g", "x", "y")
+    val ra = Trend.fitContinuousXY(anti, Seq("g"), "x", "y").head()
+    assert(ra.getAs[Double]("slope") == -3.0 && ra.getAs[Double]("r") == -1.0)
+    // constant x: no fit
+    val const = Seq(("c", 1.0, 1.0), ("c", 1.0, 2.0)).toDF("g", "x", "y")
+    val rc = Trend.fitContinuousXY(const, Seq("g"), "x", "y").head()
+    assert(rc.isNullAt(rc.fieldIndex("slope")) && rc.isNullAt(rc.fieldIndex("r")))
+  }
 }
