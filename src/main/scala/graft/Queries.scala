@@ -3051,6 +3051,29 @@ object Queries {
         ${Trend.sqlFitContinuousCtes("xy", "scope", "ln_rank", "ln_cnt")}
         SELECT g AS scope, n, slope, intercept, r FROM fit_g""")),
 
+    "q115_triangle_count" -> Q(
+      // Triangle count + clustering coefficient of the part-co-purchase
+      // graph (parts are adjacent if some order contains both): degree-
+      // oriented wedge join, so hub parts never explode the join. The
+      // oracle counts the same triangles via the canonical a<b<c 3-way
+      // self-join — count equality proves the orientation enumerated
+      // every triangle exactly once.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .distinct()
+        Triangles.metrics(edges)
+      },
+      oracle = Some(s"""
+        WITH tri_edges AS (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        ${Triangles.sqlMetrics.trim.stripPrefix("WITH").trim}""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -843,4 +843,33 @@ class OperatorsSpec extends SparkSpec {
     val rc = Trend.fitContinuousXY(const, Seq("g"), "x", "y").head()
     assert(rc.isNullAt(rc.fieldIndex("slope")) && rc.isNullAt(rc.fieldIndex("r")))
   }
+
+  test("Triangles.metrics: known graphs and brute-force equality") {
+    def m(edges: Seq[(Int, Int)]) =
+      Triangles.metrics(edges.toDF("a", "b")).head()
+    // single triangle: 3 wedges, clustering 1
+    val tri = m(Seq((1, 2), (2, 3), (1, 3)))
+    assert(tri.getAs[Long]("n_triangles") == 1L)
+    assert(tri.getAs[Long]("n_wedges") == 3L)
+    assert(tri.getAs[Double]("clustering") == 1.0)
+    // path 1-2-3: one wedge, no triangle
+    val path = m(Seq((1, 2), (2, 3)))
+    assert(path.getAs[Long]("n_triangles") == 0L)
+    assert(path.getAs[Double]("clustering") == 0.0)
+    // K4: 4 triangles, 12 wedges
+    val k4 = m(Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)))
+    assert(k4.getAs[Long]("n_triangles") == 4L)
+    assert(k4.getAs[Long]("n_wedges") == 12L)
+    // star hub (worst case for naive orientation): zero triangles
+    val star = m((2 to 30).map(i => (1, i)))
+    assert(star.getAs[Long]("n_triangles") == 0L)
+    // random-ish graph vs the canonical a<b<c brute-force 3-join
+    val rnd = (for (i <- 1 to 30; j <- i + 1 to 30
+      if (i * 31 + j * 17) % 5 == 0) yield (i, j))
+    val e = rnd.toDF("a", "b")
+    val brute = e.as("e1").join(e.as("e2"), $"e2.a" === $"e1.b")
+      .join(e.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .count()
+    assert(m(rnd).getAs[Long]("n_triangles") == brute)
+  }
 }
