@@ -3074,6 +3074,53 @@ object Queries {
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
         ${Triangles.sqlMetrics.trim.stripPrefix("WITH").trim}""")),
 
+    "q116_asof_tolerance" -> Q(
+      // Forward as-of join with tolerance (pandas merge_asof semantics):
+      // each click attributed to the NEXT purchase by the same user
+      // within 2 hours — one union+window shuffle, never a range
+      // cross-product. Ties at the same purchase timestamp resolve to the
+      // largest payload (max event_id), mirrored in the oracle.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_raw_ts"),
+            col("event_id").as("p_id"))
+        // null-free output: NaT/NaN compare as unequal in float/datetime
+        // comparators, so unmatched clicks carry sentinels on BOTH sides
+        AsOfJoin.asOfTolerance(clicks, purchases, Seq("user_id"),
+            "ts", "p_raw_ts", Seq("p_id"),
+            toleranceSeconds = 7200L, forward = true)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            coalesce(col("asof_ts"), lit("1970-01-01").cast("timestamp"))
+              .as("p_ts"),
+            coalesce(col("p_id"), lit(-1L)).as("p_id"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+          WHERE event_type = 'purchase'),
+        m AS (
+          SELECT c.event_id AS cid, min(p.p_ts) AS m_ts
+          FROM c JOIN p ON p.user_id = c.user_id
+            AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 2 HOUR
+          GROUP BY 1),
+        mp AS (
+          SELECT m.cid, m.m_ts, max(p.p_id) AS p_id
+          FROM m JOIN c ON c.event_id = m.cid
+          JOIN p ON p.user_id = c.user_id AND p.p_ts = m.m_ts
+          GROUP BY 1, 2)
+        SELECT c.event_id, c.user_id, c.ts,
+          coalesce(mp.m_ts, TIMESTAMP '1970-01-01') AS p_ts,
+          coalesce(mp.p_id, -1) AS p_id
+        FROM c LEFT JOIN mp ON mp.cid = c.event_id
+        ORDER BY c.event_id""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -51,4 +51,50 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .drop("__ts", "__side", "__payload", "__filled")
   }
+
+  /** [[asOf]] with pandas-`merge_asof` tolerance and direction: attach
+    * the NEAREST right row within `toleranceSeconds`, looking backward
+    * (`right.ts ∈ [left.ts − tol, left.ts]`) or forward
+    * (`right.ts ∈ [left.ts, left.ts + tol]`). Also emits `asof_ts` — the
+    * matched right timestamp — since bounded-staleness joins almost
+    * always need the actual lag downstream.
+    *
+    * Same one-shuffle union+window plan as [[asOf]]; `forward` simply
+    * reverses the traversal (ts DESC), so the running `last` holds the
+    * nearest FOLLOWING right row when each left row is reached. The
+    * tolerance is applied after the fill as an integer-microsecond bound
+    * — rows outside it revert to null payloads (left-join semantics).
+    * Tie policy at equal distance: the largest payload struct wins,
+    * deterministic — match `max(payload)` in any oracle. */
+  def asOfTolerance(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      toleranceSeconds: Long, forward: Boolean = false): DataFrame = {
+    require(toleranceSeconds > 0,
+      s"toleranceSeconds must be positive, got $toleranceSeconds")
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+        keyCols.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) :+
+          struct(col(rightTs).as("__rts") +: payloadCols.map(col): _*)
+            .as("__payload"): _*)
+      .filter(col("__ts").isNotNull)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(ord, col("__side"), col("__payload").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned
+      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(w))
+    val delta =
+      if (forward) unix_micros(col("__filled.__rts")) - unix_micros(col("__ts"))
+      else unix_micros(col("__ts")) - unix_micros(col("__filled.__rts"))
+    val ok = col("__filled").isNotNull && delta <= toleranceSeconds * 1000000L
+    payloadCols.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, when(ok, col(s"__filled.$c")))
+      }
+      .withColumn("asof_ts", when(ok, col("__filled.__rts")))
+      .filter(col("__side") === 1)
+      .drop("__ts", "__side", "__payload", "__filled")
+  }
 }

@@ -872,4 +872,36 @@ class OperatorsSpec extends SparkSpec {
       .count()
     assert(m(rnd).getAs[Long]("n_triangles") == brute)
   }
+
+  test("AsOfJoin.asOfTolerance: forward/backward windows, tolerance cutoff, ties") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 100L, t("2024-01-01 10:00:00")))
+      .toDF("u", "lid", "lts")
+    val right = Seq(
+      (1L, t("2024-01-01 09:30:00"), 1L),   // 30 min before
+      (1L, t("2024-01-01 10:20:00"), 2L),   // 20 min after
+      (1L, t("2024-01-01 13:00:00"), 3L)    // 3 h after
+    ).toDF("u", "rts", "rid")
+    def run(tolS: Long, fwd: Boolean) =
+      AsOfJoin.asOfTolerance(left, right, Seq("u"), "lts", "rts",
+        Seq("rid"), tolS, forward = fwd).head()
+    // backward 1h: matches the 09:30 row
+    assert(run(3600L, fwd = false).getAs[Long]("rid") == 1L)
+    // backward 10min: nothing in range -> NULL
+    assert(run(600L, fwd = false).isNullAt(3))
+    // forward 1h: nearest following = 10:20
+    assert(run(3600L, fwd = true).getAs[Long]("rid") == 2L)
+    // forward 10min: 10:20 is out of tolerance -> NULL
+    assert(run(600L, fwd = true).isNullAt(3))
+    // equal timestamps count in both directions; tie -> max payload
+    val rEq = Seq((1L, t("2024-01-01 10:00:00"), 7L),
+      (1L, t("2024-01-01 10:00:00"), 9L)).toDF("u", "rts", "rid")
+    Seq(true, false).foreach { fwd =>
+      val r = AsOfJoin.asOfTolerance(left, rEq, Seq("u"), "lts", "rts",
+        Seq("rid"), 60L, forward = fwd).head()
+      assert(r.getAs[Long]("rid") == 9L, s"fwd=$fwd")
+      assert(r.getAs[Timestamp]("asof_ts") == t("2024-01-01 10:00:00"))
+    }
+  }
 }
