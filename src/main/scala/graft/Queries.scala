@@ -3121,6 +3121,79 @@ object Queries {
         FROM c LEFT JOIN mp ON mp.cid = c.event_id
         ORDER BY c.event_id""")),
 
+    "q117_dedup_cascade" -> Q(
+      // The full dedup CASCADE a training-data pipeline actually runs —
+      // exact (byte hash) → canonical (NFC+casefold+whitespace) →
+      // near-dup (word-3-gram Jaccard ≥ 0.6, q27's operator) — with each
+      // document attributed to the FIRST stage that removed it. Each
+      // stage only processes the previous stage's survivors (the cheap
+      // stages shrink the corpus before the expensive one), which is the
+      // ordering that matters at 100 TB. Keep-first policy (min doc_id)
+      // at every stage, matching q22/q35.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val keyed = docs.select(col("doc_id"),
+          TextStats.contentKey(col("text")).as("ek"),
+          TextStats.canonicalKey(col("text")).as("ck"))
+        val keep1 = keyed.groupBy(col("ek"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val s1 = keyed.join(keep1, Seq("doc_id"), "left_semi")
+        val keep2 = s1.groupBy(col("ck"))
+          .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        val s2 = docs.join(keep2, Seq("doc_id"), "left_semi")
+        val nearRem = NearDup.jaccardPairs(s2, "doc_id", "text")
+          .select(col("id_b").as("doc_id")).distinct()
+        docs.select(col("doc_id"))
+          .join(keep1.withColumn("k1", lit(1)), Seq("doc_id"), "left")
+          .join(keep2.withColumn("k2", lit(1)), Seq("doc_id"), "left")
+          .join(nearRem.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("k1").isNull, "removed_exact")
+              .when(col("k2").isNull, "removed_canonical")
+              .when(col("nr").isNotNull, "removed_neardup")
+              .otherwise("kept").as("reason"))
+          .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("reason"))
+      },
+      oracle = Some(s"""
+        WITH keyed AS (
+          SELECT doc_id, md5(text) AS ek,
+            md5(${TextStats.sqlCanonicalText("text")}) AS ck
+          FROM documents),
+        keep1 AS (SELECT min(doc_id) AS doc_id FROM keyed GROUP BY ek),
+        s1 AS (SELECT k.* FROM keyed k JOIN keep1 USING (doc_id)),
+        keep2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY ck),
+        c_toks AS MATERIALIZED (
+          SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\\s+') AS t
+          FROM documents d JOIN keep2 USING (doc_id)),
+        c_sh AS MATERIALIZED (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM c_toks),
+        c_pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+          FROM c_sh a JOIN c_sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0),
+        nearrem AS (
+          SELECT DISTINCT id_b AS doc_id FROM c_pairs WHERE j >= 0.6),
+        verdict AS (
+          SELECT d.doc_id,
+            CASE WHEN k1.doc_id IS NULL THEN 'removed_exact'
+                 WHEN k2.doc_id IS NULL THEN 'removed_canonical'
+                 WHEN nr.doc_id IS NOT NULL THEN 'removed_neardup'
+                 ELSE 'kept' END AS reason
+          FROM documents d
+          LEFT JOIN keep1 k1 ON d.doc_id = k1.doc_id
+          LEFT JOIN keep2 k2 ON d.doc_id = k2.doc_id
+          LEFT JOIN nearrem nr ON d.doc_id = nr.doc_id)
+        SELECT reason, count(*) AS n_docs FROM verdict
+        GROUP BY reason ORDER BY reason"""),
+      bench = true),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
