@@ -3194,6 +3194,94 @@ object Queries {
         GROUP BY reason ORDER BY reason"""),
       bench = true),
 
+    "q118_conversion_times" -> Q(
+      // Time-to-convert distribution per hour-of-day: for each click with
+      // a following purchase inside 2h (q116's tolerance as-of), the
+      // exact type-7 p25/median/p75 of the conversion delay in seconds,
+      // sliced by the click's hour — the latency-percentile readout of an
+      // attribution pipeline. Delays are exact integer microseconds
+      // until one division by 1e6.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_raw_ts"),
+            col("event_id").as("p_id"))
+        AsOfJoin.asOfTolerance(clicks, purchases, Seq("user_id"),
+            "ts", "p_raw_ts", Seq("p_id"),
+            toleranceSeconds = 7200L, forward = true)
+          .filter(col("p_id").isNotNull)
+          .select(hour(col("ts")).as("click_hour"),
+            ((unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+              / lit(1000000.0)).as("delay_s"))
+          .groupBy(col("click_hour"))
+          .agg(count(lit(1)).as("n_conversions"),
+            expr("percentile(delay_s, 0.25D)").as("p25_s"),
+            expr("percentile(delay_s, 0.5D)").as("median_s"),
+            expr("percentile(delay_s, 0.75D)").as("p75_s"))
+          .orderBy(col("click_hour"))
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        p AS (
+          SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+          WHERE event_type = 'purchase'),
+        m AS (
+          SELECT c.event_id AS cid, min(p.p_ts) AS m_ts
+          FROM c JOIN p ON p.user_id = c.user_id
+            AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 2 HOUR
+          GROUP BY 1),
+        delays AS (
+          SELECT hour(c.ts) AS click_hour,
+            (epoch_us(m.m_ts) - epoch_us(c.ts)) / 1000000.0 AS delay_s
+          FROM c JOIN m ON m.cid = c.event_id)
+        SELECT click_hour, count(*) AS n_conversions,
+          quantile_cont(delay_s, 0.25) AS p25_s,
+          quantile_cont(delay_s, 0.5) AS median_s,
+          quantile_cont(delay_s, 0.75) AS p75_s
+        FROM delays GROUP BY click_hour ORDER BY click_hour""")),
+
+    "q119_pythagorean_means" -> Q(
+      // Per-source arithmetic / geometric / harmonic means of document
+      // length — the mean family rate/ratio aggregation needs (GM for
+      // multiplicative quality factors, HM for rates). ln and 1/x are
+      // per-row doubles snapped to exact decimals (8 and 14 places) so
+      // the sums are combine-order-independent; exp/division finalize,
+      // snapped to 6.
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .filter(col("n_chars") > 0)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            mavg(col("n_chars")).as("arith_mean"),
+            sum(round(log(col("n_chars").cast("double")), 8)
+              .cast("decimal(14,8)")).cast("decimal(24,8)").as("sln"),
+            sum(round(lit(1.0) / col("n_chars").cast("double"), 14)
+              .cast("decimal(16,14)")).cast("decimal(24,14)").as("sinv"))
+          .select(col("source"), col("n"), col("arith_mean"),
+            round(exp(col("sln").cast("double") / col("n").cast("double")), 6)
+              .as("geo_mean"),
+            round(col("n").cast("double") / col("sinv").cast("double"), 6)
+              .as("harm_mean"))
+          .orderBy(col("source")),
+      oracle = Some(s"""
+        SELECT source, count(*) AS n,
+          ${sqlMavg("n_chars")} AS arith_mean,
+          round(exp(CAST(CAST(sum(CAST(round(ln(CAST(n_chars AS DOUBLE)), 8)
+              AS DECIMAL(14,8))) AS DECIMAL(24,8)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)), 6) AS geo_mean,
+          round(CAST(count(*) AS DOUBLE)
+            / CAST(CAST(sum(CAST(round(1.0 / CAST(n_chars AS DOUBLE), 14)
+              AS DECIMAL(16,14))) AS DECIMAL(24,14)) AS DOUBLE), 6)
+            AS harm_mean
+        FROM documents
+        WHERE n_chars > 0
+        GROUP BY source
+        ORDER BY source""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
