@@ -3282,6 +3282,35 @@ object Queries {
         GROUP BY source
         ORDER BY source""")),
 
+    "q120_pagerank" -> Q(
+      // Integer-exact PageRank (10 rounds, damping 0.85) over the
+      // symmetrized part-co-purchase graph — top-20 most central parts.
+      // Rank mass is integer-scaled 10^12 with deterministic floor
+      // divisions, so the approximate-by-nature iterative algorithm is
+      // oracle-checked EXACTLY against a DuckDB recursive CTE running
+      // the identical integer recurrence.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst"))
+          .distinct()
+        PageRank.ranks(edges, iters = 10)
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+          .select(col("node").as("part"), col("pr"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE pr_edges AS (
+          SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey),
+        ${PageRank.sqlRanksCtes(iters = 10)}
+        SELECT node AS part, pr FROM pr_final
+        ORDER BY pr DESC, node LIMIT 20"""),
+      bench = true),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration PageRank (Page et al. '99) in EXACT integer
+  * arithmetic — node importance for derived graphs (co-purchase,
+  * citation, near-dup adjacency), reproducible bit-for-bit across
+  * engines, partitionings, and runs.
+  *
+  * Floating-point PageRank is unreproducible by construction at scale
+  * (float-sum combine order). Here rank mass is an integer scaled by
+  * 10^12, and every step is integer: contribution = `pr div outdeg`,
+  * damping = `(85 · Σcontrib) div 100`, teleport = `(15 · scale) div
+  * 100 · 1/n` — deterministic floor divisions, so the tiny mass the
+  * floors shed (≤ outdeg ulps per node per round) is shed IDENTICALLY
+  * everywhere, and a DuckDB recursive CTE reproduces the exact ranks.
+  *
+  * Requirements: edges are DIRECTED (pass both directions for an
+  * undirected graph) and every node must have at least one out-edge —
+  * true for symmetrized graphs; dangling-mass redistribution is out of
+  * scope, documented rather than silently approximated.
+  *
+  * Scale shape: the (src, dst, outdeg) frame is built and persisted
+  * ONCE; each of the `iters` rounds is one equi-join + one keyed sum —
+  * one shuffle per round, the same loop discipline as [[Components]]
+  * (persist per round, free the previous frame, no lineage growth).
+  */
+object PageRank {
+
+  val Scale = 1000000000000L // 10^12: integer rank mass
+
+  /** (node, pr) after `iters` rounds; pr is the exact integer-scaled
+    * rank (divide by [[Scale]] for the conventional value). */
+  def ranks(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val spark = edges.sparkSession
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
+    // per-node teleport mass: ((1-d)·scale) div 100 div n — a 1-row frame
+    // broadcast into every round (integer ops identical to the oracle's)
+    val baseRow = nodes.agg(count(lit(1)).as("n"))
+      .select(expr(s"CAST(${(15L * Scale) / 100L} AS BIGINT) div n").as("b"),
+        expr(s"CAST($Scale AS BIGINT) div n").as("init"))
+    var pr = nodes.crossJoin(broadcast(baseRow))
+      .select(col("node"), col("init").as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.count()
+    var i = 0
+    while (i < iters) {
+      val next = pr.as("p").join(ed.as("e"), col("p.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+          expr("p.pr div e.outdeg").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("s"))
+        .crossJoin(broadcast(baseRow))
+        .select(col("node"),
+          (col("b") + expr("(85 * s) div 100")).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      pr.unpersist(false)
+      pr = next
+      i += 1
+    }
+    ed.unpersist(false)
+    pr
+  }
+
+  /** DuckDB mirror of [[ranks]] as a recursive CTE over an edge CTE
+    * named `pr_edges` (columns src, dst). Emits CTEs up to `pr_final`
+    * (node, pr). Prepend `WITH RECURSIVE `. */
+  def sqlRanksCtes(iters: Int): String = {
+    val base = (15L * Scale) / 100L
+    s"""pr_deg AS (
+      SELECT src, count(*) AS outdeg FROM pr_edges GROUP BY src),
+    pr_ed AS (
+      SELECT e.src, e.dst, d.outdeg FROM pr_edges e JOIN pr_deg d USING (src)),
+    pr_n AS (SELECT count(*) AS n FROM pr_deg),
+    pr_it AS (
+      SELECT 0 AS it, src AS node,
+        CAST($Scale // (SELECT n FROM pr_n) AS BIGINT) AS pr
+      FROM pr_deg
+      UNION ALL
+      SELECT it + 1, node,
+        CAST(($base // (SELECT n FROM pr_n)) + (85 * s) // 100 AS BIGINT) AS pr
+      FROM (
+        SELECT p.it, e.dst AS node, sum(p.pr // e.outdeg) AS s
+        FROM pr_it p JOIN pr_ed e ON e.src = p.node
+        WHERE p.it < $iters
+        GROUP BY 1, 2)),
+    pr_final AS (
+      SELECT node, pr FROM pr_it WHERE it = $iters)"""
+  }
+}

@@ -904,4 +904,29 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getAs[Timestamp]("asof_ts") == t("2024-01-01 10:00:00"))
     }
   }
+
+  test("PageRank.ranks: symmetry, centrality ordering, layout invariance") {
+    def sym(pairs: Seq[(Int, Int)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // symmetric triangle: perfectly regular graph -> equal ranks ~ 1/3
+    val tri = PageRank.ranks(sym(Seq((1, 2), (2, 3), (1, 3))), 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tri.values.toSet.size == 1)
+    assert(math.abs(tri(1) - PageRank.Scale / 3) < PageRank.Scale / 100)
+    // star: the hub out-centralizes the leaves, leaves tie exactly
+    val star = PageRank.ranks(sym((2 to 5).map(i => (1, i))), 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((2 to 5).forall(i => star(1) > star(i)))
+    assert((2 to 5).map(star).toSet.size == 1)
+    // exact same integers at any partitioning
+    val e = sym(for (i <- 1 to 20; j <- i + 1 to 20
+      if (i * 7 + j * 13) % 4 == 0) yield (i, j))
+    val a = PageRank.ranks(e, 4).orderBy("node").collect().toSeq
+    val b = PageRank.ranks(e.repartition(9), 4).orderBy("node").collect().toSeq
+    assert(a == b)
+    // total mass stays within floor-loss of the scale
+    val total = a.map(_.getLong(1)).sum
+    assert(total <= PageRank.Scale &&
+      total > PageRank.Scale - 100L * a.size)
+  }
 }
