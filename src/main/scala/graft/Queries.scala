@@ -3311,6 +3311,43 @@ object Queries {
         ORDER BY pr DESC, node LIMIT 20"""),
       bench = true),
 
+    "q121_kl_divergence" -> Q(
+      // Per-source lexical drift: KL divergence of each source's word-
+      // unigram distribution against the whole corpus (always finite —
+      // the corpus is a superset, no smoothing constant). Integer counts,
+      // per-term p*ln(p/q) snapped to 8 decimals, exact-decimal total.
+      build = (s, dir) =>
+        Divergence.klVsCorpus(table(s, dir, "documents"), "source", "text")
+          .withColumnRenamed("g", "source")
+          .orderBy(col("source")),
+      oracle = Some(s"""
+        WITH ${Divergence.sqlKlCtes("documents", "source", "text")}
+        SELECT g AS source, n_tokens, n_terms, kl_nats
+        FROM kl_g ORDER BY source""")),
+
+    "q122_psi_drift" -> Q(
+      // Population-stability audit of order value: early era (orders
+      // before 1998) as reference deciles, late era as current — the
+      // scorecard drift gate, per-bin. Reference thresholds are exact
+      // type-7 deciles broadcast as a comparison chain; counts integer,
+      // one fixed-shape psi term per bin.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val cut = lit("1998-01-01").cast("date")
+        Divergence.psiBins(
+            o.filter(col("o_orderdate") < cut),
+            o.filter(col("o_orderdate") >= cut),
+            "o_totalprice", nBins = 10)
+          .orderBy(col("bin"))
+      },
+      oracle = Some(s"""
+        WITH ${Divergence.sqlPsiCtes(
+          "SELECT o_totalprice AS v FROM orders WHERE o_orderdate < DATE '1998-01-01'",
+          "SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= DATE '1998-01-01'",
+          nBins = 10)}
+        SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term
+        FROM psi_bins ORDER BY bin""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

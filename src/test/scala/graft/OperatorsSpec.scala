@@ -929,4 +929,29 @@ class OperatorsSpec extends SparkSpec {
     assert(total <= PageRank.Scale &&
       total > PageRank.Scale - 100L * a.size)
   }
+
+  test("Divergence: KL zero for corpus-identical groups, positive for drifted; PSI") {
+    // two groups with IDENTICAL term distributions -> corpus matches each
+    // -> KL = 0 for both
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("g", "text")
+    val kl0 = Divergence.klVsCorpus(same, "g", "text").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl_nats")).toMap
+    assert(kl0("a") == 0.0 && kl0("b") == 0.0)
+    // a drifted group diverges, the dominant one barely moves
+    val drift = Seq(("big", "x x x x x x x x y"), ("odd", "z")).toDF("g", "text")
+    val kd = Divergence.klVsCorpus(drift, "g", "text").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("kl_nats")).toMap
+    assert(kd("odd") > 1.0 && kd("odd") > kd("big") && kd("big") >= 0.0)
+    // PSI: identical distributions -> every term 0; shifted -> positive sum
+    val ref = (1 to 1000).map(_.toDouble).toDF("v")
+    val refPsi = Divergence.psiBins(ref, ref, "v", 10).collect()
+    assert(refPsi.forall(_.getAs[Double]("psi_term") == 0.0))
+    val cur = (501 to 1500).map(_.toDouble).toDF("v")
+    val terms = Divergence.psiBins(ref, cur, "v", 10).collect()
+    val psi = terms.flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Double])).sum
+    assert(psi > 0.2, s"psi $psi")  // a half-range shift must trip the gate
+    // the top bin holds half of `cur` -> it alone contributes heavily
+    val top = terms.find(_.getAs[Long]("bin") == 9L).get
+    assert(top.getAs[Long]("n_cur") > 400L)
+  }
 }
