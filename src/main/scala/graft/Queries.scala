@@ -3348,6 +3348,84 @@ object Queries {
         SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term
         FROM psi_bins ORDER BY bin""")),
 
+    "q123_burst_detection" -> Q(
+      // Burst detection: per-type events-per-hour vs the trailing-24h
+      // baseline (value-based RANGE frame, current hour excluded, ≥12
+      // hours of history required) — the rate-anomaly monitor. Raw
+      // events collapse to hour counts FIRST; the window runs over the
+      // bounded hour table. Top-50 hours by burst ratio, total
+      // tie-break on the ROUNDED ratio.
+      build = (s, dir) => {
+        val m = table(s, dir, "events")
+          .groupBy(col("event_type").as("et"),
+            date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("hrn", expr("unix_micros(hr) div 3600000000"))
+        val w = Window.partitionBy(col("et")).orderBy(col("hrn"))
+          .rangeBetween(-24, -1)
+        m.withColumn("n_prev", count(lit(1)).over(w))
+          .withColumn("avg_prev",
+            round(sum(col("cnt")).over(w).cast("double")
+              / col("n_prev").cast("double"), 8))
+          .filter(col("n_prev") >= 12)
+          .withColumn("ratio",
+            round(col("cnt").cast("double") / col("avg_prev"), 8))
+          .orderBy(col("ratio").desc, col("et"), col("hr"))
+          .limit(50)
+          .select(col("et"), col("hr"), col("cnt"), col("n_prev"),
+            col("avg_prev"), col("ratio"))
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT event_type AS et, date_trunc('hour', ts) AS hr,
+            count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        m2 AS (
+          SELECT *, epoch_us(hr) // 3600000000 AS hrn FROM m),
+        wnd AS (
+          SELECT et, hr, cnt,
+            count(*) OVER w AS n_prev,
+            round(CAST(sum(cnt) OVER w AS DOUBLE)
+              / CAST(count(*) OVER w AS DOUBLE), 8) AS avg_prev
+          FROM m2
+          WINDOW w AS (PARTITION BY et ORDER BY hrn
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        SELECT et, hr, cnt, n_prev, avg_prev,
+          round(CAST(cnt AS DOUBLE) / avg_prev, 8) AS ratio
+        FROM wnd WHERE n_prev >= 12
+        ORDER BY ratio DESC, et, hr LIMIT 50""")),
+
+    "q124_regex_battery" -> Q(
+      // Regex scalar surface over real document text: extract (first
+      // digit run, nullable normalized), count-all, replace-all (md5'd to
+      // keep the row narrow), capitalized-word extract, and rlike —
+      // Java-regex and RE2 agree on these ASCII classes by construction.
+      build = (s, dir) =>
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id"),
+            coalesce(nullif(regexp_extract(col("text"), "[0-9]+", 0),
+              lit("")), lit("none")).as("first_num"),
+            regexp_count(col("text"), lit("[0-9]+")).as("n_digit_runs"),
+            md5(regexp_replace(col("text"), "[0-9]+", "#")).as("digits_masked"),
+            coalesce(nullif(regexp_extract(col("text"), "[A-Z][a-z]+", 0),
+              lit("")), lit("none")).as("first_cap"),
+            col("text").rlike("ing ").cast("int").as("has_ing"))
+          .orderBy(col("doc_id")),
+      oracle = Some("""
+        SELECT doc_id,
+          coalesce(nullif(regexp_extract(text, '[0-9]+', 0), ''), 'none')
+            AS first_num,
+          CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)
+            AS n_digit_runs,
+          md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS digits_masked,
+          coalesce(nullif(regexp_extract(text, '[A-Z][a-z]+', 0), ''), 'none')
+            AS first_cap,
+          CAST(regexp_matches(text, 'ing ') AS INT) AS has_ing
+        FROM documents
+        WHERE doc_id % 25 = 0
+        ORDER BY doc_id""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
