@@ -3426,6 +3426,82 @@ object Queries {
         WHERE doc_id % 25 = 0
         ORDER BY doc_id""")),
 
+    "q125_grouping_sets" -> Q(
+      // Arbitrary GROUPING SETS — the general form rollup (q37) and cube
+      // (q42) specialize: region totals, region×nation detail, and the
+      // grand total in ONE pass over the star join (Spark expands sets
+      // into a single Expand+Aggregate, not three scans). Dims are
+      // NULL-free so coalesce placeholders are unambiguous.
+      build = (s, dir) => {
+        table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(table(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(table(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .createOrReplaceTempView("gs_star")
+        s.sql(s"""
+          SELECT coalesce(r_name, '(all)') AS region,
+            coalesce(n_name, '(all)') AS nation,
+            ${sqlMsum("o_totalprice")} AS revenue,
+            count(*) AS n_orders
+          FROM gs_star
+          GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+          ORDER BY region, nation""")
+      },
+      oracle = Some(s"""
+        SELECT coalesce(r_name, '(all)') AS region,
+          coalesce(n_name, '(all)') AS nation,
+          ${sqlMsum("o_totalprice")} AS revenue,
+          count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        ORDER BY region, nation""")),
+
+    "q126_seasonality" -> Q(
+      // Day-of-week seasonal index of order revenue: each dow's mean
+      // daily revenue over the global mean (index 1.0 = no seasonality).
+      // Daily totals first, then two bounded aggregations; the index is
+      // one fixed-shape division snapped to 8 decimals.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("day_rev"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        val byDow = daily.groupBy(col("dow"))
+          .agg(count(lit(1)).as("n_days"), dsum(col("day_rev")).as("dow_rev"))
+          .withColumn("dow_avg",
+            round(col("dow_rev") / col("n_days").cast("double"), 6))
+        val overall = daily.agg(
+          (dsum(col("day_rev")) / count(lit(1)).cast("double")).as("g_avg"))
+        byDow.crossJoin(broadcast(overall))
+          .select(col("dow"), col("n_days"), col("dow_avg"),
+            round(col("dow_avg") / col("g_avg"), 8).as("seasonal_index"))
+          .orderBy(col("dow"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS day_rev
+          FROM orders GROUP BY 1),
+        by_dow AS (
+          SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+            count(*) AS n_days,
+            round(${sqlDsum("day_rev")} / CAST(count(*) AS DOUBLE), 6)
+              AS dow_avg
+          FROM daily GROUP BY 1),
+        overall AS (
+          SELECT ${sqlDsum("day_rev")} / CAST(count(*) AS DOUBLE) AS g_avg
+          FROM daily)
+        SELECT dow, n_days, dow_avg,
+          round(dow_avg / g_avg, 8) AS seasonal_index
+        FROM by_dow CROSS JOIN overall
+        ORDER BY dow""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
