@@ -32,41 +32,50 @@ object PageRank {
   val Scale = 1000000000000L // 10^12: integer rank mass
 
   /** (node, pr) after `iters` rounds; pr is the exact integer-scaled
-    * rank (divide by [[Scale]] for the conventional value). */
+    * rank (divide by [[Scale]] for the conventional value). The returned
+    * frame is LAZY and reads the internal persisted edge+degree frame —
+    * it stays cached until the caller's action completes (Verify/Bench
+    * sweep persistent RDDs between queries; long-lived sessions should
+    * sweep likewise). */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
-    val spark = edges.sparkSession
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the ONLY frame the loop reads: edge list + out-degree, computed and
+    // persisted once (an upstream edge build — e.g. a co-occurrence
+    // self-join — must never be re-executed per round)
     val ed = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("node"))
-    // per-node teleport mass: ((1-d)·scale) div 100 div n — a 1-row frame
-    // broadcast into every round (integer ops identical to the oracle's)
-    val baseRow = nodes.agg(count(lit(1)).as("n"))
-      .select(expr(s"CAST(${(15L * Scale) / 100L} AS BIGINT) div n").as("b"),
-        expr(s"CAST($Scale AS BIGINT) div n").as("init"))
-    var pr = nodes.crossJoin(broadcast(baseRow))
-      .select(col("node"), col("init").as("pr"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pr.count()
+    val nodes = ed.select(col("src").as("node"), col("outdeg")).distinct()
+      .select(col("node"))
+    // n is bounded model metadata (one integer); the teleport and init
+    // masses become literals — same positive-operand floor division as
+    // the oracle's `//`
+    val n = nodes.count()
+    val init = Scale / n
+    val base = ((15L * Scale) / 100L) / n
+    // Unlike Components (whose loop body references the state frame
+    // TWICE, forcing per-round materialization), each rank frame here
+    // feeds exactly one consumer — so the rounds are left LAZY and the
+    // final action runs all of them as one pipelined job over the cached
+    // edge frame, paying per-job overhead once instead of per round. The
+    // plan grows one join per round (linear, single-reference — none of
+    // Components' exponential double-reference blowup); deep runs are
+    // still bounded by an eager localCheckpoint every 10 rounds, which
+    // truncates the lineage at a materialized block boundary.
+    var pr = nodes.select(col("node"), lit(init).as("pr"))
     var i = 0
     while (i < iters) {
-      val next = pr.as("p").join(ed.as("e"), col("p.node") === col("e.src"))
+      pr = pr.as("p").join(ed.as("e"), col("p.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           expr("p.pr div e.outdeg").as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("s"))
-        .crossJoin(broadcast(baseRow))
         .select(col("node"),
-          (col("b") + expr("(85 * s) div 100")).as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      pr.unpersist(false)
-      pr = next
+          (lit(base) + expr("(85 * s) div 100")).as("pr"))
       i += 1
+      if (i % 10 == 0 && i < iters) pr = pr.localCheckpoint(true)
     }
-    ed.unpersist(false)
     pr
   }
 
