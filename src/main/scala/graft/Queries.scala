@@ -3510,6 +3510,114 @@ object Queries {
         FROM by_dow CROSS JOIN overall
         ORDER BY dow""")),
 
+    "q127_hll_cumulative" -> Q(
+      // Cumulative distinct-users-to-date via HLL register rollup: daily
+      // sketches merge into an exact running sketch per day WITHOUT
+      // re-reading raw events — the time-travel property that justifies
+      // storing sketches at all (a year of daily sketches answers any
+      // as-of-date distinct question). The day×register triangular merge
+      // runs over the BOUNDED sketch table (days × 256 registers), never
+      // the event log; the exact cumulative count rides along as audit.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+          .select(col("ts").cast("date").as("day"),
+            col("user_id").as("key"))
+        val daily = Hll.sketch(ev, Seq("day"), "key")
+        val days = daily.select(col("day")).distinct()
+        // as-of merge: for target day D, max rho per register over all
+        // source days <= D (a bounded days x regs x days triangle)
+        val cum = days.as("g").join(daily.as("s"),
+            col("s.day") <= col("g.day"))
+          .groupBy(col("g.day").as("day"), col("s.reg").as("reg"))
+          .agg(max(col("s.rho")).as("rho"))
+        val est = Hll.estimate(cum, Seq("day"))
+        val firstDay = ev.groupBy(col("key")).agg(min(col("day")).as("fd"))
+        val exactCum = days.as("g2").join(firstDay,
+            col("fd") <= col("g2.day"))
+          .groupBy(col("g2.day").as("day"))
+          .agg(count(lit(1)).as("n_exact_cum"))
+        est.join(exactCum, "day")
+          .select(col("day"), col("n_exact_cum"), col("occupied"),
+            col("zeros"), col("s_scaled"), col("hll_est"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(s"""
+        WITH ${Hll.sqlSketchCtes(
+          "SELECT CAST(ts AS DATE) AS g, user_id AS key FROM events")},
+        days AS (SELECT DISTINCT g AS day FROM hll_regs),
+        cum AS (
+          SELECT d.day AS g, s.reg, max(s.rho) AS rho
+          FROM days d JOIN hll_regs s ON s.g <= d.day
+          GROUP BY 1, 2),
+        cum_agg AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS occupied,
+            CAST(sum(${1L << 53} >> rho) AS BIGINT) AS s_occ
+          FROM cum GROUP BY g),
+        cum_est AS (
+          SELECT g, occupied, (256 - occupied) AS zeros,
+            s_occ + (256 - occupied) * ${1L << 53} AS s_scaled,
+            round(CASE
+              WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+                   / CAST(s_occ + (256 - occupied) * ${1L << 53} AS DOUBLE) <= 640.0
+               AND (256 - occupied) > 0
+              THEN 256.0 * ln(256.0 / CAST(256 - occupied AS DOUBLE))
+              ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 9007199254740992.0
+                   / CAST(s_occ + (256 - occupied) * ${1L << 53} AS DOUBLE)
+            END, 4) AS hll_est
+          FROM cum_agg),
+        fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events GROUP BY 1),
+        exact_cum AS (
+          SELECT d.day, count(*) AS n_exact_cum
+          FROM days d JOIN fd ON fd.fd <= d.day GROUP BY 1)
+        SELECT e.g AS day, x.n_exact_cum, e.occupied, e.zeros, e.s_scaled,
+          e.hll_est
+        FROM cum_est e JOIN exact_cum x ON e.g = x.day
+        ORDER BY day""")),
+
+    "q128_time_weighted_avg" -> Q(
+      // Duration-weighted mean of an irregular time series: each event's
+      // value holds until the user's next event, so the mean weights each
+      // value by its holding time (the correct average for sampled gauges
+      // — a plain AVG over-counts busy periods). One lead window per
+      // user; weights are exact integer microseconds, the value×weight
+      // products accumulate in exact decimal, one final division.
+      build = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        table(s, dir, "events")
+          .withColumn("next_us",
+            lead(unix_micros(col("ts")), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("w_us", col("next_us") - unix_micros(col("ts")))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("w_us")).as("span_us"),
+            sum(col("w_us").cast("decimal(20,0)")
+              * col("value").cast("decimal(12,2)"))
+              .cast("decimal(38,2)").as("swv"))
+          .select(col("user_id"), col("n_intervals"), col("span_us"),
+            round(col("swv").cast("double")
+              / col("span_us").cast("double"), 8).as("tw_avg"),
+            )
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT user_id, value, epoch_us(ts) AS us,
+            lead(epoch_us(ts)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+          FROM events),
+        wd AS (
+          SELECT user_id, (next_us - us) AS w_us, value
+          FROM iv WHERE next_us IS NOT NULL)
+        SELECT user_id, count(*) AS n_intervals,
+          CAST(sum(w_us) AS BIGINT) AS span_us,
+          round(CAST(CAST(sum(CAST(w_us AS DECIMAL(20,0))
+              * CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+            / CAST(CAST(sum(w_us) AS BIGINT) AS DOUBLE), 8) AS tw_avg
+        FROM wd GROUP BY user_id
+        ORDER BY user_id""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
