@@ -3618,6 +3618,59 @@ object Queries {
         FROM wd GROUP BY user_id
         ORDER BY user_id""")),
 
+    "q129_split_leakage" -> Q(
+      // Train/val LEAKAGE audit: near-duplicate pairs (q27's exact
+      // word-3-gram Jaccard >= 0.6 operator) that straddle the q51 hash
+      // split — val documents with a near-twin in train inflate eval
+      // scores exactly like benchmark contamination. Reports the pair
+      // census by (split_a, split_b) plus the distinct count of
+      // compromised val docs. The split is a scan-side hash; only the
+      // bounded pair table shuffles.
+      build = (s, dir) => {
+        val docs = Sampling.hashSplit(
+          table(s, dir, "documents"), "doc_id", valBuckets = 10, outOf = 100)
+        val splits = docs.select(col("doc_id"), col("split"))
+        val pairs = NearDup.jaccardPairs(docs, "doc_id", "text")
+        val tagged = pairs
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+        val census = tagged
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+        val leaked = tagged
+          .filter(col("split_a") =!= col("split_b"))
+          .select(when(col("split_a") === "val", col("id_a"))
+            .otherwise(col("id_b")).as("val_doc"))
+          .agg(countDistinct(col("val_doc")).as("n"))
+        census
+          .select(col("split_a"), col("split_b"), col("n_pairs"))
+          .unionByName(leaked.select(lit("leaked").as("split_a"),
+            lit("val_docs").as("split_b"), col("n").as("n_pairs")))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      oracle = Some(s"""
+        WITH $ngramPairCtes,
+        np AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN ${Sampling.sqlHashBucket("doc_id", 100)} < 10
+                 THEN 'val' ELSE 'train' END AS split
+          FROM documents),
+        tagged AS (
+          SELECT a.split AS split_a, b.split AS split_b, np.id_a, np.id_b
+          FROM np
+          JOIN sp a ON np.id_a = a.doc_id
+          JOIN sp b ON np.id_b = b.doc_id)
+        SELECT split_a, split_b, count(*) AS n_pairs
+        FROM tagged GROUP BY 1, 2
+        UNION ALL
+        SELECT 'leaked', 'val_docs', count(DISTINCT
+          CASE WHEN split_a = 'val' THEN id_a ELSE id_b END)
+        FROM tagged WHERE split_a <> split_b
+        ORDER BY split_a, split_b""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
