@@ -3671,6 +3671,39 @@ object Queries {
         FROM tagged WHERE split_a <> split_b
         ORDER BY split_a, split_b""")),
 
+    "q130_stream_hll" -> Q(
+      // Streaming HLL: per-day distinct-user estimates whose registers
+      // were built by a Structured Streaming run (watermarked windowed
+      // max — state bounded by days x 256 registers, NOT key
+      // cardinality), then estimated in batch over the emitted register
+      // table. The oracle sketches the raw table directly over the same
+      // emission horizon (append mode emits a day once its end passes
+      // the terminal watermark, so the final open day is pending — q76's
+      // convention): hash-equality proves streamed register emission ≡
+      // the batch sketch, closing the sketch family's streaming twin.
+      build = (s, dir) => {
+        val est = graft.streaming.BoundedRuns.streamedHllDaily(s, dir)
+        val exact = table(s, dir, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        est.join(exact, "day")
+          .select(col("day"), col("n_exact"), col("occupied"),
+            col("zeros"), col("s_scaled"), col("hll_est"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(s"""
+        WITH ${Hll.sqlSketchCtes(
+          """SELECT CAST(ts AS DATE) AS g, user_id AS key FROM events
+             WHERE CAST(ts AS DATE) + INTERVAL '1 day'
+                   <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)""")},
+        ex AS (
+          SELECT CAST(ts AS DATE) AS g, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1)
+        SELECT e.g AS day, x.n_exact, e.occupied, e.zeros, e.s_scaled,
+          e.hll_est
+        FROM hll_est e JOIN ex x ON e.g = x.g
+        ORDER BY day""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

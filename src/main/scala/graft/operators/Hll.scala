@@ -45,19 +45,27 @@ object Hll {
   private val W = 60 - P          // suffix width feeding ρ
   private val Scale = 1L << (W + 1) // 2^53: exact-integer scaling of 2^-M_j
 
+  /** Register index expression for a key column — reusable wherever the
+    * grouping differs (batch groups, streaming event-time windows). */
+  def regCol(key: Column): Column =
+    TextHash.md5Bits60(key.cast("string")).bitwiseAND(lit((M - 1).toLong))
+
+  /** Rank ρ expression for a key column (leading-zero count of the
+    * post-index hash bits + 1, via integer bit-length — no floats). */
+  def rhoCol(key: Column): Column = {
+    val suffix = shiftright(TextHash.md5Bits60(key.cast("string")), P)
+    when(suffix === 0L, lit(W + 1))
+      .otherwise(lit(W + 1) - length(bin(suffix)))
+  }
+
   /** Per-group HLL registers for a key column: one row per (group,
     * register) holding the max rank ρ. Duplicate keys collapse in the
     * max — no pre-distinct pass needed. */
-  def sketch(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame = {
-    val h = TextHash.md5Bits60(col(keyCol).cast("string"))
-    val suffix = shiftright(h, P)
-    val rho = when(suffix === 0L, lit(W + 1))
-      .otherwise(lit(W + 1) - length(bin(suffix)))
-    df.select(groupCols.map(col) :+
-        (h.bitwiseAND(lit((M - 1).toLong))).as("reg") :+ rho.as("rho"): _*)
+  def sketch(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame =
+    df.select(groupCols.map(col) :+ regCol(col(keyCol)).as("reg") :+
+        rhoCol(col(keyCol)).as("rho"): _*)
       .groupBy(groupCols.map(col) :+ col("reg"): _*)
       .agg(max(col("rho")).as("rho"))
-  }
 
   /** Merge two register tables (e.g. yesterday's rollup + today's batch):
     * union + per-register MAX. Associative, commutative, idempotent —

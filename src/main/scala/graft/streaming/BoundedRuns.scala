@@ -212,4 +212,18 @@ object BoundedRuns {
     runEmitted(spark, dir,
       df => EventStreams.hourlyCounts(df, "ts", watermarkDelay), "hourly-")
       .orderBy(col("hour"), col("event_type"))
+
+  /** Bounded [[EventStreams.hllDailyRegisters]] + batch estimation over
+    * the emitted register table: per-day distinct-user HLL estimates
+    * whose registers were built by the STREAM. Register emission is a
+    * watermarked windowed max (exactly-once per closed day), so the
+    * emitted table equals the batch sketch bit-for-bit. */
+  def streamedHllDaily(spark: SparkSession, dir: String,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val regs = runEmitted(spark, dir,
+      df => EventStreams.hllDailyRegisters(df, "user_id", "ts",
+        watermarkDelay), "hllday-")
+    graft.operators.Hll.estimate(regs, Seq("day"))
+      .orderBy(col("day"))
+  }
 }

@@ -68,6 +68,27 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Daily HLL registers from the stream — the streaming half of the
+    * [[graft.operators.Hll]] sketch: per (day window, register) max-ρ is
+    * a plain watermarked windowed MAX, so state is bounded by windows ×
+    * 256 registers regardless of key cardinality, and each day's
+    * register set is emitted exactly once when the watermark closes it.
+    * Estimation happens downstream in batch over the emitted register
+    * table (the production "store sketches, query later" shape);
+    * streamed registers are IDENTICAL to the batch sketch of the same
+    * data — hash-equal, not approximately equal. */
+  def hllDailyRegisters(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.operators.Hll
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 day"),
+        Hll.regCol(col(keyCol)).as("reg"))
+      .agg(max(Hll.rhoCol(col(keyCol))).as("rho"))
+      .select(col("window.start").cast("date").as("day"), col("reg"),
+        col("rho"))
+  }
+
   /** Exactly-once event ids within the watermark horizon: duplicates of an
     * `event_id` arriving inside `watermarkDelay` are dropped; the key is
     * evicted from state afterwards (bounded memory, unlike plain

@@ -179,4 +179,30 @@ class StreamingSpec extends SparkSpec {
       assert(batch == u12.toSeq)
     } finally q.stop()
   }
+
+  test("hllDailyRegisters: streamed registers equal the batch sketch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.hllDailyRegisters(in.toDF(), "user_id",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 0: users 1,2,3 (user 1 twice — must collapse in the max);
+      // then advance the watermark past day 0 to close the window
+      in.addData(ev(1, 1, 0), ev(2, 2, 30), ev(3, 3, 60), ev(1, 4, 90))
+      q.processAllAvailable()
+      in.addData(ev(9, 99, 26 * 60))   // next day, closes day 0
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2))).sorted
+      val batch = graft.operators.Hll.sketch(
+          Seq(ev(1, 1, 0), ev(2, 2, 30), ev(3, 3, 60), ev(1, 4, 90)).toDF()
+            .selectExpr("CAST(ts AS DATE) AS day", "user_id"),
+          Seq("day"), "user_id")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2)))
+        .sorted
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
