@@ -3704,6 +3704,113 @@ object Queries {
         FROM hll_est e JOIN ex x ON e.g = x.g
         ORDER BY day""")),
 
+    "q131_growth_accounting" -> Q(
+      // Daily growth accounting: every active user classified as new
+      // (first day), retained (active yesterday), or resurrected (a
+      // comeback), plus yesterday's actives who went silent (churned) —
+      // the DAU decomposition behind every growth dashboard. One distinct
+      // (user, day) pass, one per-user window for first/lag/lead, two
+      // bounded per-day aggregations.
+      build = (s, dir) => {
+        val act = table(s, dir, "events")
+          .select(col("user_id").as("u"), col("ts").cast("date").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("u")).orderBy(col("day"))
+        val cls = act
+          .withColumn("first_day", min(col("day")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev_day", lag(col("day"), 1).over(w))
+          .withColumn("next_day", lead(col("day"), 1).over(w))
+        val daily = cls.groupBy(col("day"))
+          .agg(count(lit(1)).as("dau"),
+            sum(when(col("day") === col("first_day"), 1).otherwise(0))
+              .as("n_new"),
+            sum(when(col("prev_day") === date_sub(col("day"), 1), 1)
+              .otherwise(0)).as("n_retained"),
+            sum(when(col("day") =!= col("first_day") &&
+              (col("prev_day").isNull ||
+                col("prev_day") < date_sub(col("day"), 1)), 1).otherwise(0))
+              .as("n_resurrected"))
+        val maxDay = act.agg(max(col("day")).as("max_day"))
+        val churn = cls
+          .filter(col("next_day").isNull ||
+            col("next_day") > date_add(col("day"), 1))
+          .select(date_add(col("day"), 1).as("day"))
+          .crossJoin(broadcast(maxDay))
+          .filter(col("day") <= col("max_day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+        daily.join(churn, Seq("day"), "left")
+          .select(col("day"), col("dau"), col("n_new"), col("n_retained"),
+            col("n_resurrected"),
+            coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        cls AS (
+          SELECT u, day,
+            min(day) OVER (PARTITION BY u ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS first_day,
+            lag(day) OVER (PARTITION BY u ORDER BY day) AS prev_day,
+            lead(day) OVER (PARTITION BY u ORDER BY day) AS next_day
+          FROM act),
+        daily AS (
+          SELECT day, count(*) AS dau,
+            CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_new,
+            CAST(sum(CASE WHEN prev_day = day - INTERVAL 1 DAY
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+            CAST(sum(CASE WHEN day <> first_day AND (prev_day IS NULL
+              OR prev_day < day - INTERVAL 1 DAY) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+          FROM cls GROUP BY day),
+        churn AS (
+          SELECT day + INTERVAL 1 DAY AS day, count(*) AS n_churned
+          FROM cls
+          WHERE (next_day IS NULL OR next_day > day + INTERVAL 1 DAY)
+            AND day + INTERVAL 1 DAY <= (SELECT max(day) FROM act)
+          GROUP BY 1)
+        SELECT d.day, d.dau, d.n_new, d.n_retained, d.n_resurrected,
+          CAST(coalesce(c.n_churned, 0) AS BIGINT) AS n_churned
+        FROM daily d LEFT JOIN churn c ON CAST(c.day AS DATE) = d.day
+        ORDER BY d.day""")),
+
+    "q132_dup_cluster_sizes" -> Q(
+      // Duplicate-cluster size distribution: how duplicated IS the
+      // corpus — q52's connected components collapsed to a (cluster_size,
+      // n_clusters, n_docs) histogram, the one-line answer to "what does
+      // near-dedup save us". Cluster histogram is a two-level bounded
+      // aggregation over the components output.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
+        Components.connectedComponents(docs, "doc_id", pairs)
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).cast("long").as("n_docs"))
+          .orderBy(col("cluster_size"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $ngramPairCtes,
+        sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard >= 0.6
+          UNION ALL
+          SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.6),
+        walk(id, reach) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        comp AS (
+          SELECT id, min(reach) AS comp FROM walk GROUP BY id),
+        sizes AS (
+          SELECT comp, count(*) AS sz FROM comp GROUP BY comp)
+        SELECT sz AS cluster_size, count(*) AS n_clusters,
+          CAST(sum(sz) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY sz ORDER BY cluster_size""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
