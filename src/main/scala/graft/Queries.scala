@@ -3811,6 +3811,26 @@ object Queries {
           CAST(sum(sz) AS BIGINT) AS n_docs
         FROM sizes GROUP BY sz ORDER BY cluster_size""")),
 
+    "q133_winnowing_boilerplate" -> Q(
+      // Winnowing (MOSS) fingerprints: the top cross-document shared
+      // fingerprints — boilerplate/partial-overlap detection with the
+      // guarantee that any shared >= k+w-1-token run yields a shared
+      // fingerprint (MinHash can't see local overlap, digests can't see
+      // partial). Integer-packed min-with-rightmost-tie selection, no
+      // floats; one per-doc window pass + a bounded fingerprint agg.
+      build = (s, dir) =>
+        Winnowing.fingerprints(table(s, dir, "documents"),
+            "doc_id", "text", k = 3, w = 4)
+          .groupBy(col("fp")).agg(countDistinct(col("id")).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("fp")).limit(20),
+      oracle = Some(s"""
+        WITH ${Winnowing.sqlFingerprintCtes(
+          "documents", "doc_id", "text", k = 3, w = 4)}
+        SELECT fp, count(DISTINCT id) AS n_docs
+        FROM win_fp GROUP BY fp HAVING count(DISTINCT id) >= 2
+        ORDER BY n_docs DESC, fp LIMIT 20""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -930,6 +930,45 @@ class OperatorsSpec extends SparkSpec {
       total > PageRank.Scale - 100L * a.size)
   }
 
+  test("Winnowing: brute-force equality, shared-run guarantee, density") {
+    // driver-side reference implementation of the exact same algorithm
+    def brute(tokens: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+      if (tokens.length < k + w - 1) return Set.empty
+      val hs = tokens.sliding(k).map(_.mkString(" ")).zipWithIndex.map {
+        case (g, pos) =>
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8"))
+          val h60 = java.lang.Long.parseLong(
+            md5.take(8).map("%02x".format(_)).mkString.take(15), 16)
+          (h60 >> 20, pos.toLong)
+      }.toVector
+      hs.sliding(w).map { win =>
+        win.minBy { case (h, p) => (h, -p) }   // min hash, rightmost pos
+      }.toSet
+    }
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y z a b c d e f q r s"),       // shares the 6-run a..f with 1
+      (3L, "p q"),                           // too short for any gram
+      (4L, (1 to 40).map(i => s"t${i % 7}").mkString(" "))  // repetitive
+    ).toDF("doc_id", "text")
+    val got = Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((id, text) <- Seq((1L, "a b c d e f g h i j"),
+        (2L, "x y z a b c d e f q r s"),
+        (4L, (1 to 40).map(i => s"t${i % 7}").mkString(" ")))) {
+      assert(got(id) == brute(text.split(" ").toSeq, 3, 4), s"doc $id")
+    }
+    assert(!got.contains(3L))
+    // guarantee: the shared >= k+w-1 = 6-token run yields a shared hash
+    val sharedHashes = got(1L).map(_._1) intersect got(2L).map(_._1)
+    assert(sharedHashes.nonEmpty)
+    // density ~ 2/(w+1): doc 4 has 38 grams, expect fingerprints well
+    // below the gram count but at least m/w
+    assert(got(4L).size >= 38 / 4 && got(4L).size < 38)
+  }
+
   test("Divergence: KL zero for corpus-identical groups, positive for drifted; PSI") {
     // two groups with IDENTICAL term distributions -> corpus matches each
     // -> KL = 0 for both
