@@ -3831,6 +3831,59 @@ object Queries {
         FROM win_fp GROUP BY fp HAVING count(DISTINCT id) >= 2
         ORDER BY n_docs DESC, fp LIMIT 20""")),
 
+    "q134_winnowing_pairs" -> Q(
+      // MOSS match step: document pairs sharing >= 3 winnowing
+      // fingerprints — LOCAL overlap detection (a copied paragraph in
+      // otherwise-different documents), the case MinHash whole-doc
+      // similarity structurally misses. Stop-fingerprints (doc-freq >
+      // 50) are dropped before the fp-keyed self-join, the cap that
+      // bounds posting expansion at scale.
+      build = (s, dir) =>
+        Winnowing.overlapPairs(
+            Winnowing.fingerprints(table(s, dir, "documents"),
+              "doc_id", "text", k = 3, w = 4),
+            minShared = 3L, maxDf = 50L)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some(s"""
+        WITH ${Winnowing.sqlFingerprintCtes(
+          "documents", "doc_id", "text", k = 3, w = 4)},
+        ${Winnowing.sqlOverlapCtes(minShared = 3L, maxDf = 50L)}
+        SELECT id_a, id_b, n_shared FROM win_pairs
+        ORDER BY id_a, id_b""")),
+
+    "q135_embedding_qc" -> Q(
+      // Embedding-table QC battery per label: vector counts, exact
+      // duplicate vectors (distinct on the float array — bit equality),
+      // NaN-poisoned vectors, zero-norm vectors (cosine would divide by
+      // zero), and dimension bounds. The checks a similarity index MUST
+      // run before building; all integer counts, one aggregation pass.
+      build = (s, dir) =>
+        table(s, dir, "embeddings")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            countDistinct(col("embedding")).as("n_distinct"),
+            sum(when(expr("exists(embedding, x -> isnan(x))"), 1)
+              .otherwise(0)).cast("long").as("n_nan"),
+            sum(when(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+              "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))") === 0.0,
+              1).otherwise(0)).cast("long").as("n_zero_norm"),
+            min(size(col("embedding"))).as("dim_min"),
+            max(size(col("embedding"))).as("dim_max"))
+          .orderBy(col("label")),
+      oracle = Some("""
+        SELECT label, count(*) AS n_vecs,
+          count(DISTINCT embedding) AS n_distinct,
+          CAST(sum(CASE WHEN len(list_filter(embedding,
+            x -> isnan(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+          CAST(sum(CASE WHEN list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+          CAST(min(len(embedding)) AS INT) AS dim_min,
+          CAST(max(len(embedding)) AS INT) AS dim_max
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

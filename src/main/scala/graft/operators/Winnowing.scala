@@ -68,6 +68,43 @@ object Winnowing {
       .distinct()
   }
 
+  /** Local-overlap candidate pairs from a fingerprint table: documents
+    * sharing at least `minShared` distinct fingerprints — the MOSS
+    * match step. Fingerprints present in more than `maxDf` documents are
+    * dropped FIRST (corpus-wide boilerplate would pair everything with
+    * everything — the same stop-token discipline every inverted-index
+    * join needs; at 100 TB this cap is what bounds the per-posting
+    * expansion). One doc-frequency pass + one fp-keyed self-join over
+    * the bounded fingerprint table. */
+  def overlapPairs(fp: DataFrame, minShared: Long = 2L,
+      maxDf: Long = 50L): DataFrame = {
+    val df = fp.groupBy(col("fp")).agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") <= maxDf)
+    val posting = fp.select(col("id"), col("fp")).distinct()
+      .join(df.select(col("fp")), "fp")
+    posting.as("a").join(posting.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB mirror of [[overlapPairs]] against `win_fp`: emits CTE
+    * `win_pairs` (id_a, id_b, n_shared). */
+  def sqlOverlapCtes(minShared: Long = 2L, maxDf: Long = 50L): String =
+    s"""win_df AS (
+      SELECT fp FROM (
+        SELECT fp, count(DISTINCT id) AS df FROM win_fp GROUP BY fp)
+      WHERE df <= $maxDf),
+    win_post AS (
+      SELECT DISTINCT id, fp FROM win_fp JOIN win_df USING (fp)),
+    win_pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM win_post a JOIN win_post b
+        ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2
+      HAVING count(*) >= $minShared)"""
+
   /** DuckDB mirror of [[fingerprints]] over `tbl`: emits CTE `win_fp`
     * (id, fp, pos). */
   def sqlFingerprintCtes(tbl: String, idSql: String, textSql: String,

@@ -967,6 +967,13 @@ class OperatorsSpec extends SparkSpec {
     // density ~ 2/(w+1): doc 4 has 38 grams, expect fingerprints well
     // below the gram count but at least m/w
     assert(got(4L).size >= 38 / 4 && got(4L).size < 38)
+    // overlap pairs: docs 1 and 2 pair via the shared run; the cap
+    // maxDf=1 removes every cross-doc fingerprint -> no pairs at all
+    val fp = Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+    val pairs = Winnowing.overlapPairs(fp, minShared = 1L, maxDf = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(Winnowing.overlapPairs(fp, minShared = 1L, maxDf = 1L).count() == 0L)
   }
 
   test("Divergence: KL zero for corpus-identical groups, positive for drifted; PSI") {
