@@ -3884,6 +3884,46 @@ object Queries {
         GROUP BY label
         ORDER BY label""")),
 
+    "q136_stickiness" -> Q(
+      // DAU / trailing-7-day-WAU stickiness per day — the engagement
+      // ratio (1/7 = everyone visits weekly once, 1.0 = daily habit).
+      // Sliding distinct counts come from a bounded day-grid × activity
+      // band join (each activity row lands in ≤7 day windows), never a
+      // re-scan of raw events per window; one distinct pass feeds both.
+      build = (s, dir) => {
+        val act = table(s, dir, "events")
+          .select(col("user_id").as("u"), col("ts").cast("date").as("day"))
+          .distinct()
+        val days = act.select(col("day")).distinct()
+        val dau = act.groupBy(col("day"))
+          .agg(countDistinct(col("u")).as("dau"))
+        val wau = days.as("g").join(act.as("a"),
+            col("a.day") <= col("g.day") &&
+              col("a.day") >= date_sub(col("g.day"), 6))
+          .groupBy(col("g.day").as("day"))
+          .agg(countDistinct(col("a.u")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 8)
+              .as("stickiness"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH act AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM act),
+        dau AS (SELECT day, count(DISTINCT u) AS dau FROM act GROUP BY day),
+        wau AS (
+          SELECT g.day, count(DISTINCT a.u) AS wau
+          FROM days g JOIN act a
+            ON a.day <= g.day AND a.day >= g.day - INTERVAL 6 DAY
+          GROUP BY g.day)
+        SELECT d.day, d.dau, w.wau,
+          round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 8)
+            AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day
+        ORDER BY d.day""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
