@@ -3924,6 +3924,26 @@ object Queries {
         FROM dau d JOIN wau w ON d.day = w.day
         ORDER BY d.day""")),
 
+    "q137_weighted_sample" -> Q(
+      // Derandomized weighted sampling without replacement (Efraimidis-
+      // Spirakis A-Res keys over the portable hash): 50 documents drawn
+      // proportional to length — the importance-sampling primitive for
+      // mixture construction, reproducible across engines/runs/layouts.
+      // Scan-side key expression + one distributed top-k; no RNG state.
+      build = (s, dir) =>
+        Sampling.weightedSample(
+            table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", k = 50)
+          .select(col("doc_id"), col("n_chars"), col("es_key"))
+          .orderBy(col("es_key"), col("doc_id")),
+      oracle = Some(s"""
+        SELECT doc_id, n_chars,
+          ${Sampling.sqlEsKey("doc_id", "n_chars")} AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY es_key, doc_id
+        LIMIT 50""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -46,6 +46,35 @@ object Sampling {
   def sqlHashBucket(expr: String, buckets: Int): String =
     s"(${TextHash.sqlMd5Bits60(s"CAST($expr AS VARCHAR)")} % $buckets)"
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis '06,
+    * A-Res), derandomized: each row's exponential key is
+    * `−ln(u)/weight` with `u` the row's PORTABLE HASH mapped into (0,1]
+    * — so which k rows are selected is a pure function of the keys and
+    * weights, reproducible across engines/runs/layouts, yet the
+    * selection distribution matches true weighted sampling over the
+    * hash's pseudo-randomness. Heavier rows get systematically smaller
+    * keys; the k smallest keys win. The single `ln` is snapped to 12
+    * decimals (ties break on the key column), everything else is exact.
+    *
+    * Scale shape: a scan-side key expression + one distributed top-k
+    * (TakeOrdered) — no shuffle of the corpus, no RNG state. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (TextHash.md5Bits60(col(keyCol).cast("string")).cast("double") +
+      lit(1.0)) / lit(1152921504606846976.0) // 2^60: u in (0, 1]
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key",
+        round(-log(u) / col(weightCol).cast("double"), 12))
+      .orderBy(col("es_key"), col(keyCol))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[weightedSample]]'s key expression. */
+  def sqlEsKey(keyExpr: String, weightExpr: String): String =
+    s"round(-ln((${TextHash.sqlMd5Bits60(s"CAST($keyExpr AS VARCHAR)")}" +
+      s" + 1.0) / 1152921504606846976.0) / CAST($weightExpr AS DOUBLE), 12)"
+
   /** Exactly-k-per-group deterministic uniform sample ("hash reservoir"):
     * rank rows inside each group by the portable hash of their key and
     * keep the k smallest. Because the hash is a pure function of the key,

@@ -827,6 +827,25 @@ class OperatorsSpec extends SparkSpec {
     assert(Sampling.hashReservoir(tiny, "g", "id", 5).count() == 2)
   }
 
+  test("Sampling.weightedSample: heavier rows overrepresented, layout-invariant") {
+    // 500 light rows (w=1) + 100 heavy rows (w=50): heavy mass is 10x
+    // the light mass, so a 60-row sample should be heavy-dominated
+    val df = ((1 to 500).map(i => (s"l$i", 1.0)) ++
+      (1 to 100).map(i => (s"h$i", 50.0))).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 60).collect()
+      .map(_.getString(0))
+    val heavy = got.count(_.startsWith("h"))
+    assert(heavy > 40, s"only $heavy heavy rows in ${got.length}")
+    // selection is a pure function of (id, w): any layout, same rows
+    val re = Sampling.weightedSample(df.repartition(13), "id", "w", 60)
+      .collect().map(_.getString(0))
+    assert(got.toSeq == re.toSeq)
+    // zero/negative weights can never be drawn
+    val withZero = df.unionByName(Seq(("z", 0.0)).toDF("id", "w"))
+    assert(!Sampling.weightedSample(withZero, "id", "w", 601).collect()
+      .map(_.getString(0)).contains("z"))
+  }
+
   test("Trend.fitContinuousXY: exact line recovery, r = ±1, zero variance NULL") {
     val line = (1 to 10).map(i => ("l", i * 0.5, 2.0 * (i * 0.5) + 1.0))
       .toDF("g", "x", "y")
