@@ -3944,6 +3944,64 @@ object Queries {
         ORDER BY es_key, doc_id
         LIMIT 50""")),
 
+    "q138_ema_smoothing" -> Q(
+      // Exponentially-weighted daily revenue (half-life = 1 day) per
+      // priority — trend smoothing made bit-reproducible: the decay
+      // 2^-k comes from an INTEGER shift (exact double, no libm pow),
+      // each term is snapped to 8 decimals, and the weighted sum
+      // accumulates in exact decimal over a banded self-join of the
+      // bounded daily table (window cap 30 days; 2^-30 ~ 1e-9 tail).
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("day_rev"))
+          .withColumn("dayn",
+            datediff(col("day"), lit("1970-01-01").cast("date")))
+        val terms = daily.as("a").join(daily.as("b"),
+            col("a.prio") === col("b.prio") &&
+              col("b.dayn") <= col("a.dayn") &&
+              col("b.dayn") >= col("a.dayn") - 30)
+          .select(col("a.prio").as("prio"), col("a.day").as("day"),
+            (col("a.dayn") - col("b.dayn")).as("k"),
+            col("b.day_rev").as("rev"))
+          .withColumn("decay",
+            lit(1.0) / call_function("shiftleft", lit(1L),
+              col("k").cast("int")).cast("double"))
+        terms
+          .groupBy(col("prio"), col("day"))
+          .agg(
+            round(sum(round(col("rev") * col("decay"), 8)
+              .cast("decimal(24,8)")), 4).cast("double").as("ema_num"),
+            round(sum(round(col("decay"), 8).cast("decimal(12,8)")), 8)
+              .cast("double").as("ema_den"))
+          .withColumn("ema", round(col("ema_num") / col("ema_den"), 4))
+          .select(col("prio"), col("day"), col("ema"))
+          .orderBy(col("prio"), col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS day_rev,
+            datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS dayn
+          FROM orders GROUP BY 1, 2),
+        terms AS (
+          SELECT a.prio, a.day, (a.dayn - b.dayn) AS k, b.day_rev AS rev,
+            1.0 / CAST((CAST(1 AS BIGINT) << (a.dayn - b.dayn)) AS DOUBLE)
+              AS decay
+          FROM daily a JOIN daily b
+            ON a.prio = b.prio AND b.dayn <= a.dayn
+              AND b.dayn >= a.dayn - 30)
+        SELECT prio, day,
+          round(
+            CAST(round(sum(CAST(round(rev * decay, 8) AS DECIMAL(24,8))), 4)
+              AS DOUBLE)
+            / CAST(round(sum(CAST(round(decay, 8) AS DECIMAL(12,8))), 8)
+              AS DOUBLE), 4) AS ema
+        FROM terms GROUP BY prio, day
+        ORDER BY prio, day""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
