@@ -4002,6 +4002,51 @@ object Queries {
         FROM terms GROUP BY prio, day
         ORDER BY prio, day""")),
 
+    "q139_theil_sen" -> Q(
+      // Robust trend per priority: Theil-Sen slope (median of pairwise
+      // monthly-revenue slopes — 29% breakdown vs OLS's zero) and the
+      // Mann-Kendall S statistic (pure sign counts — INTEGER exact).
+      // Pairs are formed over the bounded monthly table (~80 months), so
+      // the quadratic is in months, never in orders; each slope is one
+      // fixed-shape division snapped to 8 decimals, the median is the
+      // established type-7 percentile.
+      build = (s, dir) => {
+        val monthly = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("mn"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val pairs = monthly.as("a").join(monthly.as("b"),
+            col("a.prio") === col("b.prio") && col("a.mn") < col("b.mn"))
+          .select(col("a.prio").as("prio"),
+            round((col("b.rev") - col("a.rev")) /
+              (col("b.mn") - col("a.mn")).cast("double"), 8).as("slope"),
+            signum(col("b.rev") - col("a.rev")).cast("long").as("sgn"))
+        pairs.groupBy(col("prio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("percentile(slope, 0.5D)").as("ts_slope"),
+            sum(col("sgn")).as("mk_s"))
+          .withColumn("ts_slope", round(col("ts_slope"), 6))
+          .orderBy(col("prio"))
+      },
+      oracle = Some(s"""
+        WITH monthly AS (
+          SELECT o_orderpriority AS prio,
+            year(o_orderdate) * 12 + month(o_orderdate) AS mn,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.prio,
+            round((b.rev - a.rev) / CAST(b.mn - a.mn AS DOUBLE), 8) AS slope,
+            CAST(sign(b.rev - a.rev) AS BIGINT) AS sgn
+          FROM monthly a JOIN monthly b
+            ON a.prio = b.prio AND a.mn < b.mn)
+        SELECT prio, count(*) AS n_pairs,
+          round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+          CAST(sum(sgn) AS BIGINT) AS mk_s
+        FROM pairs GROUP BY prio
+        ORDER BY prio""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
