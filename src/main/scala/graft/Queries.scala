@@ -4047,6 +4047,95 @@ object Queries {
         FROM pairs GROUP BY prio
         ORDER BY prio""")),
 
+    "q140_abc_classification" -> Q(
+      // ABC / Pareto classification of parts by revenue: running share
+      // of the exact-decimal total assigns A (first 80%), B (next 15%),
+      // C (tail) — the inventory-analysis classic. Rank and running sum
+      // ride one window over the bounded per-part aggregate; the share
+      // is exact decimal / exact decimal, one division snapped to 8.
+      build = (s, dir) => {
+        val perPart = table(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("part"))
+          .agg(msum(col("l_extendedprice")).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("part"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = perPart.agg(dsum(col("rev")).as("tot"))
+        perPart
+          .withColumn("cum", round(sum(col("rev").cast("decimal(18,2)"))
+            .over(w), 2).cast("double"))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum_share", round(col("cum") / col("tot"), 8))
+          .withColumn("abc_class",
+            when(col("cum_share") <= 0.80, "A")
+              .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_parts"), dsum(col("rev")).as("class_rev"))
+          .orderBy(col("abc_class"))
+      },
+      oracle = Some(s"""
+        WITH per_part AS (
+          SELECT l_partkey AS part, ${sqlMsum("l_extendedprice")} AS rev
+          FROM lineitem GROUP BY 1),
+        tot AS (SELECT ${sqlDsum("rev")} AS tot FROM per_part),
+        ranked AS (
+          SELECT part, rev,
+            CAST(round(sum(CAST(rev AS DECIMAL(18,2))) OVER (
+              ORDER BY rev DESC, part ROWS UNBOUNDED PRECEDING), 2)
+              AS DOUBLE) AS cum
+          FROM per_part),
+        classed AS (
+          SELECT part, rev,
+            CASE WHEN round(cum / tot, 8) <= 0.80 THEN 'A'
+                 WHEN round(cum / tot, 8) <= 0.95 THEN 'B'
+                 ELSE 'C' END AS abc_class
+          FROM ranked CROSS JOIN tot)
+        SELECT abc_class, count(*) AS n_parts,
+          ${sqlDsum("rev")} AS class_rev
+        FROM classed GROUP BY abc_class
+        ORDER BY abc_class""")),
+
+    "q141_gini_concentration" -> Q(
+      // Gini coefficient of customer revenue concentration (0 = equal,
+      // 1 = winner-take-all) via the rank formulation G = 2·Σ(i·x_i) /
+      // (n·Σx) − (n+1)/n over ascending ranks — corpus/revenue
+      // concentration in ONE window + one aggregation over the bounded
+      // per-customer frame. Σ(i·x_i) accumulates exactly in decimal
+      // (rank is an exact integer, x snapped to 2 decimals).
+      build = (s, dir) => {
+        val perCust = table(s, dir, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val w = Window.orderBy(col("rev"), col("cust"))
+        val ranked = perCust.withColumn("i", row_number().over(w))
+        ranked.agg(
+            count(lit(1)).as("n_custs"),
+            dsum(col("rev")).as("total_rev"),
+            round(sum(col("i").cast("decimal(10,0)")
+              * col("rev").cast("decimal(18,2)")), 2).cast("double")
+              .as("weighted"))
+          .withColumn("gini", round(
+            lit(2.0) * col("weighted")
+              / (col("n_custs").cast("double") * col("total_rev"))
+              - (col("n_custs") + 1).cast("double")
+                / col("n_custs").cast("double"), 8))
+          .select(col("n_custs"), col("total_rev"), col("gini"))
+      },
+      oracle = Some(s"""
+        WITH per_cust AS (
+          SELECT o_custkey AS cust, ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT rev, row_number() OVER (ORDER BY rev, cust) AS i
+          FROM per_cust)
+        SELECT count(*) AS n_custs,
+          ${sqlDsum("rev")} AS total_rev,
+          round(2.0 * CAST(round(sum(CAST(i AS DECIMAL(10,0))
+              * CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE)
+            / (CAST(count(*) AS DOUBLE) * ${sqlDsum("rev")})
+            - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 8)
+            AS gini
+        FROM ranked""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
