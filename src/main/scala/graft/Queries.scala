@@ -4057,12 +4057,12 @@ object Queries {
         val perPart = table(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("part"))
           .agg(msum(col("l_extendedprice")).as("rev"))
-        val w = Window.orderBy(col("rev").desc, col("part"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val tot = perPart.agg(dsum(col("rev")).as("tot"))
-        perPart
-          .withColumn("cum", round(sum(col("rev").cast("decimal(18,2)"))
-            .over(w), 2).cast("double"))
+        // distributed prefix sum — a global Window.orderBy here would
+        // sort all parts on ONE executor; PrefixSum buckets by exact
+        // quantiles and composes bucket-local windows + offsets
+        PrefixSum.running(perPart, "rev", "part", "rev", descending = true)
+          .withColumn("cum", round(col("cum"), 2).cast("double"))
           .crossJoin(broadcast(tot))
           .withColumn("cum_share", round(col("cum") / col("tot"), 8))
           .withColumn("abc_class",
@@ -4105,8 +4105,10 @@ object Queries {
         val perCust = table(s, dir, "orders")
           .groupBy(col("o_custkey").as("cust"))
           .agg(msum(col("o_totalprice")).as("rev"))
-        val w = Window.orderBy(col("rev"), col("cust"))
-        val ranked = perCust.withColumn("i", row_number().over(w))
+        // distributed rank (PrefixSum.rnk), not a single-partition window
+        val ranked = PrefixSum.running(perCust, "rev", "cust", "rev",
+            descending = false)
+          .withColumn("i", col("rnk"))
         ranked.agg(
             count(lit(1)).as("n_custs"),
             dsum(col("rev")).as("total_rev"),

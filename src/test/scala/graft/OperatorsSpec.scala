@@ -827,6 +827,39 @@ class OperatorsSpec extends SparkSpec {
     assert(Sampling.hashReservoir(tiny, "g", "id", 5).count() == 2)
   }
 
+  test("PrefixSum.running equals the naive global window, both directions") {
+    val df = (1 to 500).map(i => (s"k$i", ((i * 37) % 100 + 1) * 1.0))
+      .toDF("id", "v")
+    for (desc <- Seq(true, false)) {
+      val ord = if (desc) Seq($"v".desc, $"id") else Seq($"v".asc, $"id")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+      val naive = df
+        .withColumn("cum", sum($"v".cast("decimal(18,2)"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)).cast("decimal(20,2)"))
+        .withColumn("rnk", row_number().over(w))
+        .orderBy("id").collect()
+        .map(r => (r.getString(0), r.getDecimal(2), r.getInt(3).toLong))
+      val dist = PrefixSum.running(df, "v", "id", "v", descending = desc,
+          nBuckets = 7)
+        .orderBy("id").collect()
+        .map(r => (r.getString(0), r.getAs[java.math.BigDecimal]("cum"),
+          r.getAs[Long]("rnk")))
+      assert(dist.toSeq == naive.toSeq, s"descending=$desc")
+    }
+    // heavy boundary ties: many rows share the same sort value
+    val tied = (1 to 100).map(i => (s"t$i", (i % 3) * 1.0 + 1.0)).toDF("id", "v")
+    val naiveT = tied.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"v".desc, $"id")))
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(2).toLong))
+    val distT = PrefixSum.running(tied, "v", "id", "v", descending = true,
+        nBuckets = 5)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rnk")))
+    assert(distT.toSeq == naiveT.toSeq)
+  }
+
   test("Sampling.weightedSample: heavier rows overrepresented, layout-invariant") {
     // 500 light rows (w=1) + 100 heavy rows (w=50): heavy mass is 10x
     // the light mass, so a 60-row sample should be heavy-dominated
