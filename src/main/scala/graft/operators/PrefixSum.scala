@@ -72,4 +72,36 @@ object PrefixSum {
       .withColumn("rnk", col("__roff") + col("__lr"))
       .drop("__b", "__lc", "__lr", "__off", "__roff")
   }
+
+  /** Adds `cum` (inclusive running LONG sum of `valCol`) in `orderCol`
+    * ASC order — the integer twin of [[running]] for token budgets and
+    * row counts. `orderCol` must be unique per row (it makes the order
+    * total; it is also the bucketing key, so its double cast only needs
+    * to respect the order — boundary ties share a bucket and the
+    * within-bucket sort refines them exactly). Long addition is
+    * associative, so bucket-local sums + broadcast offsets compose to
+    * exactly the single-partition-window answer. */
+  def runningLong(df: DataFrame, orderCol: String, valCol: String,
+      nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val th = Binning.quantileThresholds(
+      df.select(col(orderCol).cast("double").as("v")), "v",
+      math.max(nBuckets, 2))
+    val bucketed = df.withColumn("__b",
+      Binning.binIndex(col(orderCol).cast("double"), th))
+    val w = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed
+      .withColumn("__lc", sum(col(valCol).cast("long")).over(w))
+    val totals = bucketed.groupBy(col("__b"))
+      .agg(sum(col(valCol).cast("long")).as("__t"))
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offsets), "__b")
+      .withColumn("cum", col("__off") + col("__lc"))
+      .drop("__b", "__lc", "__off")
+  }
 }

@@ -216,19 +216,18 @@ object TextStats {
     * bucketing — `seq_id = floor(cumulative_tokens_before / budget)`, the
     * streaming-friendly packing policy (documents are never split; a
     * sequence may overflow by at most one document, the standard
-    * pack-then-truncate contract). One window pass; the unpartitioned
-    * running sum runs over (id, token_count) pairs, not documents —
-    * at true corpus scale partition the cumsum by shard key first. */
+    * pack-then-truncate contract). The global running sum is a
+    * [[PrefixSum.runningLong]] two-pass prefix sum — bucket-parallel,
+    * never a single-partition window, so the cumsum scales with the
+    * corpus instead of serializing it through one executor. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(tokenCol).as("n_tokens"))
-      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+    PrefixSum.runningLong(
+        df.select(col(idCol), col(tokenCol).cast("long").as("n_tokens")),
+        idCol, "n_tokens")
       .withColumn("seq_id",
-        ((col("cum_after") - col("n_tokens")) / budget).cast("long"))
+        ((col("cum") - col("n_tokens")) / budget).cast("long"))
       .select(col(idCol), col("n_tokens"), col("seq_id"))
   }
 

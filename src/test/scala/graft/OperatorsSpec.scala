@@ -860,6 +860,40 @@ class OperatorsSpec extends SparkSpec {
     assert(distT.toSeq == naiveT.toSeq)
   }
 
+  test("PrefixSum.runningLong equals the naive global window; packSequences unchanged") {
+    // skewed long values, non-contiguous ids (bucket thresholds land
+    // between them), plus repartition-invariance
+    val df = (1 to 400).map(i => (i * 7L, ((i * 31) % 97 + 1).toLong))
+      .toDF("id", "n").repartition(11)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val naive = df.withColumn("cum", sum($"n").over(w))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val dist = PrefixSum.runningLong(df, "id", "n", nBuckets = 9)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum")))
+    assert(dist.toSeq == naive.toSeq)
+
+    // packSequences on top of it: never splits a doc, seq ids monotone,
+    // every sequence except possibly the last reaches the budget
+    val docs = (1 to 200).map(i => (i.toLong, ((i * 13) % 50 + 5).toLong))
+      .toDF("doc_id", "tok")
+    val packed = TextStats.packSequences(docs, "doc_id", "tok", budget = 100L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("seq_id")))
+    assert(packed.map(_._1).toSeq == (1 to 200).map(_.toLong))
+    val seqIds = packed.map(_._3)
+    assert(seqIds.zip(seqIds.tail).forall { case (a, b) => a <= b })
+    val perSeq = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val lastSeq = seqIds.max
+    perSeq.foreach { case (sid, tot) =>
+      if (sid != lastSeq)
+        assert(tot >= 100L - 54L, s"seq $sid underfilled: $tot")
+    }
+  }
+
   test("Sampling.weightedSample: heavier rows overrepresented, layout-invariant") {
     // 500 light rows (w=1) + 100 heavy rows (w=50): heavy mass is 10x
     // the light mass, so a 60-row sample should be heavy-dominated
