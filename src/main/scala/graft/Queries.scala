@@ -4138,6 +4138,157 @@ object Queries {
             AS gini
         FROM ranked""")),
 
+    "q142_readability" -> Q(
+      // Flesch reading-ease over the English corpus slice — the classic
+      // cheap readability filter for training-data curation: syllables by
+      // the vowel-group heuristic, sentences by terminal-punctuation
+      // runs, banded into the standard difficulty classes. All counts are
+      // exact integers (ASCII regex classes, Java and RE2 agree); the
+      // score is ONE fixed-shape IEEE expression per doc snapped to 6
+      // decimals, then exact-decimal averaged per band. Pure scan →
+      // bounded aggregation: embarrassingly parallel at any corpus size.
+      build = (s, dir) => {
+        val scored = table(s, dir, "documents")
+          .filter(col("lang") === "en")
+          .select(
+            TextStats.tokenCount(col("text")).cast("long").as("w"),
+            greatest(lit(1L),
+              regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+              .as("sent"),
+            regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+              .as("syl"))
+          .withColumn("flesch", round(
+            lit(206.835)
+              - lit(1.015) * (col("w").cast("double") / col("sent").cast("double"))
+              - lit(84.6) * (col("syl").cast("double") / col("w").cast("double")),
+            6))
+          .withColumn("band",
+            when(col("flesch") >= 90, "very_easy")
+              .when(col("flesch") >= 70, "easy")
+              .when(col("flesch") >= 50, "medium")
+              .when(col("flesch") >= 30, "hard")
+              .otherwise("very_hard"))
+        scored.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(dsum(col("flesch")) / count(lit(1)), 6).as("avg_flesch"),
+            min(col("flesch")).as("min_flesch"),
+            max(col("flesch")).as("max_flesch"))
+          .orderBy(col("band"))
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT
+            round(206.835
+              - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+              - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
+          FROM (
+            SELECT
+              len(regexp_split_to_array(trim(text), '\\s+')) AS w,
+              greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sent,
+              len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+            FROM documents WHERE lang = 'en')),
+        banded AS (
+          SELECT flesch,
+            CASE WHEN flesch >= 90 THEN 'very_easy'
+                 WHEN flesch >= 70 THEN 'easy'
+                 WHEN flesch >= 50 THEN 'medium'
+                 WHEN flesch >= 30 THEN 'hard'
+                 ELSE 'very_hard' END AS band
+          FROM scored)
+        SELECT band, count(*) AS n_docs,
+          round(${sqlDsum("flesch")} / count(*), 6) AS avg_flesch,
+          min(flesch) AS min_flesch,
+          max(flesch) AS max_flesch
+        FROM banded
+        GROUP BY band
+        ORDER BY band""")),
+
+    "q143_gap_interpolation" -> Q(
+      // Time-series gap repair on the sparse URGENT-priority daily
+      // revenue (about a quarter of spine days have no orders at this
+      // slice): dense date spine → LOCF / NOCB carries → linear
+      // interpolation between the bracketing observations, with the fill
+      // method labeled per row. The carry windows are global BY DESIGN:
+      // they run on the bounded per-day frame (one row per calendar day
+      // after pre-aggregation, q41's precedent), never on fact rows — the
+      // fact scan pre-aggregates so the shuffle carries days only.
+      // Interpolation is one fixed-shape IEEE expression on exact inputs
+      // (2-decimal revenue, integer day offsets) snapped to 6 decimals.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val spine = daily
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("day"))
+        val wb = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.orderBy(col("day"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        spine.join(daily, Seq("day"), "left")
+          .withColumn("obs_day", when(col("rev").isNotNull, col("day")))
+          .withColumn("prev_rev", last(col("rev"), ignoreNulls = true).over(wb))
+          .withColumn("prev_day", last(col("obs_day"), ignoreNulls = true).over(wb))
+          .withColumn("next_rev", first(col("rev"), ignoreNulls = true).over(wf))
+          .withColumn("next_day", first(col("obs_day"), ignoreNulls = true).over(wf))
+          .select(col("day"),
+            col("rev").isNotNull.cast("int").as("observed"),
+            when(col("rev").isNotNull, col("rev"))
+              .when(col("prev_rev").isNotNull && col("next_rev").isNotNull,
+                round(col("prev_rev") + (col("next_rev") - col("prev_rev"))
+                  * (datediff(col("day"), col("prev_day")).cast("double")
+                    / datediff(col("next_day"), col("prev_day")).cast("double")),
+                  6))
+              .otherwise(coalesce(col("prev_rev"), col("next_rev")))
+              .as("filled"),
+            when(col("rev").isNotNull, "observed")
+              .when(col("prev_rev").isNotNull && col("next_rev").isNotNull,
+                "interp")
+              .when(col("prev_rev").isNotNull, "locf")
+              .otherwise("nocb").as("method"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        spine AS (
+          SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS day
+          FROM mm),
+        j AS (
+          SELECT s.day, d.rev FROM spine s LEFT JOIN daily d ON s.day = d.day),
+        f AS (
+          SELECT day, rev,
+            last_value(rev IGNORE NULLS) OVER wb AS prev_rev,
+            last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+              OVER wb AS prev_day,
+            first_value(rev IGNORE NULLS) OVER wf AS next_rev,
+            first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS)
+              OVER wf AS next_day
+          FROM j
+          WINDOW
+            wb AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT day,
+          CAST(rev IS NOT NULL AS INT) AS observed,
+          CASE WHEN rev IS NOT NULL THEN rev
+               WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN
+                 round(prev_rev + (next_rev - prev_rev)
+                   * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                     / CAST(date_diff('day', prev_day, next_day) AS DOUBLE)), 6)
+               ELSE coalesce(prev_rev, next_rev) END AS filled,
+          CASE WHEN rev IS NOT NULL THEN 'observed'
+               WHEN prev_rev IS NOT NULL AND next_rev IS NOT NULL THEN 'interp'
+               WHEN prev_rev IS NOT NULL THEN 'locf'
+               ELSE 'nocb' END AS method
+        FROM f
+        ORDER BY day""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
