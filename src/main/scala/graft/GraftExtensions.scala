@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -57,7 +57,11 @@ object GraftFunctions {
       { case Seq(t, s) => StopwordCount(t, s) }: Builder),
     ("graft_nfc",
       info("graft_nfc", "graft_nfc(str) - Unicode NFC normalization"),
-      { case Seq(s) => NfcNormalize(s) }: Builder))
+      { case Seq(s) => NfcNormalize(s) }: Builder),
+    ("graft_jaro_winkler",
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]"),
+      { case Seq(a, b) => JaroWinkler(a, b) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -4289,6 +4289,171 @@ object Queries {
         FROM f
         ORDER BY day""")),
 
+    "q144_jaro_winkler_pairs" -> Q(
+      // Entity-resolution fuzzy pairs over part names: blocking key =
+      // (brand, first name token) — the classic ER pattern where the
+      // blocking key comes from the entity itself, turning the quadratic
+      // all-pairs into a bounded per-block equi-join — then the native
+      // codegen'd graft_jaro_winkler scores candidates and >= 0.84
+      // survives (exact-equal names excluded: those are q21's exact-dedup
+      // business). The kernel is BIT-exact with DuckDB's
+      // jaro_winkler_similarity (4000-pair fuzz-pinned), so the threshold
+      // can never flip a row between engines. Scale path: candidate count
+      // is sum of block^2, governed by blocking-key selectivity — tighten
+      // the key before reaching for a bigger cluster.
+      build = (s, dir) => {
+        val p = table(s, dir, "part").select(
+          col("p_partkey").as("id"), col("p_name").as("name"),
+          concat_ws("|", col("p_brand"),
+            split(col("p_name"), " ").getItem(0)).as("blk"))
+        val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+        val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+          .withColumn("jw",
+            call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
+          .filter(col("jw") >= 0.84)
+          .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("jw"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey AS id, p_name AS name,
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0) AS blk
+          FROM part)
+        SELECT a.id AS id_a, b.id AS id_b,
+          a.name AS name_a, b.name AS name_b,
+          jaro_winkler_similarity(a.name, b.name) AS jw
+        FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        WHERE a.name <> b.name
+          AND jaro_winkler_similarity(a.name, b.name) >= 0.84
+        ORDER BY id_a, id_b""")),
+
+    "q145_oov_rate" -> Q(
+      // Out-of-vocabulary audit per language: vocabulary = corpus top-2000
+      // tokens (count desc, token asc — total order), each document's OOV
+      // share = tokens outside it, rolled up per lang with the share of
+      // high-OOV docs (> 0.3). The curation signal that catches
+      // boilerplate/code/garbled docs a frequency-based vocab won't cover.
+      // Scale shape: the vocab is a bounded top-k (broadcast to the token
+      // stream — the join never shuffles the corpus side); the per-doc
+      // rollup is one partial-aggregated groupBy. Rates are one IEEE
+      // division snapped to 6 decimals, then exact-decimal averaged.
+      build = (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("w"))
+        val vocab = toks.groupBy(col("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w")).limit(2000)
+          .select(col("w"), lit(1).as("iv"))
+        val perDoc = toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("rate", round(
+            col("n_oov").cast("double") / col("n_tok").cast("double"), 6))
+        perDoc.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(dsum(col("rate")) / count(lit(1)), 6).as("avg_oov_rate"),
+            sum((col("rate") > 0.3).cast("long")).as("n_high_oov"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents),
+        vocab AS (
+          SELECT w FROM (
+            SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+          ORDER BY cnt DESC, w LIMIT 2000),
+        per_doc AS (
+          SELECT t.doc_id, t.lang, count(*) AS n_tok,
+            sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+          FROM toks t LEFT JOIN vocab v ON t.w = v.w
+          GROUP BY t.doc_id, t.lang),
+        rated AS (
+          SELECT lang,
+            round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS rate
+          FROM per_doc)
+        SELECT lang, count(*) AS n_docs,
+          round(${sqlDsum("rate")} / count(*), 6) AS avg_oov_rate,
+          sum(CASE WHEN rate > 0.3 THEN 1 ELSE 0 END) AS n_high_oov
+        FROM rated
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    "q146_multitouch_attribution" -> Q(
+      // Linear multi-touch attribution: each purchase's value is credited
+      // equally across the user's touch events (view/click/signup) in the
+      // 7 days before it; purchases with no prior touch credit 'direct'.
+      // The touch join is a per-user equi-join with a range predicate —
+      // state bounded by one user's week, never a cross join — and the
+      // per-purchase fan-out count comes from a purchase-keyed window on
+      // the joined frame. Each credit is ONE fixed-shape IEEE division
+      // snapped to 6 decimals; sums are exact-decimal.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("event_id").as("pid"), col("value"))
+        val touch = ev.filter(col("event_type").isin("view", "click", "signup"))
+          .select(col("user_id").as("t_user"), col("ts").as("tts"),
+            col("event_id").as("tid"), col("event_type").as("ttype"))
+        // the range predicate lives IN the join condition: a post-join
+        // filter would drop purchases whose user touched outside the
+        // window instead of null-extending them to 'direct'
+        val joined = purch.join(touch,
+          col("user_id") === col("t_user") &&
+            col("tts") < col("pts") &&
+            col("tts") >= col("pts") - expr("interval 7 days"),
+          "left")
+        val wP = Window.partitionBy(col("pid"))
+        joined
+          .withColumn("n_t", count(col("tid")).over(wP))
+          .withColumn("touch_type",
+            when(col("n_t") === 0, "direct").otherwise(col("ttype")))
+          .filter(col("n_t") === 0 || col("tid").isNotNull)
+          .withColumn("credit",
+            when(col("n_t") === 0, round(col("value"), 6))
+              .otherwise(round(col("value") / col("n_t").cast("double"), 6)))
+          .groupBy(col("touch_type"))
+          .agg(count(lit(1)).as("n_credits"),
+            countDistinct(col("pid")).as("n_purchases"),
+            round(dsum(col("credit")), 2).as("attributed_revenue"))
+          .orderBy(col("touch_type"))
+      },
+      oracle = Some(s"""
+        WITH purch AS (
+          SELECT user_id, ts AS pts, event_id AS pid, value
+          FROM events WHERE event_type = 'purchase'),
+        touch AS (
+          SELECT user_id, ts AS tts, event_id AS tid, event_type AS ttype
+          FROM events WHERE event_type IN ('view', 'click', 'signup')),
+        j AS (
+          SELECT p.pid, p.value, t.tid, t.ttype
+          FROM purch p LEFT JOIN touch t
+            ON p.user_id = t.user_id
+            AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY),
+        counted AS (
+          SELECT pid, value, tid, ttype,
+            count(tid) OVER (PARTITION BY pid) AS n_t
+          FROM j),
+        credited AS (
+          SELECT pid,
+            CASE WHEN n_t = 0 THEN 'direct' ELSE ttype END AS touch_type,
+            CASE WHEN n_t = 0 THEN round(value, 6)
+                 ELSE round(value / CAST(n_t AS DOUBLE), 6) END AS credit
+          FROM counted
+          WHERE n_t = 0 OR tid IS NOT NULL)
+        SELECT touch_type, count(*) AS n_credits,
+          count(DISTINCT pid) AS n_purchases,
+          round(${sqlDsum("credit")}, 2) AS attributed_revenue
+        FROM credited
+        GROUP BY touch_type
+        ORDER BY touch_type""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

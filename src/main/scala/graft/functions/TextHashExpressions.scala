@@ -153,6 +153,66 @@ object TextHashUtil {
     }
     out
   }
+
+  /** Jaro-Winkler similarity in [0, 1] — the fuzzy record-linkage
+    * workhorse Spark has no builtin for (`levenshtein` is its only edit
+    * metric). Standard Jaro (match window `max(|a|,|b|)/2 − 1`, greedy
+    * left-to-right matching, half-transposition count) with the Winkler
+    * common-prefix boost `j + l·0.1·(1−j)` applied when `j > 0.7`,
+    * prefix capped at 4. Every division and product is evaluated in the
+    * same fixed IEEE shape as DuckDB's `jaro_winkler_similarity`, so
+    * oracle comparisons are BIT-exact (pinned by a 4000-pair fuzz at
+    * build time and TextOpsSpec's known-value table). Operates on UTF-16
+    * code units; on ASCII — every catalog use — unit choice is
+    * irrelevant. Empty-vs-anything (including empty-vs-empty) is 0.0,
+    * matching DuckDB's convention. */
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val mw = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - mw)
+      val hi = math.min(l2, i + mw + 1)
+      var matched = false
+      while (j < hi && !matched) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = m.toDouble
+    var jaro = (md / l1 + md / l2 + (m - t).toDouble / md) / 3.0
+    if (jaro > 0.7) {
+      val maxp = math.min(4, math.min(l1, l2))
+      var l = 0
+      while (l < maxp && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro = jaro + l * 0.1 * (1.0 - jaro)
+    }
+    jaro
+  }
 }
 
 /** `graft_simhash60(tokens)` — SimHash sketch of an array<string>. */
@@ -235,6 +295,33 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinGramHash =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_jaro_winkler(a, b)` — Jaro-Winkler similarity of two strings,
+  * bit-exact with DuckDB's `jaro_winkler_similarity` (see
+  * [[TextHashUtil.jaroWinkler]] for the pinned semantics). One static
+  * call per row inside WholeStageCodegen. */
+case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashUtil.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextHashUtil.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
 }
 

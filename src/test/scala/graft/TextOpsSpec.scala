@@ -175,6 +175,47 @@ class TextOpsSpec extends SparkSpec {
     assert(!r.isNullAt(0) && r.getLong(0) == r.getLong(1))
   }
 
+  test("jaroWinkler matches the DuckDB-pinned known-value table, symmetric") {
+    // expected doubles are DuckDB jaro_winkler_similarity outputs, pinned
+    // bit-exact offline (4000-pair fuzz, 0 diffs) — these literals ARE the
+    // oracle contract for q144
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),     // boost applies at j=0.767
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no shared prefix, no boost
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("aaaaaaaaaa", "aaaaaaaaab", 0.96),            // prefix capped at 4
+      ("ab", "abcdefghijklmnop", 0.7666666666666667),
+      ("abcdefgh", "abzzzzzz", 0.5),                 // j=0.5 <= 0.7: no boost
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0),               // DuckDB: empty is 0, even vs empty
+      ("a", "b", 0.0),
+      ("zzzzab", "ab", 0.0),                         // match window excludes the shift
+      ("ab", "ba", 0.0))                             // window 0: adjacent swap can't match
+    for ((a, b, want) <- cases) {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_jaro_winkler", col("a"), col("b")))
+        .head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(want), s"($a, $b): got $got want $want")
+      val rev = Seq((b, a)).toDF("a", "b")
+        .select(call_function("graft_jaro_winkler", col("a"), col("b")))
+        .head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(rev) ==
+        java.lang.Double.doubleToLongBits(want), s"asymmetric on ($a, $b)")
+    }
+    // null propagation + range sanity over real part names
+    val p = graft.sources.Tables.load(spark, sf(), "part")
+      .select(col("p_name").as("a"))
+    val jw = p.crossJoin(p.limit(1).select(col("a").as("b")))
+      .select(call_function("graft_jaro_winkler", col("a"), col("b")).as("j"))
+    assert(jw.filter(col("j") < 0.0 || col("j") > 1.0).count() == 0)
+    val nl = Seq(("x", null: String)).toDF("a", "b")
+      .select(call_function("graft_jaro_winkler", col("a"), col("b"))).head()
+    assert(nl.isNullAt(0))
+  }
+
   test("canonicalText unifies Unicode form, case, and whitespace variants") {
     val variants = Seq(
       "café au lait",        // precomposed é
