@@ -4454,6 +4454,148 @@ object Queries {
         GROUP BY touch_type
         ORDER BY touch_type""")),
 
+    "q147_containment_pairs" -> Q(
+      // Asymmetric shingle containment (Broder '97's "containment", vs
+      // q27's symmetric "resemblance"): catches a short doc quoted inside
+      // a long one, where Jaccard ~ |short|/|long| stays under every
+      // dedup threshold. Shares q27's inverted index — (long-hash, id)
+      // exchanges only — with both direction ratios emitted per pair.
+      build = (s, dir) =>
+        NearDup.containmentPairs(table(s, dir, "documents"),
+            "doc_id", "text", n = 3, minC = 0.15)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s)) AS common,
+            len(a.s) AS sz_a, len(b.s) AS sz_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND len(list_intersect(a.s, b.s)) > 0)
+        SELECT id_a, id_b, common,
+          CAST(common AS DOUBLE) / sz_a AS cont_a_in_b,
+          CAST(common AS DOUBLE) / sz_b AS cont_b_in_a
+        FROM pairs
+        WHERE greatest(CAST(common AS DOUBLE) / sz_a,
+          CAST(common AS DOUBLE) / sz_b) >= 0.15
+        ORDER BY id_a, id_b""")),
+
+    "q148_benford_audit" -> Q(
+      // Benford's-law first-digit audit of order totals — the classic
+      // fabricated-data / fraud screen: observed leading-digit shares vs
+      // log10(1 + 1/d), with per-digit chi-square terms and the total
+      // statistic. The first digit comes from the EXACT integer cents
+      // (round(x·100) as a long, then its first decimal char) — never
+      // from floating log10, whose boundary values (1000 → 2.999…) would
+      // misclassify. One scan → 9-row aggregate; the chi-square total
+      // rides a window over the BOUNDED 9-row frame.
+      build = (s, dir) => {
+        val digits = table(s, dir, "orders")
+          .select(substring(round(col("o_totalprice") * 100)
+            .cast("long").cast("string"), 1, 1).cast("int").as("d"))
+          .groupBy(col("d")).agg(count(lit(1)).as("n"))
+        val total = Window.partitionBy()
+        digits
+          .withColumn("n_total", sum(col("n")).over(total))
+          .withColumn("share", round(
+            col("n").cast("double") / col("n_total").cast("double"), 6))
+          .withColumn("benford_p", round(
+            log(10.0, lit(1.0) + lit(1.0) / col("d").cast("double")), 6))
+          .withColumn("chi_term", round(
+            (col("share") - col("benford_p")) * (col("share") - col("benford_p"))
+              / col("benford_p") * col("n_total").cast("double"), 6))
+          .withColumn("chi2_total",
+            round(sum(col("chi_term").cast("decimal(18,6)")).over(total), 4)
+              .cast("double"))
+          .select(col("d"), col("n"), col("share"), col("benford_p"),
+            col("chi_term"), col("chi2_total"))
+          .orderBy(col("d"))
+      },
+      oracle = Some("""
+        WITH digits AS (
+          SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS d, count(*) AS n
+          FROM orders GROUP BY 1),
+        shared AS (
+          SELECT d, n,
+            sum(n) OVER () AS n_total,
+            round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+              AS share,
+            round(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0), 6)
+              AS benford_p
+          FROM digits),
+        terms AS (
+          SELECT d, n, share, benford_p,
+            round((share - benford_p) * (share - benford_p) / benford_p
+              * CAST(n_total AS DOUBLE), 6) AS chi_term
+          FROM shared)
+        SELECT d, n, share, benford_p, chi_term,
+          CAST(round(sum(CAST(chi_term AS DECIMAL(18,6))) OVER (), 4)
+            AS DOUBLE) AS chi2_total
+        FROM terms
+        ORDER BY d""")),
+
+    "q149_autocorrelation" -> Q(
+      // Lag-1..14 autocorrelation of daily order revenue — the classic
+      // time-series memory diagnostic completing the trend/seasonality/
+      // burst family: r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², pairs
+      // matched on CALENDAR lag (gap days drop their pairs — documented
+      // semantics, deterministic). The daily frame is bounded
+      // (one row per day, q41's precedent), so the rn window and the
+      // 14-way lag join are bounded work; deviation products are snapped
+      // to 4 decimals and summed exactly in decimal.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("x"))
+        val xb = daily.agg((dsum(col("x")) / count(lit(1))).as("xbar"))
+        val dev = daily.crossJoin(broadcast(xb))
+          .select(col("day"), (col("x") - col("xbar")).as("dx"))
+        val ss = dev.agg(round(sum((col("dx") * col("dx"))
+          .cast("decimal(24,4)")), 4).cast("double").as("ss"))
+        val lags = s.range(1, 15).select(col("id").cast("int").as("k"))
+        dev.alias("t").crossJoin(broadcast(lags))
+          .join(dev.alias("u"),
+            col("u.day") === date_add(col("t.day"), col("k")))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum((col("t.dx") * col("u.dx")).cast("decimal(24,4)")), 4)
+              .cast("double").as("num"))
+          .crossJoin(broadcast(ss))
+          .select(col("k"), col("n_pairs"),
+            round(col("num") / col("ss"), 8).as("acf"))
+          .orderBy(col("k"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS x
+          FROM orders GROUP BY 1),
+        xb AS (SELECT ${sqlDsum("x")} / count(*) AS xbar FROM daily),
+        dev AS (
+          SELECT day, x - (SELECT xbar FROM xb) AS dx FROM daily),
+        ss AS (
+          SELECT CAST(round(sum(CAST(dx * dx AS DECIMAL(24,4))), 4)
+            AS DOUBLE) AS ss
+          FROM dev),
+        lags AS (SELECT unnest(generate_series(1, 14)) AS k)
+        SELECT k, count(*) AS n_pairs,
+          round(CAST(round(sum(CAST(t.dx * u.dx AS DECIMAL(24,4))), 4)
+            AS DOUBLE) / (SELECT ss FROM ss), 8) AS acf
+        FROM dev t
+        CROSS JOIN lags
+        JOIN dev u ON u.day = t.day + CAST(k AS INT)
+        GROUP BY k
+        ORDER BY k""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -130,6 +130,34 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact all-pairs shingle CONTAINMENT ≥ minC in either direction —
+    * the asymmetric overlap measure symmetric Jaccard misses: a short
+    * document fully quoted inside a much longer one has containment ≈ 1
+    * but Jaccard ≈ |short|/|long| ≈ 0, so Jaccard-gated dedup never sees
+    * it (Broder '97 distinguishes "resemblance" from "containment" for
+    * exactly this case). Same inverted index as [[jaccardPairs]] — the
+    * co-occurrence count is shared; only the final ratio differs:
+    * cont(A in B) = |∩| / |A|. Both directions are emitted per surviving
+    * pair; ratios are exact-integer divisions. Scale notes are
+    * [[jaccardPairs]]'s: index carries (long, id) only; verify-tier
+    * beyond ~10^7 docs. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minC: Double = 0.15): DataFrame = {
+    val inv = shingleHashRows(docs, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    inv.alias("a").join(inv.alias("b"),
+        col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_a_in_b", col("common").cast("double") / col("sz_a"))
+      .withColumn("cont_b_in_a", col("common").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minC)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** Exact all-pairs Jaccard ≥ minJ via PREFIX FILTERING (the
     * SSJoin/PPJoin family: Chaudhuri et al. ICDE '06, Xiao et al. WWW
     * '08) — identical output to [[jaccardPairs]], but the inverted index

@@ -70,6 +70,23 @@ class TextOpsSpec extends SparkSpec {
     assert(prefixLen < full / 2, s"prefix $prefixLen vs full $full")
   }
 
+  test("containmentPairs flags a doc quoted inside a longer one that jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "unrelated text entirely different words here")).toDF("doc_id", "text")
+    val pairs = NearDup.containmentPairs(docs, "doc_id", "text", n = 3, minC = 0.9)
+      .collect()
+    // short's 4 shingles all appear in long: containment 1.0 one way,
+    // 4/64 the other — and symmetric jaccard (0.0625) never sees the pair
+    assert(pairs.length == 1)
+    val r = pairs(0)
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Double]("cont_a_in_b") == 1.0)
+    assert(r.getAs[Double]("cont_b_in_a") < 0.1)
+    assert(NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count() == 0)
+  }
+
   test("nearDupSurvivors keeps exactly one doc per near-dup clique") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
