@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -61,7 +61,11 @@ object GraftFunctions {
     ("graft_jaro_winkler",
       info("graft_jaro_winkler",
         "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1]"),
-      { case Seq(a, b) => JaroWinkler(a, b) }: Builder))
+      { case Seq(a, b) => JaroWinkler(a, b) }: Builder),
+    ("graft_damerau_levenshtein",
+      info("graft_damerau_levenshtein",
+        "graft_damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance"),
+      { case Seq(a, b) => DamerauLevenshtein(a, b) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -4596,6 +4596,48 @@ object Queries {
         GROUP BY k
         ORDER BY k""")),
 
+    "q150_damerau_pairs" -> Q(
+      // Transposition-aware fuzzy pairs: same (brand, first-token)
+      // blocking as q144, scored by BOTH plain Levenshtein (Spark's
+      // builtin) and the native unrestricted Damerau-Levenshtein —
+      // `transposition_gain` = lev − dl isolates swapped-letter typos
+      // ("widgte") that plain edit distance over-charges. Integer
+      // metrics: zero float hazard in the oracle compare. Candidate
+      // count governed by blocking-key selectivity (q144's note).
+      build = (s, dir) => {
+        val p = table(s, dir, "part").select(
+          col("p_partkey").as("id"), col("p_name").as("name"),
+          concat_ws("|", col("p_brand"),
+            split(col("p_name"), " ").getItem(0)).as("blk"))
+        val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+        val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+          .withColumn("dl", call_function("graft_damerau_levenshtein",
+            col("name_a"), col("name_b")))
+          .filter(col("dl") <= 4)
+          .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+          .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+            col("lev"), col("dl"), (col("lev") - col("dl")).as("transposition_gain"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey AS id, p_name AS name,
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0) AS blk
+          FROM part)
+        SELECT a.id AS id_a, b.id AS id_b,
+          a.name AS name_a, b.name AS name_b,
+          CAST(levenshtein(a.name, b.name) AS INT) AS lev,
+          CAST(damerau_levenshtein(a.name, b.name) AS INT) AS dl,
+          CAST(levenshtein(a.name, b.name)
+            - damerau_levenshtein(a.name, b.name) AS INT)
+            AS transposition_gain
+        FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        WHERE a.name <> b.name
+          AND damerau_levenshtein(a.name, b.name) <= 4
+        ORDER BY id_a, id_b""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -233,6 +233,29 @@ class TextOpsSpec extends SparkSpec {
     assert(nl.isNullAt(0))
   }
 
+  test("damerauLevenshtein: unrestricted transpositions, DuckDB-pinned values") {
+    // ('ca','abc') = 2 is THE unrestricted-vs-OSA discriminator (OSA says 3)
+    val cases = Seq(
+      ("ca", "abc", 2), ("ab", "ba", 1), ("abcdef", "abcfed", 2),
+      ("kitten", "sitting", 3), ("", "abc", 3), ("same", "same", 0),
+      ("ab", "ab x", 2), ("a", "", 1), ("", "", 0))
+    for ((a, b, want) <- cases) {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(call_function("graft_damerau_levenshtein", col("a"), col("b")))
+        .head().getInt(0)
+      assert(got == want, s"($a, $b): got $got want $want")
+    }
+    // dl <= lev everywhere (transpositions can only help), symmetry
+    val p = graft.sources.Tables.load(spark, sf(), "part")
+      .select(col("p_name").as("a")).limit(200)
+    val x = p.crossJoin(p.limit(30).select(col("a").as("b")))
+      .select(
+        call_function("graft_damerau_levenshtein", col("a"), col("b")).as("dl"),
+        call_function("graft_damerau_levenshtein", col("b"), col("a")).as("dlr"),
+        levenshtein(col("a"), col("b")).as("lev"))
+    assert(x.filter(col("dl") > col("lev") || col("dl") =!= col("dlr")).count() == 0)
+  }
+
   test("canonicalText unifies Unicode form, case, and whitespace variants") {
     val variants = Seq(
       "café au lait",        // precomposed é
