@@ -4638,6 +4638,52 @@ object Queries {
           AND damerau_levenshtein(a.name, b.name) <= 4
         ORDER BY id_a, id_b""")),
 
+    "q151_stream_cms" -> Q(
+      // Streaming count-min sketch: per-day counter grids built by a
+      // Structured Streaming run (watermarked windowed COUNT — state
+      // bounded by days × 4·1024 cells, NOT key cardinality), merged by
+      // per-cell sum into one grid, then probed in batch against exact
+      // counts. The emitted days come from the run itself; the oracle
+      // re-derives the same horizon (day end ≤ max(ts) − 2 h, q130's
+      // convention) and sketches those events DIRECTLY — hash-equality
+      // proves streamed emission + mergeable rollup ≡ the batch sketch,
+      // all in exact integer arithmetic.
+      build = (s, dir) => {
+        val cells = graft.streaming.BoundedRuns.streamedCmsDaily(s, dir)
+        val sk = cells.groupBy(col("r"), col("c"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val days = cells.select(col("day")).distinct()
+        val exact = table(s, dir, "events")
+          .join(broadcast(days), col("ts").cast("date") === col("day"))
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        val probes = exact
+          .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+        probes
+          .join(Cms.lookup(sk, probes.select(col("user_id")), "user_id"),
+            "user_id")
+          .select(col("user_id"), col("n_exact"), col("cms_est"),
+            (col("cms_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(s"""
+        WITH ${Cms.sqlSketchCtes(
+          """SELECT user_id AS key FROM events
+             WHERE CAST(ts AS DATE) + INTERVAL '1 day'
+                   <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)""")},
+        ex AS (
+          SELECT user_id, count(*) AS n_exact FROM events
+          WHERE CAST(ts AS DATE) + INTERVAL '1 day'
+                <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+          GROUP BY 1),
+        probes AS (
+          SELECT user_id, n_exact FROM ex
+          ORDER BY n_exact DESC, user_id LIMIT 20),
+        ${Cms.sqlLookupCtes("SELECT user_id AS key FROM probes")}
+        SELECT p.user_id, p.n_exact, l.cms_est,
+          l.cms_est - p.n_exact AS overcount
+        FROM probes p JOIN cms_lk l ON l.key = p.user_id
+        ORDER BY p.user_id""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

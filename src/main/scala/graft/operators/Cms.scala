@@ -43,7 +43,10 @@ object Cms {
     pmod(TextHash.md5Bits60(concat(key.cast("string"), lit(s"|cms$r"))),
       lit(W.toLong))
 
-  private def cells(key: Column): Column =
+  /** The d (row, counter) cells `key` increments — exposed package-wide
+    * so the streaming twin can build the identical grid under a windowed
+    * aggregation. */
+  private[graft] def cells(key: Column): Column =
     array((0 until D).map { r =>
       struct(lit(r).as("r"), pos(key, r).as("c"))
     }: _*)

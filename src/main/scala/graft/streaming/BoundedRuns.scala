@@ -226,4 +226,15 @@ object BoundedRuns {
     graft.operators.Hll.estimate(regs, Seq("day"))
       .orderBy(col("day"))
   }
+
+  /** Bounded [[EventStreams.cmsDailyCells]]: the emitted (day, r, c, cnt)
+    * grids. A day is emitted once its end passes the terminal watermark
+    * (the final open day is pending — q76's convention); by count
+    * additivity the emitted grids merge (per-cell sum) into exactly the
+    * batch [[graft.operators.Cms.sketch]] of those days' events. */
+  def streamedCmsDaily(spark: SparkSession, dir: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    runEmitted(spark, dir,
+      df => EventStreams.cmsDailyCells(df, "user_id", "ts",
+        watermarkDelay), "cmsday-")
 }

@@ -89,6 +89,27 @@ object EventStreams {
         col("rho"))
   }
 
+  /** Daily count-min counter cells from the stream — the streaming half
+    * of the [[graft.operators.Cms]] sketch: each event increments its d
+    * (row, counter) cells under a watermarked windowed COUNT, so state is
+    * bounded by windows × d·w cells regardless of key cardinality, and a
+    * day's grid is emitted exactly once when the watermark closes it.
+    * Counts are ADDITIVE, so the emitted per-day grids merge downstream
+    * (per-cell sum) into a grid identical to the batch sketch of the same
+    * horizon — hash-equal, the mergeable-sketch property live. */
+  def cmsDailyCells(events: DataFrame, keyCol: String,
+      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame = {
+    import graft.operators.Cms
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(Cms.cells(col(keyCol))).as("rc"))
+      .groupBy(window(col(tsCol), "1 day"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("date").as("day"), col("r"),
+        col("c"), col("cnt"))
+  }
+
   /** Exactly-once event ids within the watermark horizon: duplicates of an
     * `event_id` arriving inside `watermarkDelay` are dropped; the key is
     * evicted from state afterwards (bounded memory, unlike plain

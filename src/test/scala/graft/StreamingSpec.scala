@@ -205,4 +205,31 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("cmsDailyCells: streamed counter grid equals the batch sketch exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.cmsDailyCells(in.toDF(), "user_id",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 0: user 1 three times, user 2 once — counts must survive into
+      // the grid; then advance the watermark past day 0 to close it
+      val day0 = Seq(ev(1, 1, 0), ev(1, 2, 30), ev(2, 3, 60), ev(1, 4, 90))
+      in.addData(day0: _*)
+      q.processAllAvailable()
+      in.addData(ev(9, 99, 26 * 60))
+      q.processAllAvailable()
+      val streamed = spark.table("cmscells")
+        .selectExpr("r", "c", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+      val batch = graft.operators.Cms.sketch(
+          day0.toDF().selectExpr("user_id"), "user_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+      assert(streamed.toSeq == batch.toSeq)
+      // total mass: d entries per event
+      assert(streamed.map(_._3).sum == 4L * graft.operators.Cms.D)
+    } finally q.stop()
+  }
 }
