@@ -4327,7 +4327,8 @@ object Queries {
         FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
         WHERE a.name <> b.name
           AND jaro_winkler_similarity(a.name, b.name) >= 0.84
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      bench = true),
 
     "q145_oov_rate" -> Q(
       // Out-of-vocabulary audit per language: vocabulary = corpus top-2000
@@ -4486,7 +4487,8 @@ object Queries {
         FROM pairs
         WHERE greatest(CAST(common AS DOUBLE) / sz_a,
           CAST(common AS DOUBLE) / sz_b) >= 0.15
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      bench = true),
 
     "q148_benford_audit" -> Q(
       // Benford's-law first-digit audit of order totals — the classic
@@ -4636,7 +4638,8 @@ object Queries {
         FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
         WHERE a.name <> b.name
           AND damerau_levenshtein(a.name, b.name) <= 4
-        ORDER BY id_a, id_b""")),
+        ORDER BY id_a, id_b"""),
+      bench = true),
 
     "q151_stream_cms" -> Q(
       // Streaming count-min sketch: per-day counter grids built by a
@@ -4683,6 +4686,120 @@ object Queries {
           l.cms_est - p.n_exact AS overcount
         FROM probes p JOIN cms_lk l ON l.key = p.user_id
         ORDER BY p.user_id""")),
+
+    "q152_entity_clusters" -> Q(
+      // End-to-end entity resolution: q144's blocked Jaro-Winkler edges
+      // (tightened to >= 0.92) → connected components (q52's min-label
+      // machinery) → every part labeled with its entity cluster, the
+      // cluster size, and the canonical name (the minimum-id member's —
+      // a deterministic survivorship rule). The ER composition a catalog
+      // user would actually run: blocking bounds the pair join,
+      // components cost one shuffle per round of cluster diameter, and
+      // the canonical join is on the bounded component table.
+      build = (s, dir) => {
+        val p = table(s, dir, "part").select(
+          col("p_partkey").as("id"), col("p_name").as("name"),
+          concat_ws("|", col("p_brand"),
+            split(col("p_name"), " ").getItem(0)).as("blk"))
+        val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
+        val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
+        val edges = a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+          .filter(call_function("graft_jaro_winkler",
+            col("name_a"), col("name_b")) >= 0.92)
+          .select(col("id_a"), col("id_b"))
+        val comp = Components.connectedComponents(
+          p.select(col("id")), "id", edges)
+        val sizes = comp.groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"))
+        comp.join(sizes, "comp")
+          .join(p.select(col("id").as("comp"), col("name").as("canonical_name")),
+            "comp")
+          .select(col("id"), col("comp").as("component"), col("n_members"),
+            col("canonical_name"))
+          .orderBy(col("id"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE p AS (
+          SELECT p_partkey AS id, p_name AS name,
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0) AS blk
+          FROM part),
+        edges AS MATERIALIZED (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+          WHERE a.name <> b.name
+            AND jaro_winkler_similarity(a.name, b.name) >= 0.92),
+        sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL
+          SELECT id_b, id_a FROM edges),
+        walk(id, reach) AS (
+          SELECT id, id FROM p
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        comp AS (
+          SELECT id, min(reach) AS component FROM walk GROUP BY id),
+        sizes AS (
+          SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+        SELECT c.id, c.component, s.n_members, cn.name AS canonical_name
+        FROM comp c
+        JOIN sizes s USING (component)
+        JOIN p cn ON cn.id = c.component
+        ORDER BY c.id"""),
+      bench = true),
+
+    "q153_seasonal_anomalies" -> Q(
+      // Seasonality-adjusted anomaly days: daily revenue minus its
+      // day-of-week expectation (q126's seasonal profile), residuals
+      // gated by the robust |resid − median| > 3·MAD rule (q90's
+      // machinery) — so a high Sunday is judged against Sundays, and the
+      // gate is not dragged by the outliers it hunts. All frames after
+      // the first aggregation are bounded (days, dows); residuals are
+      // stable-double arithmetic snapped to 6 decimals.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(msum(col("o_totalprice")).as("day_rev"))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        val dowAvg = daily.groupBy(col("dow"))
+          .agg(round(dsum(col("day_rev")) / count(lit(1)), 6).as("dow_avg"))
+        val resid = daily.join(broadcast(dowAvg), "dow")
+          .withColumn("resid", round(col("day_rev") - col("dow_avg"), 6))
+        val med = resid.agg(expr("percentile(resid, 0.5D)").as("med"))
+        val dev = resid.crossJoin(broadcast(med))
+          .withColumn("adev", abs(col("resid") - col("med")))
+        val mad = dev.agg(expr("percentile(adev, 0.5D)").as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .filter(col("adev") > lit(3.0) * col("mad"))
+          .select(col("day"), col("dow"), col("day_rev"), col("dow_avg"),
+            col("resid"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS day_rev
+          FROM orders GROUP BY 1),
+        dowed AS (
+          SELECT day, day_rev,
+            CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+          FROM daily),
+        dow_avg AS (
+          SELECT dow, round(${sqlDsum("day_rev")} / count(*), 6) AS dow_avg
+          FROM dowed GROUP BY 1),
+        resid AS (
+          SELECT d.day, d.dow, d.day_rev, a.dow_avg,
+            round(d.day_rev - a.dow_avg, 6) AS resid
+          FROM dowed d JOIN dow_avg a USING (dow)),
+        med AS (SELECT quantile_cont(resid, 0.5) AS med FROM resid),
+        dev AS (
+          SELECT r.*, abs(r.resid - m.med) AS adev
+          FROM resid r CROSS JOIN med m),
+        mad AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+        SELECT d.day, d.dow, d.day_rev, d.dow_avg, d.resid
+        FROM dev d CROSS JOIN mad m
+        WHERE d.adev > 3.0 * m.mad
+        ORDER BY d.day""")),
 
   )
 
