@@ -4801,6 +4801,28 @@ object Queries {
         WHERE d.adev > 3.0 * m.mad
         ORDER BY d.day""")),
 
+    "q154_weighted_quantiles" -> Q(
+      // Quantity-weighted median price per return flag — the weighted
+      // statistic `percentile` can't express (there every row counts
+      // equally). Distributed via per-group bucket thresholds + bounded
+      // offsets (WeightedStats scaladoc): no group ever serializes
+      // through one window partition; the oracle runs the DIRECT global
+      // cumsum, and the two agree exactly because the crossing rule is a
+      // pure function of tie-collapsed subtotals.
+      build = (s, dir) =>
+        WeightedStats.weightedQuantile(
+            table(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+              col("l_extendedprice"), col("l_quantity")),
+            "flag", "l_extendedprice", "l_quantity", phi = 0.5)
+          .orderBy(col("flag")),
+      oracle = Some(s"""
+        WITH ${WeightedStats.sqlWeightedQuantileCtes(
+          """SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+                l_quantity AS w FROM lineitem""", 0.5)}
+        SELECT g AS flag, wq, total_w, n_distinct
+        FROM wq_sel
+        ORDER BY flag""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

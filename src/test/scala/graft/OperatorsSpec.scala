@@ -894,6 +894,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("WeightedStats.weightedQuantile equals the naive cumulative rule") {
+    // deterministic skewed fixture: 3 groups, tied values, lumpy weights
+    val rows = for (gi <- 1 to 3; i <- 1 to 200) yield
+      (s"g$gi", ((i * 17 + gi * 7) % 40).toDouble, ((i * 13) % 9 + 1).toDouble)
+    val df = rows.toDF("g", "v", "w").repartition(7)
+    def naive(phi: Double): Map[String, Double] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val sub = rs.groupBy(_._2).view.mapValues(_.map(x => BigDecimal(x._3)).sum)
+          .toSeq.sortBy(_._1)
+        val total = sub.map(_._2).sum
+        var cum = BigDecimal(0)
+        g -> sub.collectFirst {
+          case (v, w) if { cum += w; cum.toDouble >= total.toDouble * phi } => v
+        }.get
+      }
+    for (phi <- Seq(0.25, 0.5, 0.9); nb <- Seq(4, 32)) {
+      val got = WeightedStats.weightedQuantile(df, "g", "v", "w", phi, nb)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("wq")).toMap
+      assert(got == naive(phi), s"phi=$phi nBuckets=$nb")
+    }
+    // single-value group and phi=1.0 edge
+    val tiny = Seq(("a", 5.0, 2.0), ("b", 1.0, 1.0), ("b", 9.0, 1.0))
+      .toDF("g", "v", "w")
+    val t = WeightedStats.weightedQuantile(tiny, "g", "v", "w", 1.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("wq")).toMap
+    assert(t == Map("a" -> 5.0, "b" -> 9.0))
+  }
+
   test("Sampling.weightedSample: heavier rows overrepresented, layout-invariant") {
     // 500 light rows (w=1) + 100 heavy rows (w=50): heavy mass is 10x
     // the light mass, so a 60-row sample should be heavy-dominated
