@@ -4823,6 +4823,129 @@ object Queries {
         FROM wq_sel
         ORDER BY flag""")),
 
+    "q155_rfm_segments" -> Q(
+      // RFM segmentation — the classic customer-value grid: per active
+      // customer, Recency (days since last order, lower is better),
+      // Frequency (order count), Monetary (exact-decimal revenue), each
+      // cut at its exact quintiles into a 1-5 score, concatenated into
+      // the 111..555 segment code and rolled up. Thresholds are bounded
+      // model metadata (3 × 4 doubles) compiled onto the scan —
+      // Binning's convention; integer-tied F collapses bins
+      // deterministically via the strict-> rule on identical doubles.
+      build = (s, dir) => {
+        val ref = table(s, dir, "orders")
+          .agg(max(col("o_orderdate").cast("date")).as("ref"))
+        val rfm = table(s, dir, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+            count(lit(1)).as("f"),
+            msum(col("o_totalprice")).as("m"))
+          .crossJoin(broadcast(ref))
+          .withColumn("r", datediff(col("ref"), col("last_day")).cast("double"))
+          .withColumn("fd", col("f").cast("double"))
+        val rTh = Binning.quantileThresholds(rfm, "r", 5)
+        val fTh = Binning.quantileThresholds(rfm, "fd", 5)
+        val mTh = Binning.quantileThresholds(rfm, "m", 5)
+        val scored = rfm.select(col("cust"), col("m"),
+          (lit(5) - Binning.binIndex(col("r"), rTh)).as("r_score"),
+          (Binning.binIndex(col("fd"), fTh) + lit(1)).as("f_score"),
+          (Binning.binIndex(col("m"), mTh) + lit(1)).as("m_score"))
+        scored
+          .withColumn("segment", concat(col("r_score"), col("f_score"),
+            col("m_score")))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            dsum(col("m")).as("total_monetary"))
+          .orderBy(col("segment"))
+      },
+      oracle = Some(s"""
+        WITH rfm AS (
+          SELECT o_custkey AS cust,
+            CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+              (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+              AS DOUBLE) AS r,
+            CAST(count(*) AS DOUBLE) AS fd,
+            ${sqlMsum("o_totalprice")} AS m
+          FROM orders GROUP BY 1),
+        th AS (
+          SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rq,
+            quantile_cont(fd, [0.2, 0.4, 0.6, 0.8]) AS fq,
+            quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS mq
+          FROM rfm),
+        scored AS (
+          SELECT cust, m,
+            5 - ((CASE WHEN r > rq[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN r > rq[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN r > rq[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN r > rq[4] THEN 1 ELSE 0 END)) AS r_score,
+            1 + (CASE WHEN fd > fq[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN fd > fq[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN fd > fq[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN fd > fq[4] THEN 1 ELSE 0 END) AS f_score,
+            1 + (CASE WHEN m > mq[1] THEN 1 ELSE 0 END)
+              + (CASE WHEN m > mq[2] THEN 1 ELSE 0 END)
+              + (CASE WHEN m > mq[3] THEN 1 ELSE 0 END)
+              + (CASE WHEN m > mq[4] THEN 1 ELSE 0 END) AS m_score
+          FROM rfm, th)
+        SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+            || CAST(m_score AS VARCHAR) AS segment,
+          count(*) AS n_customers,
+          ${sqlDsum("m")} AS total_monetary
+        FROM scored
+        GROUP BY 1
+        ORDER BY segment""")),
+
+    "q156_association_rules" -> Q(
+      // Market-basket association rules over order line items: pair
+      // support from a within-basket self-join (pairs bounded by basket
+      // size squared, never a global cross), confidence and lift as
+      // fixed-shape ratios of exact counts, minimum pair support 3,
+      // ranked by lift. The standard co-purchase recommender audit.
+      build = (s, dir) => {
+        val basket = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val n = basket.agg(
+          countDistinct(col("o")).cast("double").as("n_orders"))
+        val item = basket.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+        val pairs = basket.alias("a").join(basket.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("pair_cnt"))
+          .filter(col("pair_cnt") >= 3)
+        pairs
+          .join(item.select(col("p").as("p1"), col("cnt").as("c1")), "p1")
+          .join(item.select(col("p").as("p2"), col("cnt").as("c2")), "p2")
+          .crossJoin(broadcast(n))
+          .select(col("p1"), col("p2"), col("pair_cnt"), col("c1"), col("c2"),
+            round(col("pair_cnt").cast("double") / col("c1").cast("double"), 8)
+              .as("confidence"),
+            round(col("pair_cnt").cast("double") * col("n_orders")
+              / (col("c1").cast("double") * col("c2").cast("double")), 8)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("p1"), col("p2"))
+      },
+      oracle = Some("""
+        WITH basket AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n_orders FROM basket),
+        item AS (SELECT p, count(*) AS cnt FROM basket GROUP BY 1),
+        pairs AS (
+          SELECT a.p AS p1, b.p AS p2, count(*) AS pair_cnt
+          FROM basket a JOIN basket b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING count(*) >= 3)
+        SELECT pr.p1, pr.p2, pr.pair_cnt, i1.cnt AS c1, i2.cnt AS c2,
+          round(CAST(pr.pair_cnt AS DOUBLE) / CAST(i1.cnt AS DOUBLE), 8)
+            AS confidence,
+          round(CAST(pr.pair_cnt AS DOUBLE) * n.n_orders
+            / (CAST(i1.cnt AS DOUBLE) * CAST(i2.cnt AS DOUBLE)), 8) AS lift
+        FROM pairs pr
+        JOIN item i1 ON i1.p = pr.p1
+        JOIN item i2 ON i2.p = pr.p2
+        CROSS JOIN n
+        ORDER BY lift DESC, p1, p2""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
