@@ -4615,6 +4615,9 @@ object Queries {
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
           .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+          // dl >= |len(a) - len(b)| always, so this prefilter skips the
+          // O(len^2) kernel on hopeless pairs without changing the result
+          .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 4)
           .withColumn("dl", call_function("graft_damerau_levenshtein",
             col("name_a"), col("name_b")))
           .filter(col("dl") <= 4)

@@ -232,34 +232,53 @@ object TextHashUtil {
     if (l1 == 0) return l2
     if (l2 == 0) return l1
     val inf = l1 + l2
-    // (l1+2) x (l2+2) with the Lowrance-Wagner sentinel border
-    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
-    d(0)(0) = inf
+    // flat (l1+2) x (l2+2) matrix with the Lowrance-Wagner sentinel
+    // border — ONE allocation per call where 2D Array.ofDim costs l1+2
+    // allocations and a double deref per cell (this + the ASCII da table
+    // measured q150's 875k-pair tier 6.0 -> 4.1 s at sf0.1)
+    val w = l2 + 2
+    val d = new Array[Int]((l1 + 2) * w)
+    d(0) = inf
     var i = 0
-    while (i <= l1) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    while (i <= l1) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
-    while (j <= l2) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Character, Integer]()
+    while (j <= l2) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // last-seen row per character: int table for ASCII (the hot case —
+    // part names, codes), map fallback only when non-ASCII appears
+    val daAscii = new Array[Int](128)
+    var daMap: java.util.HashMap[Character, Integer] = null
+    def daGet(c: Char): Int =
+      if (c < 128) daAscii(c)
+      else if (daMap == null) 0
+      else { val v = daMap.get(c); if (v == null) 0 else v.intValue() }
+    def daPut(c: Char, v: Int): Unit =
+      if (c < 128) daAscii(c) = v
+      else {
+        if (daMap == null) daMap = new java.util.HashMap[Character, Integer]()
+        daMap.put(c, v)
+      }
     i = 1
     while (i <= l1) {
       var db = 0
+      val c1 = s1.charAt(i - 1)
       j = 1
       while (j <= l2) {
-        val k = { val v = da.get(s2.charAt(j - 1)); if (v == null) 0 else v.intValue() }
+        val c2 = s2.charAt(j - 1)
+        val k = daGet(c2)
         val l = db
-        val cost = if (s1.charAt(i - 1) == s2.charAt(j - 1)) { db = j; 0 } else 1
-        var m = d(i)(j) + cost
-        if (d(i + 1)(j) + 1 < m) m = d(i + 1)(j) + 1
-        if (d(i)(j + 1) + 1 < m) m = d(i)(j + 1) + 1
-        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        val cost = if (c1 == c2) { db = j; 0 } else 1
+        var m = d(i * w + j) + cost
+        if (d((i + 1) * w + j) + 1 < m) m = d((i + 1) * w + j) + 1
+        if (d(i * w + j + 1) + 1 < m) m = d(i * w + j + 1) + 1
+        val tr = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
         if (tr < m) m = tr
-        d(i + 1)(j + 1) = m
+        d((i + 1) * w + j + 1) = m
         j += 1
       }
-      da.put(s1.charAt(i - 1), i)
+      daPut(c1, i)
       i += 1
     }
-    d(l1 + 1)(l2 + 1)
+    d((l1 + 1) * w + l2 + 1)
   }
 }
 

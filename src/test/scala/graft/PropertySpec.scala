@@ -102,6 +102,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("damerauLevenshtein is a metric; jaroWinkler bounded and identity-correct on random text") {
+    import graft.functions.TextHashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaChar, Gen.const(' '),
+      Gen.oneOf('é', '中'))).map(_.take(12).mkString)
+    (1L to 5L).foreach { s =>
+      val triples = sample(Gen.listOfN(60,
+        Gen.zip(strGen, strGen, strGen)), s)
+      for ((a, b, c) <- triples) {
+        val ab = TextHashUtil.damerauLevenshtein(u(a), u(b))
+        val ba = TextHashUtil.damerauLevenshtein(u(b), u(a))
+        val bc = TextHashUtil.damerauLevenshtein(u(b), u(c))
+        val ac = TextHashUtil.damerauLevenshtein(u(a), u(c))
+        // symmetry, identity, triangle inequality (unrestricted DL is a
+        // true metric — the OSA restriction would FAIL this on e.g.
+        // ca→abc via ab)
+        assert(ab == ba, s"asym ($a, $b)")
+        assert((ab == 0) == (a == b), s"identity ($a, $b)")
+        assert(ac <= ab + bc, s"triangle ($a, $b, $c): $ac > $ab + $bc")
+        // jaro-winkler: bounded, 1 iff equal (for nonempty), symmetric
+        val jw = TextHashUtil.jaroWinkler(u(a), u(b))
+        assert(jw >= 0.0 && jw <= 1.0, s"jw range ($a, $b): $jw")
+        assert(jw == TextHashUtil.jaroWinkler(u(b), u(a)), s"jw asym ($a, $b)")
+        if (a.nonEmpty && a == b) assert(jw == 1.0)
+      }
+    }
+  }
+
   test("hyperplane buckets stay in range and match the HOF formula on random vectors") {
     import graft.operators.Similarity
     val vecGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0)).map(_.toArray)
