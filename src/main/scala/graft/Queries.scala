@@ -4949,6 +4949,116 @@ object Queries {
         CROSS JOIN n
         ORDER BY lift DESC, p1, p2""")),
 
+    "q157_delta_dedup" -> Q(
+      // Incremental ingest dedup — the shape a daily pipeline actually
+      // runs: the delta batch (doc_id % 10 = 0, simulating new arrivals)
+      // scored against the CORPUS (the rest) via delta×corpus inverted-
+      // index join only — the corpus is never self-paired. Every delta
+      // doc gets an admission decision: suppressed if any corpus match at
+      // Jaccard >= 0.6 (best match = max jaccard, tie -> smallest corpus
+      // id), admitted otherwise.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val pairs = NearDup.deltaJaccardPairs(corpus, delta,
+          "doc_id", "text", n = 3, minJ = 0.6)
+        val best = pairs
+          .groupBy(col("delta_id"))
+          .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_j"))
+        // renamed columns on the aggregated side: pairs appears on both
+        // legs of this join, so bare names would be ambiguous
+        val bestId = pairs
+          .join(best.select(col("delta_id").as("b_did"), col("best_j")),
+            col("delta_id") === col("b_did") && col("jaccard") === col("best_j"))
+          .groupBy(col("delta_id"))
+          .agg(min(col("corpus_id")).as("best_corpus_id"))
+        delta.select(col("doc_id").as("delta_id"))
+          .join(best, Seq("delta_id"), "left")
+          .join(bestId, Seq("delta_id"), "left")
+          .select(col("delta_id"),
+            coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+            col("best_corpus_id"),
+            when(col("n_matches").isNull, "admitted")
+              .otherwise("suppressed").as("decision"))
+          .orderBy(col("delta_id"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks),
+        pairs AS (
+          SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+            CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
+              / (len(d.s) + len(c.s) - len(list_intersect(d.s, c.s)))
+              AS jaccard
+          FROM sh d JOIN sh c
+            ON d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+          WHERE len(d.s) > 0 AND len(c.s) > 0
+            AND len(list_intersect(d.s, c.s)) > 0
+            AND CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
+              / (len(d.s) + len(c.s) - len(list_intersect(d.s, c.s))) >= 0.6),
+        best AS (
+          SELECT delta_id, count(*) AS n_matches, max(jaccard) AS best_j
+          FROM pairs GROUP BY 1),
+        best_id AS (
+          SELECT p.delta_id, min(p.corpus_id) AS best_corpus_id
+          FROM pairs p JOIN best b
+            ON p.delta_id = b.delta_id AND p.jaccard = b.best_j
+          GROUP BY 1)
+        SELECT d.doc_id AS delta_id,
+          coalesce(b.n_matches, 0) AS n_matches,
+          i.best_corpus_id,
+          CASE WHEN b.n_matches IS NULL THEN 'admitted'
+               ELSE 'suppressed' END AS decision
+        FROM documents d
+        LEFT JOIN best b ON b.delta_id = d.doc_id
+        LEFT JOIN best_id i ON i.delta_id = d.doc_id
+        WHERE d.doc_id % 10 = 0
+        ORDER BY delta_id""")),
+
+    "q158_source_dup_matrix" -> Q(
+      // Cross-source duplication matrix: which sources copy which —
+      // near-dup pairs (q27's exact machinery) rolled up by unordered
+      // source pair with the mean Jaccard. The curation view that
+      // decides which feed to drop when two overlap.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = NearDup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJ = 0.6)
+        val meta = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(meta.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+          .join(meta.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+          .select(least(col("src_a"), col("src_b")).as("source_lo"),
+            greatest(col("src_a"), col("src_b")).as("source_hi"),
+            col("jaccard"))
+          .groupBy(col("source_lo"), col("source_hi"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(davg(round(col("jaccard"), 8)), 8).as("avg_jaccard"))
+          .orderBy(col("source_lo"), col("source_hi"))
+      },
+      oracle = Some(s"""
+        WITH $ngramPairCtes,
+        flagged AS (
+          SELECT p.id_a, p.id_b, p.jaccard,
+            least(da.source, db.source) AS source_lo,
+            greatest(da.source, db.source) AS source_hi
+          FROM pairs p
+          JOIN documents da ON da.doc_id = p.id_a
+          JOIN documents db ON db.doc_id = p.id_b
+          WHERE p.jaccard >= 0.6)
+        SELECT source_lo, source_hi, count(*) AS n_pairs,
+          round(${sqlDavg("round(jaccard, 8)")}, 8) AS avg_jaccard
+        FROM flagged
+        GROUP BY 1, 2
+        ORDER BY source_lo, source_hi""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

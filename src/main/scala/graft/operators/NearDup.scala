@@ -158,6 +158,30 @@ object NearDup {
         col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
+  /** Incremental (delta-vs-corpus) exact Jaccard pairs — the production
+    * ingest shape: score a NEW batch against the existing corpus WITHOUT
+    * re-pairing the corpus with itself. The inverted index join runs
+    * delta-shingles × corpus-shingles only, so daily cost scales with
+    * |delta| · overlap, not |corpus|²; the corpus side is the persisted
+    * shingle-hash index a real pipeline would keep warm. Same long-keyed
+    * exchanges and exact-integer Jaccard as [[jaccardPairs]]. */
+  def deltaJaccardPairs(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minJ: Double = 0.6): DataFrame = {
+    val cInv = shingleHashRows(corpus, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val dInv = shingleHashRows(delta, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    dInv.alias("d").join(cInv.alias("c"), col("d.hs") === col("c.hs"))
+      .select(col("d.id").as("delta_id"), col("c.id").as("corpus_id"),
+        col("d.sz").as("sz_d"), col("c.sz").as("sz_c"))
+      .groupBy(col("delta_id"), col("corpus_id"), col("sz_d"), col("sz_c"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sz_d") + col("sz_c") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("delta_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** Exact all-pairs Jaccard ≥ minJ via PREFIX FILTERING (the
     * SSJoin/PPJoin family: Chaudhuri et al. ICDE '06, Xiao et al. WWW
     * '08) — identical output to [[jaccardPairs]], but the inverted index

@@ -87,6 +87,20 @@ class TextOpsSpec extends SparkSpec {
     assert(NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count() == 0)
   }
 
+  test("deltaJaccardPairs scores delta vs corpus only — corpus never self-pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq((1L, base), (2L, base + " tail"),
+      (3L, "completely different content with no shared trigrams at all")).toDF("doc_id", "text")
+    val delta = Seq((4L, base)).toDF("doc_id", "text")
+    val got = NearDup.deltaJaccardPairs(corpus, delta, "doc_id", "text",
+        n = 3, minJ = 0.5)
+      .collect().map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("corpus_id")))
+      .sorted
+    // delta doc 4 matches corpus 1 (identical) and 2 (near); the corpus
+    // near-pair (1, 2) must NOT appear — that's the whole point
+    assert(got.toSeq == Seq((4L, 1L), (4L, 2L)))
+  }
+
   test("nearDupSurvivors keeps exactly one doc per near-dup clique") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
