@@ -5059,6 +5059,97 @@ object Queries {
         GROUP BY 1, 2
         ORDER BY source_lo, source_hi""")),
 
+    "q159_k_anonymity" -> Q(
+      // Privacy-release audit over the event log: quasi-identifier =
+      // (event_type, day-of-week, hour) — k-anonymity (smallest QI group;
+      // share of events in groups under k=5) and l-diversity (distinct
+      // users per group; groups under l=3 leak membership even when
+      // k-anonymous). One pass to QI groups, two bounded aggregations —
+      // the pre-publication check a dataset release pipeline runs next
+      // to q61's PII redaction.
+      build = (s, dir) => {
+        val qi = table(s, dir, "events")
+          .select(col("event_type"),
+            dayofweek(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"),
+            col("user_id"))
+        val groups = qi.groupBy(col("event_type"), col("dow"), col("hr"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("l_div"))
+        groups.agg(
+            count(lit(1)).as("n_groups"),
+            sum(col("n")).as("n_events"),
+            min(col("n")).as("k_anonymity"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("groups_lt_k5"),
+            round(sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .cast("double") / sum(col("n")).cast("double"), 8)
+              .as("pct_events_lt_k5"),
+            min(col("l_div")).as("l_diversity"),
+            sum(when(col("l_div") < 3, 1L).otherwise(0L)).as("groups_lt_l3"))
+      },
+      oracle = Some("""
+        WITH groups AS (
+          SELECT event_type,
+            CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+            CAST(hour(ts) AS BIGINT) AS hr,
+            count(*) AS n,
+            count(DISTINCT user_id) AS l_div
+          FROM events GROUP BY 1, 2, 3)
+        SELECT count(*) AS n_groups,
+          CAST(sum(n) AS BIGINT) AS n_events,
+          min(n) AS k_anonymity,
+          CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS groups_lt_k5,
+          round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(sum(n) AS DOUBLE), 8) AS pct_events_lt_k5,
+          min(l_div) AS l_diversity,
+          CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS groups_lt_l3
+        FROM groups""")),
+
+    "q160_dp_release" -> Q(
+      // Derandomized differential-privacy release: per-(lang, source) doc
+      // counts with Laplace(1/ε) noise drawn by INVERSE CDF from the
+      // portable 60-bit md5 hash of the group key — noise = −sign(u)·
+      // ln(1−2|u|)/ε with u ∈ (−½, ½) from the hash, so the "random"
+      // mechanism is reproducible, testable, and oracle-checkable
+      // bit-for-bit (the engineering trick for auditing a DP pipeline;
+      // production would swap the hash for a real RNG seed). ε = 1,
+      // sensitivity 1. One aggregation + one fixed-shape ln per group.
+      build = (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        val h = TextHash.md5Bits60(
+          concat_ws("|", col("lang"), col("source"), lit("dp")))
+        counts
+          .withColumn("u",
+            (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60)) - lit(0.5))
+          .withColumn("noise", round(
+            -signum(col("u")) * log(lit(1.0) - lit(2.0) * abs(col("u"))), 6))
+          .withColumn("released",
+            greatest(lit(0L), col("n") + round(col("noise")).cast("long")))
+          .select(col("lang"), col("source"), col("n"), col("noise"),
+            col("released"))
+          .orderBy(col("lang"), col("source"))
+      },
+      oracle = Some(s"""
+        WITH counts AS (
+          SELECT lang, source, count(*) AS n
+          FROM documents GROUP BY 1, 2),
+        noised AS (
+          SELECT lang, source, n,
+            (CAST(${TextHash.sqlMd5Bits60("lang || '|' || source || '|dp'")}
+              AS DOUBLE) + 0.5) / power(2.0, 60) - 0.5 AS u
+          FROM counts)
+        SELECT lang, source, n,
+          round(-sign(u) * ln(1.0 - 2.0 * abs(u)), 6) AS noise,
+          greatest(CAST(0 AS BIGINT),
+            n + CAST(round(round(-sign(u) * ln(1.0 - 2.0 * abs(u)), 6))
+              AS BIGINT)) AS released
+        FROM noised
+        ORDER BY lang, source""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
