@@ -49,10 +49,17 @@ object WeightedStats {
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val th = df.groupBy(g).agg(expr(
       s"percentile(`$valCol`, array(${ps.mkString(", ")}))").as("__th"))
+    // persisted: four consumers below (bucket totals twice via offsets/
+    // totals, the crossing-bucket scan, n_distinct) would otherwise each
+    // recompute the subtotal aggregation + threshold join from the scan.
+    // Freed by the callers' persistent-RDD sweep (Verify/Bench),
+    // Components' contract. Isolated timing (tools/ProfileWq, sf0.1
+    // lineitem): 3.2 s at 1x, 8.5 s at 4x rows — sublinear in input.
     val bucketed = sub.join(broadcast(th), groupCol)
       .withColumn("__b", size(filter(col("__th"),
         t => col("v") > t)).cast("long"))
       .drop("__th")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. bounded per-(group, bucket) totals and per-group offsets/targets
     val btot = bucketed.groupBy(g, col("__b"))
       .agg(sum(col("wv")).cast("decimal(20,2)").as("__bw"))
@@ -78,7 +85,7 @@ object WeightedStats {
     //    whose through-weight reaches the target
     val wIn = Window.partitionBy(g, col("__b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nDistinct = sub.groupBy(g).agg(count(lit(1)).as("n_distinct"))
+    val nDistinct = bucketed.groupBy(g).agg(count(lit(1)).as("n_distinct"))
     bucketed.join(broadcast(crossing), Seq(groupCol, "__b"))
       .withColumn("__cum",
         (col("__off") + sum(col("wv")).over(wIn)).cast("double"))

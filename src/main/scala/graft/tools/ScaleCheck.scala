@@ -100,6 +100,38 @@ object ScaleCheck {
 
     time("clustered LSH near-dup 5k vecs")(lshClustered(5000))
     time("clustered LSH near-dup 20k vecs")(lshClustered(20000))
+
+    // round-5 additions: incremental delta-vs-corpus dedup (delta fixed,
+    // corpus inflated — cost should track the delta×corpus OVERLAP, not
+    // corpus size squared) and the bucketed grouped weighted quantile
+    // (fact rows inflated — two map-side-combinable aggs + bounded
+    // windows, should track input ~linearly)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    def corpusNoDelta(k: Int): DataFrame =
+      (0 until k).map { i =>
+        val prefix = (0 until 10).map(j => s"cp${i}x$j").mkString("", " ", " ")
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            (if (i == 0) col("text") else concat(lit(prefix), col("text"))).as("text"))
+      }.reduce(_ union _)
+    time("delta dedup, 1x corpus")(
+      NearDup.deltaJaccardPairs(corpusNoDelta(1), delta, "doc_id", "text").count())
+    time("delta dedup, 4x corpus")(
+      NearDup.deltaJaccardPairs(corpusNoDelta(4), delta, "doc_id", "text").count())
+
+    val li = graft.sources.Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice"),
+        col("l_quantity"))
+    def liX(k: Int): DataFrame = (0 until k).map(_ => li).reduce(_ union _)
+    // weighted quantile has its own clean-JVM harness (tools/ProfileWq):
+    // this main's earlier heavy sections distort in-JVM timings for it
+    time("weighted median, 1x lineitem")(
+      graft.operators.WeightedStats.weightedQuantile(
+        liX(1), "flag", "l_extendedprice", "l_quantity", 0.5).count())
+    time("weighted median, 4x lineitem")(
+      graft.operators.WeightedStats.weightedQuantile(
+        liX(4), "flag", "l_extendedprice", "l_quantity", 0.5).count())
     // exactness at the selective params: LSH output == brute-force output
     val n = 4000
     val exact = graft.operators.Vectors
