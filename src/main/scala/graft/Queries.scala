@@ -5150,6 +5150,68 @@ object Queries {
         FROM noised
         ORDER BY lang, source""")),
 
+    "q161_share_of_parent" -> Q(
+      // Hierarchical share-of-parent: every nation's revenue as a share
+      // of its region, every region's as a share of the world — the
+      // drill-down percentage every OLAP hierarchy renders. ONE star-join
+      // scan feeds a GROUPING SETS expansion; the share joins run on the
+      // bounded level frames (regions, nations). Shares are one division
+      // of exact-decimal-summed revenues, snapped to 8.
+      build = (s, dir) => {
+        table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(table(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(table(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .createOrReplaceTempView("sop_star")
+        val levels = s.sql(s"""
+          SELECT r_name, n_name, ${sqlMsum("o_totalprice")} AS revenue,
+            grouping(r_name) AS g_r, grouping(n_name) AS g_n
+          FROM sop_star
+          GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())""")
+        val nations = levels.filter(col("g_n") === 0)
+          .select(col("r_name"), col("n_name"), col("revenue"))
+        val regions = levels.filter(col("g_n") === 1 && col("g_r") === 0)
+          .select(col("r_name"), col("revenue").as("region_rev"))
+        val world = levels.filter(col("g_r") === 1)
+          .select(col("revenue").as("world_rev"))
+        val nationRows = nations.join(broadcast(regions), "r_name")
+          .select(lit("nation").as("level"), col("r_name"),
+            col("n_name"), col("revenue"),
+            round(col("revenue") / col("region_rev"), 8).as("share_of_parent"))
+        val regionRows = regions.crossJoin(broadcast(world))
+          .select(lit("region").as("level"), col("r_name"),
+            lit("(all)").as("n_name"), col("region_rev").as("revenue"),
+            round(col("region_rev") / col("world_rev"), 8).as("share_of_parent"))
+        nationRows.unionByName(regionRows)
+          .orderBy(col("level"), col("r_name"), col("n_name"))
+      },
+      oracle = Some(s"""
+        WITH star AS (
+          SELECT r_name, n_name, o_totalprice
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey),
+        nations AS (
+          SELECT r_name, n_name, ${sqlMsum("o_totalprice")} AS revenue
+          FROM star GROUP BY 1, 2),
+        regions AS (
+          SELECT r_name, ${sqlMsum("o_totalprice")} AS region_rev
+          FROM star GROUP BY 1),
+        world AS (
+          SELECT ${sqlMsum("o_totalprice")} AS world_rev FROM star)
+        SELECT 'nation' AS level, n.r_name, n.n_name, n.revenue,
+          round(n.revenue / r.region_rev, 8) AS share_of_parent
+        FROM nations n JOIN regions r USING (r_name)
+        UNION ALL
+        SELECT 'region', r.r_name, '(all)', r.region_rev,
+          round(r.region_rev / w.world_rev, 8)
+        FROM regions r CROSS JOIN world w
+        ORDER BY level, r_name, n_name""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
