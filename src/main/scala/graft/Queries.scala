@@ -5212,6 +5212,62 @@ object Queries {
         FROM regions r CROSS JOIN world w
         ORDER BY level, r_name, n_name""")),
 
+    "q162_format_sniffing" -> Q(
+      // Magic-byte format sniffing vs declared kind — the first audit a
+      // multimodal ingest runs: payloads synthesized with REAL container
+      // headers (PNG / JPEG / RIFF by doc_id % 4, one slice headerless),
+      // declared kind by doc_id % 3 (q46's convention — the misaligned
+      // moduli produce genuine declared-vs-actual mismatches), then the
+      // mismatch matrix. The sniff is a bounded prefix comparison on the
+      // scan: payload bytes never shuffle, only (kind, format) counters.
+      build = (s, dir) => {
+        val header = when(pmod(col("doc_id"), lit(4)) === 0,
+            lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)))
+          .when(pmod(col("doc_id"), lit(4)) === 2,
+            lit("RIFF").cast("binary"))
+          .otherwise(lit(Array.empty[Byte]))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0, "image")
+              .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+              .otherwise("video").as("kind"),
+            concat(header, col("text").cast("binary")).as("payload"))
+          .select(col("kind"),
+            Multimodal.sniffFormat(col("payload")).as("sniffed"),
+            length(col("payload")).as("bytes"))
+          .groupBy(col("kind"), col("sniffed"))
+          .agg(count(lit(1)).as("n"), sum(col("bytes")).as("total_bytes"))
+          .orderBy(col("kind"), col("sniffed"))
+      },
+      oracle = Some("""
+        WITH media AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 'image'
+                 WHEN doc_id % 3 = 1 THEN 'audio'
+                 ELSE 'video' END AS kind,
+            (CASE WHEN doc_id % 4 = 0
+                THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB
+              WHEN doc_id % 4 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB
+              WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB
+              ELSE ''::BLOB END) || encode(text) AS payload
+          FROM documents),
+        sniffed AS (
+          SELECT kind,
+            CASE WHEN substring(hex(payload), 1, 16) = '89504E470D0A1A0A'
+                THEN 'png'
+              WHEN substring(hex(payload), 1, 6) = 'FFD8FF' THEN 'jpeg'
+              WHEN substring(hex(payload), 1, 8) = '52494646' THEN 'riff'
+              ELSE 'unknown' END AS sniffed,
+            octet_length(payload) AS bytes
+          FROM media)
+        SELECT kind, sniffed, count(*) AS n,
+          CAST(sum(bytes) AS BIGINT) AS total_bytes
+        FROM sniffed
+        GROUP BY 1, 2
+        ORDER BY kind, sniffed""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

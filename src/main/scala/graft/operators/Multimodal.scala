@@ -162,4 +162,20 @@ object Multimodal {
   /** Payload-level exact dedup key (md5 of the bytes) — binary columns
     * dedup exactly like text ([[TextStats.contentKey]]). */
   def payloadKey: org.apache.spark.sql.Column = md5(col("payload"))
+
+  /** Container-format sniff from the payload's MAGIC BYTES — the
+    * no-codec multimodal op every ingest runs first: "what is this blob
+    * actually", independent of what the metadata claims. Prefix
+    * comparisons on the hex encoding (DuckDB has no BLOB substring, hex
+    * strings slice identically on both engines):
+    * PNG `89 50 4E 47 0D 0A 1A 0A`, JPEG `FF D8 FF`, RIFF `52 49 46 46`
+    * (WAV/AVI/WebP family). Unknown prefixes report "unknown" rather
+    * than guessing. */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h = hex(payload)
+    when(substring(h, 1, 16) === "89504E470D0A1A0A", "png")
+      .when(substring(h, 1, 6) === "FFD8FF", "jpeg")
+      .when(substring(h, 1, 8) === "52494646", "riff")
+      .otherwise("unknown")
+  }
 }

@@ -71,4 +71,20 @@ class MultimodalSpec extends SparkSpec {
     val counts = df.collect().map(_.getLong(1)).sorted
     assert(counts.toSeq == Seq(1L, 2L))
   }
+
+  test("sniffFormat: magic bytes win, truncated prefixes fall to unknown") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val riffOnly = "RIFF".getBytes("UTF-8") // exactly the 4-byte magic
+    val pngTrunc = png.take(7)              // one byte short of the magic
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      (png, "png"), (jpeg, "jpeg"), (riffOnly, "riff"),
+      (pngTrunc, "unknown"), (Array.empty[Byte], "unknown"),
+      ("plain text".getBytes("UTF-8"), "unknown"))
+    for ((bytes, want) <- cases) {
+      val got = Seq(Tuple1(bytes)).toDF("payload")
+        .select(Multimodal.sniffFormat(org.apache.spark.sql.functions.col("payload"))).head().getString(0)
+      assert(got == want, s"${bytes.length} bytes: got $got want $want")
+    }
+  }
 }
