@@ -5268,6 +5268,48 @@ object Queries {
         GROUP BY 1, 2
         ORDER BY kind, sniffed""")),
 
+    "q163_yoy_growth" -> Q(
+      // Year-over-year monthly growth — the BI twin of q41's MoM lag:
+      // each month joined to the SAME month one year back (explicit
+      // bounded self-join on the month key, not a 12-row window lag — a
+      // calendar gap can't silently misalign it), YoY delta and growth
+      // rate with first-year months reported with NULL-free sentinels.
+      build = (s, dir) => {
+        val monthly = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(msum(col("o_totalprice")).as("revenue"))
+        val prev = monthly.select(
+          add_months(col("month"), 12).as("month"),
+          col("revenue").as("prev_year_revenue"))
+        monthly.join(prev, Seq("month"), "left")
+          .select(col("month").cast("date").as("month"),
+            col("revenue"),
+            coalesce(col("prev_year_revenue"), lit(0.0)).as("prev_year_revenue"),
+            col("prev_year_revenue").isNotNull.cast("int").as("has_prev"),
+            when(col("prev_year_revenue").isNull, lit(0.0))
+              .otherwise(round((col("revenue") - col("prev_year_revenue"))
+                / col("prev_year_revenue") * 100.0, 6))
+              .as("yoy_pct"))
+          .orderBy(col("month"))
+      },
+      oracle = Some(s"""
+        WITH monthly AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+            ${sqlMsum("o_totalprice")} AS revenue
+          FROM orders GROUP BY 1),
+        joined AS (
+          SELECT m.month, m.revenue, p.revenue AS prev_year_revenue
+          FROM monthly m
+          LEFT JOIN monthly p ON p.month + INTERVAL 12 MONTH = m.month)
+        SELECT CAST(month AS DATE) AS month, revenue,
+          coalesce(prev_year_revenue, 0.0) AS prev_year_revenue,
+          CAST(prev_year_revenue IS NOT NULL AS INT) AS has_prev,
+          CASE WHEN prev_year_revenue IS NULL THEN 0.0
+            ELSE round((revenue - prev_year_revenue)
+              / prev_year_revenue * 100.0, 6) END AS yoy_pct
+        FROM joined
+        ORDER BY month""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
