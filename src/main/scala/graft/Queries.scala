@@ -5310,6 +5310,100 @@ object Queries {
         FROM joined
         ORDER BY month""")),
 
+    "q164_shipping_leadtime" -> Q(
+      // Order-to-ship lead time SLA per priority: exact p50/p90/p99 of
+      // the integer day lag (order ⋈ its line items), plus the worst
+      // case — the fulfillment dashboard every ops team runs. The join
+      // shuffles on orderkey; lag is an exact integer so the percentile
+      // parity is the established q19/q62 kind.
+      build = (s, dir) => {
+        val lag = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority").as("prio"))
+          .join(table(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_shipdate")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("prio"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).cast("double").as("lag_days"))
+        lag.groupBy(col("prio"))
+          .agg(count(lit(1)).as("n_lines"),
+            expr("percentile(lag_days, 0.5D)").as("p50"),
+            expr("percentile(lag_days, 0.9D)").as("p90"),
+            expr("percentile(lag_days, 0.99D)").as("p99"),
+            max(col("lag_days")).cast("long").as("worst"))
+          .orderBy(col("prio"))
+      },
+      oracle = Some("""
+        WITH lag AS (
+          SELECT o.o_orderpriority AS prio,
+            CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+              CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS lag_days
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        SELECT prio, count(*) AS n_lines,
+          quantile_cont(lag_days, 0.5) AS p50,
+          quantile_cont(lag_days, 0.9) AS p90,
+          quantile_cont(lag_days, 0.99) AS p99,
+          CAST(max(lag_days) AS BIGINT) AS worst
+        FROM lag
+        GROUP BY prio
+        ORDER BY prio""")),
+
+    "q165_repeat_purchase" -> Q(
+      // Repeat-purchase behavior: per-customer inter-order gaps (lag
+      // window per customer — partitions are per-customer order
+      // histories, bounded) rolled into the repeat-rate and exact gap
+      // quantiles per customer segment (order count band). The retention
+      // metric behind "how often do buyers come back".
+      build = (s, dir) => {
+        val w = Window.partitionBy(col("cust")).orderBy(col("day"), col("okey"))
+        val gaps = table(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            col("o_orderdate").cast("date").as("day"),
+            col("o_orderkey").as("okey"))
+          .withColumn("prev_day", lag(col("day"), 1).over(w))
+          .withColumn("gap_days",
+            datediff(col("day"), col("prev_day")).cast("double"))
+        val perCust = gaps.groupBy(col("cust"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("band",
+            when(col("n_orders") >= 20, ">=20")
+              .when(col("n_orders") >= 10, "10-19")
+              .when(col("n_orders") >= 2, "2-9")
+              .otherwise("1"))
+        gaps.filter(col("gap_days").isNotNull)
+          .join(perCust, "cust")
+          .groupBy(col("band"))
+          .agg(countDistinct(col("cust")).as("n_customers"),
+            count(lit(1)).as("n_gaps"),
+            expr("percentile(gap_days, 0.5D)").as("median_gap_days"),
+            expr("percentile(gap_days, 0.9D)").as("p90_gap_days"))
+          .orderBy(col("band"))
+      },
+      oracle = Some("""
+        WITH gaps AS (
+          SELECT o_custkey AS cust,
+            CAST(datediff('day',
+              lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+              CAST(o_orderdate AS DATE)) AS DOUBLE) AS gap_days
+          FROM orders),
+        per_cust AS (
+          SELECT cust, count(*) AS n_orders,
+            CASE WHEN count(*) >= 20 THEN '>=20'
+                 WHEN count(*) >= 10 THEN '10-19'
+                 WHEN count(*) >= 2 THEN '2-9'
+                 ELSE '1' END AS band
+          FROM gaps GROUP BY 1)
+        SELECT p.band, count(DISTINCT g.cust) AS n_customers,
+          count(*) AS n_gaps,
+          quantile_cont(g.gap_days, 0.5) AS median_gap_days,
+          quantile_cont(g.gap_days, 0.9) AS p90_gap_days
+        FROM gaps g JOIN per_cust p ON g.cust = p.cust
+        WHERE g.gap_days IS NOT NULL
+        GROUP BY p.band
+        ORDER BY p.band""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
