@@ -5404,6 +5404,60 @@ object Queries {
         GROUP BY p.band
         ORDER BY p.band""")),
 
+    "q166_supplier_hhi" -> Q(
+      // Supplier concentration risk per nation: each supplier's revenue
+      // share within their nation, squared and summed into the
+      // Herfindahl-Hirschman index (0 = atomized, 10000 = single-source)
+      // — the sourcing-risk metric procurement dashboards publish. Two
+      // exact-decimal aggregations; shares snapped to 8 decimals before
+      // the fixed-shape square, HHI terms snapped and decimal-summed so
+      // the index is combine-order-independent.
+      build = (s, dir) => {
+        val rev = table(s, dir, "lineitem")
+          .join(table(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(table(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("s_suppkey"))
+          .agg(msum(col("l_extendedprice")).as("srev"))
+        val nat = rev.groupBy(col("n_name"))
+          .agg(dsum(col("srev")).as("nrev"),
+            count(lit(1)).as("n_suppliers"))
+        rev.join(broadcast(nat), "n_name")
+          .withColumn("share", round(col("srev") / col("nrev"), 8))
+          .groupBy(col("n_name"), col("nrev"), col("n_suppliers"))
+          .agg(
+            round(sum(round(col("share") * col("share") * lit(10000.0), 8)
+              .cast("decimal(24,8)")), 4).cast("double").as("hhi"),
+            max(col("share")).as("top_share"))
+          .select(col("n_name"), col("n_suppliers"),
+            col("nrev").as("nation_rev"), col("hhi"), col("top_share"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some(s"""
+        WITH rev AS (
+          SELECT n.n_name, l.l_suppkey AS sk,
+            ${sqlMsum("l.l_extendedprice")} AS srev
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2),
+        nat AS (
+          SELECT n_name, ${sqlDsum("srev")} AS nrev,
+            count(*) AS n_suppliers
+          FROM rev GROUP BY 1),
+        shares AS (
+          SELECT r.n_name, n.nrev, n.n_suppliers,
+            round(r.srev / n.nrev, 8) AS share
+          FROM rev r JOIN nat n USING (n_name))
+        SELECT n_name, n_suppliers, nrev AS nation_rev,
+          CAST(round(sum(CAST(round(share * share * 10000.0, 8)
+            AS DECIMAL(24,8))), 4) AS DOUBLE) AS hhi,
+          max(share) AS top_share
+        FROM shares
+        GROUP BY n_name, nrev, n_suppliers
+        ORDER BY n_name""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
