@@ -5458,6 +5458,64 @@ object Queries {
         GROUP BY n_name, nrev, n_suppliers
         ORDER BY n_name""")),
 
+    "q167_error_control_chart" -> Q(
+      // Statistical process control (p-chart) on the daily error rate:
+      // center line = pooled error share, per-day 3σ binomial limits
+      // (wider on thin days — limits use each day's own n), out-of-
+      // control days flagged. The ops/DQ monitor that separates real
+      // incidents from sampling noise. sqrt is IEEE correctly-rounded,
+      // so the limit arithmetic is bit-identical cross-engine; every
+      // input is an exact integer count.
+      build = (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("event_type") === "error").cast("long")).as("n_err"))
+        val pooled = daily.agg(
+          (sum(col("n_err")).cast("double") / sum(col("n")).cast("double"))
+            .as("pbar"))
+        daily.crossJoin(broadcast(pooled))
+          .withColumn("p", round(
+            col("n_err").cast("double") / col("n").cast("double"), 8))
+          .withColumn("sigma",
+            sqrt(col("pbar") * (lit(1.0) - col("pbar"))
+              / col("n").cast("double")))
+          .withColumn("ucl", round(col("pbar") + lit(3.0) * col("sigma"), 8))
+          .withColumn("lcl", round(
+            greatest(lit(0.0), col("pbar") - lit(3.0) * col("sigma")), 8))
+          .withColumn("out_of_control",
+            (col("p") > col("ucl") || col("p") < col("lcl")).cast("int"))
+          .select(col("day"), col("n"), col("n_err"), col("p"),
+            round(col("pbar"), 8).as("center"), col("lcl"), col("ucl"),
+            col("out_of_control"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+          FROM events GROUP BY 1),
+        pooled AS (
+          SELECT CAST(sum(n_err) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+            AS pbar
+          FROM daily),
+        charted AS (
+          SELECT d.day, d.n, d.n_err,
+            round(CAST(d.n_err AS DOUBLE) / CAST(d.n AS DOUBLE), 8) AS p,
+            pl.pbar,
+            sqrt(pl.pbar * (1.0 - pl.pbar) / CAST(d.n AS DOUBLE)) AS sigma
+          FROM daily d CROSS JOIN pooled pl)
+        SELECT day, n, n_err, p,
+          round(pbar, 8) AS center,
+          round(greatest(0.0, pbar - 3.0 * sigma), 8) AS lcl,
+          round(pbar + 3.0 * sigma, 8) AS ucl,
+          CAST(p > round(pbar + 3.0 * sigma, 8)
+            OR p < round(greatest(0.0, pbar - 3.0 * sigma), 8) AS INT)
+            AS out_of_control
+        FROM charted
+        ORDER BY day""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
