@@ -5516,6 +5516,68 @@ object Queries {
         FROM charted
         ORDER BY day""")),
 
+    "q168_cohort_ltv" -> Q(
+      // Cohort lifetime-value curves: customers grouped by first-order
+      // month, each cohort's cumulative revenue per customer tracked by
+      // month offset — the revenue twin of q106's retention counts.
+      // Offsets are exact integer month arithmetic (y·12+m on both
+      // engines — no float months_between); the cumulative sum runs on
+      // the BOUNDED (cohort, offset) frame under a cohort-partitioned
+      // window; LTV is one division snapped to 6 decimals. Output capped
+      // at offsets 0-11 for a stable year-one curve.
+      build = (s, dir) => {
+        val om = table(s, dir, "orders")
+          .select(col("o_custkey").as("cust"),
+            col("o_totalprice"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("ym"))
+        val firstm = om.groupBy(col("cust")).agg(min(col("ym")).as("cym"))
+        val sizes = firstm.groupBy(col("cym"))
+          .agg(count(lit(1)).as("n_custs"))
+        val rev = om.join(firstm, "cust")
+          .withColumn("month_offset", col("ym") - col("cym"))
+          .filter(col("month_offset") <= 11)
+          .groupBy(col("cym"), col("month_offset"))
+          .agg(msum(col("o_totalprice")).as("mrev"))
+        val w = Window.partitionBy(col("cym")).orderBy(col("month_offset"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rev.join(broadcast(sizes), "cym")
+          .withColumn("cum_rev",
+            round(sum(col("mrev").cast("decimal(18,2)")).over(w), 2)
+              .cast("double"))
+          .select(col("cym").as("cohort_ym"), col("month_offset"),
+            col("n_custs"), col("mrev"), col("cum_rev"),
+            round(col("cum_rev") / col("n_custs").cast("double"), 6)
+              .as("ltv_per_customer"))
+          .orderBy(col("cohort_ym"), col("month_offset"))
+      },
+      oracle = Some(s"""
+        WITH om AS (
+          SELECT o_custkey AS cust, o_totalprice,
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+              AS ym
+          FROM orders),
+        firstm AS (
+          SELECT cust, min(ym) AS cym FROM om GROUP BY 1),
+        sizes AS (
+          SELECT cym, count(*) AS n_custs FROM firstm GROUP BY 1),
+        rev AS (
+          SELECT f.cym, o.ym - f.cym AS month_offset,
+            ${sqlMsum("o.o_totalprice")} AS mrev
+          FROM om o JOIN firstm f USING (cust)
+          WHERE o.ym - f.cym <= 11
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT r.cym, r.month_offset, s.n_custs, r.mrev,
+            CAST(round(sum(CAST(r.mrev AS DECIMAL(18,2)))
+              OVER (PARTITION BY r.cym ORDER BY r.month_offset
+                ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_rev
+          FROM rev r JOIN sizes s USING (cym))
+        SELECT cym AS cohort_ym, month_offset, n_custs, mrev, cum_rev,
+          round(cum_rev / CAST(n_custs AS DOUBLE), 6) AS ltv_per_customer
+        FROM cum
+        ORDER BY cohort_ym, month_offset""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
