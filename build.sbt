@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Pinned heap + GC for benchmark reproducibility: G1's adaptive heap
+  // resizing under a floating -Xms produced 2-3x swings on loop-heavy
+  // queries across identically-configured idle runs (r5 judge: q52
+  // 2.8-9.6 s). Fixed Xms=Xmx + ParallelGC removes the two biggest
+  // nondeterminism sources in a single-JVM timing loop.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseParallelGC",
 )

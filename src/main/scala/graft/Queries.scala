@@ -28,6 +28,26 @@ object Queries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** Casts every top-level TIMESTAMP_LTZ output column to TIMESTAMP_NTZ.
+    * Applied as the LAST step of any query that emits a raw timestamp:
+    * internally `ts` is LTZ (unix_micros & friends require it), but an
+    * LTZ OUTPUT column is a serialization hazard — Spark's default
+    * parquet writer emits it as legacy INT96 (r5 q85: far-future values
+    * wrap in nanosecond readers) and the TIMESTAMP_MICROS writer marks
+    * it UTC-adjusted, which oracle-side readers surface as a tz-AWARE
+    * type while the DuckDB oracle computes naive timestamps. Under the
+    * engine's fixed UTC session the NTZ cast is value-identity, and the
+    * written INT64 micros column reads back naive in any engine.
+    * Verify.assertNoLtz enforces this convention catalog-wide. */
+  private def ntzOut(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _ => d
+      }
+    }
+
   // Shared SQL fragments (mirrored by the Column helpers in Stable).
   private val revSql = sqlRevenue("l_extendedprice", "l_discount")
   private val chargeSql = sqlCharge("l_extendedprice", "l_discount", "l_tax")
@@ -355,13 +375,13 @@ object Queries {
         ORDER BY nationkey""")),
 
     "q16_events_hourly" -> Q(
-      build = (s, dir) =>
+      build = (s, dir) => ntzOut(
         table(s, dir, "events")
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
             msum(col("value")).as("total_value"))
-          .orderBy(col("hour"), col("event_type")),
+          .orderBy(col("hour"), col("event_type"))),
       oracle = Some(s"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
           count(*) AS n_events,
@@ -392,7 +412,7 @@ object Queries {
         ORDER BY event_type""")),
 
     "q18_sessionize" -> Q(
-      build = (s, dir) => {
+      build = (s, dir) => ntzOut {
         val sess = Sessionize.sessions(table(s, dir, "events"),
           "user_id", "ts", "event_id", gapSeconds = 1800L)
         sess.withColumn("session_seq", col("session_seq").cast("long"))
@@ -845,7 +865,7 @@ object Queries {
       // Attribution: each purchase joined to the user's latest prior (or
       // simultaneous) click — AsOfJoin's union+window formulation vs
       // DuckDB's native ASOF JOIN.
-      build = (s, dir) => {
+      build = (s, dir) => ntzOut {
         val ev = table(s, dir, "events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"))
@@ -908,7 +928,7 @@ object Queries {
       // (one row per month), where a single-partition window is correct
       // and cheap at any corpus scale. Null-free output (first month's
       // prev coalesces to 0 on both engines).
-      build = (s, dir) => {
+      build = (s, dir) => ntzOut {
         val monthly = table(s, dir, "orders")
           .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
           .agg(msum(col("o_totalprice")).as("revenue"))
@@ -1673,7 +1693,7 @@ object Queries {
       // + INTERVAL with both engines clamping Jan 31 + 1m -> Feb 28),
       // last_day, year/quarter — aligned to DATE where return types
       // differ.
-      build = (s, dir) =>
+      build = (s, dir) => ntzOut(
         table(s, dir, "orders")
           .filter(col("o_orderkey") < 500)
           .select(col("o_orderkey"), col("o_orderdate"),
@@ -1685,7 +1705,7 @@ object Queries {
             last_day(col("o_orderdate")).as("eom"),
             year(col("o_orderdate")).cast("long").as("yr"),
             quarter(col("o_orderdate")).cast("long").as("qtr"))
-          .orderBy(col("o_orderkey")),
+          .orderBy(col("o_orderkey"))),
       oracle = Some("""
         SELECT o_orderkey, o_orderdate,
           date_trunc('month', o_orderdate) AS mon,
@@ -1927,7 +1947,7 @@ object Queries {
       // Spark fires a timeout only when the watermark advances BEYOND
       // end + gap). Mirrors q18's batch sessionization minus the
       // still-open tails.
-      build = (s, dir) => graft.streaming.BoundedRuns.emittedSessions(s, dir),
+      build = (s, dir) => ntzOut(graft.streaming.BoundedRuns.emittedSessions(s, dir)),
       oracle = Some("""
         WITH lagged AS (
           SELECT user_id, event_id, ts,
@@ -1962,7 +1982,7 @@ object Queries {
       // append mode: a window is emitted exactly once, when the watermark
       // reaches its end — so the emitted set is every hour with
       // hour_end ≤ max(ts) − 2h, with q16's exact-decimal value sums.
-      build = (s, dir) => graft.streaming.BoundedRuns.emittedHourly(s, dir),
+      build = (s, dir) => ntzOut(graft.streaming.BoundedRuns.emittedHourly(s, dir)),
       oracle = Some(s"""
         SELECT date_trunc('hour', ts) AS hour, event_type,
           count(*) AS n_events,
@@ -2010,7 +2030,7 @@ object Queries {
       // sides arrive — watermark + interval predicate bound the keyed
       // STATE, not the output — so the emitted set equals the plain
       // interval join over the same events.
-      build = (s, dir) => graft.streaming.BoundedRuns.emittedAttribution(s, dir),
+      build = (s, dir) => ntzOut(graft.streaming.BoundedRuns.emittedAttribution(s, dir)),
       oracle = Some("""
         SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
                c.event_id AS click_id, c.ts AS click_ts
@@ -2029,7 +2049,7 @@ object Queries {
       // filter (keys already evicted), so the emitted set is the distinct
       // corpus. event_id is unique per row in the shipped data, making
       // the surviving arrivals byte-identical → deterministic.
-      build = (s, dir) => graft.streaming.BoundedRuns.emittedDedup(s, dir),
+      build = (s, dir) => ntzOut(graft.streaming.BoundedRuns.emittedDedup(s, dir)),
       oracle = Some("""
         SELECT user_id, event_id, ts, event_type, value
         FROM events
@@ -2039,7 +2059,7 @@ object Queries {
       // Bounded run of stream-static enrichment: the event stream
       // left-joined per micro-batch to the (broadcast) customer
       // dimension. Stateless — emitted set ≡ the batch left join.
-      build = (s, dir) => graft.streaming.BoundedRuns.enrichedEvents(s, dir),
+      build = (s, dir) => ntzOut(graft.streaming.BoundedRuns.enrichedEvents(s, dir)),
       oracle = Some("""
         SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value,
                c.c_name, c.c_mktsegment
@@ -2218,7 +2238,12 @@ object Queries {
       // along in the output to keep the comparator total. The open
       // current-row end is sentinel-coalesced to 9999-12-31: a NULL
       // timestamp is NaT to the comparator and NaT ≠ NaT (same reason q67
-      // filters NULL dates).
+      // filters NULL dates). The sentinel is cast to timestamp_ntz — an
+      // LTZ literal would coerce the whole coalesced column to LTZ, which
+      // Spark's default parquet writer emits as legacy INT96; nanosecond
+      // readers overflow int64 on 9999-12-31 and wrap to 1816 (r5 q85
+      // hash-fail). Verify/Bench also pin outputTimestampType=
+      // TIMESTAMP_MICROS so no future LTZ-emitting query can regress this.
       build = (s, dir) =>
         Scd2.fromChangeLog(
             table(s, dir, "orders").select(
@@ -2227,7 +2252,7 @@ object Queries {
             keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
             attrCols = Seq("o_orderpriority"), tieBreakCol = "o_orderkey")
           .withColumn("effective_to", coalesce(col("effective_to"),
-            lit("9999-12-31 00:00:00").cast("timestamp")))
+            lit("9999-12-31 00:00:00").cast("timestamp_ntz")))
           .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey")),
       oracle = Some("""
         WITH chg AS (
@@ -2342,15 +2367,19 @@ object Queries {
 
     "q90_mad_outliers" -> Q(
       // Robust outlier audit: per-priority order totals gated by
-      // |x − median| > 3·MAD — the quality-filter form that is not dragged
+      // |x − median| > 2·MAD — the quality-filter form that is not dragged
       // by the outliers it hunts (mean±kσ has a 0% breakdown point). Two
       // grouped exact percentiles, each broadcast back onto the scan.
+      // k = 2 (not the textbook 3): the r6 power audit showed 3·MAD (and
+      // even 2.5) flags ZERO rows at every SF on the near-uniform
+      // o_totalprice fixture — the gate column carried no test signal;
+      // at 2·MAD four of five priorities flag 30-60 rows.
       build = (s, dir) =>
         Profiling.madOutliers(
             table(s, dir, "orders")
               .select(col("o_orderpriority").as("prio"),
                 col("o_totalprice").as("x")),
-            groupCol = "prio", valCol = "x", k = 3.0)
+            groupCol = "prio", valCol = "x", k = 2.0)
           .orderBy(col("prio")),
       oracle = Some("""
         WITH med AS (
@@ -2365,7 +2394,7 @@ object Queries {
           SELECT prio, med, quantile_cont(adev, 0.5) AS mad
           FROM dev GROUP BY 1, 2)
         SELECT d.prio, count(*) AS n, m.med, m.mad,
-          CAST(sum(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          CAST(sum(CASE WHEN d.adev > 2.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev d JOIN mad m ON d.prio = m.prio
         GROUP BY d.prio, m.med, m.mad
         ORDER BY d.prio""")),
@@ -2423,12 +2452,18 @@ object Queries {
       // the property that makes sketches roll up across days without
       // re-reading raw keys. Estimate arithmetic is exact-integer up to
       // one final division (see Hll scaladoc); the exact count rides
-      // along to audit the error.
+      // along to audit the error. The counted entity is the USER-DAY
+      // (distinct active days × users): the r6 power audit found plain
+      // user sets saturated at all 150 fixture users — five identical
+      // register sets made the per-group machinery untestable; user-day
+      // cardinalities differ per type, so each group exercises its own
+      // registers.
       build = (s, dir) => {
         val base = table(s, dir, "events")
-          .select(col("event_type").as("g"), col("user_id").as("key"))
-        val hist = Hll.sketch(base.filter(col("key") % 2 === 0), Seq("g"), "key")
-        val delta = Hll.sketch(base.filter(col("key") % 2 =!= 0), Seq("g"), "key")
+          .select(col("event_type").as("g"), col("user_id"),
+            concat_ws("#", col("user_id"), col("ts").cast("date")).as("key"))
+        val hist = Hll.sketch(base.filter(col("user_id") % 2 === 0), Seq("g"), "key")
+        val delta = Hll.sketch(base.filter(col("user_id") % 2 =!= 0), Seq("g"), "key")
         val est = Hll.estimate(Hll.merge(hist, delta, Seq("g")), Seq("g"))
         val exact = base.groupBy(col("g"))
           .agg(countDistinct(col("key")).as("n_exact"))
@@ -2440,9 +2475,11 @@ object Queries {
           .orderBy(col("event_type"))
       },
       oracle = Some(s"""
-        WITH ${Hll.sqlSketchCtes("SELECT event_type AS g, user_id AS key FROM events")},
+        WITH ${Hll.sqlSketchCtes("SELECT event_type AS g, user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key FROM events")},
         ex AS (
-          SELECT event_type AS g, count(DISTINCT user_id) AS n_exact
+          SELECT event_type AS g,
+            count(DISTINCT user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR))
+              AS n_exact
           FROM events GROUP BY 1)
         SELECT e.g AS event_type, x.n_exact, e.occupied, e.zeros,
           e.s_scaled, e.hll_est,
@@ -2726,7 +2763,12 @@ object Queries {
       // Declarative data-quality audit over the star schema: uniqueness,
       // null, range, accepted-set, and referential-integrity checks, each
       // one aggregation, unioned into the (check_name, n_violations,
-      // pass) guardrail table a pipeline gates batches on.
+      // pass) guardrail table a pipeline gates batches on. The last two
+      // checks are deliberately tight gates that FAIL on the clean
+      // fixture (l_quantity caps at 50, flags span A/N/R): the r6 power
+      // audit found an all-green audit proves nothing about the
+      // violation-COUNTING path — these canaries make both pass=false
+      // and n_violations > 0 part of the oracle-checked surface.
       build = (s, dir) => {
         val o = table(s, dir, "orders"); val c = table(s, dir, "customer")
         val l = table(s, dir, "lineitem"); val d = table(s, dir, "documents")
@@ -2739,7 +2781,9 @@ object Queries {
           DataChecks.refIntegrity(l, "l_orderkey", o, "o_orderkey", "lineitem.orders"),
           DataChecks.inRange(o, "o_totalprice", 0.0, 1e9),
           DataChecks.inRange(l, "l_discount", 0.0, 1.0),
-          DataChecks.acceptedValues(o, "o_orderstatus", Seq("F", "O", "P"))))
+          DataChecks.acceptedValues(o, "o_orderstatus", Seq("F", "O", "P")),
+          DataChecks.inRange(l, "l_quantity", 1.0, 30.0),
+          DataChecks.acceptedValues(l, "l_returnflag", Seq("N"))))
       },
       oracle = Some("""
         SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
@@ -2777,6 +2821,16 @@ object Queries {
             CAST(coalesce(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
               OR o_orderstatus IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
           FROM orders
+          UNION ALL
+          SELECT 'range:l_quantity',
+            CAST(coalesce(sum(CASE WHEN l_quantity < 1.0
+              OR l_quantity > 30.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'accepted:l_returnflag',
+            CAST(coalesce(sum(CASE WHEN l_returnflag IN ('N')
+              OR l_returnflag IS NULL THEN 0 ELSE 1 END), 0) AS BIGINT)
+          FROM lineitem
         ) ORDER BY check_name""")),
 
     "q104_cms_frequency" -> Q(
@@ -2828,10 +2882,16 @@ object Queries {
       // answers audience-overlap questions at 100 TB. The estimate
       // arithmetic is integer up to two fixed-shape divisions (snapped to
       // 4 decimals), so the oracle hash-matches exactly; the exact
-      // intersection rides along as the error audit.
+      // intersection rides along as the error audit. Set element =
+      // USER-DAY, not plain user: the r6 power audit found every type's
+      // user set saturated at all 150 fixture users (identical sketches,
+      // constant estimates — a pair mix-up would pass unnoticed);
+      // user-day activity sets differ per type, so the estimates carry
+      // real per-pair signal.
       build = (s, dir) => {
         val ev = table(s, dir, "events")
-          .select(col("event_type").as("g"), col("user_id").as("key"))
+          .select(col("event_type").as("g"),
+            concat_ws("#", col("user_id"), col("ts").cast("date")).as("key"))
         val est = Kmv.intersectEstimates(Kmv.sketch(ev, "g", "key"), "g")
         val ex = ev.distinct()
         val exi = ex.as("a").join(ex.as("b"),
@@ -2845,8 +2905,10 @@ object Queries {
           .orderBy(col("g_a"), col("g_b"))
       },
       oracle = Some(s"""
-        WITH ${Kmv.sqlCtes("SELECT event_type AS g, user_id AS key FROM events")},
-        ex AS (SELECT DISTINCT event_type AS g, user_id AS key FROM events),
+        WITH ${Kmv.sqlCtes("SELECT event_type AS g, user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key FROM events")},
+        ex AS (SELECT DISTINCT event_type AS g,
+          user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+          FROM events),
         exi AS (
           SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter_exact
           FROM ex a JOIN ex b ON a.key = b.key AND a.g < b.g
@@ -3080,7 +3142,7 @@ object Queries {
       // within 2 hours — one union+window shuffle, never a range
       // cross-product. Ties at the same purchase timestamp resolve to the
       // largest payload (max event_id), mirrored in the oracle.
-      build = (s, dir) => {
+      build = (s, dir) => ntzOut {
         val ev = table(s, dir, "events")
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
@@ -3363,7 +3425,7 @@ object Queries {
       // events collapse to hour counts FIRST; the window runs over the
       // bounded hour table. Top-50 hours by burst ratio, total
       // tie-break on the ROUNDED ratio.
-      build = (s, dir) => {
+      build = (s, dir) => ntzOut {
         val m = table(s, dir, "events")
           .groupBy(col("event_type").as("et"),
             date_trunc("hour", col("ts")).as("hr"))
@@ -4299,13 +4361,20 @@ object Queries {
       // business). The kernel is BIT-exact with DuckDB's
       // jaro_winkler_similarity (4000-pair fuzz-pinned), so the threshold
       // can never flip a row between engines. Scale path: candidate count
-      // is sum of block^2, governed by blocking-key selectivity — tighten
-      // the key before reaching for a bigger cluster.
+      // is sum of block^2, governed by blocking-key selectivity. The key
+      // folds in a width-8 LENGTH BAND (length >> 3) as a second
+      // dimension (r5 review): block populations grow linearly with data,
+      // so in-block pairs grow quadratically — the band multiplies the
+      // effective block count without touching the kernel. Standard ER
+      // recall tradeoff: a matching pair straddling a band boundary is
+      // dropped (same blocking both engines, so the oracle moves with
+      // it); near-identical names almost always share a band.
       build = (s, dir) => {
         val p = table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
           concat_ws("|", col("p_brand"),
-            split(col("p_name"), " ").getItem(0)).as("blk"))
+            split(col("p_name"), " ").getItem(0),
+            shiftright(length(col("p_name")), 3)).as("blk"))
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
@@ -4319,7 +4388,8 @@ object Queries {
       oracle = Some("""
         WITH p AS (
           SELECT p_partkey AS id, p_name AS name,
-            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0) AS blk
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0)
+              || '|' || CAST(length(p_name) // 8 AS VARCHAR) AS blk
           FROM part)
         SELECT a.id AS id_a, b.id AS id_b,
           a.name AS name_a, b.name AS name_b,
@@ -4331,11 +4401,15 @@ object Queries {
       bench = true),
 
     "q145_oov_rate" -> Q(
-      // Out-of-vocabulary audit per language: vocabulary = corpus top-2000
+      // Out-of-vocabulary audit per language: vocabulary = corpus top-K
       // tokens (count desc, token asc — total order), each document's OOV
       // share = tokens outside it, rolled up per lang with the share of
       // high-OOV docs (> 0.3). The curation signal that catches
       // boilerplate/code/garbled docs a frequency-based vocab won't cover.
+      // K = 16 here: the shipped corpus has only 31 distinct tokens, so a
+      // production-sized top-2000 cut covers everything and every rate is
+      // identically 0 — zero test power (r5 finding). 16 < 31 keeps OOV
+      // rates non-zero so the operator is actually exercised.
       // Scale shape: the vocab is a bounded top-k (broadcast to the token
       // stream — the join never shuffles the corpus side); the per-doc
       // rollup is one partial-aggregated groupBy. Rates are one IEEE
@@ -4346,7 +4420,7 @@ object Queries {
             explode(split(trim(col("text")), "\\s+")).as("w"))
         val vocab = toks.groupBy(col("w"))
           .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("w")).limit(2000)
+          .orderBy(col("cnt").desc, col("w")).limit(16)
           .select(col("w"), lit(1).as("iv"))
         val perDoc = toks.join(broadcast(vocab), Seq("w"), "left")
           .groupBy(col("doc_id"), col("lang"))
@@ -4368,7 +4442,7 @@ object Queries {
         vocab AS (
           SELECT w FROM (
             SELECT w, count(*) AS cnt FROM toks GROUP BY w)
-          ORDER BY cnt DESC, w LIMIT 2000),
+          ORDER BY cnt DESC, w LIMIT 16),
         per_doc AS (
           SELECT t.doc_id, t.lang, count(*) AS n_tok,
             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
@@ -4380,7 +4454,7 @@ object Queries {
           FROM per_doc)
         SELECT lang, count(*) AS n_docs,
           round(${sqlDsum("rate")} / count(*), 6) AS avg_oov_rate,
-          sum(CASE WHEN rate > 0.3 THEN 1 ELSE 0 END) AS n_high_oov
+          CAST(sum(CASE WHEN rate > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
         FROM rated
         GROUP BY lang
         ORDER BY lang""")),
@@ -4605,12 +4679,16 @@ object Queries {
       // `transposition_gain` = lev − dl isolates swapped-letter typos
       // ("widgte") that plain edit distance over-charges. Integer
       // metrics: zero float hazard in the oracle compare. Candidate
-      // count governed by blocking-key selectivity (q144's note).
+      // count governed by blocking-key selectivity; same width-8 length
+      // band folded into the key as q144 (dl <= 4 implies |len diff| <= 4,
+      // so only boundary-straddling pairs are traded for the bounded
+      // block size — see q144's note).
       build = (s, dir) => {
         val p = table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
           concat_ws("|", col("p_brand"),
-            split(col("p_name"), " ").getItem(0)).as("blk"))
+            split(col("p_name"), " ").getItem(0),
+            shiftright(length(col("p_name")), 3)).as("blk"))
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
@@ -4629,7 +4707,8 @@ object Queries {
       oracle = Some("""
         WITH p AS (
           SELECT p_partkey AS id, p_name AS name,
-            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0) AS blk
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0)
+              || '|' || CAST(length(p_name) // 8 AS VARCHAR) AS blk
           FROM part)
         SELECT a.id AS id_a, b.id AS id_b,
           a.name AS name_a, b.name AS name_b,
@@ -4692,7 +4771,11 @@ object Queries {
 
     "q152_entity_clusters" -> Q(
       // End-to-end entity resolution: q144's blocked Jaro-Winkler edges
-      // (tightened to >= 0.92) → connected components (q52's min-label
+      // (at >= 0.88 — the r6 power audit found 0.92 yields ZERO edges on
+      // the shipped fixture, making every cluster a singleton and the
+      // component/survivorship stages dead code under the oracle; 0.88
+      // produces ~1.6k edges and real multi-member clusters at sf0.01)
+      // → connected components (q52's min-label
       // machinery) → every part labeled with its entity cluster, the
       // cluster size, and the canonical name (the minimum-id member's —
       // a deterministic survivorship rule). The ER composition a catalog
@@ -4709,7 +4792,7 @@ object Queries {
         val edges = a.join(b, Seq("blk"))
           .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
           .filter(call_function("graft_jaro_winkler",
-            col("name_a"), col("name_b")) >= 0.92)
+            col("name_a"), col("name_b")) >= 0.88)
           .select(col("id_a"), col("id_b"))
         val comp = Components.connectedComponents(
           p.select(col("id")), "id", edges)
@@ -4731,7 +4814,7 @@ object Queries {
           SELECT a.id AS id_a, b.id AS id_b
           FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
           WHERE a.name <> b.name
-            AND jaro_winkler_similarity(a.name, b.name) >= 0.92),
+            AND jaro_winkler_similarity(a.name, b.name) >= 0.88),
         sym AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM edges
           UNION ALL
@@ -5577,6 +5660,404 @@ object Queries {
           round(cum_rev / CAST(n_custs AS DOUBLE), 6) AS ltv_per_customer
         FROM cum
         ORDER BY cohort_ym, month_offset""")),
+
+    "q169_transit_concurrency" -> Q(
+      // Sweep-line interval analytics: maximum number of orders
+      // simultaneously IN FULFILLMENT (open from o_orderdate through
+      // their last line's l_shipdate, inclusive) per month — the "how
+      // many concurrent X" classic (open sessions, active loans,
+      // in-flight requests) done without exploding one row per
+      // interval-day. Shape: per-order interval ends come from one
+      // map-side-combinable groupBy on lineitem; intervals collapse to
+      // ±1 deltas per CALENDAR DAY, so the running-sum window is over
+      // the bounded day frame (~2.5k rows for the 7-year span — bounded
+      // by calendar, not data; the only single-partition window).
+      // Concurrency changes only at delta days, so the per-month max
+      // over recorded days is exact; months with no open/close events
+      // carry no row (both engines agree).
+      build = (s, dir) => {
+        val ends = table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(max(to_date(col("l_shipdate"))).as("endd"))
+        val iv = table(s, dir, "orders")
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("startd"))
+          .join(ends, col("o_orderkey") === col("l_orderkey"))
+        val deltas = iv.select(col("startd").as("d"), lit(1L).as("delta"))
+          .unionByName(iv.select(date_add(col("endd"), 1).as("d"),
+            lit(-1L).as("delta")))
+          .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+        val w = Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("open", sum(col("delta")).over(w))
+          .groupBy((year(col("d")) * 100 + month(col("d"))).as("ym"))
+          .agg(max(col("open")).as("max_open_orders"))
+          .orderBy(col("ym"))
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT CAST(o_orderdate AS DATE) AS startd,
+            max(CAST(l_shipdate AS DATE)) AS endd
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY o_orderkey, o_orderdate),
+        deltas AS (
+          SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+            SELECT startd AS d, 1 AS delta FROM iv
+            UNION ALL
+            SELECT endd + 1, -1 FROM iv)
+          GROUP BY d),
+        run AS (
+          SELECT d,
+            sum(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS open
+          FROM deltas)
+        SELECT CAST(year(d) * 100 + month(d) AS INT) AS ym,
+          CAST(max(open) AS BIGINT) AS max_open_orders
+        FROM run GROUP BY 1 ORDER BY ym"""),
+      bench = true),
+
+    "q170_autocorrelation" -> Q(
+      // Lag-k autocorrelation of the daily revenue series (k = 1, 7):
+      // the seasonality detector behind "is this metric weekly-periodic"
+      // — lag-7 high + lag-1 low = weekly structure. The series is the
+      // bounded per-day aggregate; each lag pairs the series with itself
+      // via a calendar-day equi-JOIN (day = day + k — no window at all,
+      // so nothing single-partition anywhere), and the correlation runs
+      // on [[Trend.groupedPearson]]'s exact-decimal moment machinery,
+      // grouped by lag. Missing days simply produce no pair — mirrored
+      // by construction in both engines.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val pairs = Seq(1, 7).map { k =>
+          daily.as("a").join(daily.as("b"),
+              col("a.d") === date_add(col("b.d"), k))
+            .select(lit(k).as("lag_k"),
+              col("a.rev").as("x"), col("b.rev").as("y"))
+        }.reduce(_ unionByName _)
+        Trend.groupedPearson(pairs, Seq("lag_k"), "x", "y")
+          .select(col("lag_k"), col("n"), col("r"))
+          .orderBy(col("lag_k"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1),
+        acpairs AS (
+          SELECT 1 AS lag_k, a.rev AS x, b.rev AS y
+          FROM daily a JOIN daily b ON a.d = b.d + 1
+          UNION ALL
+          SELECT 7 AS lag_k, a.rev AS x, b.rev AS y
+          FROM daily a JOIN daily b ON a.d = b.d + 7),
+        ${Trend.sqlPearsonCtes("acpairs", "lag_k", "x", "y")}
+        SELECT g AS lag_k, n, r FROM corr_g ORDER BY lag_k""")),
+
+    "q171_changepoint" -> Q(
+      // Single mean-shift changepoint on the daily error rate (binary
+      // segmentation's scoring pass, Scott-Knott/CUSUM family): for
+      // every split point t, the standardized mean difference
+      // sqrt(t·(n−t)/n)·|mean(rate[..t]) − mean(rate[t+1..])| from
+      // PREFIX SUMS over the bounded day frame; the argmax day is where
+      // the process most plausibly shifted. One raw-data pass (grouped
+      // day counts), then day-frame-only windows (bounded by calendar).
+      // Rates are 8-decimal-snapped, prefix sums exact decimal, the
+      // statistic one fixed-shape double expression — argmax ties break
+      // by earliest day in both engines.
+      build = (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_ev"),
+            sum((col("event_type") === "error").cast("long")).as("n_err"))
+          .withColumn("p", round(
+            col("n_err").cast("double") / col("n_ev").cast("double"), 8))
+        val wCum = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val idxd = daily
+          .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+          .withColumn("cum", sum(col("p").cast("decimal(12,8)")).over(wCum))
+        val tot = daily.agg(count(lit(1)).as("n"),
+          sum(col("p").cast("decimal(12,8)")).as("totp"))
+        val iD = col("i").cast("double")
+        val nD = col("n").cast("double")
+        idxd.crossJoin(broadcast(tot))
+          .filter(col("i") < col("n"))
+          .withColumn("stat", round(
+            sqrt(iD * (nD - iD) / nD) *
+              abs(col("cum").cast("double") / iD -
+                (col("totp") - col("cum")).cast("double") / (nD - iD)), 8))
+          .select(col("day").as("change_day"), col("i").cast("long").as("split_i"),
+            col("stat"))
+          .orderBy(col("stat").desc, col("change_day")).limit(1)
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n_ev,
+            sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+          FROM events GROUP BY 1),
+        rated AS (
+          SELECT day,
+            round(CAST(n_err AS DOUBLE) / CAST(n_ev AS DOUBLE), 8) AS p
+          FROM daily),
+        pref AS (
+          SELECT day,
+            row_number() OVER (ORDER BY day) AS i,
+            sum(CAST(p AS DECIMAL(12,8)))
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+          FROM rated),
+        tot AS (
+          SELECT count(*) AS n, sum(CAST(p AS DECIMAL(12,8))) AS totp
+          FROM rated)
+        SELECT day AS change_day, CAST(i AS BIGINT) AS split_i,
+          round(sqrt(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))
+              / CAST(n AS DOUBLE)) *
+            abs(CAST(cum AS DOUBLE) / CAST(i AS DOUBLE)
+              - CAST(totp - cum AS DOUBLE)
+                / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))), 8) AS stat
+        FROM pref CROSS JOIN tot
+        WHERE i < n
+        ORDER BY stat DESC, change_day LIMIT 1""")),
+
+    "q172_type_overlap" -> Q(
+      // EXACT distinct-activity overlap matrix between event types — the
+      // ground-truth twin of q105's KMV estimates (audience overlap,
+      // co-usage of features). The set element is the USER-DAY (distinct
+      // (type, user, day)): the r6 power audit showed plain user sets
+      // are saturated on the shipped fixture (every user touches every
+      // type → all Jaccards identically 1.0, zero test power), while
+      // user-day activity sets vary (~35% pairwise overlap). One
+      // distinct pass, one (user, day)-keyed self-join (each user-day
+      // contributes only its own type-pair combinations — state bounded
+      // by type cardinality, never a cross join), bounded pair output.
+      // Jaccard is a ratio of exact integers snapped once.
+      build = (s, dir) => {
+        val tu = table(s, dir, "events")
+          .select(col("event_type").as("t"), col("user_id").as("u"),
+            col("ts").cast("date").as("day"))
+          .distinct()
+        val sizes = tu.groupBy(col("t")).agg(count(lit(1)).as("n"))
+        tu.as("a").join(tu.as("b"),
+            col("a.u") === col("b.u") && col("a.day") === col("b.day") &&
+              col("a.t") < col("b.t"))
+          .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.select(col("t").as("t_a"), col("n").as("n_a"))), "t_a")
+          .join(broadcast(sizes.select(col("t").as("t_b"), col("n").as("n_b"))), "t_b")
+          .withColumn("jaccard", round(col("n_both").cast("double") /
+            (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+          .select(col("t_a"), col("t_b"), col("n_a"), col("n_b"),
+            col("n_both"), col("jaccard"))
+          .orderBy(col("t_a"), col("t_b"))
+      },
+      oracle = Some("""
+        WITH tu AS (
+          SELECT DISTINCT event_type AS t, user_id AS u,
+            CAST(ts AS DATE) AS day
+          FROM events),
+        sizes AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+        inter AS (
+          SELECT a.t AS t_a, b.t AS t_b, count(*) AS n_both
+          FROM tu a JOIN tu b
+            ON a.u = b.u AND a.day = b.day AND a.t < b.t
+          GROUP BY 1, 2)
+        SELECT i.t_a, i.t_b,
+          CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+          CAST(i.n_both AS BIGINT) AS n_both,
+          round(CAST(i.n_both AS DOUBLE)
+            / CAST(sa.n + sb.n - i.n_both AS DOUBLE), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.t = i.t_a
+        JOIN sizes sb ON sb.t = i.t_b
+        ORDER BY t_a, t_b""")),
+
+    "q173_centroid_matrix" -> Q(
+      // Per-label embedding centroids + the inter-label cosine matrix —
+      // the training-data diversity audit ("are my class clusters
+      // actually separated in embedding space"). Shape: posexplode to
+      // (label, dim, value) rows, one map-side-combinable groupBy to the
+      // BOUNDED (labels × dims) centroid frame; everything pairwise
+      // (dots, norms, the matrix) runs on that bounded frame only — the
+      // raw vectors are read once. Determinism: per-dim sums snap to
+      // exact decimal ([[Stable.dsum]]), centroids and cosines are
+      // fixed-shape double expressions snapped to 6.
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .toDF("label", "dim", "v")
+        val cent = e.groupBy(col("label"), col("dim"))
+          .agg(dsum(col("v").cast("double")).as("s"),
+            count(lit(1)).as("cnt"))
+          .withColumn("c", round(col("s") / col("cnt").cast("double"), 6))
+        val norms = cent.groupBy(col("label")).agg(dsumsq(col("c")).as("nsq"))
+        cent.select(col("label").as("la"), col("dim"), col("c").as("ca"))
+          .join(cent.select(col("label").as("lb"), col("dim"),
+            col("c").as("cb")), "dim")
+          .filter(col("la") < col("lb"))
+          .groupBy(col("la"), col("lb"))
+          .agg(dsum(col("ca") * col("cb")).as("dot"))
+          .join(broadcast(norms.select(col("label").as("la"),
+            col("nsq").as("nsq_a"))), "la")
+          .join(broadcast(norms.select(col("label").as("lb"),
+            col("nsq").as("nsq_b"))), "lb")
+          .withColumn("cos", round(col("dot") /
+            (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 6))
+          .select(col("la").as("label_a"), col("lb").as("label_b"), col("cos"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+        cent AS (
+          SELECT label, dim,
+            round(${sqlDsum("v")} / CAST(count(*) AS DOUBLE), 6) AS c
+          FROM e GROUP BY 1, 2),
+        norms AS (
+          SELECT label, ${sqlDsumsq("c")} AS nsq FROM cent GROUP BY 1),
+        dots AS (
+          SELECT a.label AS la, b.label AS lb,
+            ${sqlDsum("a.c * b.c")} AS dot
+          FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+          GROUP BY 1, 2)
+        SELECT d.la AS label_a, d.lb AS label_b,
+          round(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cos
+        FROM dots d
+        JOIN norms na ON na.label = d.la
+        JOIN norms nb ON nb.label = d.lb
+        ORDER BY label_a, label_b""")),
+
+    "q174_moving_bands" -> Q(
+      // Trailing 7-observation volatility bands on daily revenue
+      // (Bollinger shape, prior-window only — today never inflates its
+      // own band): mean/σ from exact-decimal window sums over the
+      // PRECEDING 7 days, z-score and ±2σ breach flags per day. The
+      // anomaly monitor that complements q167's p-chart (proportions,
+      // global center) with a local level-shift detector. Windows run on
+      // the bounded day frame only (one row per calendar day); σ uses
+      // the population form of the same moment sums every spread
+      // statistic in this engine uses. ROWS semantics: the lookback is
+      // the prior 7 OBSERVED days (calendar gaps close up — identical in
+      // both engines by construction). Cross-engine exactness: the
+      // moments run on INTEGER CENTS (daily revenue is an exact
+      // 2-decimal sum, so ×100 is an exact integer), every sum is exact,
+      // and every decimal→double cast is of a value < 2^53 — so the
+      // final mean/σ/z doubles are bit-identical with NO rounding step.
+      // (Both alternatives fail a hash oracle: round(·, 6) diverges on
+      // half-boundaries — Spark rounds the shortest decimal rendering,
+      // DuckDB the binary value — and casting a >2^53·10^scale decimal
+      // to double double-rounds in DuckDB's int128 path. Both observed
+      // on sf0.01 before this formulation.) At extreme per-day revenue
+      // (>2^53 cents²·7 ≈ $10^10/day) the s2 cast would need widening —
+      // a documented bound, not a silent wrap: sums stay exact decimal.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(msum(col("o_totalprice")).as("rev"),
+            (sum(dec(col("o_totalprice"))) * 100).cast("decimal(20,0)").as("c"))
+        val wPrev = Window.orderBy(col("d")).rowsBetween(-7, -1)
+        val c19 = col("c").cast("decimal(19,0)")
+        val meanC = col("s1").cast("double") / 7.0
+        val sigmaC = sqrt(greatest(lit(0.0),
+          col("s2").cast("double") / 7.0 - meanC * meanC))
+        val cD = col("c").cast("double")
+        daily
+          .withColumn("n7", count(col("c")).over(wPrev))
+          .withColumn("s1", sum(col("c")).over(wPrev))
+          .withColumn("s2", sum(c19 * c19).over(wPrev))
+          .filter(col("n7") === 7)
+          .withColumn("mean7", meanC / 100.0)
+          .withColumn("sigma7", sigmaC / 100.0)
+          .withColumn("z", when(sigmaC > 0.0, (cD - meanC) / sigmaC))
+          .withColumn("breach",
+            when(cD > meanC + lit(2.0) * sigmaC, 1)
+              .when(cD < meanC - lit(2.0) * sigmaC, -1)
+              .otherwise(0))
+          .select(col("d"), col("rev"), col("mean7"), col("sigma7"),
+            col("z"), col("breach"))
+          .orderBy(col("d"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+            ${sqlMsum("o_totalprice")} AS rev,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+              AS DECIMAL(20,0)) AS c
+          FROM orders GROUP BY 1),
+        win AS (
+          SELECT d, rev, c,
+            count(c) OVER w AS n7,
+            sum(c) OVER w AS s1,
+            sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+              OVER w AS s2
+          FROM daily
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        banded AS (
+          SELECT d, rev, c,
+            CAST(s1 AS DOUBLE) / 7.0 AS mean_c,
+            sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / 7.0
+              - (CAST(s1 AS DOUBLE) / 7.0) * (CAST(s1 AS DOUBLE) / 7.0)))
+              AS sigma_c
+          FROM win WHERE n7 = 7)
+        SELECT d, rev, mean_c / 100.0 AS mean7, sigma_c / 100.0 AS sigma7,
+          CASE WHEN sigma_c > 0.0
+            THEN (CAST(c AS DOUBLE) - mean_c) / sigma_c END AS z,
+          CASE WHEN CAST(c AS DOUBLE) > mean_c + 2.0 * sigma_c THEN 1
+               WHEN CAST(c AS DOUBLE) < mean_c - 2.0 * sigma_c THEN -1
+               ELSE 0 END AS breach
+        FROM banded
+        ORDER BY d""")),
+
+    "q175_cross_source_dup" -> Q(
+      // Near-duplicate pair-rate matrix by SOURCE pair — "which crawls
+      // duplicate each other" (and how much each duplicates itself),
+      // the curation signal that decides which feed to drop or
+      // dedup-first at ingest. Composes the exact n-gram Jaccard pairs
+      // (q27's machinery — inverted index on hashed shingles, never
+      // all-pairs) with the bounded per-source sizes; the rate
+      // normalizes by reachable pairs (n·(n−1)/2 within a source,
+      // n_a·n_b across). Output bounded by source-pair count.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        val sizes = src.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        NearDup.jaccardPairs(docs, "doc_id", "text")
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+          .groupBy(least(col("src_a"), col("src_b")).as("s_lo"),
+            greatest(col("src_a"), col("src_b")).as("s_hi"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .join(broadcast(sizes.select(col("source").as("s_lo"),
+            col("n_docs").as("n_lo"))), "s_lo")
+          .join(broadcast(sizes.select(col("source").as("s_hi"),
+            col("n_docs").as("n_hi"))), "s_hi")
+          .withColumn("dup_rate", round(col("n_pairs").cast("double") /
+            when(col("s_lo") === col("s_hi"),
+              col("n_lo").cast("double") * (col("n_lo") - 1).cast("double") / 2.0)
+            .otherwise(col("n_lo").cast("double") * col("n_hi").cast("double")), 8))
+          .select(col("s_lo"), col("s_hi"), col("n_pairs"), col("dup_rate"))
+          .orderBy(col("s_lo"), col("s_hi"))
+      },
+      oracle = Some(s"""
+        WITH $ngramPairCtes,
+        hits AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.6),
+        srcs AS (SELECT doc_id, source FROM documents),
+        sizes AS (SELECT source, count(*) AS n_docs FROM srcs GROUP BY 1),
+        tagged AS (
+          SELECT least(a.source, b.source) AS s_lo,
+            greatest(a.source, b.source) AS s_hi, count(*) AS n_pairs
+          FROM hits h
+          JOIN srcs a ON a.doc_id = h.id_a
+          JOIN srcs b ON b.doc_id = h.id_b
+          GROUP BY 1, 2)
+        SELECT t.s_lo, t.s_hi, CAST(t.n_pairs AS BIGINT) AS n_pairs,
+          round(CAST(t.n_pairs AS DOUBLE) /
+            (CASE WHEN t.s_lo = t.s_hi
+              THEN CAST(lo.n_docs AS DOUBLE) * CAST(lo.n_docs - 1 AS DOUBLE) / 2.0
+              ELSE CAST(lo.n_docs AS DOUBLE) * CAST(hi.n_docs AS DOUBLE) END), 8)
+            AS dup_rate
+        FROM tagged t
+        JOIN sizes lo ON lo.source = t.s_lo
+        JOIN sizes hi ON hi.source = t.s_hi
+        ORDER BY s_lo, s_hi""")),
 
   )
 

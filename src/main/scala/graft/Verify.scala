@@ -15,15 +15,43 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // never emit legacy INT96: the driver's reader maps INT96 to
+      // nanosecond timestamps, where far-future sentinels (9999-12-31)
+      // overflow int64-ns and wrap to 1816 — bit-identical values then
+      // hash-mismatch (r5 q85). INT64 micros round-trips the full range.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Output-schema guard: an LTZ timestamp column is the one type that can
+    // serialize differently from what the session shows (r5 q85: LTZ →
+    // legacy INT96 → nanosecond wrap in the driver's reader). With
+    // outputTimestampType=TIMESTAMP_MICROS above the write itself is safe,
+    // but an LTZ column still signals a query whose semantics depend on the
+    // session zone — fail loudly here instead of at driver-compare time.
+    def assertNoLtz(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      import org.apache.spark.sql.types._
+      def hasLtz(dt: DataType): Boolean = dt match {
+        case TimestampType => true
+        case s: StructType => s.fields.exists(f => hasLtz(f.dataType))
+        case a: ArrayType  => hasLtz(a.elementType)
+        case m: MapType    => hasLtz(m.keyType) || hasLtz(m.valueType)
+        case _             => false
+      }
+      val bad = schema.fields.filter(f => hasLtz(f.dataType)).map(_.name)
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"$name emits session-zone-dependent TIMESTAMP_LTZ column(s) " +
+          s"${bad.mkString(",")} — use timestamp_ntz (r5 q85 failure class)")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        assertNoLtz(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

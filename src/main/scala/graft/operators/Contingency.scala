@@ -56,8 +56,13 @@ object Contingency {
     val agg = withMargins
       .withColumn("contrib", contrib)
       .agg(max(col("n")).as("n"),
-        countDistinct(col("a")).as("n_a"),
-        countDistinct(col("b")).as("n_b"),
+        // NULL is documented above as an ordinary level, but countDistinct
+        // skips NULL — count it explicitly so n_a/n_b (and therefore dof
+        // and Cramér's V) include a NULL level when one exists
+        (countDistinct(col("a")) +
+          max(col("a").isNull.cast("long"))).as("n_a"),
+        (countDistinct(col("b")) +
+          max(col("b").isNull.cast("long"))).as("n_b"),
         dsum(col("contrib")).as("chi2"))
     agg
       .withColumn("dof", (col("n_a") - 1) * (col("n_b") - 1))
@@ -92,7 +97,8 @@ object Contingency {
       FROM cells),
     agg AS (
       SELECT max(n) AS n,
-        count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+        count(DISTINCT a) + max(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS n_a,
+        count(DISTINCT b) + max(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS n_b,
         ${sqlDsum(s"(CAST(o AS DOUBLE) - $e) * (CAST(o AS DOUBLE) - $e) / ($e)")}
           AS chi2
       FROM marg)

@@ -42,11 +42,15 @@ object Kmv {
   val M: Double = 1152921504606846976.0
 
   /** Per-group KMV sketch of a key column: the k smallest distinct
-    * portable hashes, one row per (group, h). */
+    * portable hashes, one row per (group, h). NULL keys are dropped — a
+    * NULL hashes to a NULL row, which Spark's rank window orders NULLS
+    * FIRST but DuckDB's orders NULLS LAST, so keeping it would both waste
+    * a sketch slot and diverge cross-engine. */
   def sketch(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val h = TextHash.md5Bits60(col(keyCol).cast("string"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    df.select(col(groupCol), h.as("h")).distinct()
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), h.as("h")).distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K).drop("rn")
   }
@@ -92,7 +96,8 @@ object Kmv {
     val estU = s"CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE) " +
       s"ELSE ${(K - 1).toDouble} * $M / CAST(max(h) AS DOUBLE) END"
     s"""kmv_h AS (
-      SELECT DISTINCT g, $h AS h FROM ($srcSql) AS src),
+      SELECT DISTINCT g, $h AS h FROM ($srcSql) AS src
+      WHERE key IS NOT NULL),
     kmv_sk AS (
       SELECT g, h FROM (
         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn

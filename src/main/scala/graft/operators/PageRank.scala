@@ -20,7 +20,12 @@ import org.apache.spark.storage.StorageLevel
   * Requirements: edges are DIRECTED (pass both directions for an
   * undirected graph) and every node must have at least one out-edge —
   * true for symmetrized graphs; dangling-mass redistribution is out of
-  * scope, documented rather than silently approximated.
+  * scope, documented rather than silently approximated. Nodes with an
+  * out-edge but NO in-edge are handled correctly: a synthetic
+  * zero-contribution self-edge keeps every node in the per-round rank
+  * frame, so a source-only node holds its teleport-base rank and keeps
+  * feeding its out-neighbors each round (without it, groupBy(dst) would
+  * drop such nodes after round 1 and their contributions with them).
   *
   * Scale shape: the (src, dst, outdeg) frame is built and persisted
   * ONCE; each of the `iters` rounds is one equi-join + one keyed sum —
@@ -43,11 +48,18 @@ object PageRank {
     // the ONLY frame the loop reads: edge list + out-degree, computed and
     // persisted once (an upstream edge build — e.g. a co-occurrence
     // self-join — must never be re-executed per round)
+    // synthetic self-edges with outdeg=0 (a real out-degree is ≥ 1, so 0
+    // is a free sentinel): their contribution is forced to 0 below, which
+    // keeps EVERY node in the groupBy(dst) output each round — a node
+    // with no in-edges stays at its teleport-base rank and keeps
+    // contributing, instead of silently vanishing after round 1
     val ed = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg"))
+      .unionByName(deg.select(col("src"), col("src").as("dst"),
+        lit(0L).as("outdeg")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = ed.select(col("src").as("node"), col("outdeg")).distinct()
-      .select(col("node"))
+    // exactly one synthetic row per node — the node frame reads the cache
+    val nodes = ed.filter(col("outdeg") === 0L).select(col("src").as("node"))
     // n is bounded model metadata (one integer); the teleport and init
     // masses become literals — same positive-operand floor division as
     // the oracle's `//`
@@ -68,7 +80,8 @@ object PageRank {
     while (i < iters) {
       pr = pr.as("p").join(ed.as("e"), col("p.node") === col("e.src"))
         .select(col("e.dst").as("node"),
-          expr("p.pr div e.outdeg").as("c"))
+          when(col("e.outdeg") === 0L, 0L)
+            .otherwise(expr("p.pr div e.outdeg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("s"))
         .select(col("node"),
@@ -87,7 +100,9 @@ object PageRank {
     s"""pr_deg AS (
       SELECT src, count(*) AS outdeg FROM pr_edges GROUP BY src),
     pr_ed AS (
-      SELECT e.src, e.dst, d.outdeg FROM pr_edges e JOIN pr_deg d USING (src)),
+      SELECT e.src, e.dst, d.outdeg FROM pr_edges e JOIN pr_deg d USING (src)
+      UNION ALL
+      SELECT src, src, 0 FROM pr_deg),
     pr_n AS (SELECT count(*) AS n FROM pr_deg),
     pr_it AS (
       SELECT 0 AS it, src AS node,
@@ -97,7 +112,8 @@ object PageRank {
       SELECT it + 1, node,
         CAST(($base // (SELECT n FROM pr_n)) + (85 * s) // 100 AS BIGINT) AS pr
       FROM (
-        SELECT p.it, e.dst AS node, sum(p.pr // e.outdeg) AS s
+        SELECT p.it, e.dst AS node,
+          sum(CASE WHEN e.outdeg = 0 THEN 0 ELSE p.pr // e.outdeg END) AS s
         FROM pr_it p JOIN pr_ed e ON e.src = p.node
         WHERE p.it < $iters
         GROUP BY 1, 2)),

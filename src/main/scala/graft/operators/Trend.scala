@@ -33,13 +33,17 @@ object Trend {
 
   /** Per-group OLS fit of `yCol` on integer regressor `xCol`.
     * Output: (group…, n, slope, intercept). Groups with zero x-variance
-    * (or a single point) yield NULL slope/intercept. */
+    * (or a single point) yield NULL slope/intercept. Rows with a NULL in
+    * either coordinate are excluded (pairwise-complete, same as
+    * [[fitContinuousXY]]/[[groupedPearson]]) — without the filter `n`
+    * counts rows the moment sums skip, silently skewing the fit. */
   def groupedLinearFit(df: DataFrame, groupCols: Seq[String], xCol: String,
       yCol: String): DataFrame = {
     val grp = groupCols.map(col)
     val x = col(xCol).cast("decimal(7,0)")
     val y = dec(col(yCol))
     val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(grp :+ x.as("x") :+ y.as("y"): _*)
       .groupBy(grp: _*)
       .agg(count(lit(1)).as("n"),
@@ -210,7 +214,9 @@ object Trend {
         CAST(sum(CAST($xSql AS DECIMAL(7,0)) * CAST($xSql AS DECIMAL(7,0))) AS DECIMAL(25,0)) AS sxx,
         CAST(sum(CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(16,2)) AS sy,
         CAST(sum(CAST($xSql AS DECIMAL(7,0)) * CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(23,2)) AS sxy
-      FROM $tbl GROUP BY 1),
+      FROM $tbl
+      WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL
+      GROUP BY 1),
     ols_g AS (
       SELECT g, n,
         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)

@@ -132,6 +132,37 @@ object ScaleCheck {
     time("weighted median, 4x lineitem")(
       graft.operators.WeightedStats.weightedQuantile(
         liX(4), "flag", "l_extendedprice", "l_quantity", 0.5).count())
+    // round-6 addition: ER blocking-key selectivity for the q144/q150
+    // fuzzy-pair family. Block populations grow linearly with data, so
+    // in-block candidate pairs grow quadratically — the width-8 length
+    // band folded into the key (r6) multiplies the block count to keep
+    // the worst block bounded. Replicated parts land in the SAME blocks
+    // (worst case: names repeat), so this measures exactly that cliff.
+    val part = graft.sources.Tables.load(spark, dir, "part")
+    def partX(k: Int): DataFrame =
+      (0 until k).map { i =>
+        part.select((col("p_partkey") + lit(i * 10000000L)).as("id"),
+          col("p_name"), col("p_brand"))
+      }.reduce(_ union _)
+    def blockStats(df: DataFrame, banded: Boolean): (Long, Long) = {
+      val key =
+        if (banded) concat_ws("|", col("p_brand"),
+          split(col("p_name"), " ").getItem(0),
+          shiftright(length(col("p_name")), 3))
+        else concat_ws("|", col("p_brand"),
+          split(col("p_name"), " ").getItem(0))
+      val sizes = df.groupBy(key.as("blk")).agg(count(lit(1)).as("n"))
+      val r = sizes.agg(max(col("n")).as("worst"),
+        sum(col("n") * (col("n") - 1) / 2).as("pairs")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    for (k <- Seq(1, 4)) {
+      val (w0, p0) = blockStats(partX(k), banded = false)
+      val (w1, p1) = blockStats(partX(k), banded = true)
+      println(s"ER blocking ${k}x part: no-band worst=$w0 pairs=$p0; " +
+        s"with-band worst=$w1 pairs=$p1")
+    }
+
     // exactness at the selective params: LSH output == brute-force output
     val n = 4000
     val exact = graft.operators.Vectors
