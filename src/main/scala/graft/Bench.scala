@@ -91,7 +91,16 @@ object Bench {
     def medians(r: Seq[(String, (Double, Double))]): Seq[(String, Double)] =
       r.map { case (k, (_, md)) => k -> md }
 
-    val names = Queries.benchNames
+    // SPARK_GRAFT_BENCH_ONLY=q52,q28 restricts the headline tier to a
+    // prefix-matched subset — the isolation harness for separating
+    // catalog-size effects (codegen cache, classloading) from box noise:
+    // run the same queries alone in a fresh JVM vs inside the full tier.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val names = only match {
+      case Some(sel) => Queries.benchNames.filter(n => sel.exists(n.startsWith))
+      case None => Queries.benchNames
+    }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     require(iters > 0,
       s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters — zero would " +

@@ -6059,6 +6059,215 @@ object Queries {
         JOIN sizes hi ON hi.source = t.s_hi
         ORDER BY s_lo, s_hi""")),
 
+    "q176_knn_label_accuracy" -> Q(
+      // Leave-one-out 1-NN label agreement per class — the standard
+      // "is this embedding space learnable" probe (a k-NN classifier's
+      // training accuracy) and the quality gate for q73/q34's ANN
+      // indexes: if exact 1-NN can't recover labels, no index will.
+      // Composes q25's brute-force k-NN (query side broadcast, corpus
+      // never shuffles) at k=1 with two label joins; the rank window is
+      // total (sim desc, neighbor_id), so the verdict is deterministic.
+      // Bounded output: one row per label.
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val lbl = e.select(col("vec_id"), col("label"))
+        Vectors.bruteForceKnn(e, e, "vec_id", "embedding", k = 1)
+          .join(lbl.select(col("vec_id").as("query_id"),
+            col("label").as("q_label")), "query_id")
+          .join(lbl.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")), "neighbor_id")
+          .groupBy(col("q_label").as("label"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("q_label") === col("n_label")).cast("long")).as("n_correct"))
+          .withColumn("accuracy", round(
+            col("n_correct").cast("double") / col("n").cast("double"), 6))
+          .orderBy(col("label"))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+        sims AS (
+          SELECT q.vec_id AS query_id, q.label AS q_label,
+            c.label AS n_label,
+            list_dot_product(q.emb, c.emb)
+              / (sqrt(list_dot_product(q.emb, q.emb))
+                 * sqrt(list_dot_product(c.emb, c.emb))) AS sim,
+            c.vec_id AS neighbor_id
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+        nn AS (
+          SELECT query_id, q_label, n_label,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM sims)
+        SELECT q_label AS label, count(*) AS n,
+          CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          round(CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy
+        FROM nn WHERE rnk = 1
+        GROUP BY 1 ORDER BY label""")),
+
+    "q177_degree_assortativity" -> Q(
+      // Degree assortativity of the part-co-purchase graph (Newman '02):
+      // the Pearson correlation of endpoint degrees over edges — do hubs
+      // connect to hubs (assortative, r > 0) or to the periphery
+      // (disassortative, r < 0)? Uses q115's edge builder (distinct
+      // in-order part pairs; the order-keyed self-join is bounded per
+      // order), one degree aggregation over the symmetrized edge list,
+      // two bounded joins back onto edges, and [[Trend.groupedPearson]]'s
+      // exact-decimal moments — each edge contributes both directions,
+      // the standard undirected convention.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b"))
+          .distinct()
+        val sym = edges.unionByName(
+          edges.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        val pairs = sym
+          .join(deg.select(col("a"), col("d").as("x")), "a")
+          .join(deg.select(col("a").as("b"), col("d").as("y")), "b")
+          .select(lit(1).as("g"), col("x"), col("y"))
+        Trend.groupedPearson(pairs, Seq("g"), "x", "y")
+          .select(col("n"), col("r").as("assortativity"))
+      },
+      oracle = Some(s"""
+        WITH tri_edges AS (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        sym AS (
+          SELECT a, b FROM tri_edges
+          UNION ALL
+          SELECT b, a FROM tri_edges),
+        deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+        dpairs AS (
+          SELECT 1 AS g, da.d AS x, db.d AS y
+          FROM sym s JOIN deg da ON da.a = s.a JOIN deg db ON db.a = s.b),
+        ${Trend.sqlPearsonCtes("dpairs", "g", "x", "y")}
+        SELECT n, r AS assortativity FROM corr_g""")),
+
+    "q178_ordered_funnel" -> Q(
+      // STRICTLY ORDERED time-boxed funnel: view → first click within
+      // 1 h of the first view → first purchase within 1 h of that click,
+      // per user. q45's session funnel tests unordered containment; this
+      // is the stage-gated form (onboarding flows, checkout funnels)
+      // where each step must happen AFTER the previous one and inside
+      // its window. Shape: three user-keyed min-aggregations, each a
+      // map-side-combinable groupBy joined back on user — no windows, no
+      // per-event state; one bounded summary row.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").as("e")
+          .join(v, "user_id")
+          .filter(col("e.ts") > col("v_ts") &&
+            col("e.ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("e.ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").as("e")
+          .join(c, "user_id")
+          .filter(col("e.ts") > col("c_ts") &&
+            col("e.ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+          .groupBy(col("user_id")).agg(min(col("e.ts")).as("p_ts"))
+        v.agg(count(lit(1)).as("n_view")).crossJoin(
+            c.agg(count(lit(1)).as("n_click_1h")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_1h")))
+          .withColumn("click_rate", round(
+            col("n_click_1h").cast("double") / col("n_view").cast("double"), 6))
+          .withColumn("purchase_rate", round(
+            col("n_purchase_1h").cast("double")
+              / col("n_click_1h").cast("double"), 6))
+      },
+      oracle = Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click'
+            AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+          GROUP BY 1)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+          (SELECT count(*) FROM c) AS n_click_1h,
+          (SELECT count(*) FROM p) AS n_purchase_1h,
+          round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+            / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS click_rate,
+          round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+            / CAST((SELECT count(*) FROM c) AS DOUBLE), 6) AS purchase_rate""")),
+
+    "q179_lorenz_deciles" -> Q(
+      // Lorenz curve in deciles: customers ranked by revenue via the
+      // bucketed distributed rank ([[PrefixSum.running]] — never a
+      // single-partition window over the customer frame), cut into ten
+      // equal-count bins, each with its exact-decimal revenue share and
+      // cumulative share. The curve behind q141's scalar Gini — "the
+      // bottom 50% of customers hold 31% of revenue". Decile assignment
+      // is pure integer arithmetic on the global rank; shares are exact
+      // decimal / exact decimal, snapped once; the cumulative window
+      // runs over the 10-row decile frame.
+      build = (s, dir) => {
+        val perCust = table(s, dir, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val n = perCust.agg(count(lit(1)).as("n"))
+        val ranked = PrefixSum.running(perCust, "rev", "cust", "rev",
+            descending = false)
+          .crossJoin(broadcast(n))
+          .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+        val dec10 = ranked.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_custs"),
+            sum(col("rev").cast("decimal(18,2)")).as("drev"))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy()
+        dec10
+          .withColumn("cum", sum(col("drev")).over(wCum))
+          .withColumn("tot", sum(col("drev")).over(wTot))
+          .select(col("decile"), col("n_custs"),
+            m2(col("drev")).as("decile_rev"),
+            round(col("drev").cast("double") / col("tot").cast("double"), 8)
+              .as("rev_share"),
+            round(col("cum").cast("double") / col("tot").cast("double"), 8)
+              .as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      oracle = Some(s"""
+        WITH per_cust AS (
+          SELECT o_custkey AS cust, ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1),
+        ranked AS (
+          SELECT rev,
+            ((row_number() OVER (ORDER BY rev, cust) - 1) * 10)
+              // (SELECT count(*) FROM per_cust) AS decile
+          FROM per_cust),
+        dec10 AS (
+          SELECT decile, count(*) AS n_custs,
+            sum(CAST(rev AS DECIMAL(18,2))) AS drev
+          FROM ranked GROUP BY 1),
+        cumed AS (
+          SELECT decile, n_custs, drev,
+            sum(drev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(drev) OVER () AS tot
+          FROM dec10)
+        SELECT CAST(decile AS BIGINT) AS decile, n_custs,
+          CAST(round(drev, 2) AS DOUBLE) AS decile_rev,
+          round(CAST(drev AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS rev_share,
+          round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS cum_share
+        FROM cumed
+        ORDER BY decile""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
