@@ -4368,7 +4368,13 @@ object Queries {
       // effective block count without touching the kernel. Standard ER
       // recall tradeoff: a matching pair straddling a band boundary is
       // dropped (same blocking both engines, so the oracle moves with
-      // it); near-identical names almost always share a band.
+      // it); near-identical names almost always share a band. NOTE
+      // (measured, tools/ScaleCheck r6): the band cannot defuse blocks
+      // hot with IDENTICAL names (same length ⇒ same band) — the
+      // pipeline answer is ordering: exact/canonical dedup (q21/q55)
+      // runs BEFORE fuzzy ER, removing the identical-name mass; the
+      // band bounds the length variety that remains (~11% candidate
+      // trim on the replicated-name worst case, near-free).
       build = (s, dir) => {
         val p = table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
@@ -6267,6 +6273,304 @@ object Queries {
           round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 8) AS cum_share
         FROM cumed
         ORDER BY decile""")),
+
+    "q180_hard_negatives" -> Q(
+      // Hard-negative mining: for each anchor vector, its most-similar
+      // OTHER-label vector (the contrastive-training staple), rolled up
+      // per label with the mean hard-negative similarity and the most
+      // frequent confusing label. High mean = the class boundary is
+      // blurry; the confuser column names the class it blurs into.
+      // Shape: q25's broadcast pattern (anchors broadcast, corpus side
+      // never shuffles), per-anchor argmax as one struct-max aggregation
+      // (no window over the n² frame), label rollup bounded. Ties break
+      // to the smallest neighbor id / smallest confuser label in both
+      // engines; similarities snap through davg's exact-decimal mean.
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val q = e.select(col("vec_id").as("anchor_id"),
+          col("label").as("a_label"), Vectors.asDouble(col("embedding")).as("qv"))
+        val c = e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"), Vectors.asDouble(col("embedding")).as("cv"))
+        val hard = c.join(broadcast(q), col("a_label") =!= col("n_label"))
+          .withColumn("sim", Vectors.cosine(col("qv"), col("cv")))
+          .groupBy(col("anchor_id"), col("a_label"))
+          .agg(max(struct(col("sim"), (-col("neighbor_id")).as("nid"),
+            col("n_label"))).as("best"))
+          .select(col("a_label").as("label"),
+            col("best.sim").as("hard_sim"), col("best.n_label").as("confuser"))
+        val conf = hard.groupBy(col("label"), col("confuser"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("label"))
+          .agg(max(struct(col("cnt"), (-col("confuser")).as("nc"))).as("top"))
+          .select(col("label"), (-col("top.nc")).cast("int").as("top_confuser"),
+            col("top.cnt").as("n_confused"))
+        hard.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), davg(col("hard_sim")).as("avg_hard_sim"))
+          .join(conf, "label")
+          .select(col("label"), col("n"), col("avg_hard_sim"),
+            col("top_confuser"), col("n_confused"))
+          .orderBy(col("label"))
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+        sims AS (
+          SELECT q.vec_id AS anchor_id, q.label AS a_label,
+            c.vec_id AS neighbor_id, c.label AS n_label,
+            list_dot_product(q.emb, c.emb)
+              / (sqrt(list_dot_product(q.emb, q.emb))
+                 * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+          FROM v q JOIN v c ON q.label <> c.label),
+        hard AS (
+          SELECT a_label AS label, sim AS hard_sim, n_label AS confuser
+          FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+              ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims) WHERE rnk = 1),
+        conf AS (
+          SELECT label, confuser AS top_confuser, cnt AS n_confused
+          FROM (SELECT label, confuser, count(*) AS cnt,
+              row_number() OVER (PARTITION BY label
+                ORDER BY count(*) DESC, confuser) AS rnk
+            FROM hard GROUP BY 1, 2) WHERE rnk = 1)
+        SELECT h.label AS label, count(*) AS n,
+          ${sqlDavg("h.hard_sim")} AS avg_hard_sim,
+          any_value(c.top_confuser) AS top_confuser,
+          CAST(any_value(c.n_confused) AS BIGINT) AS n_confused
+        FROM hard h JOIN conf c ON c.label = h.label
+        GROUP BY h.label
+        ORDER BY h.label""")),
+
+    "q181_decayed_engagement" -> Q(
+      // Time-decayed engagement score per event type with a STAIRCASE
+      // half-life (weight = 2^-(age_days div 7), halving per week):
+      // recency-weighted totals are how feeds/rankers discount stale
+      // signals, but exp(-λt) is cross-engine hazardous (libm exp is not
+      // correctly rounded). Integer week-bucket exponents make every
+      // weight an exact power of two: the per-(type, week) totals are
+      // exact decimal (one map-side-combinable groupBy over the scan),
+      // and the weighted recombination runs on that bounded frame with
+      // exact-decimal accumulation — bit-stable in both engines.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val mx = ev.agg(max(col("ts").cast("date")).as("mx"))
+        val buckets = ev.crossJoin(broadcast(mx))
+          .withColumn("k", expr("datediff(mx, CAST(ts AS DATE)) div 7"))
+          .groupBy(col("event_type"), col("k"))
+          .agg(dsum(col("value")).as("sv"), count(lit(1)).as("cnt"))
+        buckets.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_weeks"),
+            sum(col("cnt")).as("n_events"),
+            dsum(col("sv")).as("raw_total"),
+            dsum(col("sv") * pow(lit(0.5), col("k").cast("double")))
+              .as("decayed_total"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(s"""
+        WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+        buckets AS (
+          SELECT event_type,
+            date_diff('day', CAST(ts AS DATE), mx) // 7 AS k,
+            ${sqlDsum("value")} AS sv, count(*) AS cnt
+          FROM events CROSS JOIN mx
+          GROUP BY 1, 2)
+        SELECT event_type, count(*) AS n_weeks,
+          CAST(sum(cnt) AS BIGINT) AS n_events,
+          ${sqlDsum("sv")} AS raw_total,
+          ${sqlDsum("sv * power(0.5, k)")} AS decayed_total
+        FROM buckets
+        GROUP BY 1
+        ORDER BY event_type""")),
+
+    "q182_rare_category_collapse" -> Q(
+      // Rare-category collapse ("top-k + OTHER"): part brands ranked by
+      // exact revenue, the top 5 kept, the tail folded into 'OTHER' —
+      // the feature-engineering op that caps categorical cardinality
+      // before encoding (and the reporting op behind every "top N plus
+      // other" chart). The brand domain is bounded, so the rank runs on
+      // the aggregate frame; the fact scan is aggregated ONCE and reused
+      // for both the ranking and the collapsed rollup (exact decimal
+      // re-accumulation makes the fold order-independent).
+      build = (s, dir) => {
+        val byBrand = table(s, dir, "lineitem")
+          .join(table(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(sum(dec(col("l_extendedprice"))).as("brevd"),
+            count(lit(1)).as("n_items"))
+        val top5 = byBrand
+          .orderBy(col("brevd").desc, col("p_brand")).limit(5)
+          .select(col("p_brand"), lit(1).as("keep"))
+        byBrand.join(broadcast(top5), Seq("p_brand"), "left")
+          .withColumn("brand_grp",
+            when(col("keep").isNotNull, col("p_brand")).otherwise(lit("OTHER")))
+          .groupBy(col("brand_grp"))
+          .agg(count(lit(1)).as("n_brands"),
+            sum(col("n_items")).as("n_items"),
+            m2(sum(col("brevd"))).as("revenue"))
+          .orderBy(col("revenue").desc, col("brand_grp"))
+      },
+      oracle = Some("""
+        WITH by_brand AS (
+          SELECT p_brand,
+            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS brevd,
+            count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        top5 AS (
+          SELECT p_brand FROM by_brand
+          ORDER BY brevd DESC, p_brand LIMIT 5)
+        SELECT CASE WHEN p_brand IN (SELECT p_brand FROM top5)
+            THEN p_brand ELSE 'OTHER' END AS brand_grp,
+          count(*) AS n_brands,
+          CAST(sum(n_items) AS BIGINT) AS n_items,
+          CAST(round(sum(brevd), 2) AS DOUBLE) AS revenue
+        FROM by_brand
+        GROUP BY 1
+        ORDER BY revenue DESC, brand_grp""")),
+
+    "q183_neyman_allocation" -> Q(
+      // Neyman-optimal stratified sample design: per market segment,
+      // allocate a 1000-row sample budget ∝ N_h·σ_h (big AND noisy
+      // strata get more rows — the minimum-variance design for a fixed
+      // budget). The survey-sampling planner a data-curation pipeline
+      // runs before drawing eval samples. Moments per stratum via the
+      // engine's exact-decimal sums (q44's std recipe, sample ddof=1,
+      // snapped to 4); the share normalization runs on the bounded
+      // 5-segment frame with exact-decimal accumulation. n_alloc uses
+      // floor, not round (a floor at an integer boundary needs the
+      // share to sit within one ulp of it — measure-zero; round sits on
+      // representable halves).
+      build = (s, dir) => {
+        val seg = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("segment"),
+            col("o_totalprice").cast("double").as("v"))
+        val st = seg.groupBy(col("segment"))
+          .agg(count(col("v")).as("n_h"),
+            dsum(col("v")).as("s1"), dsumsq(col("v")).as("s2"))
+          .withColumn("std_h", round(sqrt(greatest(lit(0.0),
+            (col("s2") - col("s1") * col("s1") / col("n_h"))
+              / (col("n_h") - 1))), 4))
+          .withColumn("w", col("n_h").cast("double") * col("std_h"))
+        val tot = st.agg(dsum(col("w")).as("tw"))
+        st.crossJoin(broadcast(tot))
+          .withColumn("alloc_share", round(col("w") / col("tw"), 8))
+          .withColumn("n_alloc",
+            floor(lit(1000.0) * col("w") / col("tw")).cast("long"))
+          .select(col("segment"), col("n_h"), col("std_h"),
+            col("alloc_share"), col("n_alloc"))
+          .orderBy(col("segment"))
+      },
+      oracle = Some(s"""
+        WITH st AS (
+          SELECT c_mktsegment AS segment,
+            count(CAST(o_totalprice AS DOUBLE)) AS n_h,
+            ${sqlDsum("CAST(o_totalprice AS DOUBLE)")} AS s1,
+            ${sqlDsumsq("CAST(o_totalprice AS DOUBLE)")} AS s2
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+        sigd AS (
+          SELECT segment, n_h,
+            round(sqrt(greatest(0.0,
+              (s2 - s1 * s1 / n_h) / (n_h - 1))), 4) AS std_h
+          FROM st),
+        wgt AS (
+          SELECT segment, n_h, std_h,
+            CAST(n_h AS DOUBLE) * std_h AS w
+          FROM sigd),
+        tot AS (SELECT ${sqlDsum("w")} AS tw FROM wgt)
+        SELECT segment, n_h, std_h,
+          round(w / tw, 8) AS alloc_share,
+          CAST(floor(1000.0 * w / tw) AS BIGINT) AS n_alloc
+        FROM wgt CROSS JOIN tot
+        ORDER BY segment""")),
+
+    "q184_activity_streaks" -> Q(
+      // Longest consecutive-day activity streaks (gaps-and-islands by
+      // the date-minus-rank trick): distinct user-days, per-USER rank
+      // window (partitioned — never single-partition), `day − rank` is
+      // constant exactly within a consecutive run, one groupBy collapses
+      // each island. The engagement metric behind "7-day streak" badges
+      // and retention cohorting. Top-20 with full deterministic
+      // tie-break (len desc, user, start).
+      build = (s, dir) => {
+        val ud = table(s, dir, "events")
+          .select(col("user_id").as("u"), col("ts").cast("date").as("d"))
+          .distinct()
+        val w = Window.partitionBy(col("u")).orderBy(col("d"))
+        ud.withColumn("anchor", date_sub(col("d"), row_number().over(w)))
+          .groupBy(col("u"), col("anchor"))
+          .agg(count(lit(1)).as("streak_days"),
+            min(col("d")).as("streak_start"), max(col("d")).as("streak_end"))
+          .select(col("u").as("user_id"), col("streak_days"),
+            col("streak_start"), col("streak_end"))
+          .orderBy(col("streak_days").desc, col("user_id"),
+            col("streak_start"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        g AS (
+          SELECT u, d,
+            d - CAST(row_number() OVER (PARTITION BY u ORDER BY d) AS INT)
+              AS anchor
+          FROM ud)
+        SELECT u AS user_id, count(*) AS streak_days,
+          min(d) AS streak_start, max(d) AS streak_end
+        FROM g GROUP BY u, anchor
+        ORDER BY streak_days DESC, user_id, streak_start
+        LIMIT 20""")),
+
+    "q185_dedup_threshold_sweep" -> Q(
+      // Near-dup threshold operating curve: pair and doc counts at five
+      // Jaccard cutoffs from ONE exact pair computation (q27's inverted
+      // index at its loosest threshold, 0.5) — the tuning table that
+      // answers "how much does the corpus shrink if we dedup at 0.7 vs
+      // 0.8" without re-running the join per candidate threshold. The
+      // sweep is a broadcast of five literals against the bounded
+      // surviving-pair set; distinct-doc counts unpivot the pair ids
+      // first.
+      build = (s, dir) => {
+        import s.implicits._
+        val pairs = NearDup.jaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", minJ = 0.5)
+        val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+          .toDF("th")
+        val hit = pairs.crossJoin(broadcast(ths))
+          .filter(col("jaccard") >= col("th"))
+        val perTh = hit.groupBy(col("th")).agg(count(lit(1)).as("n_pairs"))
+        val docs = hit.select(col("th"), col("id_a").as("id"))
+          .unionByName(hit.select(col("th"), col("id_b").as("id")))
+          .distinct()
+          .groupBy(col("th")).agg(count(lit(1)).as("n_docs_involved"))
+        perTh.join(docs, Seq("th"), "left")
+          .select(col("th"), col("n_pairs"),
+            coalesce(col("n_docs_involved"), lit(0L)).as("n_docs_involved"))
+          .orderBy(col("th"))
+      },
+      oracle = Some(s"""
+        WITH $ngramPairCtes,
+        ths AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS th),
+        hit AS (
+          SELECT t.th, p.id_a, p.id_b, p.jaccard
+          FROM pairs p CROSS JOIN ths t
+          WHERE p.jaccard >= t.th),
+        per_th AS (
+          SELECT th, count(*) AS n_pairs FROM hit GROUP BY 1),
+        docs AS (
+          SELECT th, count(*) AS n_docs_involved FROM (
+            SELECT DISTINCT th, id FROM (
+              SELECT th, id_a AS id FROM hit
+              UNION ALL
+              SELECT th, id_b FROM hit))
+          GROUP BY 1)
+        SELECT p.th, p.n_pairs,
+          CAST(coalesce(d.n_docs_involved, 0) AS BIGINT) AS n_docs_involved
+        FROM per_th p LEFT JOIN docs d USING (th)
+        ORDER BY th""")),
 
   )
 

@@ -152,8 +152,9 @@ object ScaleCheck {
         else concat_ws("|", col("p_brand"),
           split(col("p_name"), " ").getItem(0))
       val sizes = df.groupBy(key.as("blk")).agg(count(lit(1)).as("n"))
+      // integer div: Spark's `/` on longs is DOUBLE division
       val r = sizes.agg(max(col("n")).as("worst"),
-        sum(col("n") * (col("n") - 1) / 2).as("pairs")).head()
+        sum(expr("n * (n - 1) div 2")).as("pairs")).head()
       (r.getLong(0), r.getLong(1))
     }
     for (k <- Seq(1, 4)) {

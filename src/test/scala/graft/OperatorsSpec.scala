@@ -1044,6 +1044,30 @@ class OperatorsSpec extends SparkSpec {
       total > PageRank.Scale - 100L * a.size)
   }
 
+  test("PageRank.ranks: source-only nodes persist and keep contributing") {
+    // directed chain 1 -> 2 -> 3 plus 3 -> 2 (so every node has an
+    // out-edge). Node 1 has NO in-edges: before the r6 fix it vanished
+    // from the rank frame after round 1 (groupBy dst), taking its
+    // teleport mass AND its contribution to node 2 with it.
+    val e = Seq((1, 2), (2, 3), (3, 2)).toDF("src", "dst")
+    val pr = PageRank.ranks(e, 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // node 1 survives all rounds at exactly the teleport base
+    val base = ((15L * PageRank.Scale) / 100L) / 3L
+    assert(pr.keySet == Set(1, 2, 3))
+    assert(pr(1) == base)
+    // node 2 receives BOTH node 1's and node 3's full contribution each
+    // round; after convergence-ish 5 rounds it must strictly dominate
+    // node 3 (which only receives from 2) and base (hand-derived floor:
+    // base + 85% of node 1's base-rank contribution alone)
+    assert(pr(2) > pr(3))
+    assert(pr(2) > base + (85L * base) / 100L)
+    // mass conservation within floor loss: without the fix node 1's
+    // share (~1/3 of teleport plus its round-1 rank) leaks entirely
+    val total = pr.values.sum
+    assert(total <= PageRank.Scale && total > PageRank.Scale - 300L)
+  }
+
   test("Winnowing: brute-force equality, shared-run guarantee, density") {
     // driver-side reference implementation of the exact same algorithm
     def brute(tokens: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
