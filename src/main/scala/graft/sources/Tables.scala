@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the TESTDATA star schema (TESTDATA.md / FIXTURES.md §B).
   *
@@ -42,8 +42,18 @@ object Tables {
     if (spark.conf.getOption(NanosAsLong).forall(_ != "true"))
       spark.conf.set(NanosAsLong, "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // regenerated fixtures store ts as parquet TIMESTAMP(MICROS,
+        // isAdjustedToUTC=false), which Spark infers as TIMESTAMP_NTZ.
+        // Queries need LTZ internally (unix_micros, streaming event time
+        // / watermarks are LTZ-only); under the engine's fixed UTC
+        // session the cast is value-identity, and ntzOut / assertNoLtz
+        // still guarantee no LTZ column reaches an output file.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
