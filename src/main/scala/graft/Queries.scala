@@ -6572,6 +6572,376 @@ object Queries {
         FROM per_th p LEFT JOIN docs d USING (th)
         ORDER BY th""")),
 
+    "q186_join_size_preflight" -> Q(
+      // Pre-flight join/self-join cardinality estimation from CMS inner
+      // products (AMS/Cormade-Muthukrishnan F2-style): |A ⋈ B| =
+      // Σ_k f_A(k)·f_B(k), estimated as min over sketch rows of the
+      // counter-grid dot product — the "will this self-join explode"
+      // check (the q144/q150 ER-blocking question) answered from two
+      // bounded 4×1024 grids instead of running the join. The estimate
+      // can only overcount (collision cross terms add, never subtract),
+      // so overcount ≥ 0 is a checked invariant; the exact pair count
+      // rides along to exhibit the error. All integer arithmetic over
+      // the portable salted md5 hash — oracle-checked exactly.
+      build = (s, dir) => {
+        def side(df: DataFrame, keyCol: String, label: String): DataFrame = {
+          val sk = Cms.sketch(df, keyCol)
+          val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+            .agg(sum(col("n") * col("n")).as("exact_pairs"))
+          exact.crossJoin(broadcast(Cms.innerProduct(sk, sk)))
+            .select(lit(label).as("src"), col("exact_pairs"),
+              col("cms_join_est"),
+              (col("cms_join_est") - col("exact_pairs")).as("overcount"))
+        }
+        side(table(s, dir, "events"), "user_id", "events.user_id")
+          .unionByName(side(table(s, dir, "lineitem"), "l_partkey",
+            "lineitem.l_partkey"))
+          .orderBy(col("src"))
+      },
+      oracle = Some(s"""
+        WITH ${Cms.sqlSketchCtes("SELECT user_id AS key FROM events", "cms_ev")},
+        ${Cms.sqlInnerProductCtes("cms_ev", "cms_ev", "est_ev")},
+        ${Cms.sqlSketchCtes("SELECT l_partkey AS key FROM lineitem", "cms_li")},
+        ${Cms.sqlInnerProductCtes("cms_li", "cms_li", "est_li")},
+        ex_ev AS (
+          SELECT CAST(sum(n * n) AS BIGINT) AS exact_pairs
+          FROM (SELECT count(*) AS n FROM events GROUP BY user_id)),
+        ex_li AS (
+          SELECT CAST(sum(n * n) AS BIGINT) AS exact_pairs
+          FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey))
+        SELECT 'events.user_id' AS src, exact_pairs, cms_join_est,
+          cms_join_est - exact_pairs AS overcount
+        FROM ex_ev CROSS JOIN est_ev
+        UNION ALL
+        SELECT 'lineitem.l_partkey', exact_pairs, cms_join_est,
+          cms_join_est - exact_pairs
+        FROM ex_li CROSS JOIN est_li
+        ORDER BY src""")),
+
+    "q187_kcore_trace" -> Q(
+      // k-core decomposition of the part co-purchase graph (Seidman '83)
+      // as a 6-round peel trace: alive₀ = all nodes, aliveᵢ₊₁ = nodes
+      // with ≥ 80 neighbors inside aliveᵢ. The "dense cohesive subgraph"
+      // extractor behind community mining and spam-cluster triage —
+      // each round is one semi-join + one degree aggregation over a
+      // frame that only shrinks (GraphCore scaladoc). k=80 sits at the
+      // fixture's 10th degree percentile, so the trace strictly
+      // decreases for 5 rounds then fixes — the equal tail rows PROVE
+      // convergence inside the round budget rather than assuming it.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val e = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        val sym = e.unionByName(
+          e.select(col("b").as("a"), col("a").as("b")))
+        GraphCore.kCoreTrace(sym, k = 80, rounds = 6).orderBy(col("iter"))
+      },
+      oracle = Some(s"""
+        WITH tri_edges AS (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        sym AS (
+          SELECT a, b FROM tri_edges
+          UNION ALL
+          SELECT b, a FROM tri_edges),
+        ${GraphCore.sqlKCoreTraceCtes("sym", k = 80, rounds = 6)}
+        SELECT iter, alive_nodes, alive_edges FROM kcore_trace
+        ORDER BY iter""")),
+
+    "q188_bfs_reach" -> Q(
+      // Bounded-hop reachability: minimum hop distance from one brand's
+      // parts over the SUPPORT-≥2 co-purchase graph (edges kept only
+      // when the pair co-occurs in ≥ 2 orders — q120's denoising; the
+      // raw graph is so dense one hop reaches everything). Frontier
+      // expansion joins edges against only the previous hop's nodes
+      // (per-round work ∝ frontier, not graph); hop -1 counts nodes
+      // unreached within 4 hops. The neighborhood-growth probe behind
+      // "how local is this catalog" and seed-expansion labeling.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val e = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("a"), col("b"))
+        val sym = e.unionByName(
+          e.select(col("b").as("a"), col("a").as("b")))
+        val seeds = table(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("a"))
+          .join(sym.select(col("a")).distinct(), Seq("a"), "left_semi")
+        val dist = GraphCore.bfsHops(sym, seeds, maxHops = 4)
+        val reached = dist.groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val unreached = sym.select(col("a")).distinct()
+          .join(dist.select(col("a")), Seq("a"), "left_anti")
+          .agg(lit(-1).as("hop"), count(lit(1)).as("n_nodes"))
+        reached.unionByName(unreached).orderBy(col("hop"))
+      },
+      oracle = Some(s"""
+        WITH e2 AS (
+          SELECT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (
+          SELECT a, b FROM e2
+          UNION ALL
+          SELECT b, a FROM e2),
+        seeds AS (
+          SELECT DISTINCT s.a FROM sym s
+          JOIN part p ON p.p_partkey = s.a
+          WHERE p.p_brand = 'Brand#13'),
+        ${GraphCore.sqlBfsHopsCtes("sym", "seeds", maxHops = 4)},
+        nodes AS (SELECT DISTINCT a FROM sym)
+        SELECT CAST(hop AS INT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM bfs_dist GROUP BY 1
+        UNION ALL
+        SELECT -1, CAST(count(*) AS BIGINT) FROM nodes
+        WHERE a NOT IN (SELECT a FROM bfs_dist)
+        ORDER BY hop""")),
+
+    "q189_bm25_retrieval" -> Q(
+      // Okapi BM25 retrieval over the corpus for a fixed 4-term query
+      // mixing one rare term ('dup', df≈25 — high idf) with three
+      // common ones — the quality-retrieval scoring a curation pipeline
+      // uses to pull "documents like these" from a 100 TB corpus.
+      // Top-20 via distributed orderBy+limit (top-k, never a global
+      // window); determinism per TextStats.bm25's scaladoc (integer
+      // tf/df/dl, 8-decimal snaps, exact-decimal term sum).
+      build = (s, dir) =>
+        TextStats.bm25(table(s, dir, "documents"), "doc_id", "text",
+            Seq("dup", "scan", "merge", "window"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(20)
+          .select(col("id").as("doc_id"), col("n_terms"), col("score")),
+      oracle = Some(s"""
+        WITH ${TextStats.sqlBm25Ctes("doc_id", "text",
+          "('dup','scan','merge','window')")}
+        SELECT id AS doc_id, n_terms, score FROM bm25
+        ORDER BY score DESC, id LIMIT 20""")),
+
+    "q190_bootstrap_se" -> Q(
+      // Poisson-bootstrap standard error of mean order value per
+      // priority (Efron's bootstrap in its shuffle-free streaming form:
+      // each row enters replicate b with multiplicity ~ Poisson(1),
+      // derived here from the portable md5 hash of (orderkey, b) via
+      // fixed inverse-CDF thresholds — fully deterministic and
+      // cross-engine identical, unlike rand()). 48 replicates in ONE
+      // pass (explode + two bounded aggregations, no resampled copies
+      // of the data); the analytic s/√n rides along — ratio ≈ 1 is the
+      // bootstrap working. Replicate means use exact-decimal sums; the
+      // across-replicate spread snaps through decimal like Stable.davg.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val reps = o.select(col("o_orderpriority").as("pri"),
+            col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+          .withColumn("bi", explode(sequence(lit(0), lit(47))))
+          .withColumn("u", TextHash.md5Bits60(concat(
+              col("ok").cast("string"), lit("|bs"),
+              col("bi").cast("string"))).cast("double")
+            / lit(1.152921504606846976e18))
+          .withColumn("wt",
+            when(col("u") < 0.36787944117144233, 0L)
+              .when(col("u") < 0.7357588823428847, 1L)
+              .when(col("u") < 0.9196986029286058, 2L)
+              .when(col("u") < 0.9810118431238462, 3L)
+              .when(col("u") < 0.9963401531726563, 4L)
+              .otherwise(5L))
+          .groupBy(col("pri"), col("bi"))
+          .agg((round(sum(dec(col("price")) * col("wt").cast("decimal(2,0)")), 2)
+            .cast("double") / sum(col("wt"))).as("m"))
+        val boot = reps.groupBy(col("pri")).agg(
+            round(sum(col("m").cast("decimal(24,8)")), 8).cast("double")
+              .as("s1"),
+            round(sum((col("m") * col("m")).cast("decimal(30,8)")), 8)
+              .cast("double").as("s2"))
+          .withColumn("se_boot", round(sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / 48.0) / 47.0,
+            lit(0.0))), 4))
+        val an = o.groupBy(col("o_orderpriority").as("pri")).agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("t1"),
+            dsumsq(col("o_totalprice")).as("t2"))
+          .withColumn("se_analytic", round(sqrt(
+            (col("t2") - col("t1") * col("t1") / col("n"))
+              / (col("n") - 1) / col("n")), 4))
+        boot.join(an, Seq("pri"))
+          .select(col("pri"), col("n"), col("se_boot"), col("se_analytic"),
+            round(col("se_boot") / col("se_analytic"), 4).as("ratio"))
+          .orderBy(col("pri"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT o_orderpriority AS pri, o_totalprice AS price, bi,
+            ${TextHash.sqlMd5Bits60(
+              "CAST(o_orderkey AS VARCHAR) || '|bs' || CAST(bi AS VARCHAR)")}
+              / 1152921504606846976.0 AS u
+          FROM orders
+          CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS bi) bs),
+        w AS (
+          SELECT pri, price, bi,
+            CASE WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238462 THEN 3
+                 WHEN u < 0.9963401531726563 THEN 4
+                 ELSE 5 END AS wt
+          FROM b),
+        reps AS (
+          SELECT pri, bi,
+            CAST(round(sum(CAST(price AS DECIMAL(12,2))
+                * CAST(wt AS DECIMAL(2,0))), 2) AS DOUBLE)
+              / sum(wt) AS m
+          FROM w GROUP BY 1, 2),
+        boot AS (
+          SELECT pri,
+            CAST(round(sum(CAST(m AS DECIMAL(24,8))), 8) AS DOUBLE) AS s1,
+            CAST(round(sum(CAST(m * m AS DECIMAL(30,8))), 8) AS DOUBLE) AS s2
+          FROM reps GROUP BY 1),
+        boot2 AS (
+          SELECT pri,
+            round(sqrt(greatest((s2 - s1 * s1 / 48.0) / 47.0, 0.0)), 4)
+              AS se_boot
+          FROM boot),
+        an AS (
+          SELECT o_orderpriority AS pri, count(*) AS n,
+            ${sqlDsum("o_totalprice")} AS t1,
+            ${sqlDsumsq("o_totalprice")} AS t2
+          FROM orders GROUP BY 1),
+        an2 AS (
+          SELECT pri, n,
+            round(sqrt((t2 - t1 * t1 / n) / (n - 1) / n), 4) AS se_analytic
+          FROM an)
+        SELECT b.pri, a.n, b.se_boot, a.se_analytic,
+          round(b.se_boot / a.se_analytic, 4) AS ratio
+        FROM boot2 b JOIN an2 a ON a.pri = b.pri
+        ORDER BY b.pri""")),
+
+    "q191_quantile_norm_map" -> Q(
+      // Quantile-normalization map (the batch-effect remover of
+      // bioinformatics, applied to account balances by market segment):
+      // per-segment deciles vs pooled deciles, and the shift that maps
+      // one onto the other. At 100 TB you compute this BOUNDED map
+      // (segments × 11 rows), broadcast it, and apply map-side — the
+      // query emits the map itself. Exact type-7 interpolation on both
+      // engines (parity per q62); values snapped to 6 decimals because
+      // the two engines' interpolation formulas can differ in the last
+      // ulp on non-integer inputs.
+      build = (s, dir) => {
+        val qsArr = (0 to 10).map(i => s"${i / 10.0}D").mkString(
+          "array(", ",", ")")
+        val c = table(s, dir, "customer")
+        val grp = c.groupBy(col("c_mktsegment").as("segment"))
+          .agg(expr(s"percentile(c_acctbal, $qsArr)").as("gv"),
+            count(lit(1)).as("n_rows"))
+          .select(col("segment"), col("n_rows"),
+            posexplode(col("gv")).as(Seq("qi", "group_val")))
+        val pooled = c
+          .agg(expr(s"percentile(c_acctbal, $qsArr)").as("pv"))
+          .select(posexplode(col("pv")).as(Seq("qi", "pooled_val")))
+        grp.join(broadcast(pooled), Seq("qi"))
+          .select(col("segment"), col("qi").cast("long").as("qi"),
+            col("n_rows"),
+            round(col("group_val"), 6).as("group_val"),
+            round(col("pooled_val"), 6).as("pooled_val"),
+            round(round(col("pooled_val"), 6) - round(col("group_val"), 6),
+              6).as("shift"))
+          .orderBy(col("segment"), col("qi"))
+      },
+      oracle = Some(s"""
+        WITH qs AS (SELECT unnest(generate_series(0, 10)) AS qi),
+        grp AS (
+          SELECT c_mktsegment AS segment, count(*) AS n_rows,
+            quantile_cont(c_acctbal,
+              [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS ql
+          FROM customer GROUP BY 1),
+        pooled AS (
+          SELECT quantile_cont(c_acctbal,
+            [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS pl
+          FROM customer)
+        SELECT g.segment, CAST(q.qi AS BIGINT) AS qi, g.n_rows,
+          round(g.ql[q.qi + 1], 6) AS group_val,
+          round(p.pl[q.qi + 1], 6) AS pooled_val,
+          round(round(p.pl[q.qi + 1], 6) - round(g.ql[q.qi + 1], 6), 6)
+            AS shift
+        FROM grp g CROSS JOIN qs q CROSS JOIN pooled p
+        ORDER BY g.segment, qi""")),
+
+    "q192_compaction_planner" -> Q(
+      // Small-files compaction planning — the operational answer to the
+      // small-files problem a 100 TB event lake develops: model each
+      // (user, day) event group as a "file", scan files in (day, user)
+      // order, and bin-pack them into 4 KiB output buckets by integer
+      // division of the EXCLUSIVE running byte total. The running total
+      // uses PrefixSum.running (bucketed two-pass prefix sum — never a
+      // single-partition window over the file list); bucket assignment
+      // and all stats are pure integer arithmetic. Oversize files
+      // (> target) are surfaced separately — they need splitting, not
+      // packing.
+      build = (s, dir) => {
+        val target = 4096L
+        val files = table(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(sum(lit(32) + coalesce(length(col("props")), lit(0))
+            + length(col("event_type"))).as("bytes"))
+          .withColumn("ordk",
+            datediff(col("d"), lit("1970-01-01")).cast("long") * 1000
+              + col("user_id"))
+        val ranked = PrefixSum.running(files, "ordk", "ordk", "bytes",
+            descending = false)
+          .withColumn("bucket",
+            expr(s"CAST(cum - bytes AS BIGINT) div $target"))
+        val per = ranked.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("nf"),
+            sum(col("bytes")).as("bb"))
+        val summary = per.agg(
+          sum(col("nf")).as("n_files"),
+          sum(col("bb")).as("total_bytes"),
+          count(lit(1)).as("n_buckets"),
+          max(col("bb")).as("max_bucket_bytes"),
+          max(col("nf")).as("max_files_per_bucket"))
+        val oversize = ranked.filter(col("bytes") > target)
+          .agg(count(lit(1)).as("oversize_files"))
+        summary.crossJoin(broadcast(oversize))
+      },
+      oracle = Some("""
+        WITH files AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+            CAST(sum(32 + coalesce(len(props), 0) + len(event_type))
+              AS BIGINT) AS bytes
+          FROM events GROUP BY 1, 2),
+        ordf AS (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+              * 1000 + user_id AS ordk,
+            bytes
+          FROM files),
+        run AS (
+          SELECT bytes,
+            sum(bytes) OVER (ORDER BY ordk ROWS UNBOUNDED PRECEDING)
+              - bytes AS excum
+          FROM ordf),
+        bk AS (SELECT bytes, excum // 4096 AS bucket FROM run),
+        per AS (
+          SELECT bucket, count(*) AS nf, CAST(sum(bytes) AS BIGINT) AS bb
+          FROM bk GROUP BY 1),
+        summary AS (
+          SELECT CAST(sum(nf) AS BIGINT) AS n_files,
+            CAST(sum(bb) AS BIGINT) AS total_bytes,
+            count(*) AS n_buckets,
+            max(bb) AS max_bucket_bytes,
+            max(nf) AS max_files_per_bucket
+          FROM per),
+        oversize AS (
+          SELECT count(*) AS oversize_files FROM files WHERE bytes > 4096)
+        SELECT n_files, total_bytes, n_buckets, max_bucket_bytes,
+          max_files_per_bucket, oversize_files
+        FROM summary CROSS JOIN oversize""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

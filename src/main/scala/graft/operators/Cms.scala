@@ -76,6 +76,26 @@ object Cms {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  /** Join-size estimate from two sketches (Alon-Matias-Szegedy style
+    * inner product, Cormode & Muthukrishnan §4.2): |A ⋈ B| on a key =
+    * Σ_k f_A(k)·f_B(k), estimated per sketch row as Σ_c a[r][c]·b[r][c]
+    * and finalized as the MIN over the d rows. Like the point estimate
+    * it can only OVERcount (hash collisions add cross terms, never
+    * remove mass), so est ≥ truth always — the pre-flight "will this
+    * join/self-join explode" check that costs two bounded grids instead
+    * of running the join. A row with no overlapping non-zero cells has
+    * inner product 0, so the min runs over a generated 0..d-1 frame
+    * rather than only the rows the join happens to produce. */
+  def innerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val prods = a
+      .join(b.withColumnRenamed("cnt", "cnt_b"), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("cnt") * col("cnt_b")).as("ip"))
+    a.sparkSession.range(D).select(col("id").cast("int").as("r"))
+      .join(prods, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("cms_join_est"))
+  }
+
   /** DuckDB mirror of the row-salted counter index for `expr`. */
   def sqlPos(expr: String, rExpr: String): String =
     TextHash.sqlMd5Bits60(
@@ -83,13 +103,28 @@ object Cms {
       s" % $W"
 
   /** DuckDB mirror of [[sketch]] over `FROM (srcSql) src` with a `key`
-    * column. Emits CTE `cms_sk` (r, c, cnt). */
-  def sqlSketchCtes(srcSql: String): String = s"""cms_sk AS (
+    * column. Emits CTE `name` (r, c, cnt). */
+  def sqlSketchCtes(srcSql: String, name: String): String = s"""$name AS (
       SELECT rs.r, ${sqlPos("key", "rs.r")} AS c,
         CAST(count(*) AS BIGINT) AS cnt
       FROM ($srcSql) AS src
       CROSS JOIN (SELECT unnest(generate_series(0, ${D - 1})) AS r) rs
       GROUP BY 1, 2)"""
+
+  /** [[sqlSketchCtes]] under the historical default CTE name. */
+  def sqlSketchCtes(srcSql: String): String = sqlSketchCtes(srcSql, "cms_sk")
+
+  /** DuckDB mirror of [[innerProduct]] over sketch CTEs `aName`/`bName`.
+    * Emits CTEs `<outName>_prod` and `outName` (cms_join_est). */
+  def sqlInnerProductCtes(aName: String, bName: String,
+      outName: String): String = s"""${outName}_prod AS (
+      SELECT a.r, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS ip
+      FROM $aName a JOIN $bName b ON a.r = b.r AND a.c = b.c
+      GROUP BY 1),
+    $outName AS (
+      SELECT CAST(min(coalesce(p.ip, 0)) AS BIGINT) AS cms_join_est
+      FROM (SELECT unnest(generate_series(0, ${D - 1})) AS r) rs
+      LEFT JOIN ${outName}_prod p ON p.r = rs.r)"""
 
   /** DuckDB mirror of [[lookup]] against `cms_sk` over `FROM (probesSql)`
     * with a `key` column. Emits CTE `cms_lk` (key, cms_est). */

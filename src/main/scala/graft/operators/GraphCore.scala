@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative subgraph algorithms over a symmetrized edge list `(a, b)`
+  * (every undirected edge present in both directions): k-core peeling
+  * (Seidman '83 / the Batagelj-Zaversnik cores algorithm, expressed as
+  * bulk-synchronous rounds) and bounded-hop BFS from a seed set.
+  *
+  * Both follow the [[Components]] playbook for distributed graph loops:
+  * the edge frame is persisted once, each round is ONE key-partitioned
+  * shuffle (a semi-join of edges against the current node frame plus a
+  * map-side-combinable degree/frontier aggregation), and the round count
+  * is a bounded parameter — so a 1000-executor run does `rounds`
+  * shuffles over data that only ever SHRINKS (peeling) or stays
+  * frontier-sized (BFS), never a cross join or a driver-side collect.
+  *
+  * Round counts are explicit (not converge-until-fixed-point) so the
+  * DuckDB oracle can unroll the identical computation — the Scala loop
+  * and the SQL generator take the same `rounds`/`k` parameters, making
+  * the whole trace hash-checkable. Callers pick `rounds` ≥ the fixture's
+  * convergence depth; the trace makes convergence visible (equal tail
+  * rows) rather than assumed.
+  */
+object GraphCore {
+
+  /** One row per peel round `0..rounds`: the number of still-alive nodes
+    * and undirected edges of the k-core iteration. alive₀ = all
+    * endpoints; aliveᵢ₊₁ = nodes with ≥ k neighbors inside aliveᵢ. Once
+    * the trace stabilizes, the fixed point IS the k-core. */
+  def kCoreTrace(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val edges = sym.select(col("a"), col("b")).persist()
+    var alive = edges.select(col("a")).distinct().persist()
+    val trace = (0 to rounds).map { i =>
+      val induced = edges
+        .join(alive, Seq("a"))
+        .join(alive.withColumnRenamed("a", "b"), Seq("b"))
+      val row = alive.agg(count(lit(1)).as("alive_nodes"))
+        .crossJoin(broadcast(
+          induced.agg((count(lit(1)) / 2).cast("long").as("alive_edges"))))
+        .select(lit(i).as("iter"), col("alive_nodes"), col("alive_edges"))
+      if (i < rounds) {
+        alive = induced.groupBy(col("a")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("a")).persist()
+      }
+      row
+    }
+    trace.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[kCoreTrace]] over an existing CTE `symCte` with
+    * columns (a, b). Emits per-round CTEs plus `kcore_trace`
+    * (iter, alive_nodes, alive_edges). */
+  def sqlKCoreTraceCtes(symCte: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"alive0 AS (SELECT DISTINCT a FROM $symCte)"
+    for (i <- 0 to rounds) {
+      sb ++= s""",
+        ind$i AS (
+          SELECT e.a FROM $symCte e
+          JOIN alive$i x ON e.a = x.a
+          JOIN alive$i y ON e.b = y.a)"""
+      if (i < rounds) sb ++= s""",
+        alive${i + 1} AS (
+          SELECT a FROM ind$i GROUP BY a HAVING count(*) >= $k)"""
+    }
+    sb ++= s""",
+      kcore_trace AS (${(0 to rounds).map(i =>
+        s"""SELECT $i AS iter,
+          (SELECT CAST(count(*) AS BIGINT) FROM alive$i) AS alive_nodes,
+          (SELECT CAST(count(*) AS BIGINT) // 2 FROM ind$i) AS alive_edges""")
+      .mkString(" UNION ALL ")})"""
+    sb.toString
+  }
+
+  /** Minimum hop distance (≤ maxHops) from `seeds` (single column `a`)
+    * to every reachable node: classic frontier expansion — each round
+    * joins edges against only the PREVIOUS frontier and anti-joins the
+    * visited set, so per-round work is proportional to the frontier, not
+    * the graph. Returns (a, hop). */
+  def bfsHops(sym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val edges = sym.select(col("a"), col("b")).persist()
+    var dist = seeds.select(col("a")).distinct()
+      .withColumn("hop", lit(0)).persist()
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hop") === h - 1).select(col("a"))
+      val next = edges.join(frontier, Seq("a"))
+        .select(col("b").as("a")).distinct()
+        .join(dist.select(col("a")), Seq("a"), "left_anti")
+        .withColumn("hop", lit(h))
+      dist = dist.unionByName(next).persist()
+    }
+    dist
+  }
+
+  /** DuckDB mirror of [[bfsHops]]: `seedsCte` has column (a). Emits
+    * per-hop CTEs plus `bfs_dist` (a, hop). */
+  def sqlBfsHopsCtes(symCte: String, seedsCte: String,
+      maxHops: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"dist0 AS (SELECT DISTINCT a, 0 AS hop FROM $seedsCte)"
+    for (h <- 1 to maxHops) {
+      sb ++= s""",
+        dist$h AS (
+          SELECT a, hop FROM dist${h - 1}
+          UNION ALL
+          SELECT f.a, $h AS hop FROM (
+            SELECT DISTINCT e.b AS a FROM $symCte e
+            JOIN dist${h - 1} d ON e.a = d.a AND d.hop = ${h - 1}) f
+          WHERE f.a NOT IN (SELECT a FROM dist${h - 1}))"""
+    }
+    sb ++= s""",
+      bfs_dist AS (SELECT a, hop FROM dist$maxHops)"""
+    sb.toString
+  }
+}

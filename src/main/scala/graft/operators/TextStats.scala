@@ -182,6 +182,89 @@ object TextStats {
        |  FROM scored
        |  QUALIFY rank <= $k)""".stripMargin
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson-Sparck Jones / Okapi BM25, the scoring function behind
+    * quality-retrieval data curation): per (doc, term)
+    * `idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with the standard
+    * k1=1.2, b=0.75 and the +1-smoothed idf
+    * `ln((N − df + 0.5)/(df + 0.5) + 1)` (always positive, so stopword
+    * terms rank low instead of negative). Returns (id, n_terms, score)
+    * for every document containing ≥ 1 query term.
+    *
+    * Cross-engine determinism: tf/df/dl/N are exact integers; the two
+    * float steps (idf, per-term contribution) are snapped to 8 decimals
+    * like [[tfidfTopTerms]], and the per-doc sum runs in exact decimal —
+    * so scores hash-match and are partitioning-independent. Constants
+    * are written as identical literals on both engines (1.2+1 is NOT
+    * recomputed as a double sum — 2.2 appears verbatim) because
+    * `1.0 + 1.2` lands on a round-to-even tie one ulp away from the
+    * literal. Scale shape: one token explode filtered to the bounded
+    * term set, a broadcast of the ≤|terms|-row df frame and the 1-row
+    * corpus stats — no shuffle wider than the matching postings.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs.select(col("id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"))
+    tf.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", round(log(
+        (col("n_docs") - col("df_docs") + 0.5) / (col("df_docs") + 0.5)
+          + 1.0), 8))
+      .withColumn("contrib", round(
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25)
+            + lit(0.75) * col("dl") / col("avgdl"))), 8))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("contrib").cast("decimal(20,8)")), 8).cast("double")
+          .as("score"))
+  }
+
+  /** DuckDB mirror of [[bm25]] over `documents`. `termsList` is the SQL
+    * list literal, e.g. `('dup','scan')`. Emits CTEs ending in `bm25`
+    * (id, n_terms, score). */
+  def sqlBm25Ctes(idCol: String, textCol: String,
+      termsList: String): String =
+    s"""docs AS (
+       |  SELECT $idCol AS id,
+       |    len(regexp_split_to_array(trim($textCol), '\\s+')) AS dl,
+       |    regexp_split_to_array(trim($textCol), '\\s+') AS toks
+       |  FROM documents),
+       |bmstats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |  FROM docs),
+       |bmtf AS (
+       |  SELECT id, dl, term, count(*) AS tf FROM (
+       |    SELECT id, dl, unnest(toks) AS term FROM docs)
+       |  WHERE term IN $termsList
+       |  GROUP BY 1, 2, 3),
+       |bmdf AS (SELECT term, count(*) AS df_docs FROM bmtf GROUP BY 1),
+       |bmscored AS (
+       |  SELECT t.id,
+       |    round(round(ln((s.n_docs - d.df_docs + 0.5) / (d.df_docs + 0.5)
+       |        + 1.0), 8)
+       |      * (t.tf * 2.2) /
+       |      (t.tf + 1.2 * (0.25 + 0.75 * t.dl /
+       |        (CAST(s.sum_dl AS DOUBLE) / s.n_docs))), 8) AS contrib
+       |  FROM bmtf t JOIN bmdf d USING (term) CROSS JOIN bmstats s),
+       |bm25 AS (
+       |  SELECT id, CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(round(sum(CAST(contrib AS DECIMAL(20,8))), 8) AS DOUBLE)
+       |      AS score
+       |  FROM bmscored GROUP BY 1)""".stripMargin
+
   /** Overlapping token-window chunks — the chunk-for-embedding step of a
     * retrieval/training pipeline: each document yields windows of
     * `chunkTokens` whitespace tokens every `stride` tokens (the final

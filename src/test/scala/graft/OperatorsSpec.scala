@@ -1138,4 +1138,76 @@ class OperatorsSpec extends SparkSpec {
     val top = terms.find(_.getAs[Long]("bin") == 9L).get
     assert(top.getAs[Long]("n_cur") > 400L)
   }
+
+  test("Cms.innerProduct: join-size estimate >= truth, exact when collision-free") {
+    // distinct keys, few enough that no two share a cell in any row with
+    // overwhelming probability -> inner product is EXACTLY sum f_a*f_b
+    val a = Seq("k1", "k1", "k1", "k2").toDF("k") // f = {k1:3, k2:1}
+    val b = Seq("k1", "k2", "k2", "k3").toDF("k") // f = {k1:1, k2:2, k3:1}
+    val est = Cms.innerProduct(Cms.sketch(a, "k"), Cms.sketch(b, "k"))
+      .first().getLong(0)
+    // truth = 3*1 + 1*2 = 5; collisions can only push the estimate UP
+    assert(est >= 5L)
+    assert(est == 5L, s"4 keys in a 4x1024 grid should not collide: $est")
+    // self inner product = second moment F2
+    val self = Cms.innerProduct(Cms.sketch(a, "k"), Cms.sketch(a, "k"))
+      .first().getLong(0)
+    assert(self == 3L * 3 + 1)
+    // disjoint key sets -> zero overlap (min over the generated row frame,
+    // not only rows the cell join produces)
+    val c = Seq("zz").toDF("k")
+    val disj = Cms.innerProduct(Cms.sketch(a, "k"), Cms.sketch(c, "k"))
+      .first().getLong(0)
+    assert(disj == 0L)
+  }
+
+  test("GraphCore.kCoreTrace: known graph peels to its 2-core") {
+    // triangle {1,2,3} plus a pendant chain 3-4-5: 2-core = the triangle
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val tr = GraphCore.kCoreTrace(sym, k = 2, rounds = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(tr(0) == ((5L, 5L)))             // all nodes, all edges
+    assert(tr(1) == ((4L, 4L)))             // node 5 peeled (degree 1)
+    assert(tr(2) == ((3L, 3L)))             // then node 4
+    assert(tr(3) == ((3L, 3L)))             // fixed point: the triangle
+  }
+
+  test("GraphCore.bfsHops: path graph distances, visited never re-expanded") {
+    // path 1-2-3-4-5, seed {1}: hop = node - 1, capped at maxHops
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Seq(1L).toDF("a")
+    val d = GraphCore.bfsHops(sym, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 unreached
+    // cycle: two frontiers meet; every node gets its MINIMUM distance
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val csym = cyc.unionByName(cyc.select(col("b").as("a"), col("a").as("b")))
+    val cd = GraphCore.bfsHops(csym, Seq(1L).toDF("a"), maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cd == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("TextStats.bm25: rare terms outscore common, tf saturates, dl penalizes") {
+    val docs = Seq(
+      ("d1", "rare alpha beta gamma"),
+      ("d2", "common alpha beta gamma"),
+      ("d3", "common common common alpha"),
+      ("d4", "common alpha beta gamma delta epsilon zeta eta theta iota"),
+      ("d5", "alpha beta gamma delta"),
+      ("d6", "common beta gamma delta")).toDF("id", "text")
+    val s = TextStats.bm25(docs, "id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(!s.contains("d5"))                       // no query term -> no row
+    // rare (df=1) beats common (df=3) at equal tf and dl
+    assert(s("d1")._2 > s("d2")._2)
+    // tf=3 scores higher than tf=1 but saturates: well under 3x
+    assert(s("d3")._2 > s("d2")._2 && s("d3")._2 < 2.5 * s("d2")._2)
+    // longer doc, same tf -> lower score
+    assert(s("d4")._2 < s("d2")._2)
+    assert(s("d1")._1 == 1L && s("d3")._1 == 1L)
+  }
 }
