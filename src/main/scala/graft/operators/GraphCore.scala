@@ -28,25 +28,37 @@ object GraphCore {
   /** One row per peel round `0..rounds`: the number of still-alive nodes
     * and undirected edges of the k-core iteration. alive₀ = all
     * endpoints; aliveᵢ₊₁ = nodes with ≥ k neighbors inside aliveᵢ. Once
-    * the trace stabilizes, the fixed point IS the k-core. */
+    * the trace stabilizes, the fixed point IS the k-core.
+    *
+    * Iteration mechanics matter here more than in [[PageRank]]'s loop:
+    * `alive` feeds BOTH sides of the induced-edge join, so a lazy
+    * formulation DOUBLES the logical plan every round — exponential
+    * analysis cost (the first cut of this operator spent 225 s
+    * analyzing/re-deriving plans for 7 one-row aggregates). Each round
+    * therefore ends in an eager `localCheckpoint`, truncating the
+    * lineage to a constant-size plan; the per-round counts — which ARE
+    * the operator's output — are ≤ rounds×3 longs of driver state, the
+    * same bounded-statistics shape as a fit step. */
   def kCoreTrace(sym: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
     val edges = sym.select(col("a"), col("b")).persist()
-    var alive = edges.select(col("a")).distinct().persist()
-    val trace = (0 to rounds).map { i =>
+    var alive = edges.select(col("a")).distinct().localCheckpoint(true)
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    for (i <- 0 to rounds) {
       val induced = edges
         .join(alive, Seq("a"))
         .join(alive.withColumnRenamed("a", "b"), Seq("b"))
-      val row = alive.agg(count(lit(1)).as("alive_nodes"))
-        .crossJoin(broadcast(
-          induced.agg((count(lit(1)) / 2).cast("long").as("alive_edges"))))
-        .select(lit(i).as("iter"), col("alive_nodes"), col("alive_edges"))
+        .persist()
+      rows += ((i, alive.count(), induced.count() / 2))
       if (i < rounds) {
         alive = induced.groupBy(col("a")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select(col("a")).persist()
+          .filter(col("d") >= k).select(col("a")).localCheckpoint(true)
       }
-      row
+      induced.unpersist(false)
     }
-    trace.reduce(_ unionByName _)
+    edges.unpersist(false)
+    rows.result().toDF("iter", "alive_nodes", "alive_edges")
   }
 
   /** DuckDB mirror of [[kCoreTrace]] over an existing CTE `symCte` with
@@ -89,7 +101,10 @@ object GraphCore {
         .select(col("b").as("a")).distinct()
         .join(dist.select(col("a")), Seq("a"), "left_anti")
         .withColumn("hop", lit(h))
-      dist = dist.unionByName(next).persist()
+      // eager checkpoint: `dist` feeds the frontier filter, the
+      // anti-join AND the union, so a lazy chain would triple the plan
+      // per hop (see kCoreTrace's scaladoc for the failure mode)
+      dist = dist.unionByName(next).localCheckpoint(true)
     }
     dist
   }
