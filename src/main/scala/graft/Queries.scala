@@ -6942,6 +6942,235 @@ object Queries {
           max_files_per_bucket, oversize_files
         FROM summary CROSS JOIN oversize""")),
 
+    "q193_merkle_diff" -> Q(
+      // Merkle-style table diff: find WHICH partitions of a 100 TB table
+      // changed between versions without comparing rows — per-bucket
+      // content digests (order-independent exact-decimal SUM of portable
+      // per-row hashes over 256 hash buckets) compared base vs modified,
+      // emitting only the differing buckets. Row comparison then targets
+      // ~2/3 of buckets instead of the whole table (and in a real lake,
+      // only those files). The modified version is a deterministic
+      // mutation of orders: keys ≡0 mod 101 deleted, keys ≡0 mod 97 get
+      // +1.00 on the price — both classes land in the diff. Doubles are
+      // never stringified (engine formatting differs): the row serial
+      // uses the exact DECIMAL rendering on both sides.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        def serial(price: Column): Column = concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          price.cast("string"),
+          to_date(col("o_orderdate")).cast("string"),
+          col("o_orderpriority"))
+        def digest(df: DataFrame, price: Column): DataFrame = df
+          .withColumn("bucket",
+            pmod(TextHash.md5Bits60(col("o_orderkey").cast("string")),
+              lit(256L)))
+          .withColumn("h", TextHash.md5Bits60(serial(price)))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("h").cast("decimal(38,0)")).as("dig"))
+        val base = digest(o, dec(col("o_totalprice")))
+        val mod = digest(
+          o.filter(col("o_orderkey") % 101 =!= 0),
+          dec(col("o_totalprice"))
+            + when(col("o_orderkey") % 97 === 0, lit(1))
+                .otherwise(lit(0)).cast("decimal(3,0)"))
+        base.join(mod.select(col("bucket"), col("n").as("n_mod"),
+            col("dig").as("dig_mod")), Seq("bucket"), "full")
+          .filter(col("dig").isNull || col("dig_mod").isNull ||
+            col("dig") =!= col("dig_mod"))
+          .select(col("bucket"),
+            coalesce(col("n"), lit(0L)).as("n_base"),
+            coalesce(col("n_mod"), lit(0L)).as("n_mod"))
+          .orderBy(col("bucket"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT ${TextHash.sqlMd5Bits60("CAST(o_orderkey AS VARCHAR)")}
+              % 256 AS bucket,
+            count(*) AS n,
+            sum(CAST(${TextHash.sqlMd5Bits60(
+              "CAST(o_orderkey AS VARCHAR) || '|' || " +
+              "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' " +
+              "|| CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || " +
+              "'|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' " +
+              "|| o_orderpriority")} AS DECIMAL(38,0))) AS dig
+          FROM orders GROUP BY 1),
+        modv AS (
+          SELECT ${TextHash.sqlMd5Bits60("CAST(o_orderkey AS VARCHAR)")}
+              % 256 AS bucket,
+            count(*) AS n,
+            sum(CAST(${TextHash.sqlMd5Bits60(
+              "CAST(o_orderkey AS VARCHAR) || '|' || " +
+              "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' " +
+              "|| CAST(CAST(o_totalprice AS DECIMAL(12,2)) + " +
+              "CAST(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END " +
+              "AS DECIMAL(3,0)) AS VARCHAR) || " +
+              "'|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' " +
+              "|| o_orderpriority")} AS DECIMAL(38,0))) AS dig
+          FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 1)
+        SELECT coalesce(b.bucket, m.bucket) AS bucket,
+          CAST(coalesce(b.n, 0) AS BIGINT) AS n_base,
+          CAST(coalesce(m.n, 0) AS BIGINT) AS n_mod
+        FROM base b FULL JOIN modv m ON b.bucket = m.bucket
+        WHERE b.dig IS NULL OR m.dig IS NULL OR b.dig <> m.dig
+        ORDER BY bucket""")),
+
+    "q194_debounce_dedup" -> Q(
+      // Debounce deduplication — telemetry double-fire suppression: an
+      // event is kept iff it is the first of its (user, event_type) key
+      // or arrives > 1 h after the previous event of that key (the
+      // standard lag-gap formulation; chains of rapid fires collapse
+      // onto their opener — 184 of 10k fixture events). One per-key window
+      // — state bounded per key, the same shape the streaming twin
+      // (q79) bounds with a watermark.
+      build = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        table(s, dir, "events")
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+              .over(w))
+          .withColumn("kept",
+            (col("gap_us").isNull || col("gap_us") > 3600000000L)
+              .cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("kept")).as("n_kept"),
+            (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT event_type,
+            epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) AS gap_us
+          FROM events)
+        SELECT event_type, count(*) AS n_total,
+          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+            THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        FROM g GROUP BY 1 ORDER BY 1""")),
+
+    "q195_mixture_reweight" -> Q(
+      // Training-mixture reweighting: importance weights that map the
+      // corpus's language distribution onto a uniform target (the
+      // domain-reweighting step of LLM data curation), plus the
+      // effective sample size ESS = (Σw)²/Σw² — the number that says
+      // how much data the reweighted corpus is actually worth (Kish
+      // '65). Per-language rows carry source share and weight; the
+      // '__all__' row carries the scalar ESS and its ratio to N. All
+      // from two bounded aggregations over the per-language counts —
+      // weights are a broadcastable map at any scale.
+      build = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val n = d.agg(count(lit(1)).as("nn"))
+        val perLang = d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(n))
+        val langs = perLang.agg(count(lit(1)).as("k"))
+        val wl = perLang.crossJoin(broadcast(langs))
+          .withColumn("src_share",
+            round(col("n_docs").cast("double") / col("nn"), 8))
+          .withColumn("w", round(col("nn").cast("double")
+            / (col("k") * col("n_docs")), 8))
+        val out = wl.select(col("lang"), col("n_docs"),
+          col("src_share"), col("w"))
+        val ess = wl.agg(
+            round(sum((col("w") * col("n_docs")).cast("decimal(24,8)")), 8)
+              .cast("double").as("s1"),
+            round(sum((col("w") * col("w") * col("n_docs"))
+              .cast("decimal(24,8)")), 8).cast("double").as("s2"),
+            sum(col("n_docs")).as("ntot"))
+          .select(lit("__all__").as("lang"), col("ntot").as("n_docs"),
+            round(col("s1") * col("s1") / col("s2") / col("ntot"), 8)
+              .as("src_share"),
+            round(col("s1") * col("s1") / col("s2"), 8).as("w"))
+        out.unionByName(ess).orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS nn, count(*) AS k
+          FROM per),
+        wl AS (
+          SELECT lang, n_docs,
+            round(CAST(n_docs AS DOUBLE) / nn, 8) AS src_share,
+            round(CAST(nn AS DOUBLE) / (k * n_docs), 8) AS w
+          FROM per CROSS JOIN tot),
+        ess AS (
+          SELECT
+            CAST(round(sum(CAST(w * n_docs AS DECIMAL(24,8))), 8)
+              AS DOUBLE) AS s1,
+            CAST(round(sum(CAST(w * w * n_docs AS DECIMAL(24,8))), 8)
+              AS DOUBLE) AS s2,
+            CAST(sum(n_docs) AS BIGINT) AS ntot
+          FROM wl)
+        SELECT lang, n_docs, src_share, w FROM wl
+        UNION ALL
+        SELECT '__all__', ntot,
+          round(s1 * s1 / s2 / ntot, 8),
+          round(s1 * s1 / s2, 8)
+        FROM ess
+        ORDER BY lang""")),
+
+    "q196_wasserstein_grid" -> Q(
+      // Wasserstein-1 distance of each priority's order-value
+      // distribution from the pooled distribution, via the quantile
+      // representation W₁ = ∫₀¹ |Q_g(u) − Q_pool(u)| du on a fixed
+      // 101-point grid — the binless drift metric that complements
+      // q121's KL and q122's PSI (both need binning; W₁ reads straight
+      // off the quantile functions and carries units of money). Exact
+      // type-7 interpolation per q62; |diffs| snapped to 6 decimals and
+      // summed in exact decimal over the FIXED grid order.
+      build = (s, dir) => {
+        val grid = (0 to 100).map(i => s"${i / 100.0}D").mkString(
+          "array(", ",", ")")
+        val o = table(s, dir, "orders")
+        val grp = o.groupBy(col("o_orderpriority").as("pri"))
+          .agg(expr(s"percentile(o_totalprice, $grid)").as("gv"),
+            count(lit(1)).as("n"))
+          .select(col("pri"), col("n"),
+            posexplode(col("gv")).as(Seq("qi", "gq")))
+        val pooled = o.agg(expr(s"percentile(o_totalprice, $grid)").as("pv"))
+          .select(posexplode(col("pv")).as(Seq("qi", "pq")))
+        grp.join(broadcast(pooled), Seq("qi"))
+          .withColumn("ad",
+            abs(round(col("gq"), 6) - round(col("pq"), 6)))
+          .groupBy(col("pri"))
+          .agg(max(col("n")).as("n"),
+            (round(sum(col("ad").cast("decimal(24,6)")), 6).cast("double")
+              / 101).as("w1_vs_pooled"))
+          .orderBy(col("pri"))
+      },
+      oracle = Some(s"""
+        WITH qs AS (SELECT unnest(generate_series(0, 100)) AS qi),
+        grp AS (
+          SELECT o_orderpriority AS pri, count(*) AS n,
+            quantile_cont(o_totalprice,
+              ${(0 to 100).map(i => i / 100.0).mkString("[", ",", "]")})
+              AS ql
+          FROM orders GROUP BY 1),
+        pooled AS (
+          SELECT quantile_cont(o_totalprice,
+            ${(0 to 100).map(i => i / 100.0).mkString("[", ",", "]")})
+            AS pl
+          FROM orders),
+        diffs AS (
+          SELECT g.pri, g.n,
+            abs(round(g.ql[q.qi + 1], 6) - round(p.pl[q.qi + 1], 6)) AS ad
+          FROM grp g CROSS JOIN qs q CROSS JOIN pooled p)
+        SELECT pri, max(n) AS n,
+          CAST(round(sum(CAST(ad AS DECIMAL(24,6))), 6) AS DOUBLE) / 101
+            AS w1_vs_pooled
+        FROM diffs GROUP BY 1
+        ORDER BY pri""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
