@@ -7171,6 +7171,274 @@ object Queries {
         FROM diffs GROUP BY 1
         ORDER BY pri""")),
 
+    "q197_conformal_thresholds" -> Q(
+      // Split-conformal calibration (Vovk; the distribution-free
+      // selective-prediction recipe): per-language 0.9-quantile score
+      // thresholds fit on the hash-carved calibration half, coverage
+      // measured on the disjoint holdout — the finite-sample guarantee
+      // says holdout coverage ≈ 0.9 per group, and the row shows it.
+      // The thresholds are a bounded broadcastable map (like q191); the
+      // split is q51's deterministic content-hash carve, so the whole
+      // audit is reproducible across engines/runs/layouts.
+      build = (s, dir) => {
+        val d = table(s, dir, "documents")
+          .withColumn("score", col("n_chars").cast("double")
+            / (size(split(trim(col("text")), "\\s+")) + 1))
+        val sp = Sampling.hashSplit(d, "doc_id", valBuckets = 50)
+        val tau = sp.filter(col("split") === "val")
+          .groupBy(col("lang"))
+          .agg(round(expr("percentile(score, 0.9D)"), 6).as("tau"),
+            count(lit(1)).as("n_cal"))
+        sp.filter(col("split") === "train")
+          .join(broadcast(tau), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_hold"),
+            max(col("tau")).as("tau"),
+            sum((col("score") <= col("tau")).cast("long")).as("n_cov"))
+          .withColumn("coverage",
+            round(col("n_cov").cast("double") / col("n_hold"), 8))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang,
+            CAST(n_chars AS DOUBLE)
+              / (len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+              AS score,
+            ${Sampling.sqlHashBucket("doc_id", 100)} AS b
+          FROM documents),
+        tau AS (
+          SELECT lang, round(quantile_cont(score, 0.9), 6) AS tau,
+            count(*) AS n_cal
+          FROM d WHERE b < 50 GROUP BY 1),
+        hold AS (SELECT * FROM d WHERE b >= 50)
+        SELECT h.lang, max(t.n_cal) AS n_cal, count(*) AS n_hold,
+          max(t.tau) AS tau,
+          CAST(sum(CASE WHEN h.score <= t.tau THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cov,
+          round(CAST(sum(CASE WHEN h.score <= t.tau THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 8) AS coverage
+        FROM hold h JOIN tau t ON t.lang = h.lang
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q198_rank_correlation" -> Q(
+      // Spearman's ρ next to Pearson's r for per-order revenue vs lines
+      // per order — the robust/monotone correlation pair of any EDA
+      // panel, on a pair with real signal (revenue accumulates per line).
+      // Average ranks (midranks for ties — l_count has ~7 distinct
+      // values, so tie handling is the whole game) come from cumulative
+      // counts over the DISTINCT-value frame via PrefixSum.running:
+      // never a row-level global window, and the midrank
+      // (2·cum − n_v + 1)/2 is exact integer-derived arithmetic. Both
+      // coefficients then flow through the same exact-decimal Pearson
+      // moments (Trend), distinguished by a metric key in one pass.
+      build = (s, dir) => {
+        val src = table(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(msum(col("l_extendedprice")).as("price"),
+            count(lit(1)).as("ni"))
+          .select(col("price"), col("ni"))
+        def avgRanks(vals: DataFrame, outCol: String): DataFrame = {
+          val dv = vals.groupBy(col("v")).agg(count(lit(1)).as("nv"))
+          PrefixSum.running(dv, "v", "v", "nv", descending = false)
+            .select(col("v"),
+              ((col("cum") * 2 - col("nv") + 1).cast("double") / 2.0)
+                .as(outCol))
+        }
+        val rx = avgRanks(src.select(col("price").as("v")), "rkx")
+        val ry = avgRanks(src.select(col("ni").cast("double").as("v")),
+          "rky")
+        val ranked = src
+          .join(rx, src("price") === rx("v")).drop("v")
+          .join(ry, src("ni").cast("double") === ry("v")).drop("v")
+        val both = src
+          .select(lit("pearson").as("metric"),
+            col("price").as("x"), col("ni").cast("double").as("y"))
+          .unionByName(ranked.select(lit("spearman").as("metric"),
+            col("rkx").as("x"), col("rky").as("y")))
+        Trend.groupedPearson(both, Seq("metric"), "x", "y")
+          .select(col("metric"), col("n"), col("r"))
+          .orderBy(col("metric"))
+      },
+      oracle = Some(s"""
+        WITH src AS (
+          SELECT ${sqlMsum("l_extendedprice")} AS price,
+            count(*) AS ni
+          FROM lineitem GROUP BY l_orderkey),
+        dx AS (SELECT price AS v, count(*) AS nv FROM src GROUP BY 1),
+        cx AS (
+          SELECT v, nv,
+            sum(CAST(nv AS DECIMAL(18,2))) OVER (
+              ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+          FROM dx),
+        rx AS (
+          SELECT v, CAST(2 * cum - nv + 1 AS DOUBLE) / 2.0 AS rkx
+          FROM cx),
+        dy AS (
+          SELECT CAST(ni AS DOUBLE) AS v, count(*) AS nv
+          FROM src GROUP BY 1),
+        cy AS (
+          SELECT v, nv,
+            sum(CAST(nv AS DECIMAL(18,2))) OVER (
+              ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+          FROM dy),
+        ry AS (
+          SELECT v, CAST(2 * cum - nv + 1 AS DOUBLE) / 2.0 AS rky
+          FROM cy),
+        rk_union AS (
+          SELECT 'pearson' AS metric, price AS x, CAST(ni AS DOUBLE) AS y
+          FROM src
+          UNION ALL
+          SELECT 'spearman', rx.rkx, ry.rky
+          FROM src
+          JOIN rx ON rx.v = src.price
+          JOIN ry ON ry.v = CAST(src.ni AS DOUBLE)),
+        ${Trend.sqlPearsonCtes("rk_union", "metric", "x", "y")}
+        SELECT g AS metric, n, r FROM corr_g ORDER BY metric""")),
+
+    "q199_hashing_trick_audit" -> Q(
+      // Feature-hashing collision audit (Weinberger '09's hashing
+      // trick): project the unigram+bigram vocabulary into 64/256/1024
+      // buckets with the portable hash and measure what the collapse
+      // costs — collided terms and the worst bucket load at each width.
+      // The pre-flight check before fixing a feature dimension: the
+      // sweep shows the width where collisions stop being structural.
+      // One explode over the bounded vocabulary × 3 widths.
+      build = (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(split(trim(col("text")), "\\s+").as("a"))
+        val uni = toks.select(explode(col("a")).as("term"))
+        val bi = toks.filter(size(col("a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(a) - 2), i -> concat(a[i], ' ', a[i+1]))"))
+            .as("term"))
+        uni.unionByName(bi).distinct()
+          .withColumn("k", explode(array(lit(64L), lit(256L), lit(1024L))))
+          .withColumn("b", pmod(TextHash.md5Bits60(col("term")), col("k")))
+          .groupBy(col("k"), col("b")).agg(count(lit(1)).as("load"))
+          .groupBy(col("k")).agg(
+            sum(col("load")).as("n_terms"),
+            count(lit(1)).as("n_used_buckets"),
+            max(col("load")).as("max_bucket_load"))
+          .withColumn("n_collided_terms",
+            col("n_terms") - col("n_used_buckets"))
+          .orderBy(col("k"))
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+          FROM documents),
+        vocab AS (
+          SELECT DISTINCT term FROM (
+            SELECT unnest(a) AS term FROM toks
+            UNION ALL
+            SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+              i -> a[i] || ' ' || a[i+1])) AS term
+            FROM toks WHERE len(a) >= 2)),
+        hashed AS (
+          SELECT ks.k,
+            ${TextHash.sqlMd5Bits60("term")} % ks.k AS b
+          FROM vocab
+          CROSS JOIN (SELECT unnest([64, 256, 1024]) AS k) ks),
+        loads AS (
+          SELECT k, b, count(*) AS load FROM hashed GROUP BY 1, 2)
+        SELECT CAST(k AS BIGINT) AS k,
+          CAST(sum(load) AS BIGINT) AS n_terms,
+          count(*) AS n_used_buckets,
+          max(load) AS max_bucket_load,
+          CAST(sum(load) - count(*) AS BIGINT) AS n_collided_terms
+        FROM loads GROUP BY 1 ORDER BY 1""")),
+
+    "q200_kaplan_meier" -> Q(
+      // Kaplan-Meier survival of time-to-first-big-purchase (value ≥
+      // 150; 67 of 150 fixture users convert, the rest are censored at
+      // observation end — without censoring handling the estimate would
+      // be biased toward converters). Per-day risk sets come from one
+      // bounded day-level aggregation plus a cumulative window over the
+      // ≤ |users| distinct-duration frame (bounded like q169's
+      // calendar frame, NOT row-level); the product Π(1 − d/n) runs as
+      // an exact-decimal cumulative sum of 8-snapped ln terms, exp'd
+      // and snapped once — deterministic cross-engine like q181's
+      // exponential decay.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val t0 = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("d0"))
+        val tp = ev.filter(col("event_type") === "purchase"
+            && col("value") >= 150)
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("dp"))
+        val end = ev.agg(max(to_date(col("ts"))).as("dend"))
+        val durs = t0.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(end))
+          .select(
+            when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+              .otherwise(datediff(col("dend"), col("d0")))
+              .cast("long").as("dur"),
+            col("dp").isNotNull.cast("long").as("ev"))
+        val dayAgg = durs.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("cnt"))
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dayAgg
+          .crossJoin(broadcast(durs.agg(count(lit(1)).as("ntot"))))
+          .withColumn("n_risk",
+            col("ntot") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0)
+          .withColumn("lnterm", when(col("d") < col("n_risk"),
+              round(log(lit(1.0)
+                - col("d").cast("double") / col("n_risk")), 8))
+            .otherwise(lit(-99.0)))
+          .withColumn("surv", round(exp(
+            sum(col("lnterm").cast("decimal(20,8)")).over(wCum)
+              .cast("double")), 8))
+          .select(col("dur").as("t_days"), col("n_risk"), col("d"),
+            col("surv"))
+          .orderBy(col("t_days"))
+      },
+      oracle = Some("""
+        WITH t0 AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS d0
+          FROM events GROUP BY 1),
+        tp AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS dp
+          FROM events WHERE event_type = 'purchase' AND value >= 150
+          GROUP BY 1),
+        endd AS (SELECT max(CAST(ts AS DATE)) AS dend FROM events),
+        durs AS (
+          SELECT CAST(CASE WHEN tp.dp IS NOT NULL
+              THEN date_diff('day', t0.d0, tp.dp)
+              ELSE date_diff('day', t0.d0, endd.dend) END AS BIGINT)
+              AS dur,
+            CAST(CASE WHEN tp.dp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS ev
+          FROM t0 LEFT JOIN tp ON tp.user_id = t0.user_id
+          CROSS JOIN endd),
+        day_agg AS (
+          SELECT dur, CAST(sum(ev) AS BIGINT) AS d, count(*) AS cnt
+          FROM durs GROUP BY 1),
+        risk AS (
+          SELECT dur, d,
+            (SELECT count(*) FROM durs) - coalesce(
+              sum(cnt) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS n_risk
+          FROM day_agg),
+        terms AS (
+          SELECT dur, d, n_risk,
+            CASE WHEN d < n_risk
+              THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 8)
+              ELSE -99.0 END AS lnterm
+          FROM risk WHERE d > 0)
+        SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d,
+          round(exp(CAST(sum(CAST(lnterm AS DECIMAL(20,8))) OVER (
+            ORDER BY dur ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 8)
+            AS surv
+        FROM terms
+        ORDER BY t_days""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
