@@ -7042,19 +7042,7 @@ object Queries {
             (count(lit(1)) - sum(col("kept"))).as("n_dropped"))
           .orderBy(col("event_type"))
       },
-      oracle = Some("""
-        WITH g AS (
-          SELECT event_type,
-            epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
-              PARTITION BY user_id, event_type
-              ORDER BY ts, event_id) AS gap_us
-          FROM events)
-        SELECT event_type, count(*) AS n_total,
-          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-          CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
-            THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        FROM g GROUP BY 1 ORDER BY 1""")),
+      oracle = Some(debounceOracle)),
 
     "q195_mixture_reweight" -> Q(
       // Training-mixture reweighting: importance weights that map the
@@ -7439,6 +7427,24 @@ object Queries {
         FROM terms
         ORDER BY t_days""")),
 
+    "q201_stream_debounce" -> Q(
+      // Streaming twin of q194: the same 1 h lag-gap debounce as a
+      // flatMapGroupsWithState verdict stream (one LastSeen timestamp
+      // per key, event-time-timeout eviction), run bounded with
+      // AvailableNow and aggregated to the SAME oracle as the batch
+      // operator — stream ≡ batch, the q74-q80/q130/q151 guarantee
+      // extended to custom keyed state with per-event output.
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.emittedDebounce(s, dir,
+            gapUs = 3600000000L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            (count(lit(1)) - sum(col("kept").cast("long")))
+              .as("n_dropped"))
+          .orderBy(col("event_type")),
+      oracle = Some(debounceOracle)),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
@@ -7477,6 +7483,24 @@ object Queries {
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE len(a.s) > 0 AND len(b.s) > 0)"""
+
+  /** Shared oracle for q194 (batch debounce) and q201 (its streaming
+    * twin): per-type kept/dropped counts under the 1 h lag-gap rule —
+    * stream end-state ≡ batch is exactly what the shared oracle proves
+    * (`lazy` is load-bearing — referenced from `all`). */
+  private lazy val debounceOracle: String = """
+    WITH g AS (
+      SELECT event_type,
+        epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type, count(*) AS n_total,
+      CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+        THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM g GROUP BY 1 ORDER BY 1"""
 
   /** Shared oracle for q27/q28: exact word-3-gram Jaccard >= 0.6 pairs. */
   private lazy val ngramJaccardOracle: String = s"""

@@ -133,6 +133,20 @@ object BoundedRuns {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Bounded [[EventStreams.debounce]]: one verdict row per event.
+    * Emission is driven by data batches (Append from
+    * flatMapGroupsWithState emits as groups are processed), so with the
+    * whole input staged every event gets its verdict; state eviction
+    * timeouts only clean up afterwards and emit nothing. */
+  def emittedDebounce(spark: SparkSession, dir: String,
+      gapUs: Long, watermarkDelay: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    runEmitted(spark, dir,
+      df => EventStreams.debounce(df.as[EventStreams.Event], gapUs,
+        watermarkDelay).toDF(),
+      "debounce-")
+  }
+
   /** Bounded [[EventStreams.attributionJoin]]: the emitted purchase←click
     * pairs. INNER stream-stream joins emit each match in the micro-batch
     * where both sides are present — the watermark + interval predicate

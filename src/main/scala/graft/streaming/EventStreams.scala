@@ -120,6 +120,58 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One debounce verdict per event. */
+  final case class DebounceOut(user_id: Long, event_type: String,
+      event_id: Long, kept: Boolean)
+
+  /** Last event time of a (user, event_type) key, kept or dropped. */
+  final case class LastSeen(tsUs: Long)
+
+  /** Streaming face of the batch debounce (q194): an event is kept iff
+    * it is its (user, event_type) key's first, or arrives more than
+    * `gapUs` after the key's previous event — previous EVENT, kept or
+    * dropped, exactly the batch lag-gap semantics. State is one
+    * timestamp per key, evicted by event-time timeout `retentionSeconds`
+    * after the key goes quiet — bounded like every state store here.
+    * Within a micro-batch events are ordered by (ts, event_id), the
+    * batch operator's total order; cross-batch order is the state's
+    * problem (StreamingSpec pins a two-batch carry-over). */
+  def debounce(events: Dataset[Event], gapUs: Long,
+      watermarkDelay: String = "30 minutes",
+      retentionSeconds: Long = 24 * 3600L): Dataset[DebounceOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LastSeen, DebounceOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[Event],
+            state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var last = state.getOption.map(_.tsUs)
+            val out = sorted.map { e =>
+              val t = tsUs(e.ts)
+              val kept = last.forall(lt => t - lt > gapUs)
+              last = Some(t)
+              DebounceOut(key._1, key._2, e.event_id, kept)
+            }
+            state.update(LastSeen(last.get))
+            // evict once the key has been quiet past retention (ceil to
+            // ms so the timeout can't fire early in event time)
+            state.setTimeoutTimestamp(math.max(
+              math.floorDiv(last.get + 999L, 1000L)
+                + retentionSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Keyed upsert sink for a stream: every micro-batch is deduplicated to
     * one row per key (deterministic last-write-wins on `versionCols`) and
     * merged into the JDBC table — the streaming face of the reference's

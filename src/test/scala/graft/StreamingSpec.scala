@@ -57,6 +57,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounce carries last-seen state across micro-batches, lag-gap semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    import spark.implicits._
+    // 10-minute gap: minute 0 kept; 5 dropped; 12 kept ONLY under
+    // last-KEPT semantics — under lag-gap (vs minute 5) it must drop;
+    // 30 (batch 2, vs batch 1's minute 12) kept; 35 dropped.
+    val q = EventStreams.debounce(in.toDS(), gapUs = 10L * 60 * 1000000)
+      .toDF().writeStream.format("memory").queryName("debounce")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 1, 0), ev(1, 2, 5), ev(1, 3, 12))
+      q.processAllAvailable()
+      in.addData(ev(1, 4, 30), ev(1, 5, 35))
+      q.processAllAvailable()
+      val verdicts = spark.table("debounce").collect()
+        .map(r => r.getLong(2) -> r.getBoolean(3)).toMap
+      assert(verdicts == Map(1L -> true, 2L -> false, 3L -> false,
+        4L -> true, 5L -> false))
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, streams both sides") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Event]
