@@ -7445,6 +7445,92 @@ object Queries {
           .orderBy(col("event_type")),
       oracle = Some(debounceOracle)),
 
+    "q202_null_semantics" -> Q(
+      // NULL-semantics battery — the engine-contract corners that differ
+      // silently across engines: NULL as a grouping key (both engines
+      // group it), count(*) vs count(col) vs count(DISTINCT col),
+      // aggregate null-skipping, and the null-safe equality join
+      // (Spark `<=>` ≡ DuckDB `IS NOT DISTINCT FROM`) vs plain `=`
+      // against a dimension holding a NULL key. Nulls are DERIVED
+      // deterministically (the fixtures ship none). Ordering is the
+      // documented trap: Spark default sorts NULLS FIRST asc, DuckDB
+      // NULLS LAST — the query pins asc_nulls_first/NULLS FIRST
+      // explicitly, which any cross-engine catalog must do.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+          .withColumn("g", nullif(col("event_type"), lit("view")))
+          .withColumn("v", when(col("value") >= 5.0, col("value")))
+        val dim = s.createDataFrame(Seq(
+            (Some("click"), "paid"), (Some("purchase"), "paid"),
+            (Option.empty[String], "untyped")))
+          .toDF("gk", "cls")
+        val dimEq = dim.select(col("gk").as("g1"), col("cls").as("eq_cls"))
+        val dimNs = dim.select(col("gk").as("g2"), col("cls").as("ns_cls"))
+        ev.join(broadcast(dimEq), col("g") === col("g1"), "left")
+          .join(broadcast(dimNs), col("g") <=> col("g2"), "left")
+          .groupBy(col("g"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_v"),
+            countDistinct(col("v")).as("n_distinct_v"),
+            msum(col("v")).as("sum_v"),
+            count(col("eq_cls")).as("eq_matches"),
+            count(col("ns_cls")).as("nullsafe_matches"))
+          .orderBy(col("g").asc_nulls_first)
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT nullif(event_type, 'view') AS g,
+            CASE WHEN value >= 5.0 THEN value END AS v
+          FROM events),
+        dim AS (
+          SELECT * FROM (VALUES ('click', 'paid'), ('purchase', 'paid'),
+            (NULL, 'untyped')) AS t(g, cls))
+        SELECT ev.g, count(*) AS n_rows, count(v) AS n_v,
+          count(DISTINCT v) AS n_distinct_v,
+          ${sqlMsum("v")} AS sum_v,
+          CAST(count(d1.cls) AS BIGINT) AS eq_matches,
+          CAST(count(d2.cls) AS BIGINT) AS nullsafe_matches
+        FROM ev
+        LEFT JOIN dim d1 ON ev.g = d1.g
+        LEFT JOIN dim d2 ON ev.g IS NOT DISTINCT FROM d2.g
+        GROUP BY ev.g
+        ORDER BY ev.g NULLS FIRST""")),
+
+    "q203_unpivot_roundtrip" -> Q(
+      // UNPIVOT (melt) — the wide→long inverse of q40's pivot, via
+      // Spark's native Dataset.unpivot against DuckDB computing the
+      // long form directly: pivot to a static (F, O, P) wide schema,
+      // melt back to (pri, status, n), zero-fill the absent cells the
+      // pivot materialized as NULL. Round-tripping through the wide
+      // shape (rather than re-aggregating) is the point: it proves the
+      // melt preserves exactly the pivot's cell grid.
+      build = (s, dir) => {
+        val wide = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("pri"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+        wide.unpivot(Array(col("pri")),
+            Array(col("F"), col("O"), col("P")), "status", "n_raw")
+          .select(col("pri"), col("status"),
+            coalesce(col("n_raw"), lit(0L)).as("n"))
+          .orderBy(col("pri"), col("status"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT pri, status, count(*) AS n FROM (
+            SELECT o_orderpriority AS pri, o_orderstatus AS status
+            FROM orders)
+          GROUP BY 1, 2),
+        grid AS (
+          SELECT p.pri, s.status
+          FROM (SELECT DISTINCT o_orderpriority AS pri FROM orders) p
+          CROSS JOIN (SELECT unnest(['F', 'O', 'P']) AS status) s)
+        SELECT g.pri, g.status,
+          CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM grid g
+        LEFT JOIN cells c ON c.pri = g.pri AND c.status = g.status
+        ORDER BY g.pri, g.status""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

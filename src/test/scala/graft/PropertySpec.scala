@@ -324,6 +324,79 @@ class PropertySpec extends SparkSpec {
     assert(labels == Seq(0L), s"path should collapse to component 0, got $labels")
   }
 
+  test("Cms.innerProduct upper-bounds the exact join size on random key bags") {
+    import graft.operators.Cms
+    val bagGen = Gen.nonEmptyListOf(Gen.choose(0, 40).map(i => s"k$i"))
+    (1L to 5L).foreach { s =>
+      val as = sample(bagGen, s)
+      val bs = sample(bagGen, s + 100)
+      val truth = {
+        val fa = as.groupBy(identity).view.mapValues(_.size.toLong)
+        val fb = bs.groupBy(identity).view.mapValues(_.size.toLong)
+        fa.map { case (k, n) => n * fb.getOrElse(k, 0L) }.sum
+      }
+      val est = Cms.innerProduct(
+          Cms.sketch(as.toDF("k"), "k"), Cms.sketch(bs.toDF("k"), "k"))
+        .first().getLong(0)
+      assert(est >= truth, s"seed $s: est $est < truth $truth")
+    }
+  }
+
+  test("GraphCore.kCoreTrace fixed point equals brute-force peeling on random graphs") {
+    import graft.operators.GraphCore
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    (1L to 5L).foreach { s =>
+      val edges = sample(edgeGen, s)
+      // brute-force peel to the 2-core fixed point
+      var adj = edges
+      var nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = adj.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        val keep = nodes.filter(n => deg.getOrElse(n, 0) >= 2)
+        changed = keep != nodes
+        nodes = keep
+        adj = adj.filter(e => nodes(e._1) && nodes(e._2))
+      }
+      val e = edges.toDF("a", "b")
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val last = GraphCore.kCoreTrace(sym, k = 2, rounds = 12)
+        .orderBy(col("iter").desc).first()
+      assert(last.getLong(1) == nodes.size.toLong,
+        s"seed $s: ${last.getLong(1)} vs ${nodes.size}")
+      assert(last.getLong(2) == adj.size.toLong, s"seed $s edges")
+    }
+  }
+
+  test("GraphCore.bfsHops equals brute-force shortest hops on random graphs") {
+    import graft.operators.GraphCore
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+      .map(_.collect { case (a, b) if a != b => (a, b) }.distinct)
+      .suchThat(_.nonEmpty)
+    (1L to 5L).foreach { s =>
+      val edges = sample(edgeGen, s)
+      val und = edges.flatMap(e => Seq(e, e.swap))
+      val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val seed0 = und.map(_._1).min
+      // brute-force BFS to depth 3
+      var dist = Map(seed0 -> 0)
+      var frontier = Set(seed0)
+      (1 to 3).foreach { h =>
+        frontier = frontier.flatMap(n => nbrs.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        dist ++= frontier.map(_ -> h)
+      }
+      val e = edges.toDF("a", "b")
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val got = GraphCore.bfsHops(sym, Seq(seed0).toDF("a"), maxHops = 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == dist, s"seed $s: $got vs $dist")
+    }
+  }
+
   test("nearDupSurvivors drops exactly the docs that pair with a smaller id") {
     val pairGen = Gen.listOf(Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
