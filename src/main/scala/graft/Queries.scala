@@ -7531,6 +7531,141 @@ object Queries {
         LEFT JOIN cells c ON c.pri = g.pri AND c.status = g.status
         ORDER BY g.pri, g.status""")),
 
+    "q204_largest_remainder" -> Q(
+      // Largest-remainder apportionment (Hamilton's method): allocate a
+      // 10,000-unit budget across nations proportional to revenue so
+      // the integer parts SUM EXACTLY to the total — floor the quotas,
+      // hand the leftover units to the largest remainders (nation-name
+      // tiebreak). The quota arithmetic runs entirely in exact integers
+      // (revenue in cents, quota = B·rev div total), so the allocation
+      // is bit-identical on any engine — the property that matters when
+      // the allocation IS the deliverable (budget splits, seat counts,
+      // sampling quotas). Bounded frame after the first aggregation.
+      build = (s, dir) => {
+        val budget = 10000L
+        val rev = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).as("cents"))
+        val tot = rev.agg(sum(col("cents")).as("tc"))
+        val quota = rev.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($budget * cents) div tc"))
+          .withColumn("rem", expr(s"$budget * cents - base * tc"))
+        val used = quota.agg(sum(col("base")).as("ub"))
+        val wr = Window.orderBy(col("rem").desc, col("n_name"))
+        quota.crossJoin(broadcast(used))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("alloc",
+            col("base") + when(col("rk") <= lit(budget) - col("ub"), 1L)
+              .otherwise(0L))
+          .select(col("n_name"), col("cents"), col("base"), col("alloc"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT n_name,
+            CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+              AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM rev),
+        quota AS (
+          SELECT n_name, cents,
+            (10000 * cents) // tc AS base,
+            10000 * cents - ((10000 * cents) // tc) * tc AS rem
+          FROM rev CROSS JOIN tot),
+        used AS (SELECT CAST(sum(base) AS BIGINT) AS ub FROM quota)
+        SELECT n_name, cents, base,
+          base + CASE WHEN row_number() OVER (
+              ORDER BY rem DESC, n_name) <= 10000 - ub
+            THEN 1 ELSE 0 END AS alloc
+        FROM quota CROSS JOIN used
+        ORDER BY n_name""")),
+
+    "q205_trigram_search" -> Q(
+      // Substring search through a character-trigram index — grep over
+      // 100 TB without scanning every byte: docs reach the exact
+      // `contains` verify only if their distinct-trigram set covers ALL
+      // of the pattern's trigrams (the classic code-search/
+      // decontamination index; candidates are found by one posting-list
+      // semi-join against the bounded broadcast pattern set, and the
+      // trigram filter is exact-complete — a true substring must
+      // contribute every one of its trigrams). Occurrence counts via
+      // length arithmetic on replace(), no regex in the hot path.
+      build = (s, dir) => {
+        val pattern = "merge join"
+        val p3 = pattern.sliding(3).toSeq.distinct
+        val docs = table(s, dir, "documents")
+        val cands = docs
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+            .as("tg"))
+          .filter(col("tg").isin(p3: _*))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("tg")).as("ntg"))
+          .filter(col("ntg") === p3.size)
+        docs.join(cands, Seq("doc_id"), "left_semi")
+          .filter(col("text").contains(pattern))
+          .select(col("doc_id"),
+            ((length(col("text"))
+              - length(regexp_replace(col("text"), pattern, "")))
+              / pattern.length).cast("long").as("n_hits"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some("""
+        SELECT doc_id,
+          CAST((len(text) - len(replace(text, 'merge join', '')))
+            // len('merge join') AS BIGINT) AS n_hits
+        FROM documents
+        WHERE contains(text, 'merge join')
+        ORDER BY doc_id""")),
+
+    "q206_rolling_wau" -> Q(
+      // Exact rolling 7-day active users per day — the WAU curve, with
+      // the exact sliding distinct count no window function computes
+      // directly: each (user, day) pair is exploded into the 7 report
+      // days it supports (a ×7 map-side expansion), then ONE hash
+      // aggregation per day — the scale shape; the oracle states the
+      // same thing as a day-band join. Report days are the days present
+      // in the data (both engines agree by construction).
+      build = (s, dir) => {
+        val ud = table(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        val wau = ud
+          .withColumn("d", explode(expr(
+            "sequence(day, date_add(day, 6))")))
+          .join(days.withColumnRenamed("day", "d"), Seq("d"), "left_semi")
+          .groupBy(col("d"))
+          .agg(countDistinct(col("user_id")).as("wau7"))
+        val dau = ud.groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        dau.join(wau, col("day") === col("d"))
+          .select(col("day"), col("dau"), col("wau7"))
+          .orderBy(col("day"))
+      },
+      oracle = Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        days AS (SELECT DISTINCT day FROM ud),
+        wau AS (
+          SELECT d.day, count(DISTINCT u.user_id) AS wau7
+          FROM days d JOIN ud u
+            ON u.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1),
+        dau AS (
+          SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        SELECT dau.day, dau.dau, wau.wau7
+        FROM dau JOIN wau ON wau.day = dau.day
+        ORDER BY dau.day""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
