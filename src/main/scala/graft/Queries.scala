@@ -7599,7 +7599,7 @@ object Queries {
       // contribute every one of its trigrams). Occurrence counts via
       // length arithmetic on replace(), no regex in the hot path.
       build = (s, dir) => {
-        val pattern = "merge join"
+        val pattern = "slow query"
         val p3 = pattern.sliding(3).toSeq.distinct
         val docs = table(s, dir, "documents")
         val cands = docs
@@ -7620,10 +7620,10 @@ object Queries {
       },
       oracle = Some("""
         SELECT doc_id,
-          CAST((len(text) - len(replace(text, 'merge join', '')))
-            // len('merge join') AS BIGINT) AS n_hits
+          CAST((len(text) - len(replace(text, 'slow query', '')))
+            // len('slow query') AS BIGINT) AS n_hits
         FROM documents
-        WHERE contains(text, 'merge join')
+        WHERE contains(text, 'slow query')
         ORDER BY doc_id""")),
 
     "q206_rolling_wau" -> Q(
