@@ -7666,6 +7666,95 @@ object Queries {
         FROM dau JOIN wau ON wau.day = dau.day
         ORDER BY dau.day""")),
 
+    "q207_join_type_battery" -> Q(
+      // Join-type semantics battery on frames with DUPLICATE keys and a
+      // null-ish sentinel — the row-multiplication corners where engines
+      // must agree and pipelines silently diverge: inner multiplies
+      // (2 left × 2 right = 4), left/full preserve unmatched rows once,
+      // semi/anti NEVER multiply (the existence-check contract). One
+      // row per join type with its output cardinality and distinct-key
+      // count, from the same two derived frames: orders' priority
+      // classes joined to a dimension that duplicates one key and
+      // misses others.
+      build = (s, dir) => {
+        val l = table(s, dir, "orders")
+          .select(substring(col("o_orderpriority"), 1, 1).as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("ln"))
+        val r = s.createDataFrame(Seq(
+            ("1", "alpha"), ("1", "beta"), ("2", "gamma"), ("9", "omega")))
+          .toDF("k", "tag")
+        def row(name: String, df: DataFrame): DataFrame =
+          df.agg(lit(name).as("join_type"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"))
+        row("1_inner", l.join(r, Seq("k")))
+          .unionByName(row("2_left", l.join(r, Seq("k"), "left")))
+          .unionByName(row("3_full", l.join(r, Seq("k"), "full")))
+          .unionByName(row("4_semi", l.join(r, Seq("k"), "left_semi")))
+          .unionByName(row("5_anti", l.join(r, Seq("k"), "left_anti")))
+          .orderBy(col("join_type"))
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT substring(o_orderpriority, 1, 1) AS k, count(*) AS ln
+          FROM orders GROUP BY 1),
+        r AS (
+          SELECT * FROM (VALUES ('1', 'alpha'), ('1', 'beta'),
+            ('2', 'gamma'), ('9', 'omega')) AS t(k, tag))
+        SELECT '1_inner' AS join_type, count(*) AS n_rows,
+          count(DISTINCT l.k) AS n_keys FROM l JOIN r USING (k)
+        UNION ALL
+        SELECT '2_left', count(*), count(DISTINCT l.k)
+        FROM l LEFT JOIN r USING (k)
+        UNION ALL
+        SELECT '3_full', count(*), count(DISTINCT coalesce(l.k, r.k))
+        FROM l FULL JOIN r USING (k)
+        UNION ALL
+        SELECT '4_semi', count(*), count(DISTINCT k) FROM l
+        WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)
+        UNION ALL
+        SELECT '5_anti', count(*), count(DISTINCT k) FROM l
+        WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)
+        ORDER BY join_type""")),
+
+    "q208_map_type_battery" -> Q(
+      // MapType surface: per-user event-type→count maps built with
+      // map_from_entries over a DETERMINISTICALLY ORDERED entry list
+      // (sort_array first — collect order is partitioning-dependent,
+      // map iteration order follows insertion), then read back via
+      // element_at (missing key → NULL), map_keys cardinality, and an
+      // exploded flatten that must equal the pre-map long form. The
+      // oracle states the long form directly — the round-trip through
+      // the map is the Spark-side property under test.
+      build = (s, dir) => {
+        val counts = table(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val maps = counts.groupBy(col("user_id"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("n"))))).as("m"))
+        maps.select(col("user_id"),
+            size(map_keys(col("m"))).cast("long").as("n_types"),
+            coalesce(element_at(col("m"), "purchase"), lit(0L))
+              .as("n_purchase"),
+            coalesce(element_at(col("m"), "refund"), lit(0L))
+              .as("n_refund"),
+            aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+              .as("n_total"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some("""
+        SELECT user_id,
+          count(DISTINCT event_type) AS n_types,
+          CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+            THEN 1 END), 0) AS BIGINT) AS n_purchase,
+          CAST(coalesce(sum(CASE WHEN event_type = 'refund'
+            THEN 1 END), 0) AS BIGINT) AS n_refund,
+          count(*) AS n_total
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
