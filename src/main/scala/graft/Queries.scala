@@ -6639,11 +6639,11 @@ object Queries {
         GraphCore.kCoreTrace(sym, k = 80, rounds = 6).orderBy(col("iter"))
       },
       oracle = Some(s"""
-        WITH tri_edges AS (
+        WITH tri_edges AS MATERIALIZED (
           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
           FROM lineitem x JOIN lineitem y
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT a, b FROM tri_edges
           UNION ALL
           SELECT b, a FROM tri_edges),
@@ -6683,16 +6683,16 @@ object Queries {
         reached.unionByName(unreached).orderBy(col("hop"))
       },
       oracle = Some(s"""
-        WITH e2 AS (
+        WITH e2 AS MATERIALIZED (
           SELECT x.l_partkey AS a, y.l_partkey AS b
           FROM lineitem x JOIN lineitem y
             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
           GROUP BY 1, 2 HAVING count(*) >= 2),
-        sym AS (
+        sym AS MATERIALIZED (
           SELECT a, b FROM e2
           UNION ALL
           SELECT b, a FROM e2),
-        seeds AS (
+        seeds AS MATERIALIZED (
           SELECT DISTINCT s.a FROM sym s
           JOIN part p ON p.p_partkey = s.a
           WHERE p.p_brand = 'Brand#13'),
@@ -7754,6 +7754,110 @@ object Queries {
         FROM events
         GROUP BY user_id
         ORDER BY user_id""")),
+
+    "q209_wilson_intervals" -> Q(
+      // Wilson score 95% intervals on weekly purchase rates — the
+      // binomial CI that behaves at small n and extreme p̂ (unlike the
+      // Wald interval every dashboard misuses): per ISO-week, the share
+      // of active users who purchased, with
+      // (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) at z=1.96
+      // written as the IDENTICAL literal formula on both engines —
+      // integer n/k in, deterministic double arithmetic out, snapped
+      // once at 8 decimals. Two bounded aggregations, no shuffle wider
+      // than (week, user).
+      build = (s, dir) => {
+        val wk = table(s, dir, "events")
+          .select(weekofyear(col("ts")).cast("long").as("wk"),
+            col("user_id"), col("event_type"))
+        val per = wk.groupBy(col("wk")).agg(
+          countDistinct(col("user_id")).as("n"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("k"))
+        per
+          .withColumn("p", col("k").cast("double") / col("n"))
+          .withColumn("lo", round(
+            (col("p") + lit(3.8416) / (col("n") * 2)
+              - lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n")
+                + lit(3.8416) / (col("n") * col("n") * 4)))
+              / (lit(1.0) + lit(3.8416) / col("n")), 8))
+          .withColumn("hi", round(
+            (col("p") + lit(3.8416) / (col("n") * 2)
+              + lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n")
+                + lit(3.8416) / (col("n") * col("n") * 4)))
+              / (lit(1.0) + lit(3.8416) / col("n")), 8))
+          .select(col("wk"), col("n"), col("k"),
+            round(col("p"), 8).as("p"), col("lo"), col("hi"))
+          .orderBy(col("wk"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT CAST(weekofyear(ts) AS BIGINT) AS wk,
+            count(DISTINCT user_id) AS n,
+            count(DISTINCT CASE WHEN event_type = 'purchase'
+              THEN user_id END) AS k
+          FROM events GROUP BY 1),
+        p0 AS (SELECT wk, n, k, CAST(k AS DOUBLE) / n AS p FROM per)
+        SELECT wk, n, k, round(p, 8) AS p,
+          round((p + 3.8416 / (n * 2)
+            - 1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (n * n * 4)))
+            / (1.0 + 3.8416 / n), 8) AS lo,
+          round((p + 3.8416 / (n * 2)
+            + 1.96 * sqrt(p * (1.0 - p) / n + 3.8416 / (n * n * 4)))
+            / (1.0 + 3.8416 / n), 8) AS hi
+        FROM p0
+        ORDER BY wk""")),
+
+    "q210_rank_movers" -> Q(
+      // Month-over-month revenue-rank movement of nations — trending
+      // detection on ORDINAL position, not raw deltas (q41 does the
+      // money delta; rank movement is what a "top movers" panel shows
+      // because it is scale-free). Rank within month over the bounded
+      // 25-nation frame, movement via lag over each nation's month
+      // series — both windows bounded by dimensions, never by fact
+      // rows. Emits the months where any nation moved ≥ 8 places.
+      build = (s, dir) => {
+        val rev = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy((year(col("o_orderdate")) * 100
+              + month(col("o_orderdate"))).as("ym"),
+            col("n_name"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val wRank = Window.partitionBy(col("ym"))
+          .orderBy(col("rev").desc, col("n_name"))
+        val wLag = Window.partitionBy(col("n_name")).orderBy(col("ym"))
+        rev.withColumn("rk", row_number().over(wRank))
+          .withColumn("delta", lag(col("rk"), 1).over(wLag) - col("rk"))
+          .filter(abs(col("delta")) >= 8)
+          .select(col("ym").cast("long").as("ym"), col("n_name"),
+            col("rk").cast("long").as("rk"),
+            col("delta").cast("long").as("delta"))
+          .orderBy(col("ym"), col("n_name"))
+      },
+      oracle = Some(s"""
+        WITH rev AS (
+          SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+              AS BIGINT) AS ym,
+            n_name, ${sqlMsum("o_totalprice")} AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2),
+        rk AS (
+          SELECT ym, n_name,
+            CAST(row_number() OVER (PARTITION BY ym
+              ORDER BY rev DESC, n_name) AS BIGINT) AS rk
+          FROM rev),
+        mv AS (
+          SELECT ym, n_name, rk,
+            lag(rk, 1) OVER (PARTITION BY n_name ORDER BY ym) - rk
+              AS delta
+          FROM rk)
+        SELECT ym, n_name, rk, CAST(delta AS BIGINT) AS delta
+        FROM mv WHERE abs(delta) >= 8
+        ORDER BY ym, n_name""")),
 
   )
 

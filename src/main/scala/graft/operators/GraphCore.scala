@@ -63,18 +63,23 @@ object GraphCore {
 
   /** DuckDB mirror of [[kCoreTrace]] over an existing CTE `symCte` with
     * columns (a, b). Emits per-round CTEs plus `kcore_trace`
-    * (iter, alive_nodes, alive_edges). */
+    * (iter, alive_nodes, alive_edges). Every round CTE is
+    * `AS MATERIALIZED`: each aliveᵢ is referenced twice by indᵢ and
+    * once more downstream, so DuckDB's default inline expansion
+    * re-derives the whole chain per reference — the same exponential
+    * blowup [[kCoreTrace]]'s scaladoc describes on the Spark side
+    * (observed: > 22 GB of spill at sf0.1 before materialization). */
   def sqlKCoreTraceCtes(symCte: String, k: Int, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"alive0 AS (SELECT DISTINCT a FROM $symCte)"
+    sb ++= s"alive0 AS MATERIALIZED (SELECT DISTINCT a FROM $symCte)"
     for (i <- 0 to rounds) {
       sb ++= s""",
-        ind$i AS (
+        ind$i AS MATERIALIZED (
           SELECT e.a FROM $symCte e
           JOIN alive$i x ON e.a = x.a
           JOIN alive$i y ON e.b = y.a)"""
       if (i < rounds) sb ++= s""",
-        alive${i + 1} AS (
+        alive${i + 1} AS MATERIALIZED (
           SELECT a FROM ind$i GROUP BY a HAVING count(*) >= $k)"""
     }
     sb ++= s""",
@@ -114,10 +119,10 @@ object GraphCore {
   def sqlBfsHopsCtes(symCte: String, seedsCte: String,
       maxHops: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"dist0 AS (SELECT DISTINCT a, 0 AS hop FROM $seedsCte)"
+    sb ++= s"dist0 AS MATERIALIZED (SELECT DISTINCT a, 0 AS hop FROM $seedsCte)"
     for (h <- 1 to maxHops) {
       sb ++= s""",
-        dist$h AS (
+        dist$h AS MATERIALIZED (
           SELECT a, hop FROM dist${h - 1}
           UNION ALL
           SELECT f.a, $h AS hop FROM (
