@@ -7859,6 +7859,130 @@ object Queries {
         FROM mv WHERE abs(delta) >= 8
         ORDER BY ym, n_name""")),
 
+    "q211_group_split_leakage" -> Q(
+      // Row-level vs group-level split leakage — why GroupKFold exists:
+      // carving train/val by ROW hash (event_id) puts almost every
+      // user's history on both sides (a model memorizing user identity
+      // scores inflated); carving by GROUP hash (user_id) makes
+      // straddling structurally zero. One query, both methods, same
+      // 10% carve: per method, users present in both splits. The
+      // group-split zero is not a fixture accident — it is the
+      // operator's guarantee, shown next to the row-split's ~100%.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        def straddle(df: DataFrame, name: String): DataFrame = df
+          .groupBy(col("user_id"))
+          .agg(countDistinct(col("split")).as("nsp"))
+          .agg(lit(name).as("method"),
+            count(lit(1)).as("n_users"),
+            sum((col("nsp") === 2).cast("long")).as("n_straddling"))
+        straddle(Sampling.hashSplit(ev, "event_id", valBuckets = 10),
+            "1_row_hash")
+          .unionByName(straddle(
+            Sampling.hashSplit(ev, "user_id", valBuckets = 10),
+            "2_group_hash"))
+          .withColumn("pct_straddling",
+            round(col("n_straddling").cast("double") / col("n_users"), 8))
+          .orderBy(col("method"))
+      },
+      oracle = Some(s"""
+        WITH row_split AS (
+          SELECT user_id,
+            CASE WHEN ${Sampling.sqlHashBucket("event_id", 100)} < 10
+              THEN 'val' ELSE 'train' END AS split
+          FROM events),
+        grp_split AS (
+          SELECT user_id,
+            CASE WHEN ${Sampling.sqlHashBucket("user_id", 100)} < 10
+              THEN 'val' ELSE 'train' END AS split
+          FROM events),
+        r AS (
+          SELECT count(*) AS n_users,
+            CAST(sum(CASE WHEN nsp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_straddling
+          FROM (SELECT user_id, count(DISTINCT split) AS nsp
+                FROM row_split GROUP BY 1)),
+        g AS (
+          SELECT count(*) AS n_users,
+            CAST(sum(CASE WHEN nsp = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_straddling
+          FROM (SELECT user_id, count(DISTINCT split) AS nsp
+                FROM grp_split GROUP BY 1))
+        SELECT '1_row_hash' AS method, n_users, n_straddling,
+          round(CAST(n_straddling AS DOUBLE) / n_users, 8)
+            AS pct_straddling
+        FROM r
+        UNION ALL
+        SELECT '2_group_hash', n_users, n_straddling,
+          round(CAST(n_straddling AS DOUBLE) / n_users, 8)
+        FROM g
+        ORDER BY method""")),
+
+    "q212_seasonal_naive_mase" -> Q(
+      // Forecast-evaluation floor: seasonal-naive (ŷ_d = y_{d−7})
+      // daily event counts on the last-10-day holdout, scored by MASE
+      // (Hyndman-Koehler '06) — |error| scaled by the TRAINING naive-1
+      // MAE, the unit-free metric that makes "is this model better
+      // than copying last week" answerable per series. Every forecast
+      // model shipped against this engine must beat MASE ≈ 1 here.
+      // Counts are exact integers; the two MAEs are integer-sum /
+      // count divisions, snapped once.
+      build = (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val bounds = daily.agg(max(col("d")).as("dmax"))
+        val marked = daily.crossJoin(broadcast(bounds))
+          .withColumn("is_test", datediff(col("dmax"), col("d")) < 10)
+        val lagged = marked.alias("t")
+          .join(daily.select(col("d").as("d7"), col("y").as("y7")),
+            expr("d7 = date_sub(d, 7)"))
+          .join(daily.select(col("d").as("d1"), col("y").as("y1")),
+            expr("d1 = date_sub(d, 1)"))
+        val test = lagged.filter(col("is_test"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(abs(col("y") - col("y7"))).as("ae_seasonal"))
+        val train = lagged.filter(!col("is_test"))
+          .agg(count(lit(1)).as("n_train"),
+            sum(abs(col("y") - col("y1"))).as("ae_naive1"))
+        test.crossJoin(broadcast(train))
+          .select(col("n_train"), col("n_test"),
+            round(col("ae_seasonal").cast("double") / col("n_test"), 8)
+              .as("mae_seasonal"),
+            round(col("ae_naive1").cast("double") / col("n_train"), 8)
+              .as("mae_naive1_train"),
+            round((col("ae_seasonal").cast("double") / col("n_test"))
+              / (col("ae_naive1").cast("double") / col("n_train")), 8)
+              .as("mase"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS d, count(*) AS y
+          FROM events GROUP BY 1),
+        bounds AS (SELECT max(d) AS dmax FROM daily),
+        lagged AS (
+          SELECT t.d, t.y, p7.y AS y7, p1.y AS y1,
+            date_diff('day', t.d, b.dmax) < 10 AS is_test
+          FROM daily t
+          CROSS JOIN bounds b
+          JOIN daily p7 ON p7.d = t.d - 7
+          JOIN daily p1 ON p1.d = t.d - 1),
+        test AS (
+          SELECT count(*) AS n_test,
+            CAST(sum(abs(y - y7)) AS BIGINT) AS ae_seasonal
+          FROM lagged WHERE is_test),
+        train AS (
+          SELECT count(*) AS n_train,
+            CAST(sum(abs(y - y1)) AS BIGINT) AS ae_naive1
+          FROM lagged WHERE NOT is_test)
+        SELECT n_train, n_test,
+          round(CAST(ae_seasonal AS DOUBLE) / n_test, 8) AS mae_seasonal,
+          round(CAST(ae_naive1 AS DOUBLE) / n_train, 8)
+            AS mae_naive1_train,
+          round((CAST(ae_seasonal AS DOUBLE) / n_test)
+            / (CAST(ae_naive1 AS DOUBLE) / n_train), 8) AS mase
+        FROM test CROSS JOIN train""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
