@@ -7983,6 +7983,120 @@ object Queries {
             / (CAST(ae_naive1 AS DOUBLE) / n_train), 8) AS mase
         FROM test CROSS JOIN train""")),
 
+    "q213_anova_f" -> Q(
+      // One-way ANOVA: does mean order value differ across the five
+      // order priorities? The k-sample generalization of q112's Welch
+      // pair test — SS decomposition from per-level exact-decimal
+      // moments in ONE hash aggregation, each level's float terms
+      // snapped to DECIMAL(28,4) before the bounded k-row reduction so
+      // F is combine-order-independent. eta_sq reports the effect size
+      // the F statistic alone hides.
+      build = (s, dir) =>
+        Hypothesis.anovaOneWay(table(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice"),
+      oracle = Some(s"""
+        WITH ${Hypothesis.sqlAnovaCtes("orders", "o_orderpriority",
+          "o_totalprice")}
+        SELECT k_groups, n_total, ss_between, ss_within, f_stat, eta_sq
+        FROM anova""")),
+
+    "q214_mann_whitney" -> Q(
+      // Mann-Whitney U on l_quantity between returned (R) and kept
+      // lines — the distribution-free two-sample test for a metric
+      // with ~50 distinct integer values, where midrank tie handling
+      // IS the statistic: ranks come from cumulative counts over the
+      // bounded distinct-value frame (PrefixSum, never a row-level
+      // global window), doubled so 2·U and the Σ(t³−t) tie correction
+      // stay exact integers into the final z expression.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .withColumn("is_ret", col("l_returnflag") === "R")
+        Hypothesis.mannWhitney(li, "l_quantity", "is_ret")
+      },
+      oracle = Some(s"""
+        WITH ${Hypothesis.sqlMannWhitneyCtes("lineitem", "l_quantity",
+          "l_returnflag = 'R'")}
+        SELECT n_a, n_b, u_stat, z_stat, r_rank_biserial FROM mw""")),
+
+    "q215_ks_test" -> Q(
+      // Two-sample Kolmogorov-Smirnov on order value, urgent vs
+      // non-urgent priorities — the drift test that sees SHAPE changes
+      // a mean test misses. Both empirical CDFs are cumulative counts
+      // over the distinct-value frame (PrefixSum two-pass, parallel
+      // across value-range buckets); the maximized gap is the exact
+      // integer |ca·n_b − cb·n_a|, divided exactly once, so D is
+      // bit-identical at any partitioning.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .withColumn("is_urgent", col("o_orderpriority") === "1-URGENT")
+        Hypothesis.ksTwoSample(o, "o_totalprice", "is_urgent")
+      },
+      oracle = Some(s"""
+        WITH ${Hypothesis.sqlKsCtes("orders", "o_totalprice",
+          "o_orderpriority = '1-URGENT'")}
+        SELECT n_a, n_b, d_stat, ks_stat FROM ks""")),
+
+    "q216_interval_union" -> Q(
+      // Covered-time-per-key with overlap merging — the operator where
+      // naive SUM(duration) double-counts: per supplier, bulk shipments
+      // (qty ≥ 48) each open a half-open activity window
+      // [ship_day, ship_day + qty); gaps-and-islands (keyed running
+      // max, NEVER a global window) merges the overlaps, then exact
+      // integer island extents sum to covered days. n_islands vs
+      // n_intervals is the overlap audit.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 48)
+          .select(col("l_suppkey"),
+            unix_date(to_date(col("l_shipdate"))).as("sd"),
+            (unix_date(to_date(col("l_shipdate")))
+              + col("l_quantity").cast("long")).as("ed"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("tie"))
+        Intervals.unionLength(li, "l_suppkey", "sd", "ed", "tie")
+          .withColumnRenamed("l_suppkey", "suppkey")
+          .orderBy(col("suppkey"))
+      },
+      oracle = Some(s"""
+        WITH iv_src AS (
+          SELECT l_suppkey AS k,
+            date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+              AS s,
+            date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+              + CAST(l_quantity AS BIGINT) AS e,
+            l_orderkey * 10 + l_linenumber AS tie
+          FROM lineitem WHERE l_quantity >= 48),
+        ${Intervals.sqlUnionLengthCtes("iv_src")}
+        SELECT k AS suppkey, n_intervals, n_islands, covered
+        FROM iv_u ORDER BY suppkey""")),
+
+    "q217_calendarization" -> Q(
+      // Revenue recognition: each bulk line's value is spread over the
+      // months its [ship_day, ship_day + qty − 1] service window
+      // touches, proportional to day overlap — the finance operator
+      // where booking everything into the start month misstates every
+      // monthly P&L. Slice weights are the only floats; each is snapped
+      // to a ×10⁶ integer (floor(x·1e6+0.5), IEEE-identical in both
+      // engines) so monthly sums are exact at any partitioning.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 48)
+          .select(to_date(col("l_shipdate")).as("sd"),
+            date_add(to_date(col("l_shipdate")),
+              col("l_quantity").cast("int") - 1).as("ed"),
+            col("l_extendedprice").as("v"))
+        Intervals.calendarize(li, "sd", "ed", "v")
+          .orderBy(col("month"))
+      },
+      oracle = Some(s"""
+        WITH cal_src AS (
+          SELECT CAST(l_shipdate AS DATE) AS s,
+            CAST(l_shipdate AS DATE)
+              + CAST(CAST(l_quantity AS INTEGER) - 1 AS INTEGER) AS e,
+            l_extendedprice AS v
+          FROM lineitem WHERE l_quantity >= 48),
+        ${Intervals.sqlCalendarizeCtes("cal_src")}
+        SELECT month, n_slices, allocated FROM cal_m ORDER BY month""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -1210,4 +1210,118 @@ class OperatorsSpec extends SparkSpec {
     assert(s("d4")._2 < s("d2")._2)
     assert(s("d1")._1 == 1L && s("d3")._1 == 1L)
   }
+
+  test("Hypothesis.anovaOneWay: textbook SS decomposition, degenerate NULLs") {
+    import spark.implicits._
+    import graft.operators.Hypothesis
+    // Classic 3-group example: g1={1,2,3}, g2={4,5,6}, g3={7,8,9}.
+    // Grand mean 5; SSB = 3·(16+0+16) hmm: means 2,5,8 → SSB = 3·(9+0+9)=54;
+    // SSW = 2+2+2 = 6; F = (54/2)/(6/6) = 27.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0),
+      ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0)).toDF("g", "v")
+    val r = Hypothesis.anovaOneWay(df, "g", "v").head()
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n_total") == 9L)
+    assert(math.abs(r.getAs[Double]("ss_between") - 54.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ss_within") - 6.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat") - 27.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 0.9) < 1e-6)
+    // all groups identical constant -> SSW = 0 -> F NULL, eta NULL
+    val const = Seq(("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    val rc = Hypothesis.anovaOneWay(const, "g", "v").head()
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")))
+    assert(rc.isNullAt(rc.fieldIndex("eta_sq")))
+    // single group -> between dof 0 -> F NULL
+    val one = Seq(("a", 1.0), ("a", 5.0)).toDF("g", "v")
+    assert(Hypothesis.anovaOneWay(one, "g", "v").head()
+      .isNullAt(2 + 2)) // f_stat is col index 4
+  }
+
+  test("Hypothesis.mannWhitney: scipy-parity U with ties, symmetric arms") {
+    import spark.implicits._
+    import graft.operators.Hypothesis
+    // a={1,2,4}, b={3,5}: ranks 1,2,4 for a (rank of 4 is 4) → Ra=7,
+    // Ua = 7 − 3·4/2 = 1 ... wait sorted: 1,2,3,4,5 → a ranks {1,2,4},
+    // Ra = 7, Ua = 7 − 6 = 1. scipy.mannwhitneyu(a,b): U=1? U_a
+    // counts (a<b) pairs... standard Ua = Ra − na(na+1)/2 = 1.
+    val df = Seq((1.0, true), (2.0, true), (4.0, true), (3.0, false),
+      (5.0, false)).toDF("v", "f")
+    val r = Hypothesis.mannWhitney(df, "v", "f").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_stat") == 1.0)
+    // midranks with ties: a={1,2,2}, b={2,3}: sorted 1,2,2,2,3 — the
+    // three 2s share midrank 3. Ra = 1+3+3 = 7, Ua = 7−6 = 1.
+    val t = Seq((1.0, true), (2.0, true), (2.0, true), (2.0, false),
+      (3.0, false)).toDF("v", "f")
+    val rt = Hypothesis.mannWhitney(t, "v", "f").head()
+    assert(rt.getAs[Double]("u_stat") == 1.0)
+    // swapping arms reflects U around na·nb/2: Ua + Ub = na·nb
+    val df2 = df.withColumn("f", !col("f"))
+    val r2 = Hypothesis.mannWhitney(df2, "v", "f").head()
+    assert(r.getAs[Double]("u_stat") + r2.getAs[Double]("u_stat") == 3.0 * 2.0)
+    // all values identical -> tie-corrected variance 0 -> z NULL
+    val z0 = Seq((2.0, true), (2.0, true), (2.0, false)).toDF("v", "f")
+    assert(Hypothesis.mannWhitney(z0, "v", "f").head()
+      .isNullAt(3)) // z_stat
+  }
+
+  test("Intervals.unionLength: merges overlaps, counts islands, adjacency joins") {
+    import spark.implicits._
+    import graft.operators.Intervals
+    // key 1: [0,10) ∪ [5,12) ∪ [20,25) → 2 islands, covered 12+5=17;
+    // [12,15) is ADJACENT to [5,12) half-open → same island (gap=0).
+    val df = Seq((1L, 0L, 10L, 1L), (1L, 5L, 12L, 2L), (1L, 20L, 25L, 3L),
+      (2L, 0L, 10L, 4L), (2L, 10L, 15L, 5L))
+      .toDF("k", "s", "e", "tie")
+    val r = Intervals.unionLength(df, "k", "s", "e", "tie").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) == ((3L, 2L, 17L)))
+    assert(r(2L) == ((2L, 1L, 15L))) // adjacent half-open intervals merge
+    // nested interval fully inside another adds nothing
+    val nested = Seq((9L, 0L, 100L, 1L), (9L, 10L, 20L, 2L)).toDF("k", "s", "e", "tie")
+    val rn = Intervals.unionLength(nested, "k", "s", "e", "tie").head()
+    assert(rn.getLong(2) == 1L && rn.getLong(3) == 100L)
+    // end <= start is rejected loudly
+    val bad = Seq((1L, 5L, 5L, 1L)).toDF("k", "s", "e", "tie")
+    val ex = intercept[Exception] {
+      Intervals.unionLength(bad, "k", "s", "e", "tie").collect()
+    }
+    assert(ex.getMessage.contains("end <= start")
+      || ex.getCause != null && ex.getCause.getMessage.contains("end <= start"))
+  }
+
+  test("Intervals.calendarize: conserves value, splits by day overlap") {
+    import spark.implicits._
+    import graft.operators.Intervals
+    import java.sql.Date
+    // 30 days Jan 16..Feb 14, value 3000: 16 days Jan (1600), 14 Feb (1400)
+    val df = Seq((Date.valueOf("2020-01-16"), Date.valueOf("2020-02-14"), 3000.0),
+      (Date.valueOf("2020-03-05"), Date.valueOf("2020-03-09"), 50.0))
+      .toDF("s", "e", "v")
+    val r = Intervals.calendarize(df, "s", "e", "v").collect()
+      .map(x => x.getDate(0).toString -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("2020-01-01") == ((1L, 1600.0)))
+    assert(r("2020-02-01") == ((1L, 1400.0)))
+    assert(r("2020-03-01") == ((1L, 50.0)))   // fully inside one month
+    // conservation: total allocated equals total value (exact here)
+    assert(r.values.map(_._2).sum == 3050.0)
+  }
+
+  test("Hypothesis.ksTwoSample: identical→0, disjoint→1, hand-computed mid") {
+    import spark.implicits._
+    import graft.operators.Hypothesis
+    val same = Seq((1.0, true), (2.0, true), (1.0, false), (2.0, false))
+      .toDF("v", "f")
+    assert(Hypothesis.ksTwoSample(same, "v", "f").head()
+      .getAs[Double]("d_stat") == 0.0)
+    val disj = Seq((1.0, true), (2.0, true), (10.0, false), (11.0, false))
+      .toDF("v", "f")
+    assert(Hypothesis.ksTwoSample(disj, "v", "f").head()
+      .getAs[Double]("d_stat") == 1.0)
+    // a={1,3}, b={2,4}: at v=1 gap |1/2−0|=.5; v=2 |1/2−1/2|=0;
+    // v=3 |1−1/2|=.5; v=4 0 → D=0.5
+    val mid = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+      .toDF("v", "f")
+    assert(Hypothesis.ksTwoSample(mid, "v", "f").head()
+      .getAs[Double]("d_stat") == 0.5)
+  }
 }
