@@ -8097,6 +8097,83 @@ object Queries {
         ${Intervals.sqlCalendarizeCtes("cal_src")}
         SELECT month, n_slices, allocated FROM cal_m ORDER BY month""")),
 
+    "q218_mutual_information" -> Q(
+      // Mutual information (plus both entropies and normalized MI)
+      // between order status and priority — the feature-selection
+      // companion to q111's chi-square: dependence STRENGTH in nats,
+      // comparable across tables. One bounded cell aggregation; each
+      // cell's p·ln(pn/(pa·pb)) snapped at 8 decimals then exact-summed
+      // (q92's PMI convention).
+      build = (s, dir) =>
+        Contingency.mutualInformation(table(s, dir, "orders"),
+          "o_orderstatus", "o_orderpriority"),
+      oracle = Some(Contingency.sqlMutualInformation("orders",
+        "o_orderstatus", "o_orderpriority"))),
+
+    "q219_correlation_matrix" -> Q(
+      // Pairwise Pearson matrix over the four lineitem measures in ONE
+      // scan: all 14 exact-decimal moments (4 sums, 4 squares, 6 cross
+      // products) accumulate in a single hash agg; the one-row moment
+      // frame then explodes into 6 pair rows. The EDA collinearity
+      // panel — at 100 TB reading the data once instead of once per
+      // pair is the whole game.
+      build = (s, dir) =>
+        Trend.correlationMatrix(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy(col("col_a"), col("col_b")),
+      oracle = Some(s"""
+        WITH ${Trend.sqlCorrMatrixCtes("lineitem",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))}
+        SELECT col_a, col_b, n, r FROM cm ORDER BY col_a, col_b""")),
+
+    "q220_target_encode_smoothed" -> Q(
+      // Bayesian-smoothed target encoding of part brand by line
+      // revenue: enc = (Σy + m·ȳ_global)/(n + m) with m = 1000 — the
+      // high-cardinality categorical encoder that shrinks thin levels
+      // toward the prior instead of memorizing them (the leakage-prone
+      // raw mean is printed beside it; the delta IS the shrinkage).
+      // Revenue aggregates exactly per brand (msum); the global mean
+      // enters each level's fixed-shape double expression once.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val pt = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val perBrand = li.join(broadcast(pt),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+            sum(revenue(col("l_extendedprice"), col("l_discount")))
+              .cast("decimal(24,4)").as("sy"))
+        val global = perBrand.agg(sum(col("n")).as("ng"),
+          sum(col("sy")).cast("decimal(30,4)").as("syg"))
+        val gmean = col("syg").cast("double") / col("ng").cast("double")
+        val m = lit(1000.0)
+        perBrand.crossJoin(broadcast(global))
+          .select(col("p_brand"), col("n"),
+            round(col("sy").cast("double") / col("n").cast("double"), 6)
+              .as("raw_mean"),
+            round((col("sy").cast("double") + m * gmean)
+              / (col("n").cast("double") + m), 6).as("smoothed_mean"))
+          .orderBy(col("p_brand"))
+      },
+      oracle = Some(s"""
+        WITH pb AS (
+          SELECT p_brand, count(*) AS n,
+            CAST(sum(${sqlRevenue("l_extendedprice", "l_discount")})
+              AS DECIMAL(24,4)) AS sy
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        gl AS (
+          SELECT CAST(sum(n) AS BIGINT) AS ng,
+            CAST(sum(sy) AS DECIMAL(30,4)) AS syg
+          FROM pb)
+        SELECT p_brand, n,
+          round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_mean,
+          round((CAST(sy AS DOUBLE)
+              + 1000.0 * (CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)))
+            / (CAST(n AS DOUBLE) + 1000.0), 6) AS smoothed_mean
+        FROM pb CROSS JOIN gl
+        ORDER BY p_brand""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -109,4 +109,91 @@ object Contingency {
       END AS cramers_v
     FROM agg"""
   }
+
+  /** Mutual information I(A;B) in nats between two categorical columns,
+    * with both marginal entropies and the normalized MI — the
+    * feature-selection companion to [[chiSquare]]: χ² answers "is there
+    * dependence", MI answers "how many bits of one label the other
+    * carries" (redundant-feature pruning, dataset-composition audits).
+    *
+    * Same shape discipline as chiSquare: one (a, b) hash aggregation,
+    * margins from groupBys over the BOUNDED cell frame, NULL kept as an
+    * ordinary level (null-safe joins). Zero cells contribute 0 to MI by
+    * the p·ln(p) limit, so no grid completion is needed. Each cell's
+    * p·ln(pn/(p_a·p_b)) is a fixed-shape double snapped to 8 decimals
+    * and summed as exact decimal (q92's PMI convention), so the result
+    * is combine-order-independent.
+    *
+    * One-row result: (n, levels_a, levels_b, h_a_nats, h_b_nats,
+    * mi_nats, nmi) where nmi = MI/√(H_A·H_B), NULL when either entropy
+    * is 0 (a constant column carries no information to normalize by). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val ma = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val nt = cells.agg(sum(col("o")).as("n"))
+    def snapSum(term: org.apache.spark.sql.Column) =
+      round(sum(round(term, 8).cast("decimal(14,8)")), 6).cast("double")
+    val nD = col("n").cast("double")
+    val oD = col("o").cast("double")
+    val miAgg = cells.as("c")
+      .join(ma.as("m"), col("c.a") <=> col("m.a"))
+      .join(mb.as("k"), col("c.b") <=> col("k.b"))
+      .crossJoin(broadcast(nt))
+      .agg(snapSum((oD / nD) * log(oD * nD /
+        (col("ra").cast("double") * col("cb").cast("double")))).as("mi_nats"))
+    val haAgg = ma.crossJoin(broadcast(nt))
+      .agg(count(lit(1)).as("levels_a"),
+        snapSum(-(col("ra").cast("double") / nD)
+          * log(col("ra").cast("double") / nD)).as("h_a_nats"))
+    val hbAgg = mb.crossJoin(broadcast(nt))
+      .agg(count(lit(1)).as("levels_b"),
+        snapSum(-(col("cb").cast("double") / nD)
+          * log(col("cb").cast("double") / nD)).as("h_b_nats"))
+    nt.crossJoin(broadcast(haAgg)).crossJoin(broadcast(hbAgg))
+      .crossJoin(broadcast(miAgg))
+      .select(col("n"), col("levels_a"), col("levels_b"),
+        col("h_a_nats"), col("h_b_nats"), col("mi_nats"),
+        when(col("h_a_nats") > 0.0 && col("h_b_nats") > 0.0,
+          round(col("mi_nats") / sqrt(col("h_a_nats") * col("h_b_nats")), 6))
+          .as("nmi"))
+  }
+
+  /** DuckDB mirror of [[mutualInformation]] over `tbl`: a complete
+    * SELECT (not a CTE body). */
+  def sqlMutualInformation(tbl: String, aSql: String, bSql: String): String = {
+    def snapSum(term: String) =
+      s"CAST(round(sum(CAST(round($term, 8) AS DECIMAL(14,8))), 6) AS DOUBLE)"
+    val nD = "CAST(n AS DOUBLE)"
+    s"""
+    WITH cells AS (
+      SELECT $aSql AS a, $bSql AS b, count(*) AS o
+      FROM $tbl GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+    mb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+    nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT ${snapSum(s"(CAST(o AS DOUBLE) / $nD) * ln(CAST(o AS DOUBLE) * $nD" +
+        " / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))")} AS mi_nats
+      FROM cells c
+      JOIN ma m ON c.a IS NOT DISTINCT FROM m.a
+      JOIN mb k ON c.b IS NOT DISTINCT FROM k.b
+      CROSS JOIN nt),
+    ha AS (
+      SELECT count(*) AS levels_a,
+        ${snapSum(s"-(CAST(ra AS DOUBLE) / $nD) * ln(CAST(ra AS DOUBLE) / $nD)")}
+          AS h_a_nats
+      FROM ma CROSS JOIN nt),
+    hb AS (
+      SELECT count(*) AS levels_b,
+        ${snapSum(s"-(CAST(cb AS DOUBLE) / $nD) * ln(CAST(cb AS DOUBLE) / $nD)")}
+          AS h_b_nats
+      FROM mb CROSS JOIN nt)
+    SELECT n, levels_a, levels_b, h_a_nats, h_b_nats, mi_nats,
+      CASE WHEN h_a_nats > 0.0 AND h_b_nats > 0.0 THEN
+        round(mi_nats / sqrt(h_a_nats * h_b_nats), 6)
+      END AS nmi
+    FROM nt CROSS JOIN ha CROSS JOIN hb CROSS JOIN mi"""
+  }
 }

@@ -205,6 +205,80 @@ object Trend {
       FROM corr_m)"""
   }
 
+  /** Pairwise Pearson correlation MATRIX over `cols` in ONE aggregation
+    * pass: all k sums, k sums-of-squares and k(k−1)/2 cross-products
+    * accumulate as exact decimals in a single hash agg (listwise-complete
+    * rows — a row with any NULL is dropped so every pair shares one n),
+    * then the one-row moment frame explodes into (col_a, col_b, n, r)
+    * pair rows driver-side-free. The EDA panel behind feature pruning —
+    * and the input to PCA's covariance step — without k² scans: at 100 TB
+    * the data is read ONCE regardless of k. Same moment/float discipline
+    * as [[groupedPearson]]; zero variance on either side yields NULL r. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def d(c: String) = dec(col(c))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(d(c)).cast("decimal(20,2)").as(s"s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).cast("decimal(30,4)").as(s"q_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(d(a) * d(b)).cast("decimal(30,4)").as(s"p_${a}__$b") }
+    val m = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(c: String) = col(s"s_$c").cast("double")
+    def qD(c: String) = col(s"q_$c").cast("double")
+    val pairStructs = pairs.map { case (a, b) =>
+      val cov = nD * col(s"p_${a}__$b").cast("double") - sD(a) * sD(b)
+      val vx = nD * qD(a) - sD(a) * sD(a)
+      val vy = nD * qD(b) - sD(b) * sD(b)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(vx > 0.0 && vy > 0.0,
+          round(cov / (sqrt(vx) * sqrt(vy)), 8)).as("r"))
+    }
+    m.select(col("n"), explode(array(pairStructs: _*)).as("pr"))
+      .select(col("pr.col_a").as("col_a"), col("pr.col_b").as("col_b"),
+        col("n"), col("pr.r").as("r"))
+  }
+
+  /** DuckDB mirror of [[correlationMatrix]] over `tbl`: emits CTEs
+    * ending in `cm` (col_a, col_b, n, r) — one moment CTE, one UNION ALL
+    * branch per pair (DuckDB evaluates the one-row CTE once). */
+  def sqlCorrMatrixCtes(tbl: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def x(c: String) = s"CAST($c AS DECIMAL(19,2))"
+    val sums = cols.map(c => s"CAST(sum(${x(c)}) AS DECIMAL(20,2)) AS s_$c") ++
+      cols.map(c => s"CAST(sum(${x(c)} * ${x(c)}) AS DECIMAL(30,4)) AS q_$c") ++
+      pairs.map { case (a, b) =>
+        s"CAST(sum(${x(a)} * ${x(b)}) AS DECIMAL(30,4)) AS p_${a}__$b" }
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val branches = pairs.map { case (a, b) =>
+      val cov = s"CAST(n AS DOUBLE) * CAST(p_${a}__$b AS DOUBLE) " +
+        s"- CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+      val vx = s"CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE) " +
+        s"- CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)"
+      val vy = s"CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE) " +
+        s"- CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+        CASE WHEN ($vx) > 0.0 AND ($vy) > 0.0 THEN
+          round(($cov) / (sqrt($vx) * sqrt($vy)), 8)
+        END AS r
+      FROM cm_m"""
+    }
+    s"""cm_m AS (
+      SELECT count(*) AS n,
+        ${sums.mkString(",\n        ")}
+      FROM $tbl
+      WHERE $notNull),
+    cm AS (
+      ${branches.mkString("\n      UNION ALL\n      ")})"""
+  }
+
   /** DuckDB mirror of [[groupedLinearFit]] over `tbl`: emits CTE `ols_g`
     * (g, n, slope, intercept). */
   def sqlFitCtes(tbl: String, gSql: String, xSql: String, ySql: String): String =

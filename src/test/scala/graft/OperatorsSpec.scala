@@ -1264,6 +1264,61 @@ class OperatorsSpec extends SparkSpec {
       .isNullAt(3)) // z_stat
   }
 
+  test("Contingency.mutualInformation: independent→0, identical→H, nmi=1") {
+    import spark.implicits._
+    import graft.operators.Contingency
+    // balanced independent 2x2: every cell count 5 -> MI exactly 0
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val ri = Contingency.mutualInformation(ind, "a", "b").head()
+    assert(ri.getAs[Double]("mi_nats") == 0.0)
+    assert(ri.getAs[Double]("nmi") == 0.0)
+    // identical columns: MI = H(A) = H(B), nmi = 1; H for a fair coin = ln 2
+    val same = (Seq.fill(8)("x") ++ Seq.fill(8)("y")).map(v => (v, v))
+      .toDF("a", "b")
+    val rs = Contingency.mutualInformation(same, "a", "b").head()
+    assert(math.abs(rs.getAs[Double]("h_a_nats") - math.log(2)) < 1e-6)
+    assert(rs.getAs[Double]("mi_nats") == rs.getAs[Double]("h_a_nats"))
+    assert(rs.getAs[Double]("nmi") == 1.0)
+    // constant column: zero entropy -> nmi NULL, MI 0
+    val const = Seq(("x", "u"), ("x", "v"), ("x", "u")).toDF("a", "b")
+    val rc = Contingency.mutualInformation(const, "a", "b").head()
+    assert(rc.getAs[Double]("mi_nats") == 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("nmi")))
+    // NULL is an ordinary level: (x,null) pairs count
+    val withNull = Seq(("x", null), ("x", null), ("y", "u"), ("y", "u"))
+      .toDF("a", "b")
+    val rn = Contingency.mutualInformation(withNull, "a", "b").head()
+    assert(rn.getAs[Long]("levels_b") == 2L)
+    assert(rn.getAs[Double]("nmi") == 1.0) // b fully determined by a
+  }
+
+  test("Trend.correlationMatrix: exact ±1 lines, NULL variance, pearson parity") {
+    import spark.implicits._
+    import graft.operators.Trend
+    // y = 2x (r=1), z = -x (r(x,z) = -1, r(y,z) = -1), w constant (NULL)
+    val df = Seq((1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0), (4.0, 8.0, -4.0, 5.0))
+      .toDF("x", "y", "z", "w")
+    val r = Trend.correlationMatrix(df, Seq("x", "y", "z", "w")).collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        (if (row.isNullAt(3)) None else Some(row.getDouble(3)))).toMap
+    assert(r.size == 6)
+    assert(r(("x", "y")) == Some(1.0) && r(("x", "z")) == Some(-1.0)
+      && r(("y", "z")) == Some(-1.0))
+    assert(r(("x", "w")).isEmpty && r(("y", "w")).isEmpty && r(("z", "w")).isEmpty)
+    // matches groupedPearson on the same pair (same moment discipline)
+    val viaPair = Trend.groupedPearson(
+      df.withColumn("g", lit(1)), Seq("g"), "x", "y").head().getAs[Double]("r")
+    assert(r(("x", "y")) == Some(viaPair))
+    // a row with ANY null drops listwise: n reflects it
+    val withNull = df.unionByName(Seq((5.0, 10.0, -5.0, Double.NaN))
+      .toDF("x", "y", "z", "w").withColumn("w", lit(null).cast("double")))
+    val n = Trend.correlationMatrix(withNull, Seq("x", "y", "w"))
+      .head().getAs[Long]("n")
+    assert(n == 4L)
+  }
+
   test("Intervals.unionLength: merges overlaps, counts islands, adjacency joins") {
     import spark.implicits._
     import graft.operators.Intervals
