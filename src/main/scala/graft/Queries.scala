@@ -8174,6 +8174,167 @@ object Queries {
         FROM pb CROSS JOIN gl
         ORDER BY p_brand""")),
 
+    "q221_hits" -> Q(
+      // Integer-exact HITS (3 rounds) over the bipartite
+      // customer→supplier purchase graph (support ≥ 2): authoritative
+      // suppliers and the hub buyers whose edges confer that
+      // authority. Scores are ×10⁵ integers with floor-division
+      // renormalization each half-step, so the mutually-recursive
+      // iteration is oracle-checked EXACTLY against an unrolled
+      // materialized CTE chain. Supplier nodes are offset by 10⁶ —
+      // custkey and suppkey share an id space, and an unprefixed union
+      // would alias buyer 5 with seller 5.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("src"), col("dst"))
+        val r = Hits.ranks(edges, iters = 3)
+        val auth = r.filter(col("node") >= 1000000L)
+          .select(lit("authority").as("role"),
+            (col("node") - 1000000L).as("key"), col("authority").as("score"))
+        val hubs = r.filter(col("node") < 1000000L)
+          .select(lit("hub").as("role"), col("node").as("key"),
+            col("hub").as("score"))
+          .orderBy(col("score").desc, col("key")).limit(50)
+        auth.unionByName(hubs)
+          .orderBy(col("role"), col("score").desc, col("key"))
+      },
+      oracle = Some(s"""
+        WITH hits_edges AS (
+          SELECT src, dst FROM (
+            SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+              count(*) AS c
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2)
+          WHERE c >= 2),
+        ${Hits.sqlRanksCtes(iters = 3)},
+        auth AS (
+          SELECT 'authority' AS role, node - 1000000 AS key,
+            authority AS score
+          FROM hits_final WHERE node >= 1000000),
+        hubs AS (
+          SELECT 'hub' AS role, node AS key, hub AS score
+          FROM hits_final WHERE node < 1000000
+          ORDER BY score DESC, key LIMIT 50)
+        SELECT role, key, score FROM (
+          SELECT * FROM auth UNION ALL SELECT * FROM hubs)
+        ORDER BY role, score DESC, key""")),
+
+    "q222_bigram_surprisal" -> Q(
+      // Per-language mean bigram surprisal under an add-one-smoothed
+      // corpus bigram model, −ln (c₁₂+1)/(c₁+V) — the language-model
+      // quality signal one step up from q66's unigram surprisal:
+      // formulaic text scores low, incoherent token salad high, and a
+      // language whose bigrams the corpus hasn't seen floats to the
+      // top of the pretraining-filter queue. Counts are exact; each
+      // bigram term is snapped at 8 decimals into an exact-decimal
+      // mean (davg convention).
+      build = (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(col("lang"), split(trim(col("text")), "\\s+").as("tk"))
+        val bi = toks.filter(size(col("tk")) >= 2)
+          .select(col("lang"), explode(expr(
+            "transform(sequence(0, size(tk) - 2)," +
+              " i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
+          .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c12 = bi.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val v = toks.select(explode(col("tk")).as("w"))
+          .agg(countDistinct(col("w")).as("vsz"))
+        val term = -log((col("c12") + 1).cast("double")
+          / (col("c1") + col("vsz")).cast("double"))
+        bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            (round(sum(round(term, 8).cast("decimal(14,8)")), 6)
+              .cast("double") / count(lit(1))).as("mean_surprisal"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        bi AS (
+          SELECT lang, t[i] AS w1, t[i + 1] AS w2
+          FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 1)) AS i
+                FROM tk WHERE len(t) >= 2)),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+        v AS (
+          SELECT count(DISTINCT w) AS vsz
+          FROM (SELECT unnest(t) AS w FROM tk))
+        SELECT lang, count(*) AS n_bigrams,
+          CAST(round(sum(CAST(round(
+            -ln(CAST(c12.c12 + 1 AS DOUBLE)
+                / CAST(c1.c1 + v.vsz AS DOUBLE)), 8)
+            AS DECIMAL(14,8))), 6) AS DOUBLE) / count(*) AS mean_surprisal
+        FROM bi
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN v
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    "q223_blocking_linkage" -> Q(
+      // Record-linkage blocking audit on part names: block by consonant
+      // skeleton (lowercase, vowels and spaces stripped), generate
+      // candidate pairs only WITHIN blocks, verify with edit distance
+      // ≤ 1 — the O(n²)→O(Σb²) pattern that makes fuzzy matching
+      // feasible at all at 10⁹ records. The one-row audit reports what
+      // the blocker bought (reduction ratio vs the full cross product)
+      // and what the verifier kept.
+      build = (s, dir) => {
+        val p = table(s, dir, "part")
+          .select(col("p_partkey").as("k"), col("p_name").as("nm"))
+          .withColumn("blk", regexp_replace(lower(col("nm")), "[aeiou ]", ""))
+        val blocks = p.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        val stats = blocks.agg(
+          sum(col("bn")).as("n_records"),
+          count(lit(1)).as("n_blocks"),
+          max(col("bn")).as("max_block"),
+          sum(expr("bn * (bn - 1) div 2")).as("cand_pairs"))
+        val verified = p.as("x").join(p.as("y"),
+            col("x.blk") === col("y.blk") && col("x.k") < col("y.k"))
+          .agg(coalesce(sum((levenshtein(col("x.nm"), col("y.nm")) <= 1)
+            .cast("long")), lit(0L)).as("n_matches"))
+        stats.crossJoin(broadcast(verified))
+          .select(col("n_records"), col("n_blocks"), col("max_block"),
+            col("cand_pairs"), col("n_matches"),
+            expr("n_records * (n_records - 1) div 2").as("full_pairs"),
+            round(lit(1.0) - col("cand_pairs").cast("double")
+              / expr("n_records * (n_records - 1) div 2").cast("double"), 8)
+              .as("reduction_ratio"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey AS k, p_name AS nm,
+            regexp_replace(lower(p_name), '[aeiou ]', '', 'g') AS blk
+          FROM part),
+        blocks AS (SELECT blk, count(*) AS bn FROM p GROUP BY 1),
+        stats AS (
+          SELECT CAST(sum(bn) AS BIGINT) AS n_records,
+            count(*) AS n_blocks, max(bn) AS max_block,
+            CAST(sum(bn * (bn - 1) // 2) AS BIGINT) AS cand_pairs
+          FROM blocks),
+        verified AS (
+          SELECT coalesce(CAST(sum(CASE WHEN
+              levenshtein(x.nm, y.nm) <= 1 THEN 1 ELSE 0 END) AS BIGINT),
+            0) AS n_matches
+          FROM p x JOIN p y ON x.blk = y.blk AND x.k < y.k)
+        SELECT n_records, n_blocks, max_block, cand_pairs, n_matches,
+          n_records * (n_records - 1) // 2 AS full_pairs,
+          round(1.0 - CAST(cand_pairs AS DOUBLE)
+            / CAST(n_records * (n_records - 1) // 2 AS DOUBLE), 8)
+            AS reduction_ratio
+        FROM stats CROSS JOIN verified""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -1264,6 +1264,23 @@ class OperatorsSpec extends SparkSpec {
       .isNullAt(3)) // z_stat
   }
 
+  test("Hits.ranks: hand-traced bipartite scores, zero for role-less side") {
+    import spark.implicits._
+    import graft.operators.Hits
+    // hubs {1,2} → authorities {10,11}: 1→10, 2→10, 2→11
+    // r1: a=(2S,S)→norm(100000,50000); h=(a10, a10+a11)=(100000,150000)
+    //     →norm(66666,100000)
+    // r2: a=(h1+h2, h2)=(166666,100000)→norm(100000, 1e10//166666=60000)
+    //     h=(100000, 160000)→norm(1e10//160000=62500, 100000)
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val r = Hits.ranks(edges, iters = 2).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(10L) == ((100000L, 0L)))  // top authority; never a hub
+    assert(r(11L) == ((60000L, 0L)))
+    assert(r(2L) == ((0L, 100000L)))   // top hub; never an authority
+    assert(r(1L) == ((0L, 62500L)))
+  }
+
   test("Contingency.mutualInformation: independent→0, identical→H, nmi=1") {
     import spark.implicits._
     import graft.operators.Contingency
