@@ -8335,6 +8335,220 @@ object Queries {
             AS reduction_ratio
         FROM stats CROSS JOIN verified""")),
 
+    "q224_holt_linear" -> Q(
+      // Holt double exponential smoothing (α=0.3, β=0.2) of the daily
+      // order-count series per priority — level + trend + 7-step-ahead
+      // forecast, the model that beats q138's bare EMA whenever the
+      // series drifts. The sequential recursion folds inside each
+      // series (collect → sort → aggregate HOF, state bounded by the
+      // calendar); the DuckDB oracle walks the identical observation
+      // sequence with a recursive CTE — same expression shapes, same
+      // IEEE doubles, exact hash match on an iterated float algorithm.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("dayn", unix_date(col("day")))
+        Trend.holtLinear(daily, Seq("prio"), "dayn", "y",
+            alpha = 0.3, beta = 0.2, horizon = 7)
+          .orderBy(col("prio"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE holt_src AS (
+          SELECT o_orderpriority AS g,
+            date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS o,
+            count(*) AS y
+          FROM orders GROUP BY 1, 2),
+        ${Trend.sqlHoltCtes("holt_src", alpha = 0.3, beta = 0.2,
+          horizon = 7)}
+        SELECT g AS prio, n_obs, level, trend, forecast_7
+        FROM holt_g ORDER BY prio""")),
+
+    "q225_logrank" -> Q(
+      // Logrank test between two HASH-RANDOMIZED user arms on
+      // time-to-first-big-purchase — the A/A guardrail of survival
+      // experimentation: under a null split, O−E should hover near 0
+      // and |z| should not reject. Same censoring discipline as q200's
+      // Kaplan-Meier (non-converters censored at observation end);
+      // per-time hypergeometric E and V terms are snapped at 8
+      // decimals into exact-decimal sums over the bounded
+      // distinct-duration frame.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val users = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("d0"))
+        val arms = Sampling.hashSplit(users, "user_id", valBuckets = 50)
+          .withColumn("in_a", col("split") === "val") // 50/50 carve
+        val tp = ev.filter(col("event_type") === "purchase"
+            && col("value") >= 150)
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("dp"))
+        val end = ev.agg(max(to_date(col("ts"))).as("dend"))
+        val durs = arms.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(end))
+          .select(
+            when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+              .otherwise(datediff(col("dend"), col("d0")))
+              .cast("long").as("dur"),
+            col("dp").isNotNull.cast("long").as("ev"),
+            col("in_a"))
+        val dayAgg = durs.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"),
+            sum(when(col("in_a"), col("ev")).otherwise(0L)).as("d_a"),
+            count(lit(1)).as("cnt"),
+            sum(col("in_a").cast("long")).as("cnt_a"))
+        val tot = durs.agg(count(lit(1)).as("ntot"),
+          sum(col("in_a").cast("long")).as("ntot_a"))
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = dayAgg.crossJoin(broadcast(tot))
+          .withColumn("n_r",
+            col("ntot") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+          .withColumn("n_ra",
+            col("ntot_a") - coalesce(sum(col("cnt_a")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0)
+        val pA = col("n_ra").cast("double") / col("n_r").cast("double")
+        val eTerm = round(col("d").cast("double") * pA, 8)
+        val vTerm = when(col("n_r") > 1, round(
+          col("d").cast("double") * pA * (lit(1.0) - pA)
+            * (col("n_r") - col("d")).cast("double")
+            / (col("n_r") - 1).cast("double"), 8)).otherwise(lit(0.0))
+        val agg = risk.agg(
+          max(col("ntot_a")).as("n_a"),
+          (max(col("ntot")) - max(col("ntot_a"))).as("n_b"),
+          sum(col("d_a")).as("events_a"),
+          (sum(col("d")) - sum(col("d_a"))).as("events_b"),
+          sum(eTerm.cast("decimal(20,8)")).as("e_a"),
+          sum(vTerm.cast("decimal(20,8)")).as("v"))
+        agg.select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+          round(col("events_a").cast("double") - col("e_a").cast("double"), 6)
+            .as("o_minus_e"),
+          round(col("v").cast("double"), 6).as("var_sum"),
+          when(col("v") > 0, round(
+            (col("events_a").cast("double") - col("e_a").cast("double"))
+              / sqrt(col("v").cast("double")), 6)).as("z_stat"))
+      },
+      oracle = Some(s"""
+        WITH users AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS d0
+          FROM events GROUP BY 1),
+        arms AS (
+          SELECT user_id, d0,
+            ${Sampling.sqlHashBucket("user_id", 100)} < 50 AS in_a
+          FROM users),
+        tp AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS dp
+          FROM events WHERE event_type = 'purchase' AND value >= 150
+          GROUP BY 1),
+        endd AS (SELECT max(CAST(ts AS DATE)) AS dend FROM events),
+        durs AS (
+          SELECT CAST(CASE WHEN tp.dp IS NOT NULL
+              THEN date_diff('day', a.d0, tp.dp)
+              ELSE date_diff('day', a.d0, endd.dend) END AS BIGINT) AS dur,
+            CAST(CASE WHEN tp.dp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS ev,
+            a.in_a
+          FROM arms a LEFT JOIN tp ON tp.user_id = a.user_id
+          CROSS JOIN endd),
+        day_agg AS (
+          SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+            CAST(sum(CASE WHEN in_a THEN ev ELSE 0 END) AS BIGINT) AS d_a,
+            count(*) AS cnt,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+          FROM durs GROUP BY 1),
+        tot AS (
+          SELECT count(*) AS ntot,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ntot_a
+          FROM durs),
+        risk AS (
+          SELECT dur, d, d_a, ntot, ntot_a,
+            ntot - coalesce(sum(cnt) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_r,
+            ntot_a - coalesce(sum(cnt_a) OVER (ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_ra
+          FROM day_agg CROSS JOIN tot),
+        terms AS (
+          SELECT *,
+            round(CAST(d AS DOUBLE)
+              * (CAST(n_ra AS DOUBLE) / CAST(n_r AS DOUBLE)), 8) AS e_t,
+            CASE WHEN n_r > 1 THEN round(CAST(d AS DOUBLE)
+              * (CAST(n_ra AS DOUBLE) / CAST(n_r AS DOUBLE))
+              * (1.0 - CAST(n_ra AS DOUBLE) / CAST(n_r AS DOUBLE))
+              * CAST(n_r - d AS DOUBLE) / CAST(n_r - 1 AS DOUBLE), 8)
+              ELSE 0.0 END AS v_t
+          FROM risk WHERE d > 0),
+        agg AS (
+          SELECT max(ntot_a) AS n_a, max(ntot) - max(ntot_a) AS n_b,
+            CAST(sum(d_a) AS BIGINT) AS events_a,
+            CAST(sum(d) - sum(d_a) AS BIGINT) AS events_b,
+            CAST(sum(CAST(e_t AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS e_a,
+            CAST(sum(CAST(v_t AS DECIMAL(20,8))) AS DECIMAL(20,8)) AS v
+          FROM terms)
+        SELECT n_a, n_b, events_a, events_b,
+          round(CAST(events_a AS DOUBLE) - CAST(e_a AS DOUBLE), 6)
+            AS o_minus_e,
+          round(CAST(v AS DOUBLE), 6) AS var_sum,
+          CASE WHEN v > 0 THEN
+            round((CAST(events_a AS DOUBLE) - CAST(e_a AS DOUBLE))
+              / sqrt(CAST(v AS DOUBLE)), 6) END AS z_stat
+        FROM agg""")),
+
+    "q226_item_cosine_recs" -> Q(
+      // Item-item collaborative filtering: top-3 "bought together"
+      // recommendations per part by cosine over order co-occurrence,
+      // c_ij/√(c_i·c_j), support ≥ 2 — the classical recommender
+      // baseline, shaped for scale: the pair build is the bounded
+      // co-purchase self-join q120 established, the per-item top-k is
+      // a keyed window (partition = item, never global).
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val ci = li.groupBy(col("p")).agg(count(lit(1)).as("ci"))
+        val pairs = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") =!= col("y.p"))
+          .groupBy(col("x.p").as("i"), col("y.p").as("j"))
+          .agg(count(lit(1)).as("cij"))
+          .filter(col("cij") >= 2)
+        val scored = pairs
+          .join(ci.select(col("p").as("i"), col("ci").as("c_i")), "i")
+          .join(ci.select(col("p").as("j"), col("ci").as("c_j")), "j")
+          .withColumn("cosine", round(col("cij").cast("double")
+            / sqrt(col("c_i").cast("double") * col("c_j").cast("double")), 8))
+        val w = Window.partitionBy(col("i"))
+          .orderBy(col("cosine").desc, col("j").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("i").as("part"), col("rk"), col("j").as("rec"),
+            col("cij"), col("cosine"))
+          .orderBy(col("part"), col("rk"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        ci AS (SELECT p, count(*) AS ci FROM li GROUP BY 1),
+        pairs AS (
+          SELECT x.p AS i, y.p AS j, count(*) AS cij
+          FROM li x JOIN li y ON x.o = y.o AND x.p <> y.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        scored AS (
+          SELECT i, j, cij,
+            round(CAST(cij AS DOUBLE)
+              / sqrt(CAST(a.ci AS DOUBLE) * CAST(b.ci AS DOUBLE)), 8)
+              AS cosine
+          FROM pairs
+          JOIN ci a ON a.p = i
+          JOIN ci b ON b.p = j),
+        ranked AS (
+          SELECT i, j, cij, cosine,
+            row_number() OVER (PARTITION BY i
+              ORDER BY cosine DESC, j) AS rk
+          FROM scored)
+        SELECT i AS part, rk, j AS rec, cij, cosine
+        FROM ranked WHERE rk <= 3
+        ORDER BY part, rk""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -279,6 +279,85 @@ object Trend {
       ${branches.mkString("\n      UNION ALL\n      ")})"""
   }
 
+  /** Holt double exponential smoothing (level + linear trend) per
+    * series — the forecasting step up from a bare EMA (q138): a series
+    * with drift needs the trend term or the smoothed level lags forever.
+    * l₁ = y₁, b₁ = 0; then lₜ = α·yₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    * bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, observation-indexed (calendar gaps
+    * are not imputed — both engines walk the same observed sequence).
+    *
+    * The recursion is inherently sequential, so it runs INSIDE each
+    * series: collect_list → sort_array → `aggregate` higher-order fold
+    * — per-series state is bounded by series length (a calendar axis,
+    * not data volume), series parallelize freely, and the fold's
+    * fixed-shape double steps are IEEE-identical to the DuckDB
+    * recursive CTE walking rows in the same order ([[sqlHoltCtes]]).
+    *
+    * Output per series: n_obs, level, trend, forecast_h (= l + h·b),
+    * each rounded at 6. */
+  def holtLinear(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      yCol: String, alpha: Double, beta: Double, horizon: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    val fold =
+      s"""aggregate(
+        sort_array(collect_list(struct($orderCol AS o, CAST($yCol AS DOUBLE) AS y))),
+        named_struct('l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          'i', CAST(0 AS BIGINT)),
+        (acc, x) -> CASE WHEN acc.i = 0
+          THEN named_struct('l', x.y, 'b', CAST(0 AS DOUBLE),
+            'i', CAST(1 AS BIGINT))
+          ELSE named_struct(
+            'l', CAST($alpha AS DOUBLE) * x.y
+              + CAST(${1 - alpha} AS DOUBLE) * (acc.l + acc.b),
+            'b', CAST($beta AS DOUBLE)
+              * ((CAST($alpha AS DOUBLE) * x.y
+                  + CAST(${1 - alpha} AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+              + CAST(${1 - beta} AS DOUBLE) * acc.b,
+            'i', acc.i + 1) END)"""
+    df.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_obs"), expr(fold).as("acc"))
+      .select(grp ++ Seq(col("n_obs"),
+        round(col("acc.l"), 6).as("level"),
+        round(col("acc.b"), 6).as("trend"),
+        round(col("acc.l") + lit(horizon.toDouble) * col("acc.b"), 6)
+          .as(s"forecast_$horizon")): _*)
+  }
+
+  /** DuckDB mirror of [[holtLinear]]: emits CTEs (prepend `WITH
+    * RECURSIVE `) ending in `holt_g` (g, n_obs, level, trend,
+    * forecast_h). `src` must expose columns g, o (order), y. The
+    * recursive CTE adds one row per series per step — the same
+    * observation walk as the Spark fold, with the same expression
+    * shapes. */
+  def sqlHoltCtes(src: String, alpha: Double, beta: Double,
+      horizon: Int): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val ia = s"CAST(${1 - alpha} AS DOUBLE)"
+    val b = s"CAST($beta AS DOUBLE)"
+    val ib = s"CAST(${1 - beta} AS DOUBLE)"
+    val lNext = s"$a * CAST(o.y AS DOUBLE) + $ia * (r.l + r.b)"
+    s"""holt_o AS MATERIALIZED (
+      SELECT g, CAST(y AS DOUBLE) AS y,
+        row_number() OVER (PARTITION BY g ORDER BY o) AS rn
+      FROM $src),
+    holt_rec AS (
+      SELECT g, rn, y AS l, CAST(0 AS DOUBLE) AS b
+      FROM holt_o WHERE rn = 1
+      UNION ALL
+      SELECT o.g, o.rn,
+        $lNext,
+        $b * (($lNext) - r.l) + $ib * r.b
+      FROM holt_rec r JOIN holt_o o ON o.g = r.g AND o.rn = r.rn + 1),
+    holt_last AS (
+      SELECT g, max(rn) AS n_obs FROM holt_o GROUP BY 1),
+    holt_g AS (
+      SELECT r.g, hl.n_obs,
+        round(r.l, 6) AS level,
+        round(r.b, 6) AS trend,
+        round(r.l + CAST($horizon AS DOUBLE) * r.b, 6) AS forecast_$horizon
+      FROM holt_rec r JOIN holt_last hl ON hl.g = r.g AND r.rn = hl.n_obs)"""
+  }
+
   /** DuckDB mirror of [[groupedLinearFit]] over `tbl`: emits CTE `ols_g`
     * (g, n, slope, intercept). */
   def sqlFitCtes(tbl: String, gSql: String, xSql: String, ySql: String): String =

@@ -1264,6 +1264,26 @@ class OperatorsSpec extends SparkSpec {
       .isNullAt(3)) // z_stat
   }
 
+  test("Trend.holtLinear: hand-traced fold, constant series is a fixed point") {
+    import spark.implicits._
+    import graft.operators.Trend
+    // α=β=0.5 on y=[10,20,30]: l=(10,15,23.75), b=(0,2.5,5.625)
+    // forecast_2 = 23.75 + 2·5.625 = 35.0
+    val df = Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0))
+      .toDF("g", "t", "y")
+    val r = Trend.holtLinear(df, Seq("g"), "t", "y", 0.5, 0.5, 2).head()
+    assert(r.getAs[Long]("n_obs") == 3L)
+    assert(r.getAs[Double]("level") == 23.75)
+    assert(r.getAs[Double]("trend") == 5.625)
+    assert(r.getAs[Double]("forecast_2") == 35.0)
+    // constant series: level sticks, trend stays 0, forecast = the constant
+    val const = Seq(("c", 1L, 7.0), ("c", 2L, 7.0), ("c", 3L, 7.0), ("c", 4L, 7.0))
+      .toDF("g", "t", "y")
+    val rc = Trend.holtLinear(const, Seq("g"), "t", "y", 0.3, 0.2, 7).head()
+    assert(rc.getAs[Double]("level") == 7.0 && rc.getAs[Double]("trend") == 0.0)
+    assert(rc.getAs[Double]("forecast_7") == 7.0)
+  }
+
   test("Hits.ranks: hand-traced bipartite scores, zero for role-less side") {
     import spark.implicits._
     import graft.operators.Hits
