@@ -8549,6 +8549,232 @@ object Queries {
         FROM ranked WHERE rk <= 3
         ORDER BY part, rk""")),
 
+    "q227_nelson_aalen" -> Q(
+      // Nelson-Aalen cumulative hazard on q200's time-to-first-big-
+      // purchase frame — the second standard survival estimator, whose
+      // exp(−H) (Fleming-Harrington) brackets Kaplan-Meier from above:
+      // shipping BOTH is how survival discrepancies get caught. Same
+      // bounded distinct-duration frame and censoring discipline as
+      // q200; Σd/n and the variance Σd/n² accumulate as 8-snapped
+      // exact decimals.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val t0 = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("d0"))
+        val tp = ev.filter(col("event_type") === "purchase"
+            && col("value") >= 150)
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("dp"))
+        val end = ev.agg(max(to_date(col("ts"))).as("dend"))
+        val durs = t0.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(end))
+          .select(
+            when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+              .otherwise(datediff(col("dend"), col("d0")))
+              .cast("long").as("dur"),
+            col("dp").isNotNull.cast("long").as("ev"))
+        val dayAgg = durs.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("cnt"))
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dD = col("d").cast("double")
+        val nD = col("n_risk").cast("double")
+        dayAgg
+          .crossJoin(broadcast(durs.agg(count(lit(1)).as("ntot"))))
+          .withColumn("n_risk",
+            col("ntot") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0)
+          .withColumn("cumhaz", round(
+            sum(round(dD / nD, 8).cast("decimal(20,8)")).over(wCum)
+              .cast("double"), 8))
+          .withColumn("var_haz", round(
+            sum(round(dD / (nD * nD), 8).cast("decimal(20,8)")).over(wCum)
+              .cast("double"), 8))
+          .withColumn("na_surv", round(exp(-col("cumhaz")), 8))
+          .select(col("dur").as("t_days"), col("n_risk"), col("d"),
+            col("cumhaz"), col("var_haz"), col("na_surv"))
+          .orderBy(col("t_days"))
+      },
+      oracle = Some("""
+        WITH t0 AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS d0
+          FROM events GROUP BY 1),
+        tp AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS dp
+          FROM events WHERE event_type = 'purchase' AND value >= 150
+          GROUP BY 1),
+        endd AS (SELECT max(CAST(ts AS DATE)) AS dend FROM events),
+        durs AS (
+          SELECT CAST(CASE WHEN tp.dp IS NOT NULL
+              THEN date_diff('day', t0.d0, tp.dp)
+              ELSE date_diff('day', t0.d0, endd.dend) END AS BIGINT) AS dur,
+            CAST(CASE WHEN tp.dp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS ev
+          FROM t0 LEFT JOIN tp ON tp.user_id = t0.user_id
+          CROSS JOIN endd),
+        day_agg AS (
+          SELECT dur, CAST(sum(ev) AS BIGINT) AS d, count(*) AS cnt
+          FROM durs GROUP BY 1),
+        risk AS (
+          SELECT dur, d,
+            (SELECT count(*) FROM durs) - coalesce(
+              sum(cnt) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS n_risk
+          FROM day_agg),
+        hz AS (
+          SELECT dur, d, n_risk,
+            round(CAST(sum(CAST(round(
+              CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 8)
+              AS DECIMAL(20,8))) OVER (ORDER BY dur
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE), 8) AS cumhaz,
+            round(CAST(sum(CAST(round(
+              CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                * CAST(n_risk AS DOUBLE)), 8)
+              AS DECIMAL(20,8))) OVER (ORDER BY dur
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE), 8) AS var_haz
+          FROM risk WHERE d > 0)
+        SELECT dur AS t_days, n_risk, d, cumhaz, var_haz,
+          round(exp(-cumhaz), 8) AS na_surv
+        FROM hz ORDER BY t_days""")),
+
+    "q229_neighbor_jaccard" -> Q(
+      // Supplier-supplier similarity by customer-base overlap: Jaccard
+      // of the two customer neighbor sets on the bipartite purchase
+      // graph — the node-similarity primitive behind "suppliers like
+      // this one" and substitution analysis. Common counts come from
+      // one keyed self-join on the customer (never a cross product);
+      // top-50 pairs by similarity.
+      build = (s, dir) => {
+        val ed = table(s, dir, "lineitem")
+          .join(table(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        val deg = ed.groupBy(col("sp")).agg(count(lit(1)).as("d"))
+        val common = ed.as("x").join(ed.as("y"),
+            col("x.c") === col("y.c") && col("x.sp") < col("y.sp"))
+          .groupBy(col("x.sp").as("s1"), col("y.sp").as("s2"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(deg.select(col("sp").as("s1"), col("d").as("d1")), "s1")
+          .join(deg.select(col("sp").as("s2"), col("d").as("d2")), "s2")
+          .withColumn("jaccard", round(col("common").cast("double")
+            / (col("d1") + col("d2") - col("common")).cast("double"), 8))
+          .select(col("s1"), col("s2"), col("common"), col("jaccard"))
+          .orderBy(col("jaccard").desc, col("s1"), col("s2"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH ed AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        deg AS (SELECT sp, count(*) AS d FROM ed GROUP BY 1),
+        common AS (
+          SELECT x.sp AS s1, y.sp AS s2, count(*) AS common
+          FROM ed x JOIN ed y ON x.c = y.c AND x.sp < y.sp
+          GROUP BY 1, 2)
+        SELECT s1, s2, common,
+          round(CAST(common AS DOUBLE)
+            / CAST(a.d + b.d - common AS DOUBLE), 8) AS jaccard
+        FROM common
+        JOIN deg a ON a.sp = s1
+        JOIN deg b ON b.sp = s2
+        ORDER BY jaccard DESC, s1, s2 LIMIT 50""")),
+
+    "q230_rolling_regression" -> Q(
+      // Rolling 30-day OLS slope of daily revenue per priority — the
+      // local-trend monitor that a single whole-series fit (q100)
+      // smears away. The window is a banded self-join over the BOUNDED
+      // daily table (q138's convolution shape, quadratic only in the
+      // 30-day band) feeding the same exact-decimal moment fit as
+      // groupedLinearFit, keyed by (priority, day) — slope is NULL
+      // until a window has ≥ 2 distinct days. Emitted monthly (day 1)
+      // to keep the result frame reviewable.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+          .withColumn("dayn", unix_date(col("day")))
+        val banded = daily.as("a").join(daily.as("b"),
+            col("a.prio") === col("b.prio") &&
+              col("b.dayn") <= col("a.dayn") &&
+              col("b.dayn") > col("a.dayn") - 30)
+          .filter(dayofmonth(col("a.day")) === 1)
+          .select(col("a.prio").as("prio"), col("a.day").as("day"),
+            (col("b.dayn") - col("a.dayn") + 30).as("x"),
+            col("b.rev").as("y"))
+        Trend.groupedLinearFit(banded, Seq("prio", "day"), "x", "y")
+          .orderBy(col("prio"), col("day"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS rev,
+            date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS dayn
+          FROM orders GROUP BY 1, 2),
+        banded AS (
+          SELECT a.prio, a.day, b.dayn - a.dayn + 30 AS x, b.rev AS y
+          FROM daily a JOIN daily b
+            ON a.prio = b.prio AND b.dayn <= a.dayn
+              AND b.dayn > a.dayn - 30
+          WHERE date_part('day', a.day) = 1),
+        ols_m AS (
+          SELECT prio, day, count(*) AS n,
+            CAST(sum(CAST(x AS DECIMAL(7,0))) AS DECIMAL(18,0)) AS sx,
+            CAST(sum(CAST(x AS DECIMAL(7,0)) * CAST(x AS DECIMAL(7,0)))
+              AS DECIMAL(25,0)) AS sxx,
+            CAST(sum(CAST(y AS DECIMAL(12,2))) AS DECIMAL(16,2)) AS sy,
+            CAST(sum(CAST(x AS DECIMAL(7,0)) * CAST(y AS DECIMAL(12,2)))
+              AS DECIMAL(23,2)) AS sxy
+          FROM banded
+          WHERE x IS NOT NULL AND y IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT prio, day, n,
+          CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
+            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+          END AS slope,
+          round((CAST(sy AS DOUBLE)
+                 - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              <> 0.0 THEN
+                      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+                    END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+            AS intercept
+        FROM ols_m
+        ORDER BY prio, day""")),
+
+    "q228_pca_first_component" -> Q(
+      // First principal component of the four lineitem measures — PCA
+      // the Spark-native way: ONE scan builds the exact-decimal
+      // correlation moments (q219's aggregation), then 12 power-method
+      // iterations run as pure scalar doubles on the one-row frame
+      // (v ← Rv/‖Rv‖, localCheckpoint per round so the expression tree
+      // cannot snowball). No data-sized float reduction remains, so an
+      // iterated float algorithm hash-matches the DuckDB CTE chain
+      // exactly.
+      build = (s, dir) =>
+        Trend.pcaFirstComponent(table(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          iters = 12)
+          .orderBy(col("feature")),
+      oracle = Some(s"""
+        WITH ${Trend.sqlPcaCtes("lineitem",
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          iters = 12)}
+        SELECT feature, loading, eigenvalue, explained_ratio, n
+        FROM pca ORDER BY feature""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

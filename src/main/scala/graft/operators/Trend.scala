@@ -358,6 +358,151 @@ object Trend {
       FROM holt_rec r JOIN holt_last hl ON hl.g = r.g AND r.rn = hl.n_obs)"""
   }
 
+  /** First principal component of the CORRELATION matrix of `cols` by
+    * fixed-iteration power method — PCA at 100 TB the Spark-native way:
+    * ONE scan builds the exact-decimal moment row (the
+    * [[correlationMatrix]] aggregation), and the iteration is pure
+    * scalar double arithmetic on that one-row frame (v ← Rv/‖Rv‖),
+    * IEEE-identical in any engine because no data-sized float reduction
+    * remains. Each iteration is cut at a localCheckpoint so the scalar
+    * expression tree cannot snowball through CollapseProject.
+    *
+    * Output: one row per feature — (feature, loading, eigenvalue,
+    * explained_ratio, n); eigenvalue is the final ‖Rv‖ (→ λ₁),
+    * explained_ratio = λ₁/k (correlation matrix has trace k). Degenerate
+    * inputs (a zero-variance column) surface as NULLs, not a silent
+    * answer. Convergence is geometric in λ₁/λ₂ — 12 iterations is ample
+    * for EDA panels; raise it for near-degenerate spectra. */
+  def pcaFirstComponent(df: DataFrame, cols: Seq[String],
+      iters: Int = 12): DataFrame = {
+    val k = cols.size
+    require(k >= 2, "pcaFirstComponent needs at least two columns")
+    require(iters >= 1 && iters <= 30, s"iters must be in [1,30], got $iters")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    def d(c: String) = dec(col(c))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.zipWithIndex.map { case (c, i) =>
+        sum(d(c)).cast("decimal(20,2)").as(s"s_$i") } ++
+      cols.zipWithIndex.map { case (c, i) =>
+        sum(d(c) * d(c)).cast("decimal(30,4)").as(s"q_$i") } ++
+      pairs.map { case (i, j) =>
+        sum(d(cols(i)) * d(cols(j))).cast("decimal(30,4)").as(s"p_${i}_$j") }
+    var m = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    def sD(i: Int) = col(s"s_$i").cast("double")
+    def qD(i: Int) = col(s"q_$i").cast("double")
+    pairs.foreach { case (i, j) =>
+      val cov = nD * col(s"p_${i}_$j").cast("double") - sD(i) * sD(j)
+      val vx = nD * qD(i) - sD(i) * sD(i)
+      val vy = nD * qD(j) - sD(j) * sD(j)
+      m = m.withColumn(s"r_${i}_$j",
+        when(vx > 0.0 && vy > 0.0, round(cov / (sqrt(vx) * sqrt(vy)), 8)))
+    }
+    def R(i: Int, j: Int): Column =
+      if (i == j) lit(1.0)
+      else if (i < j) col(s"r_${i}_$j")
+      else col(s"r_${j}_$i")
+    val v0 = 1.0 / math.sqrt(k.toDouble)
+    cols.indices.foreach { i => m = m.withColumn(s"v_$i", lit(v0)) }
+    m = m.localCheckpoint(true)
+    var t = 0
+    while (t < iters) {
+      cols.indices.foreach { i =>
+        m = m.withColumn(s"u_$i",
+          cols.indices.map(j => R(i, j) * col(s"v_$j")).reduce(_ + _))
+      }
+      m = m.withColumn("nrm", sqrt(
+        cols.indices.map(i => col(s"u_$i") * col(s"u_$i")).reduce(_ + _)))
+      cols.indices.foreach { i =>
+        m = m.withColumn(s"v_$i", col(s"u_$i") / col("nrm"))
+      }
+      // one-row frame: the checkpoint is O(1) data, and it stops the
+      // scalar tree tripling per round under projection collapse
+      m = m.localCheckpoint(true)
+      t += 1
+    }
+    val loadings = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("feature"), round(col(s"v_$i"), 6).as("loading"))
+    }
+    m.select(col("n"), round(col("nrm"), 6).as("eigenvalue"),
+        round(col("nrm") / lit(k.toDouble), 6).as("explained_ratio"),
+        explode(array(loadings: _*)).as("pc"))
+      .select(col("pc.feature").as("feature"), col("pc.loading").as("loading"),
+        col("eigenvalue"), col("explained_ratio"), col("n"))
+  }
+
+  /** DuckDB mirror of [[pcaFirstComponent]] over `tbl`: emits CTEs
+    * ending in `pca` (feature, loading, eigenvalue, explained_ratio, n).
+    * One materialized CTE per iteration walks the same scalar recurrence
+    * with the same expression shapes. */
+  def sqlPcaCtes(tbl: String, cols: Seq[String], iters: Int = 12): String = {
+    val k = cols.size
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    def x(c: String) = s"CAST($c AS DECIMAL(19,2))"
+    val sums = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(sum(${x(c)}) AS DECIMAL(20,2)) AS s_$i" } ++
+      cols.zipWithIndex.map { case (c, i) =>
+        s"CAST(sum(${x(c)} * ${x(c)}) AS DECIMAL(30,4)) AS q_$i" } ++
+      pairs.map { case (i, j) =>
+        s"CAST(sum(${x(cols(i))} * ${x(cols(j))}) AS DECIMAL(30,4)) AS p_${i}_$j" }
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val rCols = pairs.map { case (i, j) =>
+      val cov = s"CAST(n AS DOUBLE) * CAST(p_${i}_$j AS DOUBLE) " +
+        s"- CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE)"
+      val vx = s"CAST(n AS DOUBLE) * CAST(q_$i AS DOUBLE) " +
+        s"- CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE)"
+      val vy = s"CAST(n AS DOUBLE) * CAST(q_$j AS DOUBLE) " +
+        s"- CAST(s_$j AS DOUBLE) * CAST(s_$j AS DOUBLE)"
+      s"""CASE WHEN ($vx) > 0.0 AND ($vy) > 0.0 THEN
+        round(($cov) / (sqrt($vx) * sqrt($vy)), 8) END AS r_${i}_$j"""
+    }
+    def rRef(i: Int, j: Int): String =
+      if (i == j) "CAST(1.0 AS DOUBLE)"
+      else if (i < j) s"r_${i}_$j" else s"r_${j}_$i"
+    val v0 = 1.0 / math.sqrt(k.toDouble)
+    val rPass = pairs.map { case (i, j) => s"r_${i}_$j" }.mkString(", ")
+    val sb = new StringBuilder
+    sb.append(s"""pca_m AS (
+      SELECT count(*) AS n,
+        ${sums.mkString(",\n        ")}
+      FROM $tbl
+      WHERE $notNull),
+    pca_0 AS MATERIALIZED (
+      SELECT n, ${rCols.mkString(",\n        ")},
+        ${cols.indices.map(i => s"CAST($v0 AS DOUBLE) AS v_$i")
+          .mkString(", ")}
+      FROM pca_m)""")
+    for (t <- 1 to iters) {
+      def u(i: Int) = cols.indices
+        .map(j => s"${rRef(i, j)} * v_$j").mkString(" + ")
+      val nrm = "sqrt(" + cols.indices
+        .map(i => s"(${u(i)}) * (${u(i)})").mkString(" + ") + ")"
+      sb.append(s""",
+    pca_$t AS MATERIALIZED (
+      SELECT n, $rPass,
+        ${cols.indices.map(i => s"(${u(i)}) / ($nrm) AS v_$i")
+          .mkString(",\n        ")},
+        $nrm AS nrm
+      FROM pca_${t - 1})""")
+    }
+    val feats = cols.zipWithIndex.map { case (c, i) =>
+      s"SELECT '$c' AS feature, round(v_$i, 6) AS loading, " +
+        s"round(nrm, 6) AS eigenvalue, " +
+        s"round(nrm / CAST($k AS DOUBLE), 6) AS explained_ratio, n " +
+        s"FROM pca_$iters"
+    }
+    sb.append(s""",
+    pca AS (
+      ${feats.mkString("\n      UNION ALL\n      ")})""")
+    sb.toString
+  }
+
   /** DuckDB mirror of [[groupedLinearFit]] over `tbl`: emits CTE `ols_g`
     * (g, n, slope, intercept). */
   def sqlFitCtes(tbl: String, gSql: String, xSql: String, ySql: String): String =

@@ -1264,6 +1264,26 @@ class OperatorsSpec extends SparkSpec {
       .isNullAt(3)) // z_stat
   }
 
+  test("Trend.pcaFirstComponent: perfect pair→λ=2 equal loadings, identity→λ=1") {
+    import spark.implicits._
+    import graft.operators.Trend
+    // y = 3x: correlation matrix [[1,1],[1,1]] -> λ1 = 2, v = (1,1)/√2
+    val perfect = Seq((1.0, 3.0), (2.0, 6.0), (3.0, 9.0), (4.0, 12.0))
+      .toDF("x", "y")
+    val rp = Trend.pcaFirstComponent(perfect, Seq("x", "y"), iters = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rp("x")._2 == 2.0 && rp("y")._2 == 2.0)       // eigenvalue
+    assert(math.abs(rp("x")._1 - 0.707107) < 1e-6)       // loading 1/√2
+    assert(rp("x")._1 == rp("y")._1)
+    // exactly uncorrelated pair: R = I -> λ1 = 1, start vector is fixed
+    val ident = Seq((1.0, 1.0), (2.0, 1.0), (1.0, -1.0), (2.0, -1.0))
+      .toDF("x", "y")
+    val ri = Trend.pcaFirstComponent(ident, Seq("x", "y"), iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(ri("x") == 1.0)
+  }
+
   test("Trend.holtLinear: hand-traced fold, constant series is a fixed point") {
     import spark.implicits._
     import graft.operators.Trend
