@@ -8775,6 +8775,153 @@ object Queries {
         SELECT feature, loading, eigenvalue, explained_ratio, n
         FROM pca ORDER BY feature""")),
 
+    "q231_kmeans" -> Q(
+      // Deterministic Lloyd k-means (k=4, 4 rounds) on the
+      // (quantity, price/1000) plane: grid init from exact [min,max]
+      // spans, broadcast k-row centroid frame per round, tie-to-
+      // smallest-id assignment, exact-decimal centroid updates, and a
+      // 6-snapped WCSS — the full clustering loop oracle-checked
+      // bit-for-bit against an unrolled CTE chain. One scan per round
+      // is the 100 TB shape; no RNG anywhere.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .withColumn("price_k", col("l_extendedprice") / lit(1000.0))
+        KMeans.fit2d(li, "l_quantity", "price_k", k = 4, iters = 4)
+      },
+      oracle = Some(s"""
+        WITH ${KMeans.sqlCtes("lineitem", "l_quantity",
+          "l_extendedprice / 1000.0", k = 4, iters = 4)}
+        SELECT cluster, n_points, cx, cy, wcss FROM km
+        ORDER BY cluster""")),
+
+    "q232_distinctive_terms" -> Q(
+      // What words DISTINGUISH each source — informed-prior log-odds
+      // with z-scores (Monroe et al. '08), the corpus-comparison
+      // operator that raw frequency and even KL (q121) blur: per
+      // source, top-5 terms by z of the smoothed log-odds-ratio vs the
+      // REST of the corpus. Counts are exact; δ and its variance are
+      // fixed-shape ln expressions snapped at 6; the top-k is a keyed
+      // window per source.
+      build = (s, dir) => {
+        val tok = table(s, dir, "documents")
+          .select(col("source").as("src"),
+            explode(split(trim(col("text")), "\\s+")).as("w"))
+        val cs = tok.groupBy(col("src"), col("w"))
+          .agg(count(lit(1)).as("csw"))
+        val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        val ns = tok.groupBy(col("src")).agg(count(lit(1)).as("ns"))
+        val nt = tok.agg(count(lit(1)).as("nt"))
+        val a = lit(0.5)
+        val cswD = col("csw").cast("double") + a
+        val restD = col("cw").cast("double") - col("csw").cast("double") + a
+        val nsD = col("ns").cast("double")
+        val ntD = col("nt").cast("double")
+        val delta = log(cswD / (nsD + a - cswD)) -
+          log(restD / (ntD - nsD + a - restD))
+        val varD = lit(1.0) / cswD + lit(1.0) / restD
+        val scored = cs.join(cw, "w").join(ns, "src")
+          .crossJoin(broadcast(nt))
+          .withColumn("z", round(delta / sqrt(varD), 6))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("z").desc, col("w").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("src").as("source"), col("rk"), col("w").as("term"),
+            col("csw"), col("z"))
+          .orderBy(col("source"), col("rk"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT source AS src,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents),
+        cs AS (SELECT src, w, count(*) AS csw FROM tok GROUP BY 1, 2),
+        cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        ns AS (SELECT src, count(*) AS ns FROM tok GROUP BY 1),
+        nt AS (SELECT count(*) AS nt FROM tok),
+        scored AS (
+          SELECT src, w, csw,
+            round((
+              ln((CAST(csw AS DOUBLE) + 0.5)
+                 / (CAST(ns AS DOUBLE) + 0.5 - (CAST(csw AS DOUBLE) + 0.5)))
+              - ln((CAST(cw AS DOUBLE) - CAST(csw AS DOUBLE) + 0.5)
+                 / (CAST(nt AS DOUBLE) - CAST(ns AS DOUBLE) + 0.5
+                    - (CAST(cw AS DOUBLE) - CAST(csw AS DOUBLE) + 0.5)))
+            ) / sqrt(1.0 / (CAST(csw AS DOUBLE) + 0.5)
+                   + 1.0 / (CAST(cw AS DOUBLE) - CAST(csw AS DOUBLE) + 0.5)),
+            6) AS z
+          FROM cs JOIN cw USING (w) JOIN ns USING (src) CROSS JOIN nt),
+        ranked AS (
+          SELECT src, w, csw, z,
+            row_number() OVER (PARTITION BY src ORDER BY z DESC, w) AS rk
+          FROM scored)
+        SELECT src AS source, rk, w AS term, csw, z
+        FROM ranked WHERE rk <= 5
+        ORDER BY source, rk""")),
+
+    "q233_clustering_coefficient" -> Q(
+      // Local clustering coefficient on the symmetrized co-purchase
+      // graph (support ≥ 2): per part, 2T/(d(d−1)) — how clique-like
+      // each node's neighborhood is, the per-node refinement of q115's
+      // global triangle count. Triangles come from one wedge join
+      // against the canonical (a<b) edge set; both T and d are exact
+      // integers, the ratio is one fixed-shape division. Parts with
+      // degree ≥ 5, ordered by coefficient.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        val und = li.as("x").join(li.as("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2)
+          .select(col("a"), col("b"))
+        val sym = und.unionByName(
+          und.select(col("b").as("a"), col("a").as("b")))
+        val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+        // wedge (n -> u, n -> v with u < v) closed by canonical edge (u, v)
+        val tri = sym.as("e1").join(sym.as("e2"),
+            col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+          .select(col("e1.a").as("n"), col("e1.b").as("u"),
+            col("e2.b").as("v"))
+          .join(und.select(col("a").as("u"), col("b").as("v")),
+            Seq("u", "v"))
+          .groupBy(col("n")).agg(count(lit(1)).as("t"))
+        deg.join(tri, col("node") === col("n"), "left")
+          .filter(col("d") >= 5)
+          .select(col("node").as("part"), col("d").as("degree"),
+            coalesce(col("t"), lit(0L)).as("triangles"),
+            round(coalesce(col("t"), lit(0L)).cast("double") * 2.0
+              / (col("d") * (col("d") - 1)).cast("double"), 8).as("local_cc"))
+          .orderBy(col("local_cc").desc, col("part"))
+      },
+      oracle = Some("""
+        WITH und AS (
+          SELECT a, b FROM (
+            SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS c
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2)
+          WHERE c >= 2),
+        sym AS (
+          SELECT a, b FROM und
+          UNION ALL
+          SELECT b, a FROM und),
+        deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY 1),
+        tri AS (
+          SELECT e1.a AS n, count(*) AS t
+          FROM sym e1
+          JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+          JOIN und ON und.a = e1.b AND und.b = e2.b
+          GROUP BY 1)
+        SELECT node AS part, d AS degree,
+          coalesce(t, 0) AS triangles,
+          round(CAST(coalesce(t, 0) AS DOUBLE) * 2.0
+            / CAST(d * (d - 1) AS DOUBLE), 8) AS local_cc
+        FROM deg LEFT JOIN tri ON n = node
+        WHERE d >= 5
+        ORDER BY local_cc DESC, part""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

@@ -1264,6 +1264,24 @@ class OperatorsSpec extends SparkSpec {
       .isNullAt(3)) // z_stat
   }
 
+  test("KMeans.fit2d: two separated blobs resolve exactly, wcss hand-checked") {
+    import spark.implicits._
+    import graft.operators.KMeans
+    val pts = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0),
+      (10.0, 10.0), (10.0, 11.0), (11.0, 10.0), (11.0, 11.0)).toDF("x", "y")
+    val r = KMeans.fit2d(pts, "x", "y", k = 2, iters = 3).collect()
+      .map(x => x.getInt(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(0) == ((4L, 0.5, 0.5, 2.0)))   // unit square -> 4·(0.5²+0.5²)
+    assert(r(1) == ((4L, 10.5, 10.5, 2.0)))
+    // degenerate: all points identical — one cluster takes all, others
+    // keep their (empty-guarded) grid centroids and report n=0 rows absent
+    val same = Seq.fill(5)((3.0, 3.0)).toDF("x", "y")
+    val rs = KMeans.fit2d(same, "x", "y", k = 2, iters = 2).collect()
+    assert(rs.map(_.getLong(1)).sum == 5L)
+    assert(rs.forall(_.getDouble(4) == 0.0)) // zero spread -> zero wcss
+  }
+
   test("Trend.pcaFirstComponent: perfect pair→λ=2 equal loadings, identity→λ=1") {
     import spark.implicits._
     import graft.operators.Trend
