@@ -8922,6 +8922,248 @@ object Queries {
         WHERE d >= 5
         ORDER BY local_cc DESC, part""")),
 
+    "q234_bh_fdr" -> Q(
+      // Benjamini-Hochberg FDR over a HETEROGENEOUS family of 32
+      // one-vs-rest Welch tests — the realistic multiple-testing
+      // setting: 25 brand-price tests that are TRUE NULLS in this
+      // randomized fixture (BH should spare them) mixed with
+      // order-revenue-by-line-count tests whose effect is structural
+      // (summed line revenue grows with line count — BH must catch
+      // them; the fixture's o_totalprice is random noise, so the
+      // revenue is derived from the lines themselves). Each
+      // family costs ONE moment scan: rest-arm moments are exact-
+      // decimal subtractions global−segment. p-values via the A-S
+      // erfc approximation (Hypothesis.normalTwoSidedP, fixed-shape
+      // IEEE both engines); the step-up rank walk runs on the bounded
+      // 32-row frame.
+      build = (s, dir) => {
+        def meanE(n: Column, sx: Column) = sx.cast("double") / n.cast("double")
+        def varE(n: Column, sx: Column, sxx: Column) =
+          (sxx.cast("double") - sx.cast("double") * sx.cast("double")
+            / n.cast("double")) / (n.cast("double") - lit(1.0))
+        def oneVsRest(m: DataFrame): DataFrame = {
+          val g = m.agg(sum(col("n_g")).as("nt"),
+            sum(col("sx_g")).cast("decimal(24,2)").as("sxt"),
+            sum(col("sxx_g")).cast("decimal(34,4)").as("sxxt"))
+          val j = m.crossJoin(broadcast(g))
+            .withColumn("n_r", col("nt") - col("n_g"))
+            .withColumn("sx_r",
+              (col("sxt") - col("sx_g")).cast("decimal(24,2)"))
+            .withColumn("sxx_r",
+              (col("sxxt") - col("sxx_g")).cast("decimal(34,4)"))
+          val se2 = varE(col("n_g"), col("sx_g"), col("sxx_g"))
+            ./(col("n_g").cast("double"))
+            .+(varE(col("n_r"), col("sx_r"), col("sxx_r"))
+              ./(col("n_r").cast("double")))
+          val z = round((meanE(col("n_g"), col("sx_g"))
+            - meanE(col("n_r"), col("sx_r"))) / sqrt(se2), 6)
+          j.filter(col("n_g") > 1 && col("n_r") > 1).withColumn("z", z)
+        }
+        def moments(df: DataFrame, idCol: Column, v: Column): DataFrame =
+          df.groupBy(idCol.as("test_id"))
+            .agg(count(lit(1)).as("n_g"),
+              sum(dec(v)).cast("decimal(20,2)").as("sx_g"),
+              sum(dec(v) * dec(v)).cast("decimal(30,4)").as("sxx_g"))
+        val li = table(s, dir, "lineitem")
+        val pt = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val brandTests = oneVsRest(moments(
+          li.join(broadcast(pt), col("l_partkey") === col("p_partkey")),
+          concat(lit("brand:"), col("p_brand")), col("l_extendedprice")))
+        val oc = li.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("nl"),
+            msum(col("l_extendedprice")).as("orev"))
+        val lineTests = oneVsRest(moments(oc,
+          concat(lit("lines:"), col("nl").cast("string")), col("orev")))
+        val tested = brandTests.unionByName(lineTests)
+          .withColumn("p_value",
+            round(Hypothesis.normalTwoSidedP(col("z")), 10))
+        val wRank = Window.orderBy(col("p_value").asc, col("test_id").asc)
+        val wAll = Window.partitionBy()
+        tested
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("m_tests", count(lit(1)).over(wAll))
+          .withColumn("bh_thresh", round(col("rk").cast("double") * 0.05
+            / col("m_tests").cast("double"), 10))
+          .withColumn("kstar", max(when(col("p_value") <= col("bh_thresh"),
+            col("rk"))).over(wAll))
+          .select(col("test_id"), col("n_g").as("n"), col("z"),
+            col("p_value"), col("rk"), col("bh_thresh"),
+            (col("rk") <= coalesce(col("kstar"), lit(0))).as("discovered"))
+          .orderBy(col("rk"))
+      },
+      oracle = Some {
+        def welch(momCte: String) = s"""
+          SELECT test_id, n_g,
+            round((CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE)
+              - CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+              / sqrt(
+                ((CAST(sxx_g AS DOUBLE) - CAST(sx_g AS DOUBLE)
+                  * CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                  / (CAST(n_g AS DOUBLE) - 1.0)) / CAST(n_g AS DOUBLE)
+                + ((CAST(sxx_r AS DOUBLE) - CAST(sx_r AS DOUBLE)
+                  * CAST(sx_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                  / (CAST(n_r AS DOUBLE) - 1.0)) / CAST(n_r AS DOUBLE)), 6)
+              AS z
+          FROM (
+            SELECT test_id, n_g, sx_g, sxx_g, nt - n_g AS n_r,
+              CAST(sxt - sx_g AS DECIMAL(24,2)) AS sx_r,
+              CAST(sxxt - sxx_g AS DECIMAL(34,4)) AS sxx_r
+            FROM $momCte CROSS JOIN (
+              SELECT CAST(sum(n_g) AS BIGINT) AS nt,
+                CAST(sum(sx_g) AS DECIMAL(24,2)) AS sxt,
+                CAST(sum(sxx_g) AS DECIMAL(34,4)) AS sxxt
+              FROM $momCte))
+          WHERE n_g > 1 AND n_r > 1"""
+        s"""
+        WITH mb AS (
+          SELECT 'brand:' || p_brand AS test_id, count(*) AS n_g,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2)))
+              AS DECIMAL(20,2)) AS sx_g,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2))
+              * CAST(l_extendedprice AS DECIMAL(19,2)))
+              AS DECIMAL(30,4)) AS sxx_g
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1),
+        ml AS (
+          SELECT 'lines:' || CAST(nl AS VARCHAR) AS test_id,
+            count(*) AS n_g,
+            CAST(sum(CAST(orev AS DECIMAL(19,2)))
+              AS DECIMAL(20,2)) AS sx_g,
+            CAST(sum(CAST(orev AS DECIMAL(19,2))
+              * CAST(orev AS DECIMAL(19,2)))
+              AS DECIMAL(30,4)) AS sxx_g
+          FROM (
+            SELECT l_orderkey, count(*) AS nl,
+              ${sqlMsum("l_extendedprice")} AS orev
+            FROM lineitem GROUP BY 1) lc
+          GROUP BY 1),
+        tested AS (${welch("mb")} UNION ALL ${welch("ml")}),
+        pvals AS (
+          SELECT test_id, n_g, z,
+            round(${Hypothesis.sqlNormalTwoSidedP("z")}, 10) AS p_value
+          FROM tested),
+        ranked AS (
+          SELECT test_id, n_g, z, p_value,
+            row_number() OVER (ORDER BY p_value, test_id) AS rk,
+            count(*) OVER () AS m_tests
+          FROM pvals),
+        thresh AS (
+          SELECT *,
+            round(CAST(rk AS DOUBLE) * 0.05 / CAST(m_tests AS DOUBLE), 10)
+              AS bh_thresh
+          FROM ranked),
+        kstar AS (
+          SELECT *, max(CASE WHEN p_value <= bh_thresh THEN rk END)
+            OVER () AS ks
+          FROM thresh)
+        SELECT test_id, n_g AS n, z, p_value, rk, bh_thresh,
+          rk <= coalesce(ks, 0) AS discovered
+        FROM kstar ORDER BY rk"""
+      }),
+
+    "q235_quantile_treatment_effect" -> Q(
+      // Quantile treatment effects: urgent vs non-urgent order values
+      // compared at each decile, q_A(p) − q_B(p) — the effect PROFILE a
+      // single mean difference (q112) flattens; distributional shifts
+      // live in the tails. Both arms' exact type-7 deciles come from
+      // ONE conditional aggregation (percentile over the arm-masked
+      // value — NULLs skipped on both engines), exploded to one row
+      // per decile.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .withColumn("arm", col("o_orderpriority") === "1-URGENT")
+        val decs = (1 to 9).map(_ / 10.0)
+        val aggs =
+          decs.map(p => expr(
+            s"percentile(CASE WHEN arm THEN o_totalprice END, ${p}D)")
+            .as(s"qa_${(p * 10).toInt}")) ++
+          decs.map(p => expr(
+            s"percentile(CASE WHEN NOT arm THEN o_totalprice END, ${p}D)")
+            .as(s"qb_${(p * 10).toInt}"))
+        val m = o.agg(aggs.head, aggs.tail: _*)
+        val rows = decs.map { p =>
+          val i = (p * 10).toInt
+          struct(lit(p).as("p"), col(s"qa_$i").as("q_urgent"),
+            col(s"qb_$i").as("q_rest"),
+            round(col(s"qa_$i") - col(s"qb_$i"), 6).as("qte"))
+        }
+        m.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.p").as("p"), col("r.q_urgent").as("q_urgent"),
+            col("r.q_rest").as("q_rest"), col("r.qte").as("qte"))
+          .orderBy(col("p"))
+      },
+      oracle = Some {
+        val branches = (1 to 9).map { i =>
+          val p = i / 10.0
+          s"""SELECT CAST($p AS DOUBLE) AS p,
+            quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice END, $p) AS q_urgent,
+            quantile_cont(CASE WHEN NOT (o_orderpriority = '1-URGENT')
+              THEN o_totalprice END, $p) AS q_rest,
+            round(quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice END, $p)
+              - quantile_cont(CASE WHEN NOT (o_orderpriority = '1-URGENT')
+                THEN o_totalprice END, $p), 6) AS qte
+          FROM orders"""
+        }
+        branches.mkString("", "\nUNION ALL\n", "\nORDER BY p")
+      }),
+
+    "q236_string_agg_battery" -> Q(
+      // Ordered string aggregation battery — the engine-contract rows
+      // for text rollups, where "works" and "deterministic" diverge
+      // fastest: collect order is partitioning-dependent, so every
+      // concatenation here is forced through an explicit sort
+      // (sort_array / ORDER BY inside the aggregate). Per priority:
+      // sorted distinct statuses, status:count pairs, top-3 order keys
+      // by key — all strings built from integers and categorical
+      // codes (never floats: float→string formatting is NOT an
+      // engine-portable operation).
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val sc = o.groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("c"))
+        val statuses = sc.groupBy(col("prio"))
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("st"))))
+              .as("statuses_sorted"),
+            concat_ws(",", sort_array(collect_list(
+              concat(col("st"), lit(":"), col("c").cast("string")))))
+              .as("status_counts"))
+        val topk = o.groupBy(col("o_orderpriority").as("prio"))
+          .agg(concat_ws(",", slice(reverse(sort_array(
+            collect_list(col("o_orderkey")))), 1, 3).cast("array<string>"))
+            .as("top3_keys"))
+        statuses.join(topk, "prio").orderBy(col("prio"))
+      },
+      oracle = Some("""
+        WITH sc AS (
+          SELECT o_orderpriority AS prio, o_orderstatus AS st,
+            count(*) AS c
+          FROM orders GROUP BY 1, 2),
+        statuses AS (
+          SELECT prio,
+            string_agg(st, ',' ORDER BY st) AS statuses_sorted,
+            string_agg(st || ':' || CAST(c AS VARCHAR), ','
+              ORDER BY st || ':' || CAST(c AS VARCHAR)) AS status_counts
+          FROM sc GROUP BY 1),
+        topk AS (
+          -- ORDER BY the BIGINT key, not its string form: lexicographic
+          -- string order diverges from numeric once digit counts differ
+          SELECT prio, string_agg(CAST(k AS VARCHAR), ','
+            ORDER BY k DESC) AS top3_keys
+          FROM (
+            SELECT o_orderpriority AS prio, o_orderkey AS k,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_orderkey DESC) AS rn
+            FROM orders)
+          WHERE rn <= 3
+          GROUP BY 1)
+        SELECT prio, statuses_sorted, status_counts, top3_keys
+        FROM statuses JOIN topk USING (prio)
+        ORDER BY prio""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

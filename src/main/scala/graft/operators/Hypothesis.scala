@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Stable.dec
@@ -157,6 +157,31 @@ object Hypothesis {
         CASE WHEN ($ssb) + ($ssw) > 0.0
           THEN round(($ssb) / (($ssb) + ($ssw)), 6) END AS eta_sq
       FROM anova_s)"""
+  }
+
+  /** Two-sided normal p-value for a z statistic, P(|Z| ≥ |z|) =
+    * erfc(|z|/√2), via the Abramowitz-Stegun 7.1.26 rational
+    * approximation (|error| ≤ 1.5·10⁻⁷ — ample for thresholding at
+    * conventional α, and stated openly rather than pretending a libm
+    * erfc both engines would disagree on). Every op is a fixed-shape
+    * IEEE double expression (one exp, one division chain), identical
+    * cross-engine; extreme z underflows to exactly 0.0 in both. */
+  def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) / lit(1.4142135623730951)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t
+      + lit(1.421413741)) * t + lit(-0.284496736)) * t
+      + lit(0.254829592)) * t
+    poly * exp(-x * x)
+  }
+
+  /** DuckDB mirror of [[normalTwoSidedP]] for a z expression. */
+  def sqlNormalTwoSidedP(zSql: String): String = {
+    val x = s"(abs($zSql) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    val poly = s"(((((1.061405429 * $t + -1.453152027) * $t " +
+      s"+ 1.421413741) * $t + -0.284496736) * $t + 0.254829592) * $t)"
+    s"($poly * exp(-$x * $x))"
   }
 
   /** Mann-Whitney U (Wilcoxon rank-sum) between rows where `flagCol` is
