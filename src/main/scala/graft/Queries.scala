@@ -9164,6 +9164,272 @@ object Queries {
         FROM statuses JOIN topk USING (prio)
         ORDER BY prio""")),
 
+    "q237_absorbing_markov" -> Q(
+      // P(reach 'purchase' within 8 transitions | current state), from
+      // the session Markov chain (q107's transition counts) with
+      // purchase absorbing — the forward-looking number a transition
+      // matrix only implies: which states are 8 steps from money.
+      // Session-end mass simply drops (no next event ⇒ no conversion),
+      // so probabilities are conservative by construction. The value
+      // iteration h ← P·h runs on the BOUNDED 5-state frame, each
+      // per-state dot product's terms snapped at 8 into exact-decimal
+      // sums; 8 unrolled rounds oracle-checked exactly.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"),
+            to_date(col("ts")).as("d"))
+          .orderBy(col("ts"), col("event_id"))
+        val steps = ev
+          .withColumn("nxt", lead(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"), to_date(col("ts")))
+              .orderBy(col("ts"), col("event_id"))))
+          .filter(col("nxt").isNotNull)
+        val trans = steps.groupBy(col("event_type").as("i"),
+            col("nxt").as("j"))
+          .agg(count(lit(1)).as("c"))
+        val outc = trans.groupBy(col("i")).agg(sum(col("c")).as("ci"))
+        val p = trans.join(outc, "i")
+          .withColumn("p", col("c").cast("double") / col("ci").cast("double"))
+          .select(col("i"), col("j"), col("p"))
+          .localCheckpoint(true)
+        val states = p.select(col("i").as("st")).distinct()
+          .unionByName(p.select(col("j").as("st")).distinct()).distinct()
+        var h = states.withColumn("h",
+          when(col("st") === "purchase", lit(1.0)).otherwise(lit(0.0)))
+        var t = 0
+        while (t < 8) {
+          h = states.join(
+            p.join(h, col("j") === col("st"))
+              .groupBy(col("i"))
+              .agg(round(sum(round(col("p") * col("h"), 8)
+                .cast("decimal(20,8)")), 8).cast("double").as("hs")),
+            col("st") === col("i"), "left")
+            .select(col("st"),
+              when(col("st") === "purchase", lit(1.0))
+                .otherwise(coalesce(col("hs"), lit(0.0))).as("h"))
+            .localCheckpoint(true)
+          t += 1
+        }
+        h.select(col("st").as("state"), col("h").as("p_reach_8"))
+          .orderBy(col("state"))
+      },
+      oracle = Some {
+        val rounds = (1 to 8).map { t =>
+          s"""h$t AS MATERIALIZED (
+          SELECT s.st,
+            CASE WHEN s.st = 'purchase' THEN 1.0
+              ELSE coalesce(hs.v, 0.0) END AS h
+          FROM states s LEFT JOIN (
+            SELECT p.i AS st,
+              CAST(round(sum(CAST(round(p.p * h.h, 8)
+                AS DECIMAL(20,8))), 8) AS DOUBLE) AS v
+            FROM p JOIN h${t - 1} h ON p.j = h.st
+            GROUP BY 1) hs ON hs.st = s.st)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH steps AS (
+          SELECT event_type AS i,
+            lead(event_type, 1) OVER (
+              PARTITION BY user_id, CAST(ts AS DATE)
+              ORDER BY ts, event_id) AS j
+          FROM events),
+        trans AS (
+          SELECT i, j, count(*) AS c FROM steps
+          WHERE j IS NOT NULL GROUP BY 1, 2),
+        outc AS (SELECT i, CAST(sum(c) AS BIGINT) AS ci FROM trans GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT t.i, t.j, CAST(t.c AS DOUBLE) / CAST(o.ci AS DOUBLE) AS p
+          FROM trans t JOIN outc o USING (i)),
+        states AS MATERIALIZED (
+          SELECT DISTINCT st FROM (
+            SELECT i AS st FROM p UNION SELECT j FROM p)),
+        h0 AS (
+          SELECT st, CASE WHEN st = 'purchase' THEN 1.0 ELSE 0.0 END AS h
+          FROM states),
+        $rounds
+        SELECT st AS state, h AS p_reach_8 FROM h8 ORDER BY state"""
+      }),
+
+    "q238_dispersion_audit" -> Q(
+      // Overdispersion audit of daily event counts per type: the
+      // variance-to-mean ratio (index of dispersion) with its normal
+      // z — the "is this Poisson or bursty" gate that decides whether
+      // a count model (or a rate alert threshold) is even valid.
+      // Counts are exact; sample variance comes from exact integer
+      // moments; D and z are fixed-shape doubles.
+      build = (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("y"))
+        val m = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("n_days").cast("double")
+        val mean = col("sy").cast("double") / nD
+        val varS = (col("syy").cast("double")
+          - col("sy").cast("double") * col("sy").cast("double") / nD)
+          ./(nD - lit(1.0))
+        val disp = varS / mean
+        m.select(col("event_type"), col("n_days"),
+            round(mean, 6).as("mean_daily"),
+            round(disp, 6).as("dispersion_index"),
+            round((disp - lit(1.0)) * sqrt((nD - lit(1.0)) / lit(2.0)), 6)
+              .as("z_overdispersion"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, count(*) AS n_days,
+            CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily GROUP BY 1)
+        SELECT event_type, n_days,
+          round(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+            AS mean_daily,
+          round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+              * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) - 1.0))
+            / (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+            AS dispersion_index,
+          round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+              * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+            / (CAST(n_days AS DOUBLE) - 1.0))
+            / (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) - 1.0)
+            * sqrt((CAST(n_days AS DOUBLE) - 1.0) / 2.0), 6)
+            AS z_overdispersion
+        FROM m ORDER BY event_type""")),
+
+    "q239_fd_audit" -> Q(
+      // Functional-dependency discovery battery (Metanome-style data
+      // profiling): for each candidate det→dep, how many determinant
+      // values map to MORE than one dependent value — schema
+      // assumptions checked against the data instead of trusted.
+      // p_partkey→p_brand must hold (key determines attribute);
+      // l_orderkey→l_suppkey must fail (orders span suppliers). One
+      // keyed aggregation per candidate; all counts exact.
+      build = (s, dir) => {
+        def fd(df: DataFrame, name: String, det: String,
+            dep: String): DataFrame =
+          df.groupBy(col(det))
+            .agg(countDistinct(col(dep)).as("nd"))
+            .agg(lit(name).as("candidate"),
+              count(lit(1)).as("n_det"),
+              sum((col("nd") > 1).cast("long")).as("n_violating"),
+              max(col("nd")).as("max_dep"),
+              (max(col("nd")) === 1).as("holds"))
+        val li = table(s, dir, "lineitem")
+        fd(table(s, dir, "part"), "part.p_partkey->p_brand",
+            "p_partkey", "p_brand")
+          .unionByName(fd(li, "lineitem.l_orderkey->l_suppkey",
+            "l_orderkey", "l_suppkey"))
+          .unionByName(fd(li, "lineitem.l_partkey->l_suppkey",
+            "l_partkey", "l_suppkey"))
+          .unionByName(fd(table(s, dir, "orders"),
+            "orders.o_custkey->o_orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .unionByName(fd(table(s, dir, "customer"),
+            "customer.c_custkey->c_mktsegment",
+            "c_custkey", "c_mktsegment"))
+          .orderBy(col("candidate"))
+      },
+      oracle = Some {
+        def fd(tbl: String, name: String, det: String, dep: String) =
+          s"""SELECT '$name' AS candidate, count(*) AS n_det,
+            CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_violating,
+            max(nd) AS max_dep, max(nd) = 1 AS holds
+          FROM (SELECT $det, count(DISTINCT $dep) AS nd
+                FROM $tbl GROUP BY 1)"""
+        Seq(
+          fd("part", "part.p_partkey->p_brand", "p_partkey", "p_brand"),
+          fd("lineitem", "lineitem.l_orderkey->l_suppkey",
+            "l_orderkey", "l_suppkey"),
+          fd("lineitem", "lineitem.l_partkey->l_suppkey",
+            "l_partkey", "l_suppkey"),
+          fd("orders", "orders.o_custkey->o_orderpriority",
+            "o_custkey", "o_orderpriority"),
+          fd("customer", "customer.c_custkey->c_mktsegment",
+            "c_custkey", "c_mktsegment"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+      }),
+
+    "q240_paired_ttest" -> Q(
+      // Paired t-test on year-over-year monthly brand revenue (1997 vs
+      // 1998, same brand-month pairs): pairing removes the between-
+      // brand variance a two-sample test (q112) would drown in. The
+      // differences are exact decimals from msum'd cells; t and its
+      // A-S p-value are fixed-shape doubles over exact moments.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        val pt = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+        val monthly = li.join(broadcast(pt),
+            col("l_partkey") === col("p_partkey"))
+          .filter(year(col("l_shipdate")).isin(1997, 1998))
+          .groupBy(col("p_brand"), month(col("l_shipdate")).as("mn"),
+            year(col("l_shipdate")).as("yr"))
+          .agg(sum(dec(col("l_extendedprice"))).cast("decimal(20,2)")
+            .as("rev"))
+        val pairs = monthly.filter(col("yr") === 1998).as("a")
+          .join(monthly.filter(col("yr") === 1997).as("b"),
+            col("a.p_brand") === col("b.p_brand")
+              && col("a.mn") === col("b.mn"))
+          .select((col("a.rev") - col("b.rev")).cast("decimal(20,2)").as("dv"))
+        val m = pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("dv")).cast("decimal(24,2)").as("sd"),
+          sum(col("dv") * col("dv")).cast("decimal(34,4)").as("sdd"))
+        val nD = col("n_pairs").cast("double")
+        val meanD = col("sd").cast("double") / nD
+        val varD = (col("sdd").cast("double")
+          - col("sd").cast("double") * col("sd").cast("double") / nD)
+          ./(nD - lit(1.0))
+        val tstat = meanD / sqrt(varD / nD)
+        m.select(col("n_pairs"),
+          round(meanD, 4).as("mean_diff"),
+          when(varD > 0.0, round(tstat, 6)).as("t_stat"),
+          when(varD > 0.0, round(Hypothesis.normalTwoSidedP(
+            round(tstat, 6)), 10)).as("p_approx"))
+      },
+      oracle = Some(s"""
+        WITH monthly AS (
+          SELECT p_brand, date_part('month', l_shipdate) AS mn,
+            date_part('year', l_shipdate) AS yr,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2)))
+              AS DECIMAL(20,2)) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE date_part('year', l_shipdate) IN (1997, 1998)
+          GROUP BY 1, 2, 3),
+        pairs AS (
+          SELECT CAST(a.rev - b.rev AS DECIMAL(20,2)) AS dv
+          FROM monthly a JOIN monthly b
+            ON a.p_brand = b.p_brand AND a.mn = b.mn
+          WHERE a.yr = 1998 AND b.yr = 1997),
+        m AS (
+          SELECT count(*) AS n_pairs,
+            CAST(sum(dv) AS DECIMAL(24,2)) AS sd,
+            CAST(sum(dv * dv) AS DECIMAL(34,4)) AS sdd
+          FROM pairs),
+        stat AS (
+          SELECT n_pairs,
+            CAST(sd AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS meand,
+            (CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+              / CAST(n_pairs AS DOUBLE))
+              / (CAST(n_pairs AS DOUBLE) - 1.0) AS vard
+          FROM m)
+        SELECT n_pairs,
+          round(meand, 4) AS mean_diff,
+          CASE WHEN vard > 0.0 THEN
+            round(meand / sqrt(vard / CAST(n_pairs AS DOUBLE)), 6)
+          END AS t_stat,
+          CASE WHEN vard > 0.0 THEN
+            round(${Hypothesis.sqlNormalTwoSidedP(
+              "round(meand / sqrt(vard / CAST(n_pairs AS DOUBLE)), 6)")}, 10)
+          END AS p_approx
+        FROM stat""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
