@@ -9430,6 +9430,122 @@ object Queries {
           END AS p_approx
         FROM stat""")),
 
+    "q241_multiple_regression" -> Q(
+      // Two-feature OLS by normal equations: revenue ~ quantity +
+      // discount, solved in closed form — ONE moment scan, then
+      // Cramer's rule as fixed-shape scalar doubles on the one-row
+      // frame (the multivariate step up from q100's single-regressor
+      // fit; same 100 TB shape as q228's PCA). The near-zero R²
+      // is itself the fixture fact: line price is independent of
+      // quantity here, and the regression SAYS so instead of
+      // hallucinating structure.
+      build = (s, dir) =>
+        Trend.ols2(table(s, dir, "lineitem"),
+          "l_quantity", "l_discount", "l_extendedprice"),
+      oracle = Some(s"""
+        WITH ${Trend.sqlOls2Ctes("lineitem", "l_quantity", "l_discount",
+          "l_extendedprice")}
+        SELECT n, beta0, beta1, beta2, r2 FROM ols2""")),
+
+    "q242_kmeans_elbow" -> Q(
+      // Model selection for q231: the k sweep (k = 2..6, 3 rounds
+      // each) with total WCSS per k — the elbow curve that picks k.
+      // WCSS is monotonically non-increasing in k on the same data;
+      // each fit is the same deterministic Lloyd loop, so the whole
+      // curve is oracle-exact. (Five fits = five scan-sets; the sweep
+      // is a DIAGNOSTIC run, not a per-query cost.)
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .withColumn("price_k", col("l_extendedprice") / lit(1000.0))
+        (2 to 6).map { k =>
+          KMeans.fit2d(li, "l_quantity", "price_k", k = k, iters = 3)
+            .agg(lit(k).as("k"),
+              sum(col("n_points")).as("n_points"),
+              round(sum(col("wcss").cast("decimal(24,4)")), 4)
+                .cast("double").as("total_wcss"))
+        }.reduce(_ unionByName _).orderBy(col("k"))
+      },
+      oracle = Some {
+        val branches = (2 to 6).map { k =>
+          s"""SELECT $k AS k, CAST(sum(n_points) AS BIGINT) AS n_points,
+            CAST(round(sum(CAST(wcss AS DECIMAL(24,4))), 4) AS DOUBLE)
+              AS total_wcss
+          FROM (WITH ${KMeans.sqlCtes("lineitem", "l_quantity",
+            "l_extendedprice / 1000.0", k = k, iters = 3, pfx = s"k$k")}
+            SELECT n_points, wcss FROM k$k)"""
+        }
+        branches.mkString("", "\nUNION ALL\n", "\nORDER BY k")
+      }),
+
+    "q243_grubbs_outlier" -> Q(
+      // Grubbs' extreme-deviate statistic per priority on daily
+      // revenue: G = max|y−ȳ|/s plus WHICH day — the single-worst-
+      // point detector that complements q90's bulk MAD gate (MAD finds
+      // populations of outliers; Grubbs indicts one). Moments exact;
+      // the argmax day is picked by a keyed rank window ordered by the
+      // snapped deviation (ties → earliest day).
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val m = daily.groupBy(col("prio"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("rev").cast("decimal(18,2)")).cast("decimal(24,2)")
+              .as("sr"),
+            sum(col("rev").cast("decimal(18,2)")
+              * col("rev").cast("decimal(18,2)")).cast("decimal(34,4)")
+              .as("srr"))
+        val nD = col("n_days").cast("double")
+        val mean = col("sr").cast("double") / nD
+        val sd = sqrt((col("srr").cast("double")
+          - col("sr").cast("double") * col("sr").cast("double") / nD)
+          ./(nD - lit(1.0)))
+        val dev = daily.join(m, "prio")
+          .withColumn("absdev", round(abs(col("rev") - mean), 6))
+        val w = Window.partitionBy(col("prio"))
+          .orderBy(col("absdev").desc, col("day").asc)
+        dev.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("prio"), col("n_days"),
+            round(mean, 4).as("mean_rev"),
+            round(sd, 4).as("sd_rev"),
+            col("day").as("worst_day"),
+            round(col("absdev") / sd, 6).as("g_stat"))
+          .orderBy(col("prio"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2),
+        m AS (
+          SELECT prio, count(*) AS n_days,
+            CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sr,
+            CAST(sum(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
+              AS DECIMAL(34,4)) AS srr
+          FROM daily GROUP BY 1),
+        dev AS (
+          SELECT d.prio, d.day, m.n_days,
+            CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+            sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+              * CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+              / (CAST(n_days AS DOUBLE) - 1.0)) AS sd,
+            round(abs(d.rev - CAST(sr AS DOUBLE)
+              / CAST(n_days AS DOUBLE)), 6) AS absdev
+          FROM daily d JOIN m USING (prio)),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY prio
+            ORDER BY absdev DESC, day) AS rk
+          FROM dev)
+        SELECT prio, n_days,
+          round(mean, 4) AS mean_rev,
+          round(sd, 4) AS sd_rev,
+          day AS worst_day,
+          round(absdev / sd, 6) AS g_stat
+        FROM ranked WHERE rk = 1
+        ORDER BY prio""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used

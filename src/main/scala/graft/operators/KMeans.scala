@@ -99,11 +99,11 @@ object KMeans {
       .orderBy(col("cluster"))
   }
 
-  /** DuckDB mirror of [[fit2d]] over `tbl`: emits CTEs ending in `km`
+  /** DuckDB mirror of [[fit2d]] over `tbl`: emits CTEs (prefixed `pfx`, default `km`) ending in `$pfx`
     * (cluster, n_points, cx, cy, wcss). `xSql`/`ySql` are the coordinate
     * expressions. */
   def sqlCtes(tbl: String, xSql: String, ySql: String, k: Int,
-      iters: Int): String = {
+      iters: Int, pfx: String = "km"): String = {
     val ks = 0 until k
     val distCols = ks.map { j =>
       s"(p.x - c.cx_$j) * (p.x - c.cx_$j) + (p.y - c.cy_$j) * (p.y - c.cy_$j) AS d_$j"
@@ -112,23 +112,23 @@ object KMeans {
     val caseE = "CASE " +
       ks.map(j => s"WHEN d_$j = dmin THEN $j").mkString(" ") + " END"
     val sb = new StringBuilder
-    sb.append(s"""km_pts AS (
+    sb.append(s"""${pfx}_pts AS (
       SELECT CAST($xSql AS DOUBLE) AS x, CAST($ySql AS DOUBLE) AS y
       FROM $tbl
       WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL),
-    km_b AS (
+    ${pfx}_b AS (
       SELECT min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
-      FROM km_pts),
-    km_c0 AS MATERIALIZED (
+      FROM ${pfx}_pts),
+    ${pfx}_c0 AS MATERIALIZED (
       SELECT ${ks.flatMap { j =>
         val f = s"CAST(${2 * j + 1} AS DOUBLE) / CAST(${2 * k} AS DOUBLE)"
         Seq(s"xmin + $f * (xmax - xmin) AS cx_$j",
           s"ymin + $f * (ymax - ymin) AS cy_$j")
       }.mkString(",\n        ")}
-      FROM km_b)""")
+      FROM ${pfx}_b)""")
     for (t <- 1 to iters) {
       sb.append(s""",
-    km_a$t AS (
+    ${pfx}_a$t AS (
       SELECT x, y, dmin, $caseE AS cluster
       FROM (
         SELECT x, y, ${ks.map(j => s"d_$j").mkString(", ")},
@@ -136,8 +136,8 @@ object KMeans {
         FROM (
           SELECT p.x, p.y,
           $distCols
-          FROM km_pts p CROSS JOIN km_c${t - 1} c))),
-    km_c$t AS MATERIALIZED (
+          FROM ${pfx}_pts p CROSS JOIN ${pfx}_c${t - 1} c))),
+    ${pfx}_c$t AS MATERIALIZED (
       SELECT ${ks.flatMap { j =>
         Seq(s"""CASE WHEN u.n_$j > 0
             THEN round(CAST(u.sx_$j AS DOUBLE) / CAST(u.n_$j AS DOUBLE), 6)
@@ -152,10 +152,10 @@ object KMeans {
           s"sum(CASE WHEN cluster = $j THEN CAST(x AS DECIMAL(18,6)) END) AS sx_$j",
           s"sum(CASE WHEN cluster = $j THEN CAST(y AS DECIMAL(18,6)) END) AS sy_$j")
       }.mkString(",\n          ")}
-        FROM km_a$t) u CROSS JOIN km_c${t - 1} c)""")
+        FROM ${pfx}_a$t) u CROSS JOIN ${pfx}_c${t - 1} c)""")
     }
     sb.append(s""",
-    km_af AS (
+    ${pfx}_af AS (
       SELECT x, y, dmin, $caseE AS cluster
       FROM (
         SELECT x, y, ${ks.map(j => s"d_$j").mkString(", ")},
@@ -163,8 +163,8 @@ object KMeans {
         FROM (
           SELECT p.x, p.y,
           $distCols
-          FROM km_pts p CROSS JOIN km_c$iters c))),
-    km AS (
+          FROM ${pfx}_pts p CROSS JOIN ${pfx}_c$iters c))),
+    $pfx AS (
       SELECT a.cluster, count(*) AS n_points,
         max(${ks.foldLeft("CAST(NULL AS DOUBLE)") { (acc, j) =>
           s"CASE WHEN a.cluster = $j THEN c.cx_$j ELSE $acc END" }}) AS cx,
@@ -172,7 +172,7 @@ object KMeans {
           s"CASE WHEN a.cluster = $j THEN c.cy_$j ELSE $acc END" }}) AS cy,
         CAST(round(sum(CAST(round(a.dmin, 6) AS DECIMAL(20,6))), 4)
           AS DOUBLE) AS wcss
-      FROM km_af a CROSS JOIN km_c$iters c
+      FROM ${pfx}_af a CROSS JOIN ${pfx}_c$iters c
       GROUP BY 1)""")
     sb.toString
   }

@@ -503,6 +503,102 @@ object Trend {
     sb.toString
   }
 
+  /** Two-feature multiple linear regression by normal equations —
+    * closed-form OLS the way it scales: ONE pass accumulates the ten
+    * exact-decimal moments (n, ΣX, ΣXᵀX, ΣXᵀy, Σy²), then the 3×3
+    * system solves by Cramer's rule in fixed-shape scalar doubles on
+    * the one-row frame. No gradient steps, no data-sized float sums.
+    * Coefficients snapped at 8, R² at 6; a singular design (collinear
+    * or constant features, |det| = 0) yields NULLs, not a silent
+    * answer. */
+  def ols2(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String): DataFrame = {
+    val x1 = dec(col(x1Col))
+    val x2 = dec(col(x2Col))
+    val y = dec(col(yCol))
+    val m = df
+      .filter(col(x1Col).isNotNull && col(x2Col).isNotNull
+        && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).cast("decimal(20,2)").as("s1"),
+        sum(x2).cast("decimal(20,2)").as("s2"),
+        sum(y).cast("decimal(20,2)").as("sy"),
+        sum(x1 * x1).cast("decimal(30,4)").as("s11"),
+        sum(x2 * x2).cast("decimal(30,4)").as("s22"),
+        sum(x1 * x2).cast("decimal(30,4)").as("s12"),
+        sum(x1 * y).cast("decimal(30,4)").as("s1y"),
+        sum(x2 * y).cast("decimal(30,4)").as("s2y"),
+        sum(y * y).cast("decimal(30,4)").as("syy"))
+    def D(c: String) = col(c).cast("double")
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+        f: Column, g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val (n, s1, s2, sy) = (D("n"), D("s1"), D("s2"), D("sy"))
+    val (s11, s22, s12) = (D("s11"), D("s22"), D("s12"))
+    val (s1y, s2y, syy) = (D("s1y"), D("s2y"), D("syy"))
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val b0 = d0 / dd
+    val b1 = d1 / dd
+    val b2 = d2 / dd
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    m.select(col("n"),
+      when(dd =!= 0.0, round(b0, 8)).as("beta0"),
+      when(dd =!= 0.0, round(b1, 8)).as("beta1"),
+      when(dd =!= 0.0, round(b2, 8)).as("beta2"),
+      when(dd =!= 0.0 && sst > 0.0, round(lit(1.0) - sse / sst, 6))
+        .as("r2"))
+  }
+
+  /** DuckDB mirror of [[ols2]] over `tbl`: emits CTEs ending in `ols2`
+    * (n, beta0, beta1, beta2, r2). */
+  def sqlOls2Ctes(tbl: String, x1Sql: String, x2Sql: String,
+      ySql: String): String = {
+    def x(c: String) = s"CAST($c AS DECIMAL(19,2))"
+    def D(c: String) = s"CAST($c AS DOUBLE)"
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): String =
+      s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) " +
+        s"+ $c * ($d * $h - $e * $g))"
+    val (n, s1, s2, sy) = (D("n"), D("s1"), D("s2"), D("sy"))
+    val (s11, s22, s12) = (D("s11"), D("s22"), D("s12"))
+    val (s1y, s2y, syy) = (D("s1y"), D("s2y"), D("syy"))
+    val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val d0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val d1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val d2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val b0 = s"(($d0) / ($dd))"
+    val b1 = s"(($d1) / ($dd))"
+    val b2 = s"(($d2) / ($dd))"
+    val sse = s"($syy - $b0 * $sy - $b1 * $s1y - $b2 * $s2y)"
+    val sst = s"($syy - $sy * $sy / $n)"
+    s"""ols2_m AS (
+      SELECT count(*) AS n,
+        CAST(sum(${x(x1Sql)}) AS DECIMAL(20,2)) AS s1,
+        CAST(sum(${x(x2Sql)}) AS DECIMAL(20,2)) AS s2,
+        CAST(sum(${x(ySql)}) AS DECIMAL(20,2)) AS sy,
+        CAST(sum(${x(x1Sql)} * ${x(x1Sql)}) AS DECIMAL(30,4)) AS s11,
+        CAST(sum(${x(x2Sql)} * ${x(x2Sql)}) AS DECIMAL(30,4)) AS s22,
+        CAST(sum(${x(x1Sql)} * ${x(x2Sql)}) AS DECIMAL(30,4)) AS s12,
+        CAST(sum(${x(x1Sql)} * ${x(ySql)}) AS DECIMAL(30,4)) AS s1y,
+        CAST(sum(${x(x2Sql)} * ${x(ySql)}) AS DECIMAL(30,4)) AS s2y,
+        CAST(sum(${x(ySql)} * ${x(ySql)}) AS DECIMAL(30,4)) AS syy
+      FROM $tbl
+      WHERE ($x1Sql) IS NOT NULL AND ($x2Sql) IS NOT NULL
+        AND ($ySql) IS NOT NULL),
+    ols2 AS (
+      SELECT n,
+        CASE WHEN ($dd) <> 0.0 THEN round($b0, 8) END AS beta0,
+        CASE WHEN ($dd) <> 0.0 THEN round($b1, 8) END AS beta1,
+        CASE WHEN ($dd) <> 0.0 THEN round($b2, 8) END AS beta2,
+        CASE WHEN ($dd) <> 0.0 AND ($sst) > 0.0
+          THEN round(1.0 - ($sse) / ($sst), 6) END AS r2
+      FROM ols2_m)"""
+  }
+
   /** DuckDB mirror of [[groupedLinearFit]] over `tbl`: emits CTE `ols_g`
     * (g, n, slope, intercept). */
   def sqlFitCtes(tbl: String, gSql: String, xSql: String, ySql: String): String =

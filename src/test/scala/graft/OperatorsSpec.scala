@@ -1264,6 +1264,26 @@ class OperatorsSpec extends SparkSpec {
       .isNullAt(3)) // z_stat
   }
 
+  test("Trend.ols2: recovers an exact plane, NULLs on a singular design") {
+    import spark.implicits._
+    import graft.operators.Trend
+    // y = 2 + 3·x1 − 1·x2 exactly -> betas recovered, R² = 1
+    val pts = for { x1 <- 0 to 3; x2 <- 0 to 3 }
+      yield (x1.toDouble, x2.toDouble, 2.0 + 3.0 * x1 - x2)
+    val r = Trend.ols2(pts.toDF("x1", "x2", "y"), "x1", "x2", "y").head()
+    assert(r.getAs[Long]("n") == 16L)
+    assert(math.abs(r.getAs[Double]("beta0") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta1") - 3.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta2") + 1.0) < 1e-6)
+    assert(r.getAs[Double]("r2") == 1.0)
+    // collinear design (x2 = 2·x1): determinant 0 -> all NULL, no crash
+    val sing = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 7.0), (3.0, 6.0, 9.0))
+      .toDF("x1", "x2", "y")
+    val rs = Trend.ols2(sing, "x1", "x2", "y").head()
+    assert(rs.isNullAt(rs.fieldIndex("beta1")))
+    assert(rs.isNullAt(rs.fieldIndex("r2")))
+  }
+
   test("KMeans.fit2d: two separated blobs resolve exactly, wcss hand-checked") {
     import spark.implicits._
     import graft.operators.KMeans
