@@ -9546,6 +9546,192 @@ object Queries {
         FROM ranked WHERE rk = 1
         ORDER BY prio""")),
 
+    "q244_capture_recapture" -> Q(
+      // Chapman capture-recapture estimate of the active purchasing
+      // population from two adjacent DAILY samples — the ecology
+      // estimator answering "how many buyers exist that neither day
+      // saw": N̂ = (n₁+1)(n₂+1)/(m+1) − 1 per day pair, from exact
+      // distinct-user sets (one keyed self-join of the bounded
+      // day-user frame; a day's purchasers are a random ~40% sample
+      // here, so the overlap genuinely varies). First 10 adjacent-day
+      // pairs. (An md5-text variant across sources is the obvious
+      // corpus twin — this fixture has ZERO exact cross-source
+      // duplicates, so days are the honest capture unit.)
+      build = (s, dir) => {
+        val pu = table(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val sizes = pu.groupBy(col("d")).agg(count(lit(1)).as("n"))
+        val common = pu.as("x").join(pu.as("y"),
+            col("x.user_id") === col("y.user_id")
+              && col("y.d") === date_add(col("x.d"), 1))
+          .groupBy(col("x.d").as("d1")).agg(count(lit(1)).as("m"))
+        common
+          .join(sizes.select(col("d").as("d1"), col("n").as("n1")), "d1")
+          .join(sizes.select(date_sub(col("d"), 1).as("d1"),
+            col("n").as("n2")), "d1")
+          .withColumn("n_hat", round(
+            (col("n1") + 1).cast("double") * (col("n2") + 1).cast("double")
+              / (col("m") + 1).cast("double") - lit(1.0), 4))
+          .select(col("d1").as("day"), col("n1"), col("n2"), col("m"),
+            col("n_hat"))
+          .orderBy(col("day"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH pu AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+          FROM events WHERE event_type = 'purchase'),
+        sizes AS (SELECT d, count(*) AS n FROM pu GROUP BY 1),
+        common AS (
+          SELECT x.d AS d1, count(*) AS m
+          FROM pu x JOIN pu y
+            ON x.user_id = y.user_id AND y.d = x.d + 1
+          GROUP BY 1)
+        SELECT c.d1 AS day, a.n AS n1, b.n AS n2, m,
+          round(CAST(a.n + 1 AS DOUBLE) * CAST(b.n + 1 AS DOUBLE)
+            / CAST(m + 1 AS DOUBLE) - 1.0, 4) AS n_hat
+        FROM common c
+        JOIN sizes a ON a.d = c.d1
+        JOIN sizes b ON b.d - 1 = c.d1
+        ORDER BY day LIMIT 10""")),
+
+    "q245_mcnemar" -> Q(
+      // McNemar's paired test: did per-user big-purchase behavior
+      // CHANGE between the first and second half of the observation
+      // window? The paired-binary sibling of q240 — only the
+      // DISCORDANT users (b converted early only, c late only) carry
+      // information; χ² = (b−c)²/(b+c), 1-dof p via the A-S erfc of
+      // √χ². Counts exact from one two-flag aggregation per user.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        // midpoint in DAY arithmetic — a to_timestamp/epoch split would
+        // drag session-timezone semantics into the oracle compare
+        val mid = ev.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))")
+            .as("dmid"))
+        val per = ev.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "purchase"
+              && col("value") >= 150
+              && to_date(col("ts")) <= col("dmid"), 1L).otherwise(0L))
+              .as("early"),
+            max(when(col("event_type") === "purchase"
+              && col("value") >= 150
+              && to_date(col("ts")) > col("dmid"), 1L).otherwise(0L))
+              .as("late"))
+        val m = per.agg(count(lit(1)).as("n_users"),
+          sum(when(col("early") === 1 && col("late") === 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("early") === 0 && col("late") === 1, 1L)
+            .otherwise(0L)).as("c"))
+        val bD = col("b").cast("double")
+        val cD = col("c").cast("double")
+        val chi2 = (bD - cD) * (bD - cD) / (bD + cD)
+        m.select(col("n_users"), col("b"), col("c"),
+          when(col("b") + col("c") > 0, round(chi2, 6)).as("chi2"),
+          when(col("b") + col("c") > 0, round(
+            Hypothesis.normalTwoSidedP(sqrt(round(chi2, 6))), 10))
+            .as("p_approx"))
+      },
+      oracle = Some(s"""
+        WITH mid AS (
+          SELECT min(CAST(ts AS DATE))
+            + CAST(date_diff('day', min(CAST(ts AS DATE)),
+                max(CAST(ts AS DATE))) // 2 AS INTEGER) AS dmid
+          FROM events),
+        per AS (
+          SELECT user_id,
+            max(CASE WHEN event_type = 'purchase' AND value >= 150
+              AND CAST(ts AS DATE) <= dmid THEN 1 ELSE 0 END) AS early,
+            max(CASE WHEN event_type = 'purchase' AND value >= 150
+              AND CAST(ts AS DATE) > dmid THEN 1 ELSE 0 END) AS late
+          FROM events CROSS JOIN mid
+          GROUP BY 1),
+        m AS (
+          SELECT count(*) AS n_users,
+            CAST(sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+            CAST(sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c
+          FROM per)
+        SELECT n_users, b, c,
+          CASE WHEN b + c > 0 THEN
+            round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+              * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+              / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6) END AS chi2,
+          CASE WHEN b + c > 0 THEN
+            round(${Hypothesis.sqlNormalTwoSidedP(
+              """sqrt(round((CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+              * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+              / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)), 6))""")}, 10)
+          END AS p_approx
+        FROM m""")),
+
+    "q246_gains_table" -> Q(
+      // Cumulative-gains / lift table: score users by click volume,
+      // outcome = big purchase; decile by score (deterministic ties →
+      // user id) and report per-decile capture, cumulative capture and
+      // lift — the business-facing evaluation panel beside q95's AUC
+      // (AUC says the score RANKS; the gains table says what the top
+      // 10% BUYS). Counts exact; rates fixed-shape.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val per = ev.groupBy(col("user_id"))
+          .agg(sum((col("event_type") === "click").cast("long"))
+            .as("score"),
+            max(when(col("event_type") === "purchase"
+              && col("value") >= 150, 1L).otherwise(0L)).as("pos"))
+        val dec = per.withColumn("decile", ntile(10).over(
+          Window.orderBy(col("score").desc, col("user_id").asc)))
+        val g = dec.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
+        val tot = g.agg(sum(col("n_users")).as("nt"),
+          sum(col("n_pos")).as("pt"))
+        val wCum = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.crossJoin(broadcast(tot))
+          .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+          .select(col("decile"), col("n_users"), col("n_pos"),
+            round(col("cum_pos").cast("double")
+              / col("pt").cast("double"), 6).as("cum_capture"),
+            round((col("n_pos").cast("double")
+                / col("n_users").cast("double"))
+              / (col("pt").cast("double") / col("nt").cast("double")), 6)
+              .as("lift"))
+          .orderBy(col("decile"))
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS score,
+            max(CASE WHEN event_type = 'purchase' AND value >= 150
+              THEN 1 ELSE 0 END) AS pos
+          FROM events GROUP BY 1),
+        dec AS (
+          SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id)
+            AS decile
+          FROM per),
+        g AS (
+          SELECT decile, count(*) AS n_users,
+            CAST(sum(pos) AS BIGINT) AS n_pos
+          FROM dec GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_users) AS BIGINT) AS nt,
+            CAST(sum(n_pos) AS BIGINT) AS pt
+          FROM g)
+        SELECT decile, n_users, n_pos,
+          round(CAST(sum(n_pos) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(pt AS DOUBLE), 6) AS cum_capture,
+          round((CAST(n_pos AS DOUBLE) / CAST(n_users AS DOUBLE))
+            / (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS lift
+        FROM g CROSS JOIN tot
+        ORDER BY decile""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
