@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Structural audits of the PHYSICAL plans the catalog produces — the
+  * scale contract made executable. Correctness gates prove the numbers;
+  * these prove the SHAPE that survives a 1000-executor cluster: filters
+  * reaching the parquet scan, projections pruning the read schema,
+  * dimensions broadcast, and — catalog-wide — no unpartitioned
+  * Cartesian product ever slipping in (the one operator that cannot be
+  * saved by more machines).
+  */
+class PlanSpec extends SparkSpec {
+
+  // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+  // root whose children only materialize at execution, so collect()
+  // would see nothing
+  private def plan(name: String) =
+    Queries.queries(name)(spark, sf()).queryExecution.sparkPlan
+
+  test("q03: filter is pushed into the parquet scan, schema is pruned") {
+    val scans = plan("q03_filtered_revenue").collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val li = scans.find(_.metadata.get("Location").exists(
+      _.contains("lineitem"))).getOrElse(scans.head)
+    val pushed = li.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed != "[]", s"no pushed filters on the lineitem scan: $pushed")
+    // the scan must NOT read all 11 lineitem columns for this projection
+    assert(li.requiredSchema.fields.length < 11,
+      s"unpruned read schema: ${li.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q02: star-schema dimensions join via broadcast, not shuffle") {
+    val p = plan("q02_revenue_by_nation").toString
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the nation/region dimensions to broadcast")
+  }
+
+  test("catalog-wide: no unpartitioned CartesianProduct in any query plan") {
+    // BroadcastNestedLoopJoin over a broadcast one-row frame is the
+    // catalog's deliberate scalar-distribution idiom and is fine; a
+    // CartesianProductExec (both sides partitioned, full n×m) is the
+    // shape that can never be saved by more executors. Streaming
+    // queries execute on build (bounded runs), so they are exercised by
+    // their own gate instead of planned here.
+    val skip = Set("q74_stream_upsert", "q75_stream_sessions",
+      "q76_stream_hourly", "q78_stream_attribution", "q79_stream_dedup",
+      "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
+      "q201_stream_debounce")
+    val offenders = Queries.all.map(_._1).filterNot(skip).flatMap { name =>
+      val cartesians = plan(name).collect {
+        case c: CartesianProductExec => c
+      }
+      if (cartesians.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct found in: ${offenders.mkString(", ")}")
+  }
+}
