@@ -9732,6 +9732,161 @@ object Queries {
         FROM g CROSS JOIN tot
         ORDER BY decile""")),
 
+    "q247_retention_halflife" -> Q(
+      // Exponential decay fit of each cohort's retention curve:
+      // ln(retention) ~ week_offset per cohort (offsets ≥ 1, the
+      // offset-0 self-cell is tautologically 100%), half-life =
+      // −ln 2 / slope — the single number that makes cohort curves
+      // comparable (q106 shows the triangle; this says how FAST each
+      // cohort decays). Exact-moment continuous fit (fitContinuousXY)
+      // over the bounded triangle; cohorts with non-negative slope
+      // report NULL half-life rather than a fabricated one.
+      build = (s, dir) => {
+        val tri = Cohorts.weeklyRetention(table(s, dir, "events"),
+            "user_id", "ts")
+          .filter(col("week_offset") >= 1 && col("retention_pct") > 0)
+          .withColumn("lnr", log(col("retention_pct") / lit(100.0)))
+        Trend.fitContinuousXY(tri, Seq("cohort_week"),
+            "week_offset", "lnr")
+          .withColumn("half_life_weeks",
+            when(col("slope") < 0,
+              round(lit(-0.6931471805599453) / col("slope"), 4)))
+          .select(col("cohort_week"), col("n"), col("slope"),
+            col("half_life_weeks"))
+          .orderBy(col("cohort_week"))
+      },
+      oracle = Some(s"""
+        WITH ${Cohorts.sqlCtes("SELECT user_id AS u, ts FROM events")},
+        lnr_src AS (
+          SELECT cohort_week AS g, week_offset AS x,
+            ln(retention_pct / 100.0) AS y
+          FROM cohort_ret
+          WHERE week_offset >= 1 AND retention_pct > 0),
+        ${Trend.sqlFitContinuousCtes("lnr_src", "g", "x", "y")}
+        SELECT g AS cohort_week, n, slope,
+          CASE WHEN slope < 0
+            THEN round(-0.6931471805599453 / slope, 4) END
+            AS half_life_weeks
+        FROM fit_g ORDER BY cohort_week""")),
+
+    "q248_seasonal_decomposition" -> Q(
+      // Classical multiplicative decomposition of daily revenue:
+      // centered 7-day moving-average trend (full windows only, exact
+      // decimal), detrended ratios, ISO-day-of-week seasonal indices,
+      // and the remainder's spread per weekday — q126 shows the DOW
+      // profile; this separates trend from season and reports what
+      // noise is LEFT. Ratios snapped at 8 into davg-style sums.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).cast("decimal(20,2)").as("rev"))
+          .withColumn("dayn", unix_date(col("day")))
+        val trended = daily.as("a").join(daily.as("b"),
+            col("b.dayn") >= col("a.dayn") - 3
+              && col("b.dayn") <= col("a.dayn") + 3)
+          .groupBy(col("a.day").as("day"), col("a.rev").as("rev"))
+          .agg(count(lit(1)).as("w"),
+            sum(col("b.rev")).cast("decimal(24,2)").as("srev"))
+          .filter(col("w") === 7)
+          .withColumn("trend",
+            col("srev").cast("double") / lit(7.0))
+          .withColumn("ratio",
+            round(col("rev").cast("double") / col("trend"), 8))
+        val dow = trended
+          .withColumn("isodow", weekday(col("day")) + 1)
+          .groupBy(col("isodow"))
+          .agg(count(lit(1)).as("n_days"),
+            (round(sum(col("ratio").cast("decimal(14,8)")), 6)
+              .cast("double") / count(lit(1))).as("seasonal_index"),
+            round(sum((col("ratio") * col("ratio")).cast("decimal(20,8)")), 6)
+              .cast("double").as("srr"))
+        dow.select(col("isodow"), col("n_days"),
+            round(col("seasonal_index"), 6).as("seasonal_index"),
+            round(sqrt(col("srr") / col("n_days").cast("double")
+              - col("seasonal_index") * col("seasonal_index")), 6)
+              .as("remainder_rms"))
+          .orderBy(col("isodow"))
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(19,2)))
+              AS DECIMAL(20,2)) AS rev,
+            date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS dayn
+          FROM orders GROUP BY 1),
+        trended AS (
+          SELECT a.day, a.rev, count(*) AS w,
+            CAST(sum(b.rev) AS DECIMAL(24,2)) AS srev
+          FROM daily a JOIN daily b
+            ON b.dayn >= a.dayn - 3 AND b.dayn <= a.dayn + 3
+          GROUP BY 1, 2
+          HAVING count(*) = 7),
+        ratios AS (
+          SELECT day,
+            round(CAST(rev AS DOUBLE)
+              / (CAST(srev AS DOUBLE) / 7.0), 8) AS ratio
+          FROM trended),
+        dow AS (
+          SELECT isodow(day) AS isodow, count(*) AS n_days,
+            CAST(round(sum(CAST(ratio AS DECIMAL(14,8))), 6) AS DOUBLE)
+              / count(*) AS seasonal_index,
+            CAST(round(sum(CAST(ratio * ratio AS DECIMAL(20,8))), 6)
+              AS DOUBLE) AS srr
+          FROM ratios GROUP BY 1)
+        SELECT isodow, n_days,
+          round(seasonal_index, 6) AS seasonal_index,
+          round(sqrt(srr / CAST(n_days AS DOUBLE)
+            - seasonal_index * seasonal_index), 6) AS remainder_rms
+        FROM dow ORDER BY isodow""")),
+
+    "q249_srm_check" -> Q(
+      // Sample-ratio-mismatch guardrail: does the 50/50 hash split
+      // actually LAND 50/50 on users? The pre-test every experiment
+      // platform runs before reading any metric — an SRM means the
+      // assignment itself is broken and every downstream number is
+      // garbage. Exact counts, binomial normal z against p=0.5, A-S
+      // p-value; the flag trips at the conventional p < 0.001.
+      build = (s, dir) => {
+        val users = table(s, dir, "events")
+          .select(col("user_id")).distinct()
+        val arms = Sampling.hashSplit(users, "user_id", valBuckets = 50)
+        val m = arms.agg(count(lit(1)).as("n_users"),
+          sum((col("split") === "val").cast("long")).as("n_a"))
+        val nD = col("n_users").cast("double")
+        val z = (col("n_a").cast("double") - nD / 2.0)
+          ./(sqrt(nD * lit(0.25)))
+        m.select(col("n_users"), col("n_a"),
+            (col("n_users") - col("n_a")).as("n_b"),
+            round(col("n_a").cast("double") / nD, 6).as("ratio_a"),
+            round(z, 6).as("z_stat"),
+            round(Hypothesis.normalTwoSidedP(round(z, 6)), 10)
+              .as("p_value"))
+          .withColumn("srm_detected", col("p_value") < 0.001)
+      },
+      oracle = Some(s"""
+        WITH users AS (SELECT DISTINCT user_id FROM events),
+        arms AS (
+          SELECT user_id,
+            ${Sampling.sqlHashBucket("user_id", 100)} < 50 AS in_a
+          FROM users),
+        m AS (
+          SELECT count(*) AS n_users,
+            CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+          FROM arms),
+        stat AS (
+          SELECT n_users, n_a, n_users - n_a AS n_b,
+            round(CAST(n_a AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+              AS ratio_a,
+            round((CAST(n_a AS DOUBLE) - CAST(n_users AS DOUBLE) / 2.0)
+              / sqrt(CAST(n_users AS DOUBLE) * 0.25), 6) AS z_stat
+          FROM m)
+        SELECT n_users, n_a, n_b, ratio_a, z_stat,
+          round(${Hypothesis.sqlNormalTwoSidedP("z_stat")}, 10) AS p_value,
+          round(${Hypothesis.sqlNormalTwoSidedP("z_stat")}, 10) < 0.001
+            AS srm_detected
+        FROM stat""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
