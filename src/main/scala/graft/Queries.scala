@@ -9887,6 +9887,178 @@ object Queries {
             AS srm_detected
         FROM stat""")),
 
+    "q250_median_of_means" -> Q(
+      // Median-of-means: the heavy-tail-robust mean estimator that
+      // scales — 32 deterministic hash buckets (the portable md5
+      // bucketing, so bucket membership is layout-independent), exact
+      // per-bucket means, type-7 median across the bounded bucket
+      // frame. Printed beside the plain mean: on well-behaved data
+      // they agree to ~0.5%, and the gap widening IS the heavy-tail
+      // alarm. Per-bucket sums are exact decimal; one extra shuffle
+      // over the plain mean, both on the bucket key.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .withColumn("bkt", Sampling.hashBucket(
+            col("l_orderkey") * 10 + col("l_linenumber"), 32))
+        val perBucket = li.groupBy(col("bkt"))
+          .agg(count(lit(1)).as("nb"),
+            sum(dec(col("l_extendedprice"))).cast("decimal(20,2)").as("sb"))
+          .withColumn("bmean",
+            round(col("sb").cast("double") / col("nb").cast("double"), 6))
+        perBucket.agg(
+          sum(col("nb")).as("n"),
+          count(lit(1)).as("n_buckets"),
+          round(sum(col("sb")).cast("decimal(24,2)").cast("double")
+            / sum(col("nb")).cast("double"), 6).as("plain_mean"),
+          expr("percentile(bmean, 0.5D)").as("median_of_means"))
+      },
+      oracle = Some(s"""
+        WITH b AS (
+          SELECT ${Sampling.sqlHashBucket(
+            "l_orderkey * 10 + l_linenumber", 32)} AS bkt,
+            count(*) AS nb,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(19,2)))
+              AS DECIMAL(20,2)) AS sb
+          FROM lineitem GROUP BY 1),
+        bm AS (
+          SELECT bkt, nb, sb,
+            round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS bmean
+          FROM b)
+        SELECT CAST(sum(nb) AS BIGINT) AS n,
+          count(*) AS n_buckets,
+          round(CAST(CAST(sum(sb) AS DECIMAL(24,2)) AS DOUBLE)
+            / CAST(sum(nb) AS DOUBLE), 6) AS plain_mean,
+          quantile_cont(bmean, 0.5) AS median_of_means
+        FROM bm""")),
+
+    "q251_not_in_trap" -> Q(
+      // The NOT IN null trap, as an engine-contract battery: with a
+      // single NULL in the subquery's result, `NOT IN` returns ZERO
+      // rows (three-valued logic — x <> NULL is never TRUE), while
+      // NOT EXISTS and the anti-join return the honest complement.
+      // One row per formulation over the same probe: customers not
+      // appearing in a key set that CONTAINS a NULL. The battery
+      // exists so the 3-am pipeline debug session doesn't have to
+      // rediscover ANSI semantics.
+      build = (s, dir) => {
+        val c = table(s, dir, "customer")
+        c.createOrReplaceTempView("q251_cust")
+        table(s, dir, "orders")
+          .select(when(col("o_orderkey") % 97 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("k"))
+          .createOrReplaceTempView("q251_keys")
+        val ss = s
+        import ss.implicits._
+        val notIn = ss.sql("""SELECT count(*) AS n FROM q251_cust
+          WHERE c_custkey NOT IN (SELECT k FROM q251_keys)""")
+          .select(lit("1_not_in").as("formulation"), col("n"))
+        val notExists = ss.sql("""SELECT count(*) AS n FROM q251_cust c
+          WHERE NOT EXISTS (SELECT 1 FROM q251_keys p WHERE p.k = c.c_custkey)""")
+          .select(lit("2_not_exists").as("formulation"), col("n"))
+        val anti = c.join(
+            ss.table("q251_keys"), col("c_custkey") === col("k"),
+            "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("3_anti_join").as("formulation"), col("n"))
+        notIn.unionByName(notExists).unionByName(anti)
+          .orderBy(col("formulation"))
+      },
+      oracle = Some("""
+        WITH probe AS (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+            ELSE o_custkey END AS k
+          FROM orders)
+        SELECT '1_not_in' AS formulation,
+          (SELECT count(*) FROM customer
+           WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n
+        UNION ALL
+        SELECT '2_not_exists',
+          (SELECT count(*) FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM probe p
+                             WHERE p.k = c.c_custkey))
+        UNION ALL
+        SELECT '3_anti_join',
+          (SELECT count(*) FROM customer c
+           LEFT JOIN (SELECT DISTINCT k FROM probe WHERE k IS NOT NULL) p
+             ON c.c_custkey = p.k
+           WHERE p.k IS NULL)
+        ORDER BY formulation""")),
+
+    "q252_design_effect" -> Q(
+      // Stratification design effect: Var(mean) under simple random
+      // sampling vs proportional-allocation stratified sampling over
+      // the priority strata — how much variance stratifying actually
+      // buys ON THIS DATA (the empirical follow-up to q183's Neyman
+      // allocation). deff = Σ(Nh/N)·s²h / s²overall; all variances
+      // from exact decimal moments, one scan.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val strata = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("nh"),
+            sum(dec(col("o_totalprice"))).cast("decimal(24,2)").as("sh"),
+            sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+              .cast("decimal(34,4)").as("shh"))
+        def varOf(n: Column, sx: Column, sxx: Column) =
+          (sxx.cast("double") - sx.cast("double") * sx.cast("double")
+            / n.cast("double")) / (n.cast("double") - lit(1.0))
+        val withVar = strata.withColumn("s2h",
+          varOf(col("nh"), col("sh"), col("shh")))
+        // the ANOVA lesson: snap the SCALE-FREE s2h via floor(x·1e4+0.5)
+        // (pure IEEE, engine-portable), then everything cross-stratum is
+        // exact decimal — a double→DECIMAL cast at nh·s2h magnitude
+        // would hit the >2^53/1e4 divergence cliff
+        val tot = withVar
+          .withColumn("b_h", col("nh").cast("decimal(14,0)")
+            * floor(col("s2h") * lit(1e4) + lit(0.5)).cast("decimal(20,0)"))
+          .agg(
+            sum(col("nh")).as("n"),
+            count(lit(1)).as("n_strata"),
+            sum(col("sh")).cast("decimal(28,2)").as("st"),
+            sum(col("shh")).cast("decimal(38,4)").as("stt"),
+            sum(col("b_h")).cast("decimal(38,0)").as("b_all"))
+        val s2all = varOf(col("n"), col("st"), col("stt"))
+        val varWithin = (col("b_all").cast("double") / lit(1e4))
+          ./(col("n").cast("double"))
+        tot.select(col("n"), col("n_strata"),
+          round(s2all, 4).as("var_overall"),
+          round(varWithin, 4).as("var_within_weighted"),
+          round(varWithin / s2all, 8).as("design_effect"))
+      },
+      oracle = Some("""
+        WITH strata AS (
+          SELECT o_orderpriority, count(*) AS nh,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(19,2)))
+              AS DECIMAL(24,2)) AS sh,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(19,2))
+              * CAST(o_totalprice AS DECIMAL(19,2)))
+              AS DECIMAL(34,4)) AS shh
+          FROM orders GROUP BY 1),
+        wv AS (
+          SELECT *,
+            (CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
+              / CAST(nh AS DOUBLE)) / (CAST(nh AS DOUBLE) - 1.0) AS s2h
+          FROM strata),
+        tot AS (
+          SELECT CAST(sum(nh) AS BIGINT) AS n,
+            count(*) AS n_strata,
+            CAST(sum(sh) AS DECIMAL(28,2)) AS st,
+            CAST(sum(shh) AS DECIMAL(38,4)) AS stt,
+            CAST(sum(CAST(nh AS DECIMAL(14,0))
+              * CAST(floor(s2h * 1e4 + 0.5) AS DECIMAL(20,0)))
+              AS DECIMAL(38,0)) AS b_all
+          FROM wv)
+        SELECT n, n_strata,
+          round((CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+            * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1.0), 4) AS var_overall,
+          round(CAST(b_all AS DOUBLE) / 1e4 / CAST(n AS DOUBLE), 4)
+            AS var_within_weighted,
+          round((CAST(b_all AS DOUBLE) / 1e4 / CAST(n AS DOUBLE))
+            / ((CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+              * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0)), 8) AS design_effect
+        FROM tot""")),
+
   )
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
