@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount, TopKAgg}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -65,7 +65,12 @@ object GraftFunctions {
     ("graft_damerau_levenshtein",
       info("graft_damerau_levenshtein",
         "graft_damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance"),
-      { case Seq(a, b) => DamerauLevenshtein(a, b) }: Builder))
+      { case Seq(a, b) => DamerauLevenshtein(a, b) }: Builder),
+    ("graft_topk",
+      info("graft_topk",
+        "graft_topk(ord, key, k) - bounded-heap top-k aggregate: k largest " +
+          "(ord, key) pairs per group, ord desc / key asc, O(k) state"),
+      { case Seq(o, ky, kk) => TopKAgg(o, ky, kk) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -10059,7 +10059,93 @@ object Queries {
               / (CAST(n AS DOUBLE) - 1.0)), 8) AS design_effect
         FROM tot""")),
 
+    "q253_topk_native" -> Q(
+      // Native TypedImperativeAggregate top-k (functions/TopKAggregate
+      // .scala): top-3 orders by price per priority as a HASH AGGREGATE,
+      // not a window. The window form shuffles+sorts every order; the
+      // aggregate's partial step caps each map task at k rows per group,
+      // so the shuffle carries k·partitions·groups heap entries — the
+      // difference between a skewed full sort and a normal partial agg
+      // at 100 TB. Ordinates pass through VERBATIM (no arithmetic), so
+      // the window oracle matches bit-for-bit; ties break toward the
+      // smaller key on both sides, which is what makes the aggregate
+      // partitioning-independent and therefore oracle-checkable at all.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        o.groupBy(col("o_orderpriority"))
+          .agg(expr(
+            "graft_topk(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey AS BIGINT), 3)")
+            .as("tk"))
+          .select(col("o_orderpriority"), posexplode(col("tk")))
+          .select(col("o_orderpriority"),
+            (col("pos") + 1).cast("long").as("rnk"),
+            col("col.key").as("o_orderkey"),
+            col("col.ord").as("price"))
+          .orderBy("o_orderpriority", "rnk")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT o_orderpriority, o_orderkey,
+            CAST(o_totalprice AS DOUBLE) AS price,
+            row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY CAST(o_totalprice AS DOUBLE) DESC, o_orderkey) AS rnk
+          FROM orders)
+        SELECT o_orderpriority, rnk, o_orderkey, price
+        FROM r WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk""")),
+
+    "q254_greedy_coverage" -> Q(
+      // Greedy maximum-coverage selection (operators/Coverage.scala) —
+      // the submodular curation loop of training-set construction: six
+      // rounds, each picking the document whose distinct word-3-gram set
+      // covers the most still-uncovered shingles (ties -> smallest id).
+      // Spark counts xxhash64 shingle KEYS where the oracle counts the
+      // raw text spans — identical gains unless 64-bit spans collide,
+      // which would fail this gate loudly (the shingleHashRows contract).
+      // The oracle is the unrolled 6-round mirror with every
+      // multi-referenced round CTE MATERIALIZED (the q187/q188 lesson —
+      // inline expansion re-derives the round chain per reference in
+      // both engines).
+      build = (s, dir) => {
+        val d = table(s, dir, "documents")
+        val pairs = NearDup.shingleHashRows(d, "doc_id", "text", 3)
+        Coverage.greedySelect(pairs, "id", "hs", 6).orderBy("round")
+      },
+      oracle = Some(coverageOracle)),
+
   )
+
+  /** q254's oracle: the greedy max-coverage sweep unrolled to 6 rounds.
+    * Generated by loop because each round is the same two CTEs (top-1
+    * winner, then anti-join the winner's shingles out of the remaining
+    * pair frame); every multi-referenced CTE is MATERIALIZED. `lazy` is
+    * load-bearing — referenced from `all`. */
+  private lazy val coverageOracle: String = {
+    val rounds = 6
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    rem0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM toks))"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+    w$r AS MATERIALIZED (
+      SELECT doc_id, count(*) AS g FROM rem${r - 1}
+      GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1)"""
+      if (r < rounds) sb ++= s""",
+    rem$r AS MATERIALIZED (
+      SELECT a.doc_id, a.s FROM rem${r - 1} a
+      WHERE a.s NOT IN (SELECT b.s FROM rem${r - 1} b JOIN w$r USING (doc_id)))"""
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT $r AS round, doc_id, CAST(g AS BIGINT) AS gain FROM w$r")
+      .mkString("\n    ", "\n    UNION ALL ", "")
+    sb ++= "\n    ORDER BY round"
+    sb.toString
+  }
 
   /** Shared CTE body computing per-document 60-bit simhash sketches (used
     * by the q29/q47 oracles; `lazy` is load-bearing — referenced from

@@ -39,6 +39,14 @@ class PlanSpec extends SparkSpec {
       "expected the nation/region dimensions to broadcast")
   }
 
+  test("q253: native top-k plans as a partial hash aggregate, not a window sort") {
+    val p = plan("q253_topk_native").toString
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_graft_topk"),
+      s"expected a map-side partial graft_topk aggregate:\n$p")
+    assert(!p.contains("Window"),
+      "the native top-k must not fall back to a window sort")
+  }
+
   test("catalog-wide: no unpartitioned CartesianProduct in any query plan") {
     // BroadcastNestedLoopJoin over a broadcast one-row frame is the
     // catalog's deliberate scalar-distribution idiom and is fine; a

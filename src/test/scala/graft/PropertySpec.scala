@@ -408,4 +408,72 @@ class PropertySpec extends SparkSpec {
       assert(kept == (0L to 9L).toSet -- pairs.map(_._2).toSet, s"seed $s")
     }
   }
+
+  test("Coverage.greedySelect matches brute-force greedy on random set systems") {
+    import graft.operators.Coverage
+    val pairsGen = Gen.listOf(Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 19L))).map(_.distinct)
+    (1L to 5L).foreach { s =>
+      val xs = sample(pairsGen.suchThat(_.nonEmpty), s)
+      val got = Coverage.greedySelect(xs.toDF("d", "f"), "d", "f", 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+      // brute force: same greedy, gain = uncovered features, tie -> smallest doc
+      var sets = xs.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSet }
+      val want = scala.collection.mutable.ListBuffer[(Int, Long, Long)]()
+      var covered = Set.empty[Long]
+      var r = 1
+      var stop = false
+      while (r <= 4 && !stop) {
+        val gains = sets.map { case (d, fs) => d -> (fs -- covered).size }
+          .filter(_._2 > 0)
+        if (gains.isEmpty) stop = true
+        else {
+          val (d, g) = gains.toSeq.minBy { case (d2, g2) => (-g2, d2) }
+          want += ((r, d, g.toLong))
+          covered ++= sets(d)
+          sets -= d
+          r += 1
+        }
+      }
+      assert(got == want.toList, s"seed $s")
+    }
+  }
+
+  test("graft_topk equals window top-k under ties and any partitioning") {
+    // Random (group, ord, key) rows with DELIBERATE ord collisions (ords
+    // drawn from 5 values) — the tiebreak (ord desc, key asc) must make
+    // the native heap aggregate partitioning-independent and identical to
+    // the window-function formulation.
+    val rowsGen = Gen.listOf(
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 4).map(_ * 1.5), Gen.choose(0L, 999L)))
+      .map(_.distinctBy(t => (t._1, t._3)))
+    (1L to 5L).foreach { s =>
+      val xs = sample(rowsGen.suchThat(_.nonEmpty), s)
+      (1 to 7 by 3).foreach { parts =>
+        val df = xs.toDF("g", "ord", "key").repartition(parts, col("key"))
+        val got = df.groupBy($"g")
+          .agg(expr("graft_topk(ord, key, 3)").as("tk"))
+          .select($"g", posexplode($"tk"))
+          .select($"g", $"pos", $"col.ord", $"col.key")
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+          .toSet
+        val want = xs.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+          rows.sortBy(t => (-t._2, t._3)).take(3).zipWithIndex.map {
+            case ((_, o, k), i) => (g, i, o, k)
+          }
+        }.toSet
+        assert(got == want, s"seed $s parts $parts")
+      }
+    }
+  }
+
+  test("graft_topk ignores null ordinates and keys") {
+    val df = Seq(
+      (1, Some(5.0), Some(10L)), (1, None, Some(11L)),
+      (1, Some(7.0), None), (1, Some(3.0), Some(12L)))
+      .toDF("g", "ord", "key")
+    val out = df.groupBy($"g").agg(expr("graft_topk(ord, key, 2)").as("tk"))
+      .select(explode($"tk").as("e")).select($"e.ord", $"e.key")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
+    assert(out == List((5.0, 10L), (3.0, 12L)))
+  }
 }
