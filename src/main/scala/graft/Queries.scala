@@ -10113,6 +10113,234 @@ object Queries {
       },
       oracle = Some(coverageOracle)),
 
+    "q255_rollup_battery" -> Q(
+      // Engine-contract battery: ROLLUP with grouping() markers — the
+      // subtotal lattice OLAP cubes are built from. Keys are coalesced to
+      // 'ALL' AFTER aggregation (a rollup NULL is a subtotal marker, not
+      // a data NULL — grouping() is what distinguishes them, which is
+      // exactly what the battery checks). Money sums in exact decimal
+      // (Stable.msum) so subtotal rows equal their children bit-for-bit.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+        li.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+            grouping(col("l_linestatus")).cast("long").as("g_status"),
+            count(lit(1)).as("n"),
+            msum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+          .orderBy("g_flag", "g_status", "flag", "status")
+      },
+      oracle = Some(s"""
+        SELECT coalesce(l_returnflag, 'ALL') AS flag,
+          coalesce(l_linestatus, 'ALL') AS status,
+          CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          count(*) AS n,
+          ${sqlMsum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, flag, status""")),
+
+    "q256_rendezvous_reshard" -> Q(
+      // Rendezvous (highest-random-weight) sharding + the reshard
+      // movement audit: each key's shard is argmax over shards of a
+      // portable arithmetic hash, so growing 10 -> 12 shards moves ONLY
+      // the keys whose new shards win — ~2/12 of the keyspace, vs ~11/12
+      // under mod-N sharding (Thaler & Ravishankar '98; the property
+      // consistent hashing exists for). The argmax is packed as
+      // max(h*100 + shard) over a bounded in-row list — no explode, no
+      // extra shuffle; both engines evaluate the identical integer
+      // expression, so the assignment is exact, not approximate. The
+      // per-(key, shard) weight is the mixed value SQUARED mod p: the
+      // plain linear mix is monotone in the shard index for most keys
+      // (slope 40503241 · 12 ≪ p, so it rarely wraps) and collapsed 64%
+      // of the keyspace onto the last shard — squaring mod p breaks the
+      // monotonicity while staying exact in int64 (p² < 2⁶³).
+      build = (s, dir) => {
+        val c = table(s, dir, "customer")
+          .select(col("c_custkey").cast("long").as("k"))
+        def shardOf(n: Int): Column =
+          (array_max(transform(sequence(lit(0L), lit(n - 1L)),
+            sh => {
+              val mix = (col("k") * lit(2654435761L)
+                + (sh + lit(1L)) * lit(40503241L)) % lit(1000000007L)
+              (mix * mix % lit(1000000007L)) * lit(100L) + sh
+            })) % lit(100L))
+        c.withColumn("shard_old", shardOf(10))
+          .withColumn("shard_new", shardOf(12))
+          .groupBy(col("shard_old"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum((col("shard_new") =!= col("shard_old")).cast("long"))
+              .as("n_moved"))
+          .orderBy("shard_old")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT c_custkey AS k,
+            list_max(list_transform(range(0, 10), sh ->
+              (((k * 2654435761 + (sh + 1) * 40503241) % 1000000007)
+               * ((k * 2654435761 + (sh + 1) * 40503241) % 1000000007)
+               % 1000000007) * 100 + sh)) % 100 AS shard_old,
+            list_max(list_transform(range(0, 12), sh ->
+              (((k * 2654435761 + (sh + 1) * 40503241) % 1000000007)
+               * ((k * 2654435761 + (sh + 1) * 40503241) % 1000000007)
+               % 1000000007) * 100 + sh)) % 100 AS shard_new
+          FROM customer)
+        SELECT shard_old, count(*) AS n_keys,
+          CAST(sum(CASE WHEN shard_new <> shard_old THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved
+        FROM a GROUP BY 1 ORDER BY 1""")),
+
+    "q257_grid_nearest" -> Q(
+      // Grid-blocked nearest neighbor: synthetic (x, y) positions derived
+      // from keys by EXACT integer arithmetic (portable by construction),
+      // 5-degree grid cells, suppliers replicated to their 3x3 cell
+      // neighborhood (the bounded side takes the x9), then a cell
+      // equi-join + per-customer argmin. The scale shape of every spatial
+      // join: candidates come from an equi-join on cell ids, never a
+      // cross product; the search radius is the cell size, so customers
+      // with no supplier in the neighborhood are (correctly, and
+      // deterministically) absent. d2 is the same double expression tree
+      // on both engines — bit-identical, no rounding needed.
+      build = (s, dir) => {
+        def pos(key: Column, mx: Long, my: Long) = (
+          (key * lit(mx) % lit(360000L)).cast("double") / lit(1000.0) - lit(180.0),
+          (key * lit(my) % lit(180000L)).cast("double") / lit(1000.0) - lit(90.0))
+        val (cx, cy) = pos(col("c_custkey").cast("long"), 7919L, 104729L)
+        val cust = table(s, dir, "customer")
+          .select(col("c_custkey"), cx.as("x"), cy.as("y"))
+          .withColumn("gx", floor(col("x") / lit(5.0)))
+          .withColumn("gy", floor(col("y") / lit(5.0)))
+        val (sx, sy) = pos(col("s_suppkey").cast("long"), 7927L, 104717L)
+        val supp = table(s, dir, "supplier")
+          .select(col("s_suppkey"), sx.as("sx"), sy.as("sy"))
+          .withColumn("sgx", floor(col("sx") / lit(5.0)))
+          .withColumn("sgy", floor(col("sy") / lit(5.0)))
+          .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("s_suppkey"), col("sx"), col("sy"),
+            (col("sgx") + col("dx")).as("gx"), (col("sgy") + col("dy")).as("gy"))
+        val cand = cust.join(broadcast(supp), Seq("gx", "gy"))
+          .withColumn("d2",
+            (col("x") - col("sx")) * (col("x") - col("sx"))
+              + (col("y") - col("sy")) * (col("y") - col("sy")))
+        val w = Window.partitionBy(col("c_custkey"))
+          .orderBy(col("d2"), col("s_suppkey"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT c_custkey,
+            CAST(c_custkey * 7919 % 360000 AS DOUBLE) / 1000.0 - 180.0 AS x,
+            CAST(c_custkey * 104729 % 180000 AS DOUBLE) / 1000.0 - 90.0 AS y
+          FROM customer),
+        cg AS (SELECT *, floor(x / 5.0) AS gx, floor(y / 5.0) AS gy FROM c),
+        sp AS (
+          SELECT s_suppkey,
+            CAST(s_suppkey * 7927 % 360000 AS DOUBLE) / 1000.0 - 180.0 AS sx,
+            CAST(s_suppkey * 104717 % 180000 AS DOUBLE) / 1000.0 - 90.0 AS sy
+          FROM supplier),
+        sg AS (
+          SELECT s_suppkey, sx, sy,
+            floor(sx / 5.0) + dx.d AS gx, floor(sy / 5.0) + dy.d AS gy
+          FROM sp
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+          CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+        cand AS (
+          SELECT c_custkey, s_suppkey,
+            (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2,
+            row_number() OVER (PARTITION BY c_custkey
+              ORDER BY (x - sx) * (x - sx) + (y - sy) * (y - sy),
+                s_suppkey) AS rn
+          FROM cg JOIN sg USING (gx, gy))
+        SELECT c_custkey, s_suppkey, d2 FROM cand
+        WHERE rn = 1 ORDER BY c_custkey""")),
+
+    "q258_multiset_ops" -> Q(
+      // Engine-contract battery: the four bag/set operators on frames
+      // WITH duplicates — INTERSECT ALL keeps min(multiplicity),
+      // EXCEPT ALL subtracts multiplicities, the DISTINCT forms collapse
+      // — semantics subtle enough that engines have historically
+      // diverged. Six bounded counts as one row-per-op frame; the
+      // operand frames are (priority, status) projections, duplicated
+      // thousands of times each, so multiplicity arithmetic is actually
+      // exercised.
+      build = (s, dir) => {
+        import s.implicits._
+        val o = table(s, dir, "orders")
+        val a = o.select(col("o_orderpriority"), col("o_orderstatus"))
+        val b = o.filter(col("o_totalprice") > lit(200000.0))
+          .select(col("o_orderpriority"), col("o_orderstatus"))
+        Seq(
+          ("except_all", a.exceptAll(b).count()),
+          ("except_distinct", a.except(b).count()),
+          ("intersect_all", a.intersectAll(b).count()),
+          ("intersect_distinct", a.intersect(b).count()),
+          ("union_all", a.unionAll(b).count()),
+          ("union_distinct", a.union(b).distinct().count()))
+          .toDF("op", "n").orderBy("op")
+      },
+      oracle = Some("""
+        WITH a AS (SELECT o_orderpriority, o_orderstatus FROM orders),
+        b AS (SELECT o_orderpriority, o_orderstatus FROM orders
+              WHERE o_totalprice > 200000.0)
+        SELECT 'except_all' AS op,
+          (SELECT count(*) FROM (FROM a EXCEPT ALL FROM b)) AS n
+        UNION ALL SELECT 'except_distinct',
+          (SELECT count(*) FROM (FROM a EXCEPT FROM b))
+        UNION ALL SELECT 'intersect_all',
+          (SELECT count(*) FROM (FROM a INTERSECT ALL FROM b))
+        UNION ALL SELECT 'intersect_distinct',
+          (SELECT count(*) FROM (FROM a INTERSECT FROM b))
+        UNION ALL SELECT 'union_all',
+          (SELECT count(*) FROM (FROM a UNION ALL FROM b))
+        UNION ALL SELECT 'union_distinct',
+          (SELECT count(*) FROM (FROM a UNION FROM b))
+        ORDER BY op""")),
+
+    "q259_phrase_blocklist" -> Q(
+      // Dictionary phrase matching at scale: a bounded blocklist of
+      // 2-word phrases joins the corpus's word-2-gram rows on xxhash64
+      // keys — one broadcast equi-join for the WHOLE dictionary, instead
+      // of a contains() scan per pattern (the q205 trigram lesson,
+      // multi-pattern form). Occurrences count every span (shingleRowsAll
+      // — not the per-doc distinct), docs count distinct; phrases with
+      // zero hits still appear (left join from the dictionary side) —
+      // the shape of a PII/contamination blocklist audit.
+      build = (s, dir) => {
+        import s.implicits._
+        val d = table(s, dir, "documents")
+        val grams = NearDup.shingleRowsAll(d, "doc_id", "text", 2)
+          .select(col("id"), xxhash64(col("s")).as("hs"))
+        val dict = Seq("table hash", "customer join", "slow key",
+          "big order", "spark window", "dup scan").toDF("phrase")
+          .withColumn("hs", xxhash64(col("phrase")))
+        dict.join(grams, Seq("hs"), "left")
+          .groupBy(col("phrase"))
+          .agg(count(col("id")).as("n_occurrences"),
+            countDistinct(col("id")).as("n_docs"))
+          .orderBy("phrase")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        grams AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+          FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        dict AS (SELECT unnest(['table hash', 'customer join', 'slow key',
+          'big order', 'spark window', 'dup scan']) AS phrase)
+        SELECT phrase,
+          count(doc_id) AS n_occurrences,
+          count(DISTINCT doc_id) AS n_docs
+        FROM dict LEFT JOIN grams ON g = phrase
+        GROUP BY 1 ORDER BY 1""")),
+
   )
 
   /** q254's oracle: the greedy max-coverage sweep unrolled to 6 rounds.
