@@ -10341,6 +10341,215 @@ object Queries {
         FROM dict LEFT JOIN grams ON g = phrase
         GROUP BY 1 ORDER BY 1""")),
 
+    "q260_gap_fill" -> Q(
+      // Calendar densification + forward fill: per-region daily revenue
+      // stretched over the full global day spine (regions x days — a
+      // broadcast of two bounded dimension frames), missing days filled
+      // with the last observed value via last(ignoreNulls) over a
+      // ROWS-unbounded window (DuckDB: last_value IGNORE NULLS). The
+      // fill copies doubles VERBATIM, so exact-decimal day revenues stay
+      // exact through the fill. The time-series densification every
+      // forecasting pipeline runs before modeling.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        val r = table(s, dir, "region")
+        val daily = o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderdate").as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            msum(col("o_totalprice")).as("rev"))
+        val spine = o.agg(min(col("o_orderdate")).as("d0"),
+            max(col("o_orderdate")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val grid = r.select(col("r_name")).crossJoin(broadcast(spine))
+        val w = Window.partitionBy(col("r_name")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("r_name", "day"), "left")
+          .select(col("r_name"), col("day"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            col("rev"))
+          .withColumn("rev_filled", last(col("rev"), ignoreNulls = true).over(w))
+          .withColumn("is_filled", col("rev").isNull.cast("int"))
+          .drop("rev")
+          .orderBy("r_name", "day")
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT r_name, o_orderdate AS day, count(*) AS n_orders,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        spine AS (
+          SELECT unnest(generate_series(
+            (SELECT min(o_orderdate) FROM orders),
+            (SELECT max(o_orderdate) FROM orders),
+            INTERVAL '1 day'))::DATE AS day),
+        grid AS (SELECT r_name, day FROM region CROSS JOIN spine)
+        SELECT g.r_name, g.day,
+          coalesce(d.n_orders, 0) AS n_orders,
+          last_value(d.rev IGNORE NULLS) OVER (
+            PARTITION BY g.r_name ORDER BY g.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled,
+          CAST(d.rev IS NULL AS INT) AS is_filled
+        FROM grid g LEFT JOIN daily d
+          ON g.r_name = d.r_name AND g.day = d.day
+        ORDER BY g.r_name, g.day""")),
+
+    "q261_frame_battery" -> Q(
+      // Engine-contract battery: ROWS vs RANGE cumulative frames on a
+      // DELIBERATELY tied ordering (order date, thousands of peers per
+      // day). RANGE aggregates all peers of the current key together;
+      // ROWS splits them by arbitrary intra-peer order — so the
+      // per-row ROWS cumulative is nondeterministic, but its MIN/MAX
+      // within each peer group are pinned (first/last possible position),
+      // and the RANGE cumulative must equal the ROWS max everywhere.
+      // The battery aggregates per (priority, day) AFTER windowing,
+      // making the contract itself the deterministic output.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val wRows = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wRange = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("day"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_orderpriority"), col("o_orderdate").as("day"))
+          .withColumn("c_rows", count(lit(1)).over(wRows))
+          .withColumn("c_range", count(lit(1)).over(wRange))
+          .groupBy(col("o_orderpriority"), col("day"))
+          .agg(count(lit(1)).as("n"),
+            min(col("c_rows")).as("rows_min"),
+            max(col("c_rows")).as("rows_max"),
+            min(col("c_range")).as("range_min"),
+            max(col("c_range")).as("range_max"))
+          .filter(col("day") < lit("1995-04-01").cast("date"))
+          .orderBy("o_orderpriority", "day")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT o_orderpriority, o_orderdate AS day,
+            count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_rows,
+            count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_range
+          FROM orders)
+        SELECT o_orderpriority, day, count(*) AS n,
+          min(c_rows) AS rows_min, max(c_rows) AS rows_max,
+          min(c_range) AS range_min, max(c_range) AS range_max
+        FROM w
+        GROUP BY 1, 2
+        HAVING day < DATE '1995-04-01'
+        ORDER BY o_orderpriority, day""")),
+
+    "q262_rank_family" -> Q(
+      // Engine-contract battery: the rank family on REAL ties — revenue
+      // bucket as the (coarse, deliberately tied) sort key, so
+      // rank/dense_rank/percent_rank/cume_dist are functions of the key
+      // alone (every peer agrees) while ntile runs over the fully
+      // unique (bucket, day) ordering to pin its uneven-bucket division
+      // contract. percent_rank/cume_dist are integer-ratio doubles —
+      // identical formulas, bit-identical cross-engine.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val daily = o.groupBy(col("o_orderpriority"),
+            col("o_orderdate").as("day"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+          .withColumn("bucket", floor(col("rev") / lit(100000.0)))
+        val wKey = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("bucket"))
+        val wUnique = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("bucket"), col("day"))
+        daily.select(col("o_orderpriority"), col("day"), col("bucket"),
+            rank().over(wKey).cast("long").as("rnk"),
+            dense_rank().over(wKey).cast("long").as("drnk"),
+            percent_rank().over(wKey).as("prnk"),
+            cume_dist().over(wKey).as("cdist"),
+            ntile(7).over(wUnique).cast("long").as("tile"))
+          .filter(col("day") < lit("1995-04-01").cast("date"))
+          .orderBy("o_orderpriority", "day")
+      },
+      oracle = Some(s"""
+        WITH daily AS (
+          SELECT o_orderpriority, o_orderdate AS day,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2),
+        b AS (SELECT *, floor(rev / 100000.0) AS bucket FROM daily)
+        SELECT o_orderpriority, day, bucket,
+          rank() OVER wk AS rnk,
+          dense_rank() OVER wk AS drnk,
+          percent_rank() OVER wk AS prnk,
+          cume_dist() OVER wk AS cdist,
+          CAST(ntile(7) OVER wu AS BIGINT) AS tile
+        FROM b
+        WINDOW wk AS (PARTITION BY o_orderpriority ORDER BY bucket),
+          wu AS (PARTITION BY o_orderpriority ORDER BY bucket, day)
+        QUALIFY day < DATE '1995-04-01'
+        ORDER BY o_orderpriority, day""")),
+
+    "q263_stream_topk" -> Q(
+      // Streaming twin of q253: the native TypedImperativeAggregate
+      // running inside a watermarked streaming aggregation — the
+      // serialized heap IS the state-store row, O(k) per open day. A
+      // day's top-3 spend events emit once the watermark closes it
+      // (final open day pending — q76's convention); the oracle windows
+      // the raw table over the same horizon. Stream end-state ≡ batch,
+      // extended to custom aggregate state.
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.streamedDailyTopK(s, dir, k = 3),
+      oracle = Some("""
+        WITH r AS (
+          SELECT CAST(ts AS DATE) AS day, event_id, value,
+            row_number() OVER (PARTITION BY CAST(ts AS DATE)
+              ORDER BY value DESC, event_id) AS rnk
+          FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
+            AND CAST(ts AS DATE) + INTERVAL '1 day'
+                <= (SELECT max(ts) - INTERVAL '2 hours' FROM events))
+        SELECT day, rnk, event_id, value FROM r
+        WHERE rnk <= 3
+        ORDER BY day, rnk""")),
+
+    "q264_json_roundtrip" -> Q(
+      // JSON round-trip battery: orders serialized with to_json, parsed
+      // back BOTH ways (path extraction via get_json_object, schema
+      // parse via from_json), then aggregated — keys summed exactly,
+      // money through the exact-decimal path. JSON float formatting is
+      // NOT cross-engine portable, so the oracle never sees the JSON
+      // text: it computes the same aggregates from the raw columns, and
+      // equality proves the round trip lost nothing (shortest-repr
+      // double serialization is exact by construction).
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val js = o.select(to_json(struct(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))).as("j"))
+        val parsed = js.select(
+          get_json_object(col("j"), "$.o_orderkey").cast("long").as("k_path"),
+          from_json(col("j"), lit(
+            "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE"))
+            .as("st"))
+          .select(col("k_path"), col("st.o_orderkey").as("k_schema"),
+            col("st.o_orderpriority").as("prio"),
+            col("st.o_totalprice").as("price"))
+        parsed.groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k_path")).as("sum_key_path"),
+            sum(col("k_schema")).as("sum_key_schema"),
+            msum(col("price")).as("sum_price"))
+          .orderBy("prio")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority AS prio, count(*) AS n,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key_path,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_key_schema,
+          ${sqlMsum("o_totalprice")} AS sum_price
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
   )
 
   /** q254's oracle: the greedy max-coverage sweep unrolled to 6 rounds.

@@ -251,4 +251,27 @@ object BoundedRuns {
     runEmitted(spark, dir,
       df => EventStreams.cmsDailyCells(df, "user_id", "ts",
         watermarkDelay), "cmsday-")
+
+  /** Streamed per-day top-k: the native [[graft.functions.TopKAgg]]
+    * bounded-heap aggregate running INSIDE a watermarked streaming
+    * aggregation — its serialized heap is the state-store row, so keyed
+    * state is O(k) per open day regardless of event volume. A day's
+    * top-k is emitted exactly once when the watermark closes it (the
+    * final open day is pending — q76's convention); rows with a NULL
+    * ordinate or key are skipped by the aggregate like any builtin.
+    * Returns (day, rnk, event_id, value), strongest first. */
+  def streamedDailyTopK(spark: SparkSession, dir: String, k: Int = 3,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val emitted = runEmitted(spark, dir,
+      df => df.withWatermark("ts", watermarkDelay)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(expr(s"graft_topk(value, event_id, $k)").as("tk"))
+        .select(col("window.start").cast("date").as("day"), col("tk")),
+      "topkday-")
+    emitted.select(col("day"), posexplode(col("tk")))
+      .select(col("day"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.key").as("event_id"), col("col.ord").as("value"))
+      .orderBy(col("day"), col("rnk"))
+  }
 }
