@@ -10550,7 +10550,164 @@ object Queries {
           ${sqlMsum("o_totalprice")} AS sum_price
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    "q265_order_statistics" -> Q(
+      // Exact order statistics WITHOUT a global sort (operators/
+      // Selection.scala): bucket histogram + one in-bucket refinement
+      // per rank — the selection pattern that replaces ORDER BY ...
+      // OFFSET at scale (a full sort funnels 100 TB through one total
+      // order; this is a hash agg + one ~n/600-row sort). Median, p90
+      // and p99 ranks from integer formulas replicated verbatim in the
+      // oracle, values compared bit-for-bit — exact selection, not an
+      // approximation.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        Selection.orderStatistics(o, "o_totalprice", Seq(
+          ("median", n => (n + 1) / 2),
+          ("p90", n => (9 * n + 9) / 10),
+          ("p99", n => (99 * n + 99) / 100)), 1000.0)
+          .orderBy("stat")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT o_totalprice AS val FROM orders
+                   WHERE o_totalprice IS NOT NULL),
+        r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        cnt AS (SELECT count(*) AS n FROM v)
+        SELECT 'median' AS stat, CAST((n + 1) // 2 AS BIGINT) AS k,
+          (SELECT val FROM r WHERE rn = (SELECT (n + 1) // 2 FROM cnt))
+            AS value FROM cnt
+        UNION ALL
+        SELECT 'p90', CAST((9 * n + 9) // 10 AS BIGINT),
+          (SELECT val FROM r WHERE rn = (SELECT (9 * n + 9) // 10 FROM cnt))
+          FROM cnt
+        UNION ALL
+        SELECT 'p99', CAST((99 * n + 99) // 100 AS BIGINT),
+          (SELECT val FROM r WHERE rn = (SELECT (99 * n + 99) // 100 FROM cnt))
+          FROM cnt
+        ORDER BY stat""")),
+
+    "q266_array_hof_battery" -> Q(
+      // Array higher-order-function battery over the embeddings table's
+      // real float vectors: filter/exists/forall/aggregate/sort_array/
+      // slice against DuckDB's list_* twins. Reductions use the SAME
+      // left-to-right fold on both engines (Spark aggregate starts at
+      // 0.0; the oracle list_reduces over 0.0 prepended) so double sums
+      // are bit-identical, not just close; float→double casts are exact
+      // by IEEE widening.
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val v = transform(col("embedding"), x => x.cast("double"))
+        e.select(col("vec_id"),
+            size(filter(v, x => x > lit(0.0))).as("n_pos"),
+            exists(v, x => x > lit(2.0)).as("any_big"),
+            forall(v, x => abs(x) < lit(10.0)).as("all_small"),
+            aggregate(v, lit(0.0), (acc, x) => acc + abs(x)).as("l1"),
+            element_at(sort_array(v), 1).as("vmin"),
+            aggregate(slice(v, 1, 8), lit(0.0), (acc, x) => acc + x)
+              .as("head8_sum"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+        SELECT vec_id,
+          CAST(len(list_filter(v, x -> x > 0.0)) AS INT) AS n_pos,
+          len(list_filter(v, x -> x > 2.0)) > 0 AS any_big,
+          len(list_filter(v, x -> NOT abs(x) < 10.0)) = 0 AS all_small,
+          list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+            (a, b) -> a + b) AS l1,
+          list_sort(v)[1] AS vmin,
+          list_reduce(list_prepend(0.0, v[1:8]), (a, b) -> a + b)
+            AS head8_sum
+        FROM e ORDER BY vec_id""")),
+
+    "q267_correlated_subqueries" -> Q(
+      // SQL-surface battery through the OTHER front door: spark.sql on
+      // registered views, exercising the correlated-subquery rewrites
+      // (EXISTS / NOT EXISTS → semi/anti join, correlated scalar
+      // subquery → aggregated join) that the DataFrame catalog expresses
+      // as explicit joins everywhere else. The oracle runs the
+      // IDENTICAL ANSI text — parity of the decorrelation itself.
+      build = (s, dir) => {
+        table(s, dir, "customer").createOrReplaceTempView("customer")
+        table(s, dir, "orders").createOrReplaceTempView("orders")
+        table(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql(correlatedBatterySql)
+      },
+      oracle = Some(correlatedBatterySql)),
+
+    "q268_date_battery" -> Q(
+      // Date-function contract battery: date_trunc / last_day /
+      // day-of-week / datediff parity per order month. Conventions
+      // differ across engines (Spark dayofweek is 1=Sunday, DuckDB dow
+      // is 0=Sunday; Spark datediff(end, start), DuckDB
+      // date_diff('day', start, end)) — the battery pins the mapping
+      // rather than assuming it. Ship lag uses lineitem's independent
+      // ship dates (this fixture's l_shipdate is NOT ≥ o_orderdate —
+      // FIXTURES lesson), so the lag histogram has both signs.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val li = table(s, dir, "lineitem")
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+            .as("month_start"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum((col("o_orderdate") === last_day(col("o_orderdate")))
+              .cast("long")).as("n_month_end"),
+            sum((dayofweek(col("o_orderdate")) === lit(1)).cast("long"))
+              .as("n_sunday"),
+            sum(datediff(col("l_shipdate"), col("o_orderdate"))
+              .cast("long")).as("ship_lag_days"),
+            sum((col("l_shipdate") < col("o_orderdate")).cast("long"))
+              .as("n_ship_before_order"))
+          .orderBy("month_start")
+      },
+      oracle = Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          count(*) AS n_lines,
+          CAST(sum(CASE WHEN o_orderdate = last_day(o_orderdate)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+          CAST(sum(CASE WHEN dayofweek(o_orderdate) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sunday,
+          CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+            AS ship_lag_days,
+          CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ship_before_order
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1 ORDER BY 1""")),
+
   )
+
+  /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
+    * temp views; DuckDB on the parquet views) — correlated-subquery
+    * decorrelation parity. The "above nation average" probe compares in
+    * exact decimal (bal·count > sum) instead of against a float avg,
+    * whose last-ulp combine-order difference could flip a boundary row.
+    * `lazy` is load-bearing — referenced from `all`. */
+  private lazy val correlatedBatterySql: String = """
+    SELECT 'exists_urgent' AS op, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'not_exists_big', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    UNION ALL
+    SELECT 'scalar_above_nation_avg', count(*) FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(19,2)) *
+          (SELECT count(*) FROM customer c2
+           WHERE c2.c_nationkey = c.c_nationkey)
+        > (SELECT CAST(sum(CAST(c3.c_acctbal AS DECIMAL(19,2)))
+                  AS DECIMAL(30,2))
+           FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'in_deep_debt_nations', count(*) FROM nation n
+    WHERE n.n_nationkey IN (SELECT c_nationkey FROM customer
+                            WHERE c_acctbal < -900)
+    ORDER BY op"""
 
   /** q254's oracle: the greedy max-coverage sweep unrolled to 6 rounds.
     * Generated by loop because each round is the same two CTEs (top-1
