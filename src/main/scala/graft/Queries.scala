@@ -10677,6 +10677,72 @@ object Queries {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         GROUP BY 1 ORDER BY 1""")),
 
+    "q269_partition_pruning" -> Q(
+      // Hive-style partitioned sink + pruned read-back: orders written
+      // partitionBy(o_orderpriority), re-read with an isin filter that
+      // must prune to 2 of 5 directories AT PLANNING time (PlanSpec
+      // asserts the scan's PartitionFilters — the layout discipline that
+      // turns a 100 TB scan into a 40 TB one before any executor runs).
+      // The correctness row proves the round trip: partition values come
+      // back from directory names, not data pages, and the aggregate
+      // matches the direct oracle bit-for-bit.
+      build = (s, dir) => {
+        val out = "/root/repo/target/graft/part_orders_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("rev"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n,
+          ${sqlMsum("o_totalprice")} AS rev
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        GROUP BY 1 ORDER BY 1""")),
+
+    "q270_schema_evolution" -> Q(
+      // Parquet schema evolution: two generations written with different
+      // schemas (v2 adds o_orderdate), read back as ONE frame with
+      // mergeSchema — old-generation rows surface the new column as
+      // NULL. The lake-operations contract every long-lived dataset
+      // hits; the oracle recomputes the same aggregates from the raw
+      // table, so equality proves the merged read lost and invented
+      // nothing. sum_keys pins row identity, n_with_date pins the NULL
+      // backfill boundary.
+      build = (s, dir) => {
+        val out = "/root/repo/target/graft/evo_orders_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val o = table(s, dir, "orders")
+        o.filter(col("o_orderpriority") === lit("1-URGENT"))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(out + "/v1")
+        o.filter(col("o_orderpriority") === lit("2-HIGH"))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate"))
+          .write.mode("overwrite").parquet(out + "/v2")
+        s.read.option("mergeSchema", "true")
+          .parquet(out + "/v1", out + "/v2")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderdate")).as("n_with_date"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            msum(col("o_totalprice")).as("rev"))
+      },
+      oracle = Some(s"""
+        SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_date,
+          CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+          ${sqlMsum("o_totalprice")} AS rev
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on

@@ -47,6 +47,18 @@ class PlanSpec extends SparkSpec {
       "the native top-k must not fall back to a window sort")
   }
 
+  test("q269: the isin filter prunes hive partitions at planning time") {
+    val df = Queries.queries("q269_partition_pruning")(spark, sf())
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.metadata.get("Location")
+        .exists(_.contains("part_orders_")) => f
+    }
+    assert(scans.nonEmpty, "expected a scan over the partitioned dir")
+    val pf = scans.head.metadata.getOrElse("PartitionFilters", "[]")
+    assert(pf.contains("o_orderpriority"),
+      s"partition filter not pushed to the directory listing: $pf")
+  }
+
   test("catalog-wide: no unpartitioned CartesianProduct in any query plan") {
     // BroadcastNestedLoopJoin over a broadcast one-row frame is the
     // catalog's deliberate scalar-distribution idiom and is fine; a
