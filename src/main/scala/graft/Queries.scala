@@ -8635,7 +8635,8 @@ object Queries {
               AS DECIMAL(20,8))) OVER (ORDER BY dur
                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 8) AS var_haz
           FROM risk WHERE d > 0)
-        SELECT dur AS t_days, n_risk, d, cumhaz, var_haz,
+        SELECT dur AS t_days, CAST(n_risk AS BIGINT) AS n_risk, d,
+          cumhaz, var_haz,
           round(exp(-cumhaz), 8) AS na_surv
         FROM hz ORDER BY t_days""")),
 
@@ -9676,7 +9677,13 @@ object Queries {
       // user id) and report per-decile capture, cumulative capture and
       // lift — the business-facing evaluation panel beside q95's AUC
       // (AUC says the score RANKS; the gains table says what the top
-      // 10% BUYS). Counts exact; rates fixed-shape.
+      // 10% BUYS). Counts exact; rates fixed-shape. Deciles come from
+      // the bucketed distributed rank (PrefixSum.running — the per-user
+      // frame is data-sized, so `ntile(10) OVER (ORDER BY ...)` would be
+      // a single-partition sort of every user at 100 TB) plus the exact
+      // integer ntile formula: with n rows, the first n%10 deciles hold
+      // n div 10 + 1 users, the rest n div 10 — bit-identical to both
+      // engines' ntile on the same total order (score desc, user asc).
       build = (s, dir) => {
         val ev = table(s, dir, "events")
         val per = ev.groupBy(col("user_id"))
@@ -9684,8 +9691,16 @@ object Queries {
             .as("score"),
             max(when(col("event_type") === "purchase"
               && col("value") >= 150, 1L).otherwise(0L)).as("pos"))
-        val dec = per.withColumn("decile", ntile(10).over(
-          Window.orderBy(col("score").desc, col("user_id").asc)))
+        val nRow = per.agg(count(lit(1)).as("nt0"))
+        val dec = PrefixSum.running(per, "score", "user_id", "score",
+            descending = true)
+          .crossJoin(broadcast(nRow))
+          .withColumn("decile", expr("""CAST(CASE
+            WHEN rnk <= (nt0 % 10) * (nt0 div 10 + 1)
+            THEN (rnk - 1) div (nt0 div 10 + 1) + 1
+            ELSE (nt0 % 10)
+              + (rnk - 1 - (nt0 % 10) * (nt0 div 10 + 1)) div (nt0 div 10)
+              + 1 END AS BIGINT)"""))
         val g = dec.groupBy(col("decile"))
           .agg(count(lit(1)).as("n_users"), sum(col("pos")).as("n_pos"))
         val tot = g.agg(sum(col("n_users")).as("nt"),
@@ -10092,7 +10107,8 @@ object Queries {
           FROM orders)
         SELECT o_orderpriority, rnk, o_orderkey, price
         FROM r WHERE rnk <= 3
-        ORDER BY o_orderpriority, rnk""")),
+        ORDER BY o_orderpriority, rnk"""),
+      bench = true),
 
     "q254_greedy_coverage" -> Q(
       // Greedy maximum-coverage selection (operators/Coverage.scala) —
@@ -10111,7 +10127,8 @@ object Queries {
         val pairs = NearDup.shingleHashRows(d, "doc_id", "text", 3)
         Coverage.greedySelect(pairs, "id", "hs", 6).orderBy("round")
       },
-      oracle = Some(coverageOracle)),
+      oracle = Some(coverageOracle),
+      bench = true),
 
     "q255_rollup_battery" -> Q(
       // Engine-contract battery: ROLLUP with grouping() markers — the
@@ -10479,7 +10496,8 @@ object Queries {
           SELECT o_orderpriority, o_orderdate AS day,
             ${sqlMsum("o_totalprice")} AS rev
           FROM orders GROUP BY 1, 2),
-        b AS (SELECT *, floor(rev / 100000.0) AS bucket FROM daily)
+        b AS (SELECT *, CAST(floor(rev / 100000.0) AS BIGINT) AS bucket
+          FROM daily)
         SELECT o_orderpriority, day, bucket,
           rank() OVER wk AS rnk,
           dense_rank() OVER wk AS drnk,
@@ -10583,7 +10601,8 @@ object Queries {
         SELECT 'p99', CAST((99 * n + 99) // 100 AS BIGINT),
           (SELECT val FROM r WHERE rn = (SELECT (99 * n + 99) // 100 FROM cnt))
           FROM cnt
-        ORDER BY stat""")),
+        ORDER BY stat"""),
+      bench = true),
 
     "q266_array_hof_battery" -> Q(
       // Array higher-order-function battery over the embeddings table's
@@ -10742,6 +10761,96 @@ object Queries {
           ${sqlMsum("o_totalprice")} AS rev
         FROM orders
         WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""")),
+
+    "q271_isotonic_calibration" -> Q(
+      // Isotonic (PAV) calibration of click-count scores against the
+      // big-purchase outcome (operators/Isotonic.scala) — the monotone
+      // probability curve behind calibrated ranking scores, computed via
+      // the minimax closed form max_{j≤i} min_{k≥i} mean(j..k) instead
+      // of sequential pooling: one raw-data hash agg to the bounded
+      // distinct-score bin frame, then bounded-frame windows — which is
+      // what makes a classically SEQUENTIAL algorithm both distributed
+      // and oracle-checkable (the identical formula runs in SQL). The
+      // fixture's raw rates are non-monotone in places, so the pooled
+      // iso_rate differs from raw_rate — the operator provably does
+      // work (power-audit lesson).
+      build = (s, dir) => {
+        val per = table(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(sum((col("event_type") === "click").cast("long"))
+            .as("score"),
+            max(when(col("event_type") === "purchase"
+              && col("value") >= 150, 1L).otherwise(0L)).as("pos"))
+        Isotonic.fitBinned(per, "score", "pos").orderBy("score")
+      },
+      oracle = Some(s"""
+        WITH per AS (
+          SELECT user_id,
+            CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS score,
+            max(CASE WHEN event_type = 'purchase' AND value >= 150
+              THEN 1 ELSE 0 END) AS pos
+          FROM events GROUP BY 1),
+        ${Isotonic.sqlCtes("per")}
+        SELECT * FROM iso_out ORDER BY score""")),
+
+    "q272_ols_two_features" -> Q(
+      // Per-returnflag TWO-regressor OLS (Trend.groupedOls2): line
+      // revenue ~ quantity + tax, solved in closed form from the 2×2
+      // normal equations on exact-decimal moments — multiple regression
+      // as ONE hash aggregation (nine exact sums), no iteration, no
+      // second pass; coefficients and R² are combine-order-independent
+      // and hash-checkable. Quantity carries the real signal, tax is
+      // near-noise — so b1 is large, b2 small and R² high-but-<1, all
+      // three visibly data-driven (power audit).
+      build = (s, dir) =>
+        Trend.groupedOls2(table(s, dir, "lineitem"), Seq("l_returnflag"),
+            "l_quantity", "l_tax", "l_extendedprice")
+          .withColumnRenamed("l_returnflag", "flag")
+          .orderBy("flag"),
+      oracle = Some(s"""
+        WITH ${Trend.sqlOls2Ctes("lineitem", "l_returnflag", "l_quantity",
+          "l_tax", "l_extendedprice")}
+        SELECT g AS flag, n, b0, b1, b2, r2 FROM ols2_g ORDER BY flag""")),
+
+    "q273_session_window" -> Q(
+      // Spark's NATIVE session_window in batch mode: per-user sessions
+      // with a 30-minute inactivity gap, straight from the built-in
+      // generator (one keyed shuffle + in-partition merge — the operator
+      // form of q75's streaming sessionization; the batch twin proves
+      // the same semantics against a lag/cumsum oracle). Session end is
+      // last event + gap (Spark's convention; a new session starts when
+      // the gap is ≥ 30 min, mirrored exactly by the oracle's >=).
+      // Timestamps are NTZ-cast on output (the q85 serialization rule).
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        ev.groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_ev"), msum(col("value")).as("val_sum"))
+          .select(col("user_id"),
+            col("sw.start").cast("timestamp_ntz").as("s_start"),
+            col("sw.end").cast("timestamp_ntz").as("s_end"),
+            col("n_ev"), col("val_sum"))
+          .orderBy("user_id", "s_start")
+      },
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT user_id, ts, value,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p
+          FROM events),
+        s AS (
+          SELECT *, CASE WHEN p IS NULL
+              OR ts >= p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM e),
+        g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s)
+        SELECT user_id, min(ts) AS s_start,
+          max(ts) + INTERVAL 30 MINUTE AS s_end,
+          count(*) AS n_ev, ${sqlMsum("value")} AS val_sum
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, s_start""")),
 
   )
 

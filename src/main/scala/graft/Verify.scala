@@ -8,8 +8,13 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names (local iteration only;
     // the driver always runs the full catalog)
+    // "--sql-only": dump oracle_sql.json and exit without running any
+    // query — feeds tools/oracle_lint.py at authoring time (the type
+    // lint needs only the SQL, not the Spark parquet dumps).
+    val sqlOnly = args.length > 2 && args(2) == "--sql-only"
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && !sqlOnly) Some(args(2).split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +50,7 @@ object Verify {
           s"${bad.mkString(",")} — use timestamp_ntz (r5 q85 failure class)")
     }
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !sqlOnly && only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)

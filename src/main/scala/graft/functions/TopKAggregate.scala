@@ -22,9 +22,17 @@ final class TopKHeap(val k: Int) {
   val keys = new Array[Long](k)
   var n = 0
 
-  /** (o1,k1) weaker than (o2,k2): lower ord, or same ord with larger key. */
-  @inline private def weaker(o1: Double, k1: Long, o2: Double, k2: Long): Boolean =
-    o1 < o2 || (o1 == o2 && k1 > k2)
+  /** (o1,k1) weaker than (o2,k2): lower ord, or same ord with larger key.
+    * Ordinates compare via java.lang.Double.compare — the TOTAL order
+    * Spark uses for doubles (NaN greatest, -0.0 < 0.0). Primitive `<`/`==`
+    * return false on any NaN comparison, which would both wedge the heap
+    * (a NaN root permanently rejecting stronger inserts) and hand
+    * sortedIdx a non-transitive comparator (TimSort contract violation).
+    */
+  @inline private def weaker(o1: Double, k1: Long, o2: Double, k2: Long): Boolean = {
+    val c = java.lang.Double.compare(o1, o2)
+    c < 0 || (c == 0 && k1 > k2)
+  }
 
   def insert(o: Double, key: Long): Unit = {
     if (n < k) {
@@ -60,12 +68,12 @@ final class TopKHeap(val k: Int) {
     }
   }
 
-  /** Indices of retained elements sorted strongest-first (ord desc, key asc). */
+  /** Indices of retained elements sorted strongest-first (ord desc, key
+    * asc) — strongest-first is exactly "b weaker than a", so the same
+    * total-order comparator serves both the heap and the output sort. */
   def sortedIdx: Array[Int] = {
     val idx = Array.range(0, n)
-    idx.sortWith { (a, b) =>
-      ords(a) > ords(b) || (ords(a) == ords(b) && keys(a) < keys(b))
-    }
+    idx.sortWith { (a, b) => weaker(ords(b), keys(b), ords(a), keys(a)) }
   }
 }
 

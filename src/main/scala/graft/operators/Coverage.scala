@@ -59,12 +59,17 @@ object Coverage {
         val doc = top(0).getLong(1)
         picks += ((r, doc, gain))
         val winnerFeats = remaining.filter(col("doc") === lit(doc)).select("f")
+        val prev = remaining
         remaining = remaining
           .join(broadcast(winnerFeats), Seq("f"), "left_anti")
           .localCheckpoint()
+        // the new checkpoint has materialized; the prior round's blocks
+        // would otherwise pin executor storage for the session's lifetime
+        prev.unpersist()
         r += 1
       }
     }
+    remaining.unpersist()
     picks.toSeq.toDF("round", "doc_id", "gain")
   }
 }

@@ -42,21 +42,29 @@ object Selection {
       .orderBy(col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val n = hist.map(_._2).sum
-
-    val rows = stats.map { case (name, rankOf) =>
-      val k = rankOf(n)
-      require(k >= 1 && k <= n, s"rank $k outside [1, $n] for $name")
-      // walk the bounded histogram to the bucket holding rank k
-      var cum = 0L
-      var i = 0
-      while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
-      val (bucket, _) = hist(i)
-      val kIn = (k - cum).toInt
-      val value = vals.filter(col("b") === lit(bucket))
-        .orderBy(col("v")).limit(kIn)
-        .agg(max(col("v"))).collect()(0).getDouble(0)
-      (name, k, value)
+    if (n == 0) {
+      vals.unpersist()
+      throw new IllegalArgumentException(
+        s"orderStatistics: no non-null values in column '$valueCol'")
     }
+
+    val rows =
+      try stats.map { case (name, rankOf) =>
+        val k = rankOf(n)
+        require(k >= 1 && k <= n,
+          s"orderStatistics: stat '$name' requests rank $k outside [1, $n]")
+        // walk the bounded histogram to the bucket holding rank k
+        var cum = 0L
+        var i = 0
+        while (cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+        val (bucket, _) = hist(i)
+        val kIn = (k - cum).toInt
+        val value = vals.filter(col("b") === lit(bucket))
+          .orderBy(col("v")).limit(kIn)
+          .agg(max(col("v"))).collect()(0).getDouble(0)
+        (name, k, value)
+      }
+      finally vals.unpersist() // checkpointed blocks outlive the call otherwise
     rows.toDF("stat", "k", "value")
   }
 }

@@ -139,6 +139,114 @@ object Trend {
       FROM fit_m)"""
   }
 
+  /** Per-group TWO-regressor OLS — `y ~ b0 + b1·x1 + b2·x2` solved in
+    * closed form from the 2×2 normal equations on exact-decimal moments
+    * (the multiple-regression step up from [[fitContinuousXY]]; same
+    * scale shape: ONE hash aggregation computing nine exact sums, no
+    * second pass, map-side partials combine exactly).
+    *
+    * With centered second moments S_ab = n·Σab − Σa·Σb:
+    *   det = S11·S22 − S12²,
+    *   b1 = (S1y·S22 − S2y·S12)/det,  b2 = (S2y·S11 − S1y·S12)/det,
+    *   b0 = (Σy − b1·Σx1 − b2·Σx2)/n,
+    *   R² = (b1·S1y + b2·S2y)/Syy.
+    * All moments exact decimal (coordinates snapped to 8 decimals,
+    * |v| < 10^6 — the fitContinuousXY bound); floats only in the final
+    * fixed-shape expressions, so the fit is combine-order-independent
+    * and hash-checkable. Collinear regressors (det = 0) or a constant y
+    * yield NULL coefficients / NULL R² rather than garbage. R² uses the
+    * ROUNDED b1/b2 (8 decimals) — the oracle repeats the identical
+    * rounded expressions, keeping the quotient bit-equal. */
+  def groupedOls2(df: DataFrame, groupCols: Seq[String], x1Col: String,
+      x2Col: String, yCol: String): DataFrame = {
+    val grp = groupCols.map(col)
+    def snap(c: String) = round(col(c), 8).cast("decimal(14,8)")
+    val agg = df
+      .filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+        col(yCol).isNotNull)
+      .select(grp :+ snap(x1Col).as("x1") :+ snap(x2Col).as("x2")
+        :+ snap(yCol).as("y"): _*)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).cast("decimal(24,8)").as("s1"),
+        sum(col("x2")).cast("decimal(24,8)").as("s2"),
+        sum(col("y")).cast("decimal(24,8)").as("sy"),
+        sum(col("x1") * col("x1")).cast("decimal(38,16)").as("s11"),
+        sum(col("x2") * col("x2")).cast("decimal(38,16)").as("s22"),
+        sum(col("x1") * col("x2")).cast("decimal(38,16)").as("s12"),
+        sum(col("x1") * col("y")).cast("decimal(38,16)").as("s1y"),
+        sum(col("x2") * col("y")).cast("decimal(38,16)").as("s2y"),
+        sum(col("y") * col("y")).cast("decimal(38,16)").as("syy"))
+    val nD = col("n").cast("double")
+    def ctr(sab: String, sa: String, sb: String): Column =
+      nD * col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double")
+    val c11 = ctr("s11", "s1", "s1"); val c22 = ctr("s22", "s2", "s2")
+    val c12 = ctr("s12", "s1", "s2"); val c1y = ctr("s1y", "s1", "sy")
+    val c2y = ctr("s2y", "s2", "sy"); val cyy = ctr("syy", "sy", "sy")
+    val det = c11 * c22 - c12 * c12
+    agg
+      .withColumn("b1", when(det =!= 0.0,
+        round((c1y * c22 - c2y * c12) / det, 8)))
+      .withColumn("b2", when(det =!= 0.0,
+        round((c2y * c11 - c1y * c12) / det, 8)))
+      .withColumn("b0", round(
+        (col("sy").cast("double") - col("b1") * col("s1").cast("double")
+          - col("b2") * col("s2").cast("double")) / nD, 6))
+      .withColumn("r2", when(det =!= 0.0 && cyy > 0.0,
+        round((col("b1") * c1y + col("b2") * c2y) / cyy, 8)))
+      .select(grp ++ Seq(col("n"), col("b0"), col("b1"), col("b2"),
+        col("r2")): _*)
+  }
+
+  /** DuckDB mirror of [[groupedOls2]] over `tbl`: emits CTE `ols2_g`
+    * (g, n, b0, b1, b2, r2). Input casts are width-20, NOT 15: DuckDB
+    * types a (15,8)×(15,8) product as DECIMAL(18,16) and multiplies the
+    * scaled int64s raw — any |v·w| ≥ 100 overflows (observed on
+    * quantity², sf0.01). Width > 18 on the operands forces the int128
+    * path, whose product width caps at 38 and holds |v| < 10^6 exactly
+    * (the operator's documented bound). */
+  def sqlOls2Ctes(tbl: String, gSql: String, x1Sql: String, x2Sql: String,
+      ySql: String): String = {
+    def snap(e: String) = s"CAST(round($e, 8) AS DECIMAL(20,8))"
+    val (x1, x2, y) = (snap(x1Sql), snap(x2Sql), snap(ySql))
+    def ctr(sab: String, sa: String, sb: String) =
+      s"(CAST(n AS DOUBLE) * CAST($sab AS DOUBLE) " +
+        s"- CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))"
+    val c11 = ctr("s11", "s1", "s1"); val c22 = ctr("s22", "s2", "s2")
+    val c12 = ctr("s12", "s1", "s2"); val c1y = ctr("s1y", "s1", "sy")
+    val c2y = ctr("s2y", "s2", "sy"); val cyy = ctr("syy", "sy", "sy")
+    val det = s"($c11 * $c22 - $c12 * $c12)"
+    val b1 = s"CASE WHEN $det <> 0.0 THEN " +
+      s"round(($c1y * $c22 - $c2y * $c12) / $det, 8) END"
+    val b2 = s"CASE WHEN $det <> 0.0 THEN " +
+      s"round(($c2y * $c11 - $c1y * $c12) / $det, 8) END"
+    s"""ols2_m AS (
+      SELECT $gSql AS g, count(*) AS n,
+        CAST(sum($x1) AS DECIMAL(24,8)) AS s1,
+        CAST(sum($x2) AS DECIMAL(24,8)) AS s2,
+        CAST(sum($y) AS DECIMAL(24,8)) AS sy,
+        CAST(sum($x1 * $x1) AS DECIMAL(38,16)) AS s11,
+        CAST(sum($x2 * $x2) AS DECIMAL(38,16)) AS s22,
+        CAST(sum($x1 * $x2) AS DECIMAL(38,16)) AS s12,
+        CAST(sum($x1 * $y) AS DECIMAL(38,16)) AS s1y,
+        CAST(sum($x2 * $y) AS DECIMAL(38,16)) AS s2y,
+        CAST(sum($y * $y) AS DECIMAL(38,16)) AS syy
+      FROM $tbl
+      WHERE ($x1Sql) IS NOT NULL AND ($x2Sql) IS NOT NULL
+        AND ($ySql) IS NOT NULL
+      GROUP BY 1),
+    ols2_g AS (
+      SELECT g, n,
+        round((CAST(sy AS DOUBLE) - ($b1) * CAST(s1 AS DOUBLE)
+          - ($b2) * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS b0,
+        $b1 AS b1,
+        $b2 AS b2,
+        CASE WHEN $det <> 0.0 AND $cyy > 0.0 THEN
+          round((($b1) * $c1y + ($b2) * $c2y) / $cyy, 8) END AS r2
+      FROM ols2_m)"""
+  }
+
   /** Per-group Pearson correlation between two measure columns, on the
     * same exact-decimal moment machinery as [[groupedLinearFit]] (both
     * measures snapped to 2 decimals; five exact sums; floats only in the

@@ -1474,4 +1474,83 @@ class OperatorsSpec extends SparkSpec {
     assert(Hypothesis.ksTwoSample(mid, "v", "f").head()
       .getAs[Double]("d_stat") == 0.5)
   }
+
+  test("Isotonic.fitBinned equals sequential PAV and is monotone") {
+    import spark.implicits._
+    // brute-force reference: classic pool-adjacent-violators stack over
+    // the (score-sorted) bins — the algorithm the minimax closed form
+    // must reproduce block-for-block
+    def pav(bins: Seq[(Long, Long, Long)]): Map[Long, Double] = {
+      // (score, n, k) sorted by score -> pooled blocks of (n, k, scores)
+      val stack = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, List[Long])]
+      bins.foreach { case (s, n, k) =>
+        stack += ((n, k, List(s)))
+        while (stack.length > 1 && {
+          val (n2, k2, _) = stack(stack.length - 1)
+          val (n1, k1, _) = stack(stack.length - 2)
+          k1.toDouble / n1 >= k2.toDouble / n2
+        }) {
+          val (n2, k2, s2) = stack.remove(stack.length - 1)
+          val (n1, k1, s1) = stack.remove(stack.length - 1)
+          stack += ((n1 + n2, k1 + k2, s1 ++ s2))
+        }
+      }
+      stack.flatMap { case (n, k, ss) =>
+        ss.map(_ -> k.toDouble / n) }.toMap
+    }
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val units = (1 to 400).map { i =>
+        val score = rng.nextInt(12).toLong
+        // non-monotone on purpose: rate dips at scores 5-7
+        val p = if (score >= 5 && score <= 7) 0.2 else 0.1 + score * 0.06
+        (score, if (rng.nextDouble() < p) 1L else 0L)
+      }
+      val got = Isotonic.fitBinned(units.toDF("score", "pos"),
+          "score", "pos")
+        .orderBy("score").collect()
+        .map(r => (r.getLong(0), r.getDouble(4)))
+      val binsRef = units.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, us) => (s, us.size.toLong, us.map(_._2).sum) }
+      val want = pav(binsRef)
+      got.foreach { case (s, iso) =>
+        assert(math.abs(iso - want(s)) < 1e-8, s"trial $trial score $s")
+      }
+      got.sliding(2).foreach { case Array((_, a), (_, b)) =>
+        assert(a <= b + 1e-12, s"trial $trial not monotone")
+      case _ => }
+    }
+  }
+
+  test("Trend.groupedOls2 recovers exact planes and NULLs out collinearity") {
+    import spark.implicits._
+    // exact plane y = 2 + 3*x1 - 0.5*x2, no noise -> coefficients exact
+    // to the 8-decimal snap and R² = 1
+    val pts = for (x1 <- 0 to 6; x2 <- 0 to 5)
+      yield ("g", x1.toDouble, x2.toDouble, 2.0 + 3.0 * x1 - 0.5 * x2)
+    val fit = Trend.groupedOls2(pts.toDF("g", "x1", "x2", "y"),
+      Seq("g"), "x1", "x2", "y").head()
+    assert(math.abs(fit.getAs[Double]("b0") - 2.0) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("b1") - 3.0) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("b2") + 0.5) < 1e-6)
+    assert(math.abs(fit.getAs[Double]("r2") - 1.0) < 1e-6)
+    // collinear regressors (x2 = 2*x1): det = 0 -> NULL b1/b2/r2, loud
+    // instead of garbage
+    val col2 = (0 to 9).map(i =>
+      ("g", i.toDouble, 2.0 * i, 1.0 + i))
+    val bad = Trend.groupedOls2(col2.toDF("g", "x1", "x2", "y"),
+      Seq("g"), "x1", "x2", "y").head()
+    assert(bad.isNullAt(bad.fieldIndex("b1")) &&
+      bad.isNullAt(bad.fieldIndex("b2")) &&
+      bad.isNullAt(bad.fieldIndex("r2")))
+    // single-regressor sanity: matches fitContinuousXY's slope when x2
+    // is constant-free noise with zero coefficient
+    val single = (0 to 20).map(i =>
+      ("g", i.toDouble, (i % 3).toDouble, 5.0 + 2.0 * i))
+    val s2 = Trend.groupedOls2(single.toDF("g", "x1", "x2", "y"),
+      Seq("g"), "x1", "x2", "y").head()
+    assert(math.abs(s2.getAs[Double]("b1") - 2.0) < 1e-6)
+    assert(math.abs(s2.getAs[Double]("b2")) < 1e-6)
+  }
 }

@@ -1,7 +1,12 @@
 package graft
 
-import org.apache.spark.sql.execution.FileSourceScanExec
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SortExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Structural audits of the PHYSICAL plans the catalog produces — the
   * scale contract made executable. Correctness gates prove the numbers;
@@ -59,24 +64,148 @@ class PlanSpec extends SparkSpec {
       s"partition filter not pushed to the directory listing: $pf")
   }
 
+  // Streaming queries execute on build (bounded runs), so they are
+  // exercised by their own gate instead of planned here.
+  private val streamingSkip = Set("q74_stream_upsert", "q75_stream_sessions",
+    "q76_stream_hourly", "q78_stream_attribution", "q79_stream_dedup",
+    "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
+    "q201_stream_debounce", "q263_stream_topk")
+
+  // Plan the whole catalog ONCE; both catalog-wide audits walk this.
+  private lazy val catalogPlans: Seq[(String, SparkPlan)] =
+    Queries.all.map(_._1).filterNot(streamingSkip).map(n => (n, plan(n)))
+
   test("catalog-wide: no unpartitioned CartesianProduct in any query plan") {
     // BroadcastNestedLoopJoin over a broadcast one-row frame is the
     // catalog's deliberate scalar-distribution idiom and is fine; a
     // CartesianProductExec (both sides partitioned, full n×m) is the
-    // shape that can never be saved by more executors. Streaming
-    // queries execute on build (bounded runs), so they are exercised by
-    // their own gate instead of planned here.
-    val skip = Set("q74_stream_upsert", "q75_stream_sessions",
-      "q76_stream_hourly", "q78_stream_attribution", "q79_stream_dedup",
-      "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
-      "q201_stream_debounce")
-    val offenders = Queries.all.map(_._1).filterNot(skip).flatMap { name =>
-      val cartesians = plan(name).collect {
-        case c: CartesianProductExec => c
-      }
-      if (cartesians.nonEmpty) Some(name) else None
+    // shape that can never be saved by more executors.
+    val offenders = catalogPlans.collect {
+      case (name, p) if p.collect { case c: CartesianProductExec => c }.nonEmpty
+        => name
     }
     assert(offenders.isEmpty,
       s"CartesianProduct found in: ${offenders.mkString(", ")}")
+  }
+
+  test("catalog-wide: every unpartitioned WindowExec runs on a documented bounded frame") {
+    // `Window.orderBy` with no partition key moves ALL its input to one
+    // partition — acceptable ONLY on a frame whose size is bounded by
+    // something scale-independent (post-aggregation months, digit
+    // groups, bucket totals…). COVERAGE.md's audit table documents each
+    // such site; this test keeps the audit from rotting: any NEW query
+    // that plans a global window must consciously join this allowlist
+    // (and the COVERAGE.md table) or fail here.
+    // Query -> the bounded frame its global window runs on (mirrors the
+    // COVERAGE.md audit table; sizes are scale-INDEPENDENT or calendar-
+    // bounded, never data-sized). "PrefixSum offsets" = the nBuckets-row
+    // bucket-totals frame inside operators.PrefixSum — the operator that
+    // EXISTS to replace data-sized global windows; its own offset window
+    // is what surfaces here.
+    val allowed = Set(
+      "q06_value_share",        // distinct values of the profiled column
+      "q41_monthly_delta",      // months after aggregation
+      "q57_sequence_packing",   // PrefixSum offsets
+      "q111_chi_square",        // contingency margins |A|·|B|
+      "q114_zipf_audit",        // top-1000 terms after limit
+      "q140_abc_classification",// PrefixSum offsets
+      "q141_gini_concentration",// PrefixSum offsets
+      "q143_gap_interpolation", // calendar-day spine
+      "q148_benford_audit",     // 9 first-digit groups
+      "q169_transit_concurrency",// calendar-day delta frame
+      "q171_changepoint",       // calendar-day frame
+      "q174_moving_bands",      // calendar-day frame
+      "q179_lorenz_deciles",    // 10-row decile frame + PrefixSum offsets
+      "q192_compaction_planner",// PrefixSum offsets
+      "q198_rank_correlation",  // distinct-value frames via PrefixSum
+      "q200_kaplan_meier",      // distinct-duration (calendar-bounded)
+      "q204_largest_remainder", // 25 nations
+      "q214_mann_whitney",      // distinct-value frame via PrefixSum
+      "q215_ks_test",           // distinct-value frame via PrefixSum
+      "q225_logrank",           // calendar-day frame
+      "q227_nelson_aalen",      // calendar-day frame
+      "q234_bh_fdr",            // 32-test family
+      // r7: decile assignment rewritten from data-sized ntile() to
+      // PrefixSum + exact integer ntile arithmetic; what remains is the
+      // PrefixSum offset frame + the 10-row decile cumsum
+      "q246_gains_table",
+      "q271_isotonic_calibration") // distinct-score bin frame (Isotonic)
+    val offenders = catalogPlans.collect {
+      case (name, p) if !allowed(name) && p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty => name
+    }
+    assert(offenders.isEmpty,
+      s"undocumented global window in: ${offenders.mkString(", ")}")
+  }
+
+  test("q269: the partition column is NOT read from parquet data pages") {
+    // partitionBy layout contract, negative half: o_orderpriority comes
+    // back from directory names at listing time — a requiredSchema that
+    // includes it would mean the column was ALSO materialized in the
+    // data files, doubling its storage and defeating pruning.
+    val scans = plan("q269_partition_pruning").collect {
+      case f: FileSourceScanExec if f.metadata.get("Location")
+        .exists(_.contains("part_orders_")) => f
+    }
+    assert(scans.nonEmpty, "expected a scan over the partitioned dir")
+    val dataCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(!dataCols.contains("o_orderpriority"),
+      s"partition column read from data pages: ${dataCols.mkString(",")}")
+    assert(dataCols.contains("o_totalprice"), "data column missing from read")
+  }
+
+  test("q265: selection never globally sorts pre-aggregation rows") {
+    // Negative half of the two-phase selection contract: the ONLY sort
+    // allowed to see row-level data is the in-bucket TakeOrdered
+    // refinement (bounded by one bucket's rows). A global SortExec whose
+    // subtree reaches a scan with no intervening aggregate/limit is the
+    // ORDER BY ... OFFSET shape the operator exists to replace. The
+    // internal jobs run during build, so capture executed plans via a
+    // listener (delivery is async — poll for the 3 refinement jobs).
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // expand adaptive wrappers: AdaptiveSparkPlanExec and QueryStageExec
+    // are leaves to TreeNode traversal, so plain collect() sees nothing
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec        => nodes(q.plan)
+      case o                        => o.children.flatMap(nodes)
+    })
+    def reachesRawScan(p: SparkPlan): Boolean = p match {
+      case _ if p.nodeName.contains("Aggregate") ||
+        p.nodeName.contains("Limit") ||
+        p.nodeName.contains("TakeOrdered") => false
+      case _: FileSourceScanExec => true
+      // driver-local result frames (the 3-row stats output) are not data
+      case _ if p.nodeName.contains("LocalTableScan") => false
+      case _ if p.nodeName.contains("Scan") => true // RDD/checkpoint scans
+      case a: AdaptiveSparkPlanExec => reachesRawScan(a.executedPlan)
+      case q: QueryStageExec        => reachesRawScan(q.plan)
+      case o => o.children.exists(reachesRawScan)
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Queries.queries("q265_order_statistics")(spark, sf()).collect()
+      val deadline = System.currentTimeMillis() + 20000
+      def allNodes = captured.asScala.toSeq.flatMap(nodes)
+      // 3 stats -> 3 in-bucket TakeOrdered refinement jobs
+      while (System.currentTimeMillis() < deadline &&
+          allNodes.count(_.isInstanceOf[TakeOrderedAndProjectExec]) < 3)
+        Thread.sleep(100)
+      val ns = allNodes
+      assert(ns.count(_.isInstanceOf[TakeOrderedAndProjectExec]) >= 3,
+        "expected one TakeOrdered refinement per requested stat")
+      val offending = ns.collect {
+        case s: SortExec if s.global && reachesRawScan(s.child) => s
+      }
+      assert(offending.isEmpty,
+        s"global sort over raw rows:\n${offending.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
   }
 }

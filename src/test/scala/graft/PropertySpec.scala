@@ -476,4 +476,35 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
     assert(out == List((5.0, 10L), (3.0, 12L)))
   }
+
+  test("graft_topk orders NaN as greatest — Spark's double total order") {
+    // Regression (r6 advice): primitive `<` is false on any NaN
+    // comparison, so a NaN reaching the heap root while under capacity
+    // would permanently reject later stronger inserts, and the output
+    // comparator turned non-transitive (TimSort contract). The fixed
+    // comparator is java.lang.Double.compare: NaN sorts ABOVE +Inf,
+    // exactly where Spark's window ORDER BY ... DESC puts it.
+    val df = Seq(
+      (1, Double.NaN, 20L), (1, 5.0, 10L), (1, 9.0, 11L),
+      (1, Double.NaN, 21L), (1, 7.0, 12L), (1, Double.PositiveInfinity, 13L))
+      .toDF("g", "ord", "key")
+    (1 to 4).foreach { parts =>
+      val out = df.repartition(parts, col("key")).groupBy($"g")
+        .agg(expr("graft_topk(ord, key, 4)").as("tk"))
+        .select(explode($"tk").as("e")).select($"e.ord", $"e.key")
+        .collect().map(r => (r.getDouble(0), r.getLong(1))).toList
+      // NaNs first (smaller key breaking the NaN tie), then +Inf, then 9.0
+      assert(out.map(_._2) == List(20L, 21L, 13L, 11L), s"parts $parts: $out")
+      assert(out(0)._1.isNaN && out(1)._1.isNaN)
+    }
+    // heap-wedge shape: NaN inserted FIRST while under capacity, k
+    // smaller than the input — later finite values must still displace
+    // nothing incorrectly and the NaN must survive as the strongest
+    val wedge = Seq((1, Double.NaN, 1L), (1, 2.0, 2L), (1, 3.0, 3L), (1, 4.0, 4L))
+      .toDF("g", "ord", "key").coalesce(1)
+    val w = wedge.groupBy($"g").agg(expr("graft_topk(ord, key, 2)").as("tk"))
+      .select(explode($"tk").as("e")).select($"e.key")
+      .collect().map(_.getLong(0)).toList
+    assert(w == List(1L, 4L), s"wedge: $w")
+  }
 }

@@ -310,4 +310,76 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == (1L to 45L),
       s"expected each event exactly once, got ${ids.length} rows")
   }
+
+  test("graft_topk serialized heap state survives a checkpointed restart") {
+    // The property that distinguishes a real TypedImperativeAggregate
+    // streaming story from a demo: the bounded heap IS the state-store
+    // row, so after a mid-day kill the restarted query must restore the
+    // serialized heap from the checkpoint and MERGE later arrivals into
+    // it. The fixture forces that merge to matter: day-0 events are
+    // split so the strongest ordinate (id 13, value 22) only arrives
+    // AFTER the restart while runners-up (ids 3, 16) arrive before it —
+    // both restored and post-restart values must survive into the top-3.
+    import org.apache.spark.sql.functions.{col, expr, posexplode, window}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-topk-restart-").toString
+    def mk(r: Range) = r.map(i =>
+      ev(i % 5, i, i * 3, value = (i * 7 % 23).toDouble))
+    val stage1 = mk(1 to 12)            // runner-up 21.0 (id 3) pre-kill
+    val stage2 = mk(13 to 24)           // 22.0 (id 13), 20.0 (id 16) post
+    // day-2 closer: pushes the watermark (2h delay) past day 0's end
+    val closer = Seq(ev(9, 99, 27 * 60))
+    stage1.toDF().repartition(6).write.parquet(s"$work/stage")
+
+    def start() = spark.readStream.schema(stage1.toDF().schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(expr("graft_topk(value, event_id, 3)").as("tk"))
+      .select(col("window.start").cast("date").as("day"), col("tk"))
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append)
+
+    // run 1: killed at a batch boundary once ≥1 micro-batch committed —
+    // a partially-built day-0 heap is now serialized in the state store
+    val q1 = start().start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    assert(q1.recentProgress.nonEmpty, "query made no progress before kill")
+
+    // run 2: the rest of day 0 ONLY (the closer ships separately below —
+    // inside one run the file source orders batches by mtime, so a
+    // same-batch-group closer could advance the watermark past day 0
+    // before the last day-0 file, turning real events into late data)
+    stage2.toDF().repartition(3).write.mode("append").parquet(s"$work/stage")
+    val q2 = start().trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    // run 3 — a SECOND restart: only now does the day-2 closer arrive,
+    // advancing the watermark past day 0 and flushing its (restored,
+    // twice-recovered, fully merged) heap to the sink
+    closer.toDF().coalesce(1).write.mode("append").parquet(s"$work/stage")
+    val q3 = start().trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+
+    val rows = spark.read.parquet(s"$work/out")
+      .select(col("day"), posexplode(col("tk")))
+      .select(col("day"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("event_id"), col("col.ord").as("value"))
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getLong(2), r.getDouble(3))).sortBy(t => (t._1, t._2))
+    // only day 0 closed (the closer's own day is still pending); its
+    // top-3 over the FULL 24 events: values are i*7 mod 23 -> strongest
+    // 22 (i=13, post-restart), 21 (i=3, pre-kill), 20 (i=16, post)
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 1, 13L, 22.0),
+      ("2024-01-01", 2, 3L, 21.0),
+      ("2024-01-01", 3, 16L, 20.0)),
+      s"restored+merged heap produced: ${rows.mkString(", ")}")
+  }
 }

@@ -52,6 +52,20 @@ for name, sql in sorted(oracle.items()):
     elif len(got) != len(want):
         problems.append(f"rows {len(got)} vs {len(want)}")
     else:
+        # Type-strict on dtype KIND: the driver's hash distinguishes int
+        # vs float vs object, so Python == equality is not enough —
+        # 2 == 2.0 passed locally while the driver failed (q145/q227/q262
+        # class). Integer WIDTH (int32 vs int64) is provably invisible to
+        # the driver's hash: 16 catalog queries ship an int32 Spark column
+        # against a DuckDB int64 and have been hash-green for rounds.
+        def kind(dt):
+            s = str(dt)
+            return "int" if s.startswith(("int", "uint")) else s
+        for c in got.columns:
+            gk, wk = kind(got[c].dtype), kind(want[c].dtype)
+            if gk != wk:
+                problems.append(
+                    f"col {c}: dtype {got[c].dtype} vs {want[c].dtype}")
         for c in got.columns:
             gv, wv = got[c].tolist(), want[c].tolist()
             bad = [(i, a, b) for i, (a, b) in enumerate(zip(gv, wv)) if not cell_eq(a, b)]
