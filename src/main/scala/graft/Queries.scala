@@ -10852,6 +10852,208 @@ object Queries {
         FROM g GROUP BY user_id, sid
         ORDER BY user_id, s_start""")),
 
+    "q274_stream_session_window" -> Q(
+      // Streaming twin of q273: the NATIVE session_window generator
+      // inside a watermarked streaming aggregation (BoundedRuns
+      // .streamedSessionWindows) — merging session state with ZERO
+      // custom code, next to q75's flatMapGroupsWithState formulation
+      // of the same semantics. A session emits once the terminal
+      // watermark (max ts − 30 min) passes its end; the oracle rebuilds
+      // the same sessions with lag/cumsum and keeps exactly the closed
+      // ones.
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.streamedSessionWindows(s, dir),
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT user_id, ts, value,
+            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p
+          FROM events),
+        s AS (
+          SELECT *, CASE WHEN p IS NULL
+              OR ts >= p + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+          FROM e),
+        g AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sid
+          FROM s),
+        sess AS (
+          SELECT user_id, min(ts) AS s_start,
+            max(ts) + INTERVAL 30 MINUTE AS s_end,
+            count(*) AS n_ev, ${sqlMsum("value")} AS val_sum
+          FROM g GROUP BY user_id, sid),
+        wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+        SELECT user_id, s_start, s_end, n_ev, val_sum
+        FROM sess CROSS JOIN wm WHERE s_end <= w
+        ORDER BY user_id, s_start""")),
+
+    "q275_neyman_allocation" -> Q(
+      // Neyman-optimal stratified sample allocation: split a 1000-unit
+      // sampling budget across order priorities proportional to
+      // N_h·σ_h (the allocation minimizing the stratified-mean variance
+      // — Neyman 1934), with largest-remainder integer rounding so the
+      // parts SUM EXACTLY to the budget (q204's machinery on a derived,
+      // noisy weight). Determinism: σ_h comes from exact-decimal
+      // moments and is snapped to 8 decimals BEFORE weighting, so
+      // N_h·σ_h and its total are exact decimals — a double Σ over
+      // strata would be combine-order-dependent. The only doubles are
+      // the fixed-shape quota divisions; the remainder rank runs on the
+      // bounded 5-stratum frame.
+      build = (s, dir) => {
+        val budget = 1000L
+        val strata = table(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("stratum"))
+          .agg(count(lit(1)).as("nh"),
+            sum(dec(col("o_totalprice"))).cast("decimal(20,2)").as("sx"),
+            sum(dec(col("o_totalprice")) * dec(col("o_totalprice")))
+              .cast("decimal(38,4)").as("sxx"))
+          .withColumn("sigma", round(sqrt(greatest(lit(0.0),
+            (col("nh").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+              / (col("nh").cast("double") * col("nh").cast("double")))),
+            8))
+          .withColumn("wgt",
+            (col("nh") * col("sigma").cast("decimal(18,8)"))
+              .cast("decimal(28,8)"))
+        val tot = strata.agg(
+          sum(col("wgt")).cast("decimal(30,8)").as("tw"))
+        val quota = strata.crossJoin(broadcast(tot))
+          .withColumn("share", lit(budget) * col("wgt").cast("double")
+            / col("tw").cast("double"))
+          .withColumn("base", floor(col("share")).cast("long"))
+          .withColumn("rem", col("share") - col("base"))
+        val used = quota.agg(sum(col("base")).as("ub"))
+        val wr = Window.orderBy(col("rem").desc, col("stratum"))
+        quota.crossJoin(broadcast(used))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("alloc", col("base") +
+            when(col("rk") <= lit(budget) - col("ub"), 1L).otherwise(0L))
+          .select(col("stratum"), col("nh"), col("sigma"), col("alloc"))
+          .orderBy("stratum")
+      },
+      oracle = Some("""
+        WITH strata AS (
+          SELECT o_orderpriority AS stratum, count(*) AS nh,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(20,2)) AS sx,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))
+              * CAST(o_totalprice AS DECIMAL(15,2)))
+              AS DECIMAL(38,4)) AS sxx
+          FROM orders GROUP BY 1),
+        sg AS (
+          SELECT *, round(sqrt(greatest(0.0,
+            (CAST(nh AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE)))), 8) AS sigma
+          FROM strata),
+        wg AS (
+          SELECT *, CAST(nh * CAST(sigma AS DECIMAL(18,8))
+            AS DECIMAL(28,8)) AS wgt
+          FROM sg),
+        tot AS (SELECT CAST(sum(wgt) AS DECIMAL(30,8)) AS tw FROM wg),
+        quota AS (
+          SELECT stratum, nh, sigma,
+            1000 * CAST(wgt AS DOUBLE) / CAST(tw AS DOUBLE) AS share
+          FROM wg CROSS JOIN tot),
+        qb AS (
+          SELECT *, CAST(floor(share) AS BIGINT) AS base,
+            share - floor(share) AS rem
+          FROM quota),
+        used AS (SELECT CAST(sum(base) AS BIGINT) AS ub FROM qb),
+        rk AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, stratum) AS r
+          FROM qb)
+        SELECT stratum, nh, sigma,
+          base + CASE WHEN r <= 1000 - ub THEN 1 ELSE 0 END AS alloc
+        FROM rk CROSS JOIN used
+        ORDER BY stratum""")),
+
+    "q276_mad_outliers" -> Q(
+      // Robust outlier panel: per-priority exact median and MAD (median
+      // absolute deviation — the 50%-breakdown spread estimator a
+      // single corrupt value cannot move, unlike σ), and the count of
+      // |x − med| > 3·MAD flags. Three passes, each a hash agg with the
+      // bounded per-priority stats broadcast back onto the scan — never
+      // a per-group sort. Exactness: Spark `percentile` and DuckDB
+      // `quantile_cont` agree on WHICH values interpolate at p=.5 but
+      // not on the interpolation's expression shape (a·(1−g)+b·g vs
+      // a+g·(b−a) differ in the last ulp), so both medians are snapped
+      // at 4 decimals — the true value has ≤3 (midpoints of 2-decimal
+      // money), making the snap pure float-noise removal; every
+      // downstream expression then runs on identical doubles, so even
+      // exact-boundary outlier compares agree bit-for-bit.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            col("o_totalprice").cast("double").as("x"))
+        val med = o.groupBy(col("pri"))
+          .agg(round(expr("percentile(x, 0.5)"), 4).as("med"))
+        val dev = o.join(broadcast(med), "pri")
+          .withColumn("d", abs(col("x") - col("med")))
+        val mad = dev.groupBy(col("pri"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(d, 0.5)"), 4).as("mad"))
+        val outl = dev
+          .join(broadcast(mad.select(col("pri"), col("mad"))), "pri")
+          .groupBy(col("pri"))
+          .agg(sum((col("d") > lit(3.0) * col("mad")).cast("long"))
+            .as("n_out"))
+        med.join(mad, "pri").join(outl, "pri")
+          .select(col("pri"), col("n"), col("med"), col("mad"),
+            col("n_out"))
+          .orderBy("pri")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS pri, CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders),
+        med AS (
+          SELECT pri, round(quantile_cont(x, 0.5), 4) AS med
+          FROM o GROUP BY 1),
+        dev AS (
+          SELECT o.pri, abs(x - med) AS d FROM o JOIN med USING (pri)),
+        mad AS (
+          SELECT pri, count(*) AS n,
+            round(quantile_cont(d, 0.5), 4) AS mad
+          FROM dev GROUP BY 1),
+        outl AS (
+          SELECT dev.pri, CAST(sum(CASE WHEN d > 3.0 * mad
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+          FROM dev JOIN mad USING (pri) GROUP BY 1)
+        SELECT pri, n, med, mad, n_out
+        FROM med JOIN mad USING (pri) JOIN outl USING (pri)
+        ORDER BY pri""")),
+
+    "q277_retraction_agg" -> Q(
+      // Incremental view maintenance, the RETRACTION half (operators/
+      // Incremental.retract): per-user aggregate state built over ALL
+      // events, then low-value rows (value < 10 — the erasure batch)
+      // retracted. Count/sum subtract exactly; min/max — NOT
+      // retractable algebraically — are recomputed only for the touched
+      // keys via a left-semi-pruned recount, so maintenance cost tracks
+      // the erased slice. The oracle aggregates the survivors directly:
+      // equality proves the incremental path is indistinguishable from
+      // recomputation, including fully-erased users disappearing.
+      build = (s, dir) => {
+        val base = table(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"))
+        val deletes = base.filter(col("value") < 10)
+        val survivors = base.join(deletes.select(col("event_id")),
+          Seq("event_id"), "left_anti")
+        val state = Incremental.aggState(base, Seq("user_id"), "value")
+        Incremental.retract(state, deletes, survivors,
+            Seq("user_id"), "value")
+          .select(col("user_id"), col("st_n").as("n_live"),
+            m2(col("st_sum")).as("sum_live"), col("st_min").as("min_live"),
+            col("st_max").as("max_live"))
+          .orderBy("user_id")
+      },
+      oracle = Some(s"""
+        SELECT user_id, count(value) AS n_live,
+          ${sqlMsum("value")} AS sum_live,
+          min(value) AS min_live, max(value) AS max_live
+        FROM events WHERE NOT (value < 10)
+        GROUP BY user_id ORDER BY user_id""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on

@@ -61,4 +61,48 @@ object Incremental {
         least(col("st_min"), col("d_st_min")).as("st_min"),
         greatest(col("st_max"), col("d_st_max")).as("st_max")): _*)
   }
+
+  /** state(base) ⊖ deletes — RETRACTION, the other half of incremental
+    * view maintenance (GDPR erasure, late-arriving corrections). Count
+    * and sum subtract exactly (they are group-homomorphic); min/max are
+    * NOT retractable — the state cannot tell whether a deleted row WAS
+    * the extremum — so they are recomputed from `survivors`, but ONLY
+    * for the touched keys (left-semi pruned recount): maintenance cost
+    * stays proportional to the affected slice, never the table. A key
+    * whose rows are all deleted disappears, so the result is
+    * INDISTINGUISHABLE from `aggState(survivors)` — the contract the
+    * q277 oracle and the unit test pin.
+    *
+    * `survivors` must be base ∖ deletes (the caller owns row identity —
+    * typically an anti-join on the row id). */
+  def retract(state: DataFrame, deletes: DataFrame, survivors: DataFrame,
+      keyCols: Seq[String], valCol: String): DataFrame = {
+    val del = aggState(deletes, keyCols, valCol)
+    val touched = del.select(keyCols.map(col): _*)
+    val rec = aggState(
+        survivors.join(touched, keyCols, "left_semi"), keyCols, valCol)
+      .select(keyCols.map(col) ++ Seq(lit(true).as("r_present"),
+        col("st_min").as("r_min"), col("st_max").as("r_max")): _*)
+    val dd = Seq("st_n", "st_sum", "st_min", "st_max")
+      .foldLeft(del)((df, c) => df.withColumnRenamed(c, s"d_$c"))
+    val sumType = state.schema("st_sum").dataType
+    val newN = col("st_n") - coalesce(col("d_st_n"), lit(0L))
+    state.join(dd, keyCols, "left").join(rec, keyCols, "left")
+      .withColumn("touched", col("d_st_n").isNotNull)
+      // a touched key survives iff the pruned recount saw it (this also
+      // keeps NULL-measure-only keys, which st_n — a non-null count —
+      // cannot distinguish from fully-deleted ones)
+      .filter(!col("touched") || col("r_present"))
+      .select(keyCols.map(col) ++ Seq(
+        newN.as("st_n"),
+        // zero surviving non-null measures -> NULL sum, exactly like a
+        // fresh aggregate over the survivors
+        when(newN === 0L, lit(null).cast(sumType))
+          .otherwise((col("st_sum") - coalesce(col("d_st_sum"),
+            dec(lit(0)))).cast(sumType)).as("st_sum"),
+        when(col("touched"), col("r_min")).otherwise(col("st_min"))
+          .as("st_min"),
+        when(col("touched"), col("r_max")).otherwise(col("st_max"))
+          .as("st_max")): _*)
+  }
 }

@@ -274,4 +274,28 @@ object BoundedRuns {
         col("col.key").as("event_id"), col("col.ord").as("value"))
       .orderBy(col("day"), col("rnk"))
   }
+
+  /** Streamed NATIVE session windows: Spark's built-in `session_window`
+    * generator inside a watermarked streaming aggregation (the operator
+    * twin of [[EventStreams.sessionize]]'s custom state — same gap
+    * semantics, zero custom code; session end = last event + gap). A
+    * session emits once the watermark passes its end; the staged input
+    * runs as ONE data batch, so the terminal watermark `max(ts) − delay`
+    * decides emission exactly (the q75/q76 convention). Returns
+    * (user_id, s_start, s_end, n_ev, val_sum) NTZ-cast, ordered. */
+  def streamedSessionWindows(spark: SparkSession, dir: String,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val emitted = runEmitted(spark, dir,
+      df => df.withWatermark("ts", watermarkDelay)
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+        .agg(count(lit(1)).as("n_ev"),
+          graft.functions.Stable.msum(col("value")).as("val_sum"))
+        .select(col("user_id"),
+          col("sw.start").cast("timestamp_ntz").as("s_start"),
+          col("sw.end").cast("timestamp_ntz").as("s_end"),
+          col("n_ev"), col("val_sum")),
+      "sesswin-")
+    emitted.orderBy(col("user_id"), col("s_start"))
+  }
 }

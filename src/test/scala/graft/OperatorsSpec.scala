@@ -1523,6 +1523,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Incremental.retract is indistinguishable from recomputing the survivors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      // rows (key, id, value?); deletions chosen to hit every hard case:
+      // the group min, the group max, a whole key, and NULL-measure rows
+      val rows = (1 to 120).map { i =>
+        val k = i % 8
+        val v: Option[Double] =
+          if (rng.nextDouble() < 0.1) None
+          else Some((rng.nextInt(2000) - 1000) / 100.0)
+        (k.toLong, i.toLong, v)
+      }
+      val base = rows.toDF("k", "id", "v")
+      val delIds = rows.filter { case (k, i, v) =>
+        k == 3 ||                                   // whole key erased
+        v.exists(_ < -5.0) ||                       // hits minima
+        v.exists(_ > 8.0) ||                        // hits maxima
+        (v.isEmpty && i % 2 == 0)                   // NULL-measure rows
+      }.map(_._2).toSet
+      val deletes = base.filter(col("id").isin(delIds.toSeq: _*))
+      val survivors = base.join(deletes.select("id"), Seq("id"), "left_anti")
+      val got = Incremental.retract(
+          Incremental.aggState(base, Seq("k"), "v"),
+          deletes, survivors, Seq("k"), "v")
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      val want = Incremental.aggState(survivors, Seq("k"), "v")
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("Trend.groupedOls2 recovers exact planes and NULLs out collinearity") {
     import spark.implicits._
     // exact plane y = 2 + 3*x1 - 0.5*x2, no noise -> coefficients exact

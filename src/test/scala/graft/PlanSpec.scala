@@ -69,7 +69,8 @@ class PlanSpec extends SparkSpec {
   private val streamingSkip = Set("q74_stream_upsert", "q75_stream_sessions",
     "q76_stream_hourly", "q78_stream_attribution", "q79_stream_dedup",
     "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
-    "q201_stream_debounce", "q263_stream_topk")
+    "q201_stream_debounce", "q263_stream_topk",
+    "q274_stream_session_window")
 
   // Plan the whole catalog ONCE; both catalog-wide audits walk this.
   private lazy val catalogPlans: Seq[(String, SparkPlan)] =
@@ -129,7 +130,8 @@ class PlanSpec extends SparkSpec {
       // PrefixSum + exact integer ntile arithmetic; what remains is the
       // PrefixSum offset frame + the 10-row decile cumsum
       "q246_gains_table",
-      "q271_isotonic_calibration") // distinct-score bin frame (Isotonic)
+      "q271_isotonic_calibration", // distinct-score bin frame (Isotonic)
+      "q275_neyman_allocation")    // 5-stratum remainder rank
     val offenders = catalogPlans.collect {
       case (name, p) if !allowed(name) && p.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
