@@ -11054,6 +11054,295 @@ object Queries {
         FROM events WHERE NOT (value < 10)
         GROUP BY user_id ORDER BY user_id""")),
 
+    "q278_ranking_metrics" -> Q(
+      // Offline ranking-quality panel — MRR, MAP@10 and NDCG@10 of a
+      // popularity recommender under a temporal split: parts ranked by
+      // pre-1997 co-purchase volume, relevance = the customer's actual
+      // post-1997 purchases. The evaluation suite every recsys/search
+      // pipeline runs beside AUC (q95: does the score rank? this: does
+      // the LIST convert?). Scale shape: the train pass is one hash agg
+      // + TakeOrdered-10; the 10-row ranked list broadcasts onto the
+      // per-customer test sets; per-user accumulations are partitioned
+      // windows over ≤10 hit rows. Determinism: every per-hit term
+      // (1/log2(r+1), i/r) is snapped to 8 decimals into exact decimal
+      // BEFORE summation — a double Σ would be combine-order-dependent —
+      // and the IDCG table is built by the SAME rounded-term cumsum in
+      // both engines. Users with no top-10 hit score zero, not NULL.
+      build = (s, dir) => {
+        val split = lit("1997-01-01").cast("date")
+        val ord = table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("d"))
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val train = li.join(ord.filter(col("d") < split),
+          col("l_orderkey") === col("o_orderkey"))
+        val top10 = train.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("cnt").desc, col("l_partkey"))))
+          .select(col("l_partkey"), col("r"))
+        val test = li.join(ord.filter(col("d") >= split),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_partkey")).distinct()
+        val mu = test.groupBy(col("cust")).agg(count(lit(1)).as("m"))
+        val wU = Window.partitionBy(col("cust")).orderBy(col("r"))
+        val perHit = test.join(broadcast(top10), "l_partkey")
+          .withColumn("i", row_number().over(wU))
+          .withColumn("ap_t", round(col("i").cast("double")
+            / col("r").cast("double"), 8).cast("decimal(12,8)"))
+          .withColumn("dcg_t", round(lit(1.0)
+            / log2(col("r").cast("double") + 1.0), 8)
+            .cast("decimal(12,8)"))
+        val perUserHit = perHit.groupBy(col("cust"))
+          .agg(min(col("r")).as("minr"),
+            sum(col("ap_t")).cast("decimal(16,8)").as("ap_sum"),
+            sum(col("dcg_t")).cast("decimal(16,8)").as("dcg_sum"))
+        val idcg = s.range(1, 11).toDF("i")
+          .withColumn("t", round(lit(1.0)
+            / log2(col("i").cast("double") + 1.0), 8)
+            .cast("decimal(12,8)"))
+          .withColumn("idcg", sum(col("t")).over(Window.orderBy(col("i"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("decimal(16,8)"))
+          .select(col("i"), col("idcg"))
+        val perUser = mu.join(perUserHit, Seq("cust"), "left")
+          .withColumn("me", least(col("m"), lit(10L)))
+          .join(broadcast(idcg), col("me") === col("i"))
+          .withColumn("mrr", coalesce(round(lit(1.0)
+            / col("minr").cast("double"), 8), lit(0.0))
+            .cast("decimal(12,8)"))
+          .withColumn("ap", coalesce(round(col("ap_sum").cast("double")
+            / col("me").cast("double"), 8), lit(0.0))
+            .cast("decimal(12,8)"))
+          .withColumn("ndcg", coalesce(round(col("dcg_sum").cast("double")
+            / col("idcg").cast("double"), 8), lit(0.0))
+            .cast("decimal(12,8)"))
+        perUser.agg(count(lit(1)).as("n_users"),
+          round(sum(col("mrr")).cast("double")
+            / count(lit(1)).cast("double"), 8).as("mean_mrr"),
+          round(sum(col("ap")).cast("double")
+            / count(lit(1)).cast("double"), 8).as("mean_map10"),
+          round(sum(col("ndcg")).cast("double")
+            / count(lit(1)).cast("double"), 8).as("mean_ndcg10"))
+      },
+      oracle = Some("""
+        WITH train AS (
+          SELECT l_partkey FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+        top10 AS (
+          SELECT l_partkey, row_number() OVER (ORDER BY cnt DESC,
+            l_partkey) AS r
+          FROM (SELECT l_partkey, count(*) AS cnt FROM train GROUP BY 1)
+          ORDER BY cnt DESC, l_partkey LIMIT 10),
+        test AS (
+          SELECT DISTINCT o_custkey AS cust, l_partkey FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'),
+        mu AS (SELECT cust, count(*) AS m FROM test GROUP BY 1),
+        perhit AS (
+          SELECT cust, r,
+            row_number() OVER (PARTITION BY cust ORDER BY r) AS i
+          FROM test JOIN top10 USING (l_partkey)),
+        peruserhit AS (
+          SELECT cust, min(r) AS minr,
+            CAST(sum(CAST(round(CAST(i AS DOUBLE) / CAST(r AS DOUBLE), 8)
+              AS DECIMAL(12,8))) AS DECIMAL(16,8)) AS ap_sum,
+            CAST(sum(CAST(round(1.0 / log2(CAST(r AS DOUBLE) + 1.0), 8)
+              AS DECIMAL(12,8))) AS DECIMAL(16,8)) AS dcg_sum
+          FROM perhit GROUP BY 1),
+        idcg AS (
+          SELECT i, CAST(sum(t) OVER (ORDER BY i
+              ROWS UNBOUNDED PRECEDING) AS DECIMAL(16,8)) AS idcg
+          FROM (SELECT i, CAST(round(1.0 / log2(CAST(i AS DOUBLE) + 1.0),
+              8) AS DECIMAL(12,8)) AS t
+            FROM range(1, 11) t(i))),
+        peruser AS (
+          SELECT mu.cust, least(mu.m, 10) AS me,
+            CAST(coalesce(round(1.0 / CAST(minr AS DOUBLE), 8), 0.0)
+              AS DECIMAL(12,8)) AS mrr,
+            CAST(coalesce(round(CAST(ap_sum AS DOUBLE)
+              / CAST(least(mu.m, 10) AS DOUBLE), 8), 0.0)
+              AS DECIMAL(12,8)) AS ap,
+            CAST(coalesce(round(CAST(dcg_sum AS DOUBLE)
+              / CAST(idcg.idcg AS DOUBLE), 8), 0.0)
+              AS DECIMAL(12,8)) AS ndcg
+          FROM mu LEFT JOIN peruserhit USING (cust)
+          JOIN idcg ON least(mu.m, 10) = idcg.i)
+        SELECT count(*) AS n_users,
+          round(CAST(sum(mrr) AS DOUBLE) / count(*), 8) AS mean_mrr,
+          round(CAST(sum(ap) AS DOUBLE) / count(*), 8) AS mean_map10,
+          round(CAST(sum(ndcg) AS DOUBLE) / count(*), 8) AS mean_ndcg10
+        FROM peruser""")),
+
+    "q279_brier_decomposition" -> Q(
+      // Murphy decomposition of forecast quality over q99's reliability
+      // bins: REL (calibration error mass), RES (how much the bins
+      // separate outcomes), UNC (outcome base-rate entropy) — the
+      // decomposition that says WHY a Brier score is bad, next to q99's
+      // ECE (how far off) — plus the direct raw-forecast Brier. All bin
+      // terms are weighted into 6-snapped decimals before the bounded Σ
+      // (a double Σ would be order-dependent); the raw Brier snaps each
+      // identical-IEEE (conf−y)² at 10 decimals into an exact sum, so
+      // the data-sized aggregation is partitioning-independent too.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val mm = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        val binned = o.crossJoin(broadcast(mm))
+          .withColumn("conf",
+            (col("o_totalprice") - col("mn")) / (col("mx") - col("mn")))
+          .withColumn("bin",
+            least(floor(col("conf") * 10).cast("long"), lit(9L)))
+          .withColumn("y", (col("o_orderstatus") === "F").cast("long"))
+        val raw = binned.agg(
+          sum(round(pow(col("conf") - col("y"), 2.0), 10)
+            .cast("decimal(14,10)")).cast("decimal(24,10)").as("bsum"),
+          count(lit(1)).as("nt"), sum(col("y")).as("post"))
+        val perBin = binned.groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+            davg(col("conf")).as("conf_avg"))
+        val terms = perBin.crossJoin(broadcast(raw))
+          .withColumn("rate", col("pos").cast("double") / col("n"))
+          .withColumn("obar", col("post").cast("double") / col("nt"))
+          .withColumn("rel_t", round(col("n").cast("double")
+            * pow(col("conf_avg") - col("rate"), 2.0), 6)
+            .cast("decimal(18,6)"))
+          .withColumn("res_t", round(col("n").cast("double")
+            * pow(col("rate") - col("obar"), 2.0), 6)
+            .cast("decimal(18,6)"))
+        terms.groupBy(col("nt"), col("obar"), col("bsum"))
+          .agg(sum(col("rel_t")).cast("decimal(24,6)").as("rels"),
+            sum(col("res_t")).cast("decimal(24,6)").as("ress"))
+          .select(
+            round(col("rels").cast("double") / col("nt"), 8)
+              .as("reliability"),
+            round(col("ress").cast("double") / col("nt"), 8)
+              .as("resolution"),
+            round(col("obar") * (lit(1.0) - col("obar")), 8)
+              .as("uncertainty"),
+            round(col("bsum").cast("double") / col("nt"), 8)
+              .as("brier_raw"))
+      },
+      oracle = Some(s"""
+        WITH mm AS (
+          SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+          FROM orders),
+        b AS (
+          SELECT
+            least(CAST(floor((o_totalprice - mn) / (mx - mn) * 10)
+              AS BIGINT), 9) AS bin,
+            (o_totalprice - mn) / (mx - mn) AS conf,
+            CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders, mm),
+        raw AS (
+          SELECT CAST(sum(CAST(round(pow(conf - y, 2.0), 10)
+              AS DECIMAL(14,10))) AS DECIMAL(24,10)) AS bsum,
+            count(*) AS nt, CAST(sum(y) AS BIGINT) AS post
+          FROM b),
+        pb AS (
+          SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+            ${sqlDavg("conf")} AS conf_avg
+          FROM b GROUP BY bin),
+        terms AS (
+          SELECT pb.*, raw.nt, raw.bsum,
+            CAST(pos AS DOUBLE) / n AS rate,
+            CAST(post AS DOUBLE) / nt AS obar
+          FROM pb CROSS JOIN raw),
+        t2 AS (
+          SELECT nt, obar, bsum,
+            CAST(round(CAST(n AS DOUBLE)
+              * pow(conf_avg - rate, 2.0), 6) AS DECIMAL(18,6)) AS rel_t,
+            CAST(round(CAST(n AS DOUBLE)
+              * pow(rate - obar, 2.0), 6) AS DECIMAL(18,6)) AS res_t
+          FROM terms)
+        SELECT
+          round(CAST(CAST(sum(rel_t) AS DECIMAL(24,6)) AS DOUBLE)
+            / nt, 8) AS reliability,
+          round(CAST(CAST(sum(res_t) AS DECIMAL(24,6)) AS DOUBLE)
+            / nt, 8) AS resolution,
+          round(obar * (1.0 - obar), 8) AS uncertainty,
+          round(CAST(bsum AS DOUBLE) / nt, 8) AS brier_raw
+        FROM t2 GROUP BY nt, obar, bsum""")),
+
+    "q280_mutual_information" -> Q(
+      // Mutual information + normalized MI between order priority and
+      // order status — the model-free dependence measure behind
+      // categorical feature selection (chi-square q111 says IS there
+      // dependence; MI says HOW MANY NATS it carries). One count pass
+      // to the bounded |A|×|B| grid, margins joined back (broadcast,
+      // no window); every cell/margin term is a fixed-shape expression
+      // of exact integer ratios, snapped at 10 decimals into exact
+      // decimal before the bounded Σ. Cells with n_ab = 0 contribute 0
+      // (the measure-theoretic convention) by simply not existing in
+      // the grouped frame.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("a"),
+            col("o_orderstatus").as("b"))
+        val cells = o.groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("nab"))
+        val ma = o.groupBy(col("a")).agg(count(lit(1)).as("na"))
+        val mb = o.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+        val tot = o.agg(count(lit(1)).as("nt"))
+        val nD = col("nt").cast("double")
+        val mi_t = round(col("nab").cast("double") / nD
+          * log(col("nab").cast("double") * nD
+            / (col("na").cast("double") * col("nb").cast("double"))), 10)
+          .cast("decimal(14,10)")
+        val joined = cells.join(broadcast(ma), "a")
+          .join(broadcast(mb), "b").crossJoin(broadcast(tot))
+        val mi = joined.agg(sum(mi_t).cast("decimal(20,10)").as("mis"))
+          .select(col("mis").cast("double").as("mi"))
+        def entropy(m: DataFrame, nCol: String): DataFrame =
+          m.crossJoin(broadcast(tot))
+            .agg(sum(round(-col(nCol).cast("double") / nD
+              * log(col(nCol).cast("double") / nD), 10)
+              .cast("decimal(14,10)")).cast("decimal(20,10)").as("hs"))
+            .select(col("hs").cast("double").as("h"))
+        val ha = entropy(ma, "na").select(col("h").as("h_a"))
+        val hb = entropy(mb, "nb").select(col("h").as("h_b"))
+        mi.crossJoin(ha).crossJoin(hb)
+          .select(round(col("mi"), 8).as("mi_nats"),
+            round(col("h_a"), 8).as("h_priority"),
+            round(col("h_b"), 8).as("h_status"),
+            round(col("mi") / sqrt(col("h_a") * col("h_b")), 8)
+              .as("nmi"))
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders),
+        cells AS (SELECT a, b, count(*) AS nab FROM o GROUP BY 1, 2),
+        ma AS (SELECT a, count(*) AS na FROM o GROUP BY 1),
+        mb AS (SELECT b, count(*) AS nb FROM o GROUP BY 1),
+        tot AS (SELECT count(*) AS nt FROM o),
+        mi AS (
+          SELECT CAST(CAST(sum(CAST(round(
+              CAST(nab AS DOUBLE) / CAST(nt AS DOUBLE)
+              * ln(CAST(nab AS DOUBLE) * CAST(nt AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 10)
+              AS DECIMAL(14,10))) AS DECIMAL(20,10)) AS DOUBLE) AS mi
+          FROM cells JOIN ma USING (a) JOIN mb USING (b)
+          CROSS JOIN tot),
+        ha AS (
+          SELECT CAST(CAST(sum(CAST(round(
+              -CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)
+              * ln(CAST(na AS DOUBLE) / CAST(nt AS DOUBLE)), 10)
+              AS DECIMAL(14,10))) AS DECIMAL(20,10)) AS DOUBLE) AS h_a
+          FROM ma CROSS JOIN tot),
+        hb AS (
+          SELECT CAST(CAST(sum(CAST(round(
+              -CAST(nb AS DOUBLE) / CAST(nt AS DOUBLE)
+              * ln(CAST(nb AS DOUBLE) / CAST(nt AS DOUBLE)), 10)
+              AS DECIMAL(14,10))) AS DECIMAL(20,10)) AS DOUBLE) AS h_b
+          FROM mb CROSS JOIN tot)
+        SELECT round(mi, 8) AS mi_nats, round(h_a, 8) AS h_priority,
+          round(h_b, 8) AS h_status,
+          round(mi / sqrt(h_a * h_b), 8) AS nmi
+        FROM mi CROSS JOIN ha CROSS JOIN hb""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
