@@ -18,10 +18,14 @@ import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, Hyperp
   *    that never saw the config still resolve the functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // analysis-time rejection of unscalable plan shapes, opt-in via
+    // spark.graft.scaleGuard=true (see graft.plans.ScaleGuard)
+    ext.injectCheckRule(graft.plans.ScaleGuard.checkRule)
+  }
 }
 
 object GraftFunctions {

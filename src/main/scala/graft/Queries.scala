@@ -11343,6 +11343,44 @@ object Queries {
           round(mi / sqrt(h_a * h_b), 8) AS nmi
         FROM mi CROSS JOIN ha CROSS JOIN hb""")),
 
+    "q281_stream_outer_attribution" -> Q(
+      // LEFT OUTER stream-stream interval join (q78's other half): the
+      // unconverted purchases ARE the signal — each emits with NULL
+      // click columns once the click-side watermark proves no on-time
+      // click can still match it (state-store eviction + null
+      // extension). Matched pairs emit like the inner join; unmatched
+      // purchases inside the terminal watermark window stay pending.
+      // The eviction boundary is the GLOBAL watermark — the MIN over
+      // both inputs of (that input's max event time − delay), because
+      // each filtered source tracks its own: the purchase-side max lags
+      // the click-side max, so the oracle must model both (pinned
+      // empirically at both SFs; a single-max watermark over- or
+      // under-emits by the straggler gap). Event times are full-
+      // microsecond random, so the boundary is never tied.
+      build = (s, dir) => ntzOut(
+        graft.streaming.BoundedRuns.emittedAttributionOuter(s, dir)),
+      oracle = Some("""
+        WITH p AS (
+          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id AS c_user_id, event_id AS click_id,
+            ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+        wm AS (
+          SELECT least((SELECT max(purchase_ts) FROM p),
+                       (SELECT max(click_ts) FROM c))
+            - INTERVAL 30 MINUTE AS w),
+        j AS (
+          SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts
+          FROM p LEFT JOIN c ON c_user_id = p.user_id
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL '1 hour')
+        SELECT user_id, purchase_id, purchase_ts, click_id, click_ts
+        FROM j CROSS JOIN wm
+        WHERE click_id IS NOT NULL OR purchase_ts < w
+        ORDER BY user_id, purchase_id, click_id""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on

@@ -176,6 +176,37 @@ object BoundedRuns {
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Bounded [[EventStreams.attributionJoinOuter]]: matched pairs emit
+    * like the inner join; an unmatched purchase null-extends once the
+    * row is evicted — when `purchase_ts <` the GLOBAL watermark, which
+    * is the MIN over both inputs of (that input's max event time −
+    * delay): each filtered file source tracks its own watermark, and
+    * the straggler side (here: sparse purchases trail the click max)
+    * holds the global one back. Pinned empirically at sf0.01 AND
+    * sf0.001 (whose purchase/click maxima differ by hours, separating
+    * this from every single-max hypothesis); the q281 oracle mirrors
+    * the two-sided watermark exactly. */
+  def emittedAttributionOuter(spark: SparkSession, dir: String,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val work = freshDir("attrout-")
+    val staged = eventCols(spark, dir)
+    staged.coalesce(1).write.parquet(s"$work/stage")
+    def src() = spark.readStream.schema(staged.schema).parquet(s"$work/stage")
+    val q = EventStreams.attributionJoinOuter(
+        src().filter(col("event_type") === "purchase"),
+        src().filter(col("event_type") === "click"),
+        horizon, watermarkDelay)
+      .writeStream.format("parquet").option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Bounded [[EventStreams.dedupEvents]]: the corpus staged TWICE as
     * byte-identical file copies, streamed one file per micro-batch. The
     * duplicate copy is dropped through both of the operator's mechanisms:

@@ -240,6 +240,31 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** LEFT OUTER variant of [[attributionJoin]]: purchases with NO
+    * in-horizon click still emit — with NULL click columns — once the
+    * click-side watermark passes the purchase time (no on-time click can
+    * match anymore; the state store evicts the held row and null-extends
+    * it). The semantics every funnel/attribution pipeline actually needs:
+    * the unconverted rows ARE the signal. Matched pairs emit exactly like
+    * the inner join, as both sides arrive. */
+  def attributionJoinOuter(purchases: DataFrame, clicks: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val p = purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Gap-based sessionization as a continuously-running stream: the
     * streaming twin of the batch lag+cumsum formulation. One
     * [[OpenSession]] per user in state; a session is emitted when a new

@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
     "q76_stream_hourly", "q78_stream_attribution", "q79_stream_dedup",
     "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
     "q201_stream_debounce", "q263_stream_topk",
-    "q274_stream_session_window")
+    "q274_stream_session_window", "q281_stream_outer_attribution")
 
   // Plan the whole catalog ONCE; both catalog-wide audits walk this.
   private lazy val catalogPlans: Seq[(String, SparkPlan)] =
@@ -140,6 +140,34 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"undocumented global window in: ${offenders.mkString(", ")}")
+  }
+
+  test("ScaleGuard rejects unpartitioned windows over raw rows, allows bounded frames") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, count, lit, row_number, sum}
+    import graft.plans.ScaleGuard
+    val o = Queries.table(spark, sf(), "orders")
+    // the q246 failure class: a global rank over every raw row
+    val bad = o.withColumn("rk",
+      row_number().over(W.orderBy(col("o_totalprice"))))
+    intercept[ScaleGuard.UnscalablePlanException] {
+      ScaleGuard.assertScalable(bad)
+    }
+    // bounded: the global window sits on a post-aggregation frame
+    val bounded = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(W.orderBy(col("o_orderpriority"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    ScaleGuard.assertScalable(bounded)
+    // partitioned windows over raw rows are the normal, scalable shape
+    val partitioned = o.withColumn("rk", row_number().over(
+      W.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))))
+    ScaleGuard.assertScalable(partitioned)
+    // driver-local literal frames (rank spines, lookup tables) are safe
+    import spark.implicits._
+    val local = Seq(1, 2, 3).toDF("i").withColumn("rk",
+      row_number().over(W.orderBy(col("i"))))
+    ScaleGuard.assertScalable(local)
   }
 
   test("q269: the partition column is NOT read from parquet data pages") {

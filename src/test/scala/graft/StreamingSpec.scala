@@ -79,6 +79,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoinOuter null-extends unconverted purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.attributionJoinOuter(
+        purchases.toDF(), clicks.toDF(), horizon = "30 minutes",
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attribout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 10, 0), ev(2, 12, 5))
+      purchases.addData(ev(1, 100, 25, typ = "purchase"),
+        ev(2, 101, 50, typ = "purchase"))
+      q.processAllAvailable()
+      // matched pair emits immediately; purchase 101 (no in-horizon
+      // click) is HELD — the watermark cannot yet prove a matching
+      // click will never arrive
+      val early = spark.table("attribout").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(early.toSet == Set((100L, 10L)))
+      // advance BOTH watermarks far past purchase 101 → null-extension
+      // (different users, so the two closers cannot match each other;
+      // closer purchase 102 itself stays pending: ts = watermark anchor)
+      clicks.addData(ev(8, 98, 300))
+      purchases.addData(ev(9, 102, 300, typ = "purchase"))
+      q.processAllAvailable()
+      val late = spark.table("attribout").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      assert(late.toSet == Set((100L, 10L), (101L, -1L)),
+        s"got ${late.toSeq}")
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, streams both sides") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Event]

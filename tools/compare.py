@@ -12,6 +12,7 @@ import math
 import sys
 
 import duckdb
+import pandas as pd
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -35,6 +36,16 @@ def cell_eq(a, b):
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # scalar missing values beyond None/float-NaN: pandas NaT (null
+    # timestamps, e.g. an outer join's unmatched side) never equals
+    # itself under ==; treat both-missing as equal like the driver's
+    # hash does. Guarded: pd.isna on array cells returns an array.
+    try:
+        an, bn = pd.isna(a), pd.isna(b)
+        if an is True and bn is True:
+            return True
+    except (TypeError, ValueError):
+        pass
     return a == b
 
 n_pass = n_fail = 0
