@@ -11381,6 +11381,63 @@ object Queries {
         WHERE click_id IS NOT NULL OR purchase_ts < w
         ORDER BY user_id, purchase_id, click_id""")),
 
+    "q282_quantile_normalization" -> Q(
+      // Quantile normalization (operators/QuantileNorm.scala): every
+      // priority's order-value distribution forced onto the POOLED
+      // type-7 curve — the batch-effect correction that makes
+      // per-source feature distributions comparable before training.
+      // Within-group ranks are partitioned windows; the pooled order
+      // statistics come from PrefixSum (bucketed global rank, never a
+      // single-partition sort); the lookup is two integer-rank joins.
+      // The row proves the operator worked: pre-normalization means
+      // vary by priority, post-normalization means collapse to nearly
+      // (not exactly — the p-grids differ with group size) the same
+      // pooled value.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            col("o_orderkey").as("id"),
+            col("o_totalprice").cast("double").as("x"))
+        QuantileNorm.toPooled(o, "pri", "x", "id")
+          .groupBy(col("pri"))
+          .agg(count(lit(1)).as("n"), davg(col("x")).as("mean_pre"),
+            davg(col("qn_value")).as("mean_post"))
+          .orderBy("pri")
+      },
+      oracle = Some(s"""
+        WITH o AS (
+          SELECT o_orderpriority AS pri, o_orderkey AS id,
+            CAST(o_totalprice AS DOUBLE) AS x
+          FROM orders),
+        g AS (
+          SELECT *, row_number() OVER (PARTITION BY pri ORDER BY x, id)
+              AS gr,
+            count(*) OVER (PARTITION BY pri) AS gn
+          FROM o),
+        p AS (
+          SELECT x AS pv, row_number() OVER (ORDER BY x, id) AS prnk
+          FROM o),
+        n AS (SELECT count(*) AS nt FROM o),
+        q AS (
+          SELECT pri, x, 1.0 + (nt - 1)
+              * (CAST(gr AS DOUBLE) - 0.5) / CAST(gn AS DOUBLE) AS pos,
+            nt
+          FROM g CROSS JOIN n),
+        q2 AS (
+          SELECT pri, x, CAST(floor(pos) AS BIGINT) AS lo,
+            least(CAST(floor(pos) AS BIGINT) + 1, nt) AS hi,
+            pos - floor(pos) AS gg
+          FROM q),
+        j AS (
+          SELECT pri, x,
+            round(plo.pv * (1.0 - gg) + gg * phi.pv, 6) AS qn
+          FROM q2
+          JOIN p plo ON q2.lo = plo.prnk
+          JOIN p phi ON q2.hi = phi.prnk)
+        SELECT pri, count(*) AS n, ${sqlDavg("x")} AS mean_pre,
+          ${sqlDavg("qn")} AS mean_post
+        FROM j GROUP BY pri ORDER BY pri""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on

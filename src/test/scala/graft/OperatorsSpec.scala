@@ -1555,6 +1555,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("QuantileNorm makes equal-size groups identical and preserves in-group order") {
+    import spark.implicits._
+    // two 50-row groups with wildly different scales/shapes; equal sizes
+    // mean both groups sample the pooled curve on the SAME p-grid, so
+    // their normalized multisets must be identical
+    val rows = (1 to 50).map(i => ("a", i.toLong, i * i * 0.3)) ++
+      (1 to 50).map(i => ("b", 100L + i, 1000.0 + 7.0 * i))
+    val out = QuantileNorm.toPooled(rows.toDF("g", "id", "x"), "g", "x", "id")
+      .select($"g", $"x", $"qn_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a").sortBy(_._2).map(_._3)
+    val b = out.filter(_._1 == "b").sortBy(_._2).map(_._3)
+    assert(a.toSeq == b.toSeq, "equal-size groups must normalize identically")
+    assert(a.sorted.toSeq == a.toSeq, "normalization must preserve order")
+    // normalized values live inside the pooled range
+    val xs = rows.map(_._3)
+    assert(a.forall(v => v >= xs.min - 1e-9 && v <= xs.max + 1e-9))
+  }
+
   test("Trend.groupedOls2 recovers exact planes and NULLs out collinearity") {
     import spark.implicits._
     // exact plane y = 2 + 3*x1 - 0.5*x2, no noise -> coefficients exact

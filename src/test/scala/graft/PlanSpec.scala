@@ -132,7 +132,8 @@ class PlanSpec extends SparkSpec {
       "q246_gains_table",
       "q271_isotonic_calibration", // distinct-score bin frame (Isotonic)
       "q275_neyman_allocation",    // 5-stratum remainder rank
-      "q278_ranking_metrics")      // 10-row top-k rank + IDCG cumsum
+      "q278_ranking_metrics",      // 10-row top-k rank + IDCG cumsum
+      "q282_quantile_normalization") // PrefixSum offsets (pooled ranks)
     val offenders = catalogPlans.collect {
       case (name, p) if !allowed(name) && p.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
