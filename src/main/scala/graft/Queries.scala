@@ -11430,7 +11430,8 @@ object Queries {
           FROM q),
         j AS (
           SELECT pri, x,
-            round(plo.pv * (1.0 - gg) + gg * phi.pv, 6) AS qn
+            floor((plo.pv * (1.0 - gg) + gg * phi.pv) * 100.0 + 0.5)
+              / 100.0 AS qn
           FROM q2
           JOIN p plo ON q2.lo = plo.prnk
           JOIN p phi ON q2.hi = phi.prnk)

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   * Determinism: ranks are total orders (value, then `idCol`); p and the
   * type-7 position are fixed-shape IEEE expressions of exact integers;
   * the interpolation `lo·(1−g) + g·hi` runs on the same doubles in any
-  * engine and is snapped to 6 decimals at the end.
+  * engine. The final snap is `floor(x·100 + 0.5)/100` (half-up to
+  * CENTS) — deliberately NOT `round(·, n)`: engines round the same
+  * double differently (Spark via its shortest decimal rendering, DuckDB
+  * via the binary expansion — observed flipping one row in 1500 at
+  * sf0.001), while `floor` of identical doubles is identical by
+  * construction.
   */
 object QuantileNorm {
 
@@ -52,9 +57,9 @@ object QuantileNorm {
     val loV = pooled.select(col("__prnk").as("__lo"), col("__pv").as("__lov"))
     val hiV = pooled.select(col("__prnk").as("__hi"), col("__pv").as("__hiv"))
     withPos.join(loV, "__lo").join(hiV, "__hi")
-      .withColumn("qn_value", round(
-        col("__lov") * (lit(1.0) - col("__g")) + col("__g") * col("__hiv"),
-        6))
+      .withColumn("qn_value", floor(
+        (col("__lov") * (lit(1.0) - col("__g"))
+          + col("__g") * col("__hiv")) * lit(100.0) + lit(0.5)) / lit(100.0))
       .drop("__gr", "__gn", "__lo", "__hi", "__g", "__lov", "__hiv")
   }
 }
