@@ -11439,6 +11439,133 @@ object Queries {
           ${sqlDavg("qn")} AS mean_post
         FROM j GROUP BY pri ORDER BY pri""")),
 
+    "q283_oof_target_encoding" -> Q(
+      // Leakage-free (out-of-fold) M-smoothed target encoding — the
+      // production form of P6's simple target encode: market segment
+      // encoded by mean customer revenue computed from the OTHER four
+      // folds only, so a row never sees its own target (the leakage
+      // that silently inflates offline metrics). The complement trick
+      // makes it ONE pass: segment×fold sums (bounded 25-cell grid,
+      // exact decimal), and every out-of-fold statistic is a
+      // subtraction — segment-total minus own-fold — never a second
+      // scan. Smoothing shrinks thin complements toward the (equally
+      // out-of-fold) global mean with m = 20 virtual rows. Folds are
+      // c_custkey mod 5 — portable across engines, unlike either
+      // engine's hash. Customers without orders have no target and are
+      // excluded (inner join), like any supervised fit.
+      build = (s, dir) => {
+        val m = 20.0
+        val cy = table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .join(table(s, dir, "orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum(dec(col("o_totalprice"))).cast("decimal(20,2)")
+              .as("yd")),
+            col("c_custkey") === col("o_custkey"))
+          .withColumn("fold", pmod(col("c_custkey"), lit(5)).cast("long"))
+        val cells = cy.groupBy(col("seg"), col("fold"))
+          .agg(count(lit(1)).as("n_sf"),
+            sum(col("yd")).cast("decimal(24,2)").as("s_sf"))
+        val segTot = cells.groupBy(col("seg"))
+          .agg(sum(col("n_sf")).as("n_s"),
+            sum(col("s_sf")).cast("decimal(26,2)").as("s_s"))
+        val foldTot = cells.groupBy(col("fold"))
+          .agg(sum(col("n_sf")).as("n_f"),
+            sum(col("s_sf")).cast("decimal(26,2)").as("s_f"))
+        val grand = cells.agg(sum(col("n_sf")).as("n_g"),
+          sum(col("s_sf")).cast("decimal(28,2)").as("s_g"))
+        cells.join(broadcast(segTot), "seg")
+          .join(broadcast(foldTot), "fold")
+          .crossJoin(broadcast(grand))
+          .withColumn("mu_oof", (col("s_g") - col("s_f")).cast("double")
+            / (col("n_g") - col("n_f")).cast("double"))
+          .withColumn("enc", round(
+            ((col("s_s") - col("s_sf")).cast("double")
+              + lit(m) * col("mu_oof"))
+            / ((col("n_s") - col("n_sf")).cast("double") + lit(m)), 8))
+          .select(col("seg"), col("fold"), col("n_sf"), col("enc"))
+          .orderBy("seg", "fold")
+      },
+      oracle = Some("""
+        WITH cy AS (
+          SELECT c_custkey, c_mktsegment AS seg, c_custkey % 5 AS fold, yd
+          FROM customer
+          JOIN (SELECT o_custkey,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                    AS DECIMAL(20,2)) AS yd
+                FROM orders GROUP BY 1) o
+            ON c_custkey = o_custkey),
+        cells AS (
+          SELECT seg, fold, count(*) AS n_sf,
+            CAST(sum(yd) AS DECIMAL(24,2)) AS s_sf
+          FROM cy GROUP BY 1, 2),
+        seg_tot AS (
+          SELECT seg, CAST(sum(n_sf) AS BIGINT) AS n_s,
+            CAST(sum(s_sf) AS DECIMAL(26,2)) AS s_s
+          FROM cells GROUP BY 1),
+        fold_tot AS (
+          SELECT fold, CAST(sum(n_sf) AS BIGINT) AS n_f,
+            CAST(sum(s_sf) AS DECIMAL(26,2)) AS s_f
+          FROM cells GROUP BY 1),
+        grand AS (
+          SELECT CAST(sum(n_sf) AS BIGINT) AS n_g,
+            CAST(sum(s_sf) AS DECIMAL(28,2)) AS s_g
+          FROM cells)
+        SELECT seg, fold, n_sf,
+          round((CAST(s_s - s_sf AS DOUBLE)
+              + 20.0 * (CAST(s_g - s_f AS DOUBLE)
+                / CAST(n_g - n_f AS DOUBLE)))
+            / (CAST(n_s - n_sf AS DOUBLE) + 20.0), 8) AS enc
+        FROM cells
+        JOIN seg_tot USING (seg) JOIN fold_tot USING (fold)
+        CROSS JOIN grand
+        ORDER BY seg, fold""")),
+
+    "q284_feature_hashing" -> Q(
+      // The hashing trick (Weinberger et al. 2009): categorical features
+      // mapped into a FIXED 16-bucket space by a portable md5 hash with
+      // a ±1 sign bit — the encoder that needs no vocabulary, no fit
+      // and no shuffle to build (sklearn FeatureHasher / Vowpal Wabbit's
+      // core). Each customer contributes two features (segment,
+      // nation); the row audits the bucket space itself: per bucket the
+      // row count, DISTINCT feature values (the collision profile — the
+      // thing you size D against) and the signed mass (sign-hashing
+      // makes colliding features cancel in expectation rather than
+      // pile up). Everything is exact integers on md5 bits, portable
+      // across engines — the same TextHash.md5Bits60 every sketch here
+      // uses.
+      build = (s, dir) => {
+        val cust = table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+        val feats = cust.select(explode(array(
+          concat(lit("seg="), col("c_mktsegment")),
+          concat(lit("nat="), col("n_name")))).as("f"))
+        feats.withColumn("h", TextHash.md5Bits60(col("f")))
+          .withColumn("idx", pmod(col("h"), lit(16L)))
+          .withColumn("sgn", when(pmod(expr("h div 16"), lit(2L)) === 0L,
+            lit(1L)).otherwise(lit(-1L)))
+          .groupBy(col("idx"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("f")).as("n_values"),
+            sum(col("sgn")).as("signed_mass"))
+          .orderBy("idx")
+      },
+      oracle = Some(s"""
+        WITH feats AS (
+          SELECT 'seg=' || c_mktsegment AS f
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT 'nat=' || n_name AS f
+          FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        hashed AS (
+          SELECT f, ${TextHash.sqlMd5Bits60("f")} AS h FROM feats)
+        SELECT h % 16 AS idx, count(*) AS n_rows,
+          count(DISTINCT f) AS n_values,
+          CAST(sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS signed_mass
+        FROM hashed GROUP BY 1 ORDER BY 1""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
