@@ -11566,6 +11566,123 @@ object Queries {
             AS BIGINT) AS signed_mass
         FROM hashed GROUP BY 1 ORDER BY 1""")),
 
+    "q285_matryoshka_audit" -> Q(
+      // Matryoshka truncation audit (Kusupati et al. 2022): how much
+      // cosine structure survives keeping only the first 8/16/32 of 64
+      // embedding dims — the measurement behind every "store the cheap
+      // prefix, rerank with the full vector" retrieval design (and the
+      // honest answer is dimension-dependent, which is the point of
+      // auditing before truncating). Consecutive-id pairs give a
+      // deterministic O(n) pair set (no sampling RNG); per-dim cosines
+      // use the same sequential-fold dot product as every similarity
+      // row (native graft_cosine ≡ DuckDB list_dot_product — the
+      // proven-bit-equal q25 idiom); per-pair deltas snap to 8 decimals
+      // into exact sums (davg). sign_agree counts pairs whose
+      // truncated cosine keeps the full cosine's sign.
+      build = (s, dir) => {
+        val e = table(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("id_a"),
+          Vectors.asDouble(col("embedding")).as("va"))
+        val b = e.select(col("vec_id").as("id_b"),
+          Vectors.asDouble(col("embedding")).as("vb"))
+        val pairs = a.join(b, col("id_a") + 1 === col("id_b"))
+        pairs
+          .withColumn("d", explode(array(lit(8), lit(16), lit(32),
+            lit(64))))
+          .withColumn("cd", Vectors.cosine(
+            slice(col("va"), lit(1), col("d")),
+            slice(col("vb"), lit(1), col("d"))))
+          .withColumn("cf", Vectors.cosine(col("va"), col("vb")))
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_pairs"),
+            davg(abs(col("cd") - col("cf"))).as("mean_abs_delta"),
+            sum(((col("cd") > 0) === (col("cf") > 0)).cast("long"))
+              .as("sign_agree"))
+          .orderBy("d")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings),
+        p AS (
+          SELECT a.emb AS va, b.emb AS vb
+          FROM v a JOIN v b ON a.vec_id + 1 = b.vec_id),
+        dd AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        x AS (
+          SELECT d, va, vb, va[1:d] AS ca, vb[1:d] AS cb
+          FROM p CROSS JOIN dd),
+        c AS (
+          SELECT d,
+            list_dot_product(ca, cb) / (sqrt(list_dot_product(ca, ca))
+              * sqrt(list_dot_product(cb, cb))) AS cd,
+            list_dot_product(va, vb) / (sqrt(list_dot_product(va, va))
+              * sqrt(list_dot_product(vb, vb))) AS cf
+          FROM x)
+        SELECT d, count(*) AS n_pairs,
+          ${sqlDavg("abs(cd - cf)")} AS mean_abs_delta,
+          CAST(sum(CASE WHEN (cd > 0) = (cf > 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS sign_agree
+        FROM c GROUP BY d ORDER BY d""")),
+
+    "q286_struct_array_battery" -> Q(
+      // Nested struct-array engine contract: each order's lines packed
+      // into a SORTED array<struct> (collect_list is partitioning-
+      // ordered — sort_array on the unique linenumber key is what makes
+      // the nested value deterministic, the q208 lesson one level
+      // deeper), then consumed entirely through the nested API:
+      // element_at + getField for head/tail access, a sequential
+      // aggregate() fold over struct fields in EXACT DECIMAL for the
+      // order total, exists() for a predicate probe. The oracle
+      // computes the same VALUES from the flat rows via a row_number
+      // mirror of the FULL lexicographic struct order (ln, q, p) —
+      // l_linenumber REPEATS within orders in the shipped data, so a
+      // bare arg_min-by-linenumber is nondeterministic exactly where
+      // sort_array's whole-struct comparison is not; decimal folds are
+      // associative, so nested-fold ≡ flat-sum exactly.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber").as("ln"),
+            dec(col("l_quantity")).as("q"),
+            dec(col("l_extendedprice")).as("p"))
+        li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(
+            struct(col("ln"), col("q"), col("p")))).as("lines"))
+          .select(col("l_orderkey"),
+            size(col("lines")).as("n_lines"),
+            element_at(col("lines"), 1).getField("q").cast("double")
+              .as("first_qty"),
+            element_at(col("lines"), -1).getField("p").cast("double")
+              .as("last_price"),
+            m2(aggregate(col("lines"),
+              lit(0).cast("decimal(24,4)"),
+              (acc, x) => (acc + (x.getField("q") * x.getField("p"))
+                .cast("decimal(24,4)")).cast("decimal(24,4)")))
+              .as("order_total"),
+            exists(col("lines"),
+              x => x.getField("q") > lit(45).cast("decimal(12,2)"))
+              .as("any_bulk"))
+          .orderBy("l_orderkey")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT l_orderkey, l_quantity, l_extendedprice,
+            row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn,
+            count(*) OVER (PARTITION BY l_orderkey) AS nl
+          FROM lineitem)
+        SELECT l_orderkey, count(*) AS n_lines,
+          CAST(max(CASE WHEN rn = 1
+            THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE)
+            AS first_qty,
+          CAST(max(CASE WHEN rn = nl
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
+            AS last_price,
+          CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+              * CAST(l_extendedprice AS DECIMAL(12,2))
+              AS DECIMAL(24,4))), 2) AS DOUBLE) AS order_total,
+          bool_or(l_quantity > 45) AS any_bulk
+        FROM r GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
