@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 
 /** Analysis-time scale guard — the q246 failure class as an ENGINE check
   * instead of a test: a `Window` with an empty partition spec moves its
@@ -30,18 +31,32 @@ object ScaleGuard {
     extends IllegalStateException(msg)
 
   /** Throws [[UnscalablePlanException]] if the analyzed plan contains an
-    * unpartitioned window over raw (non-collapsed) rows. */
+    * unpartitioned window over raw (non-collapsed) rows, or a
+    * condition-free inner/cross join whose BOTH sides are raw — the full
+    * n×m product (a broadcast of a bounded side shows up as a join over
+    * a collapsed/local side and is allowed). */
   def check(plan: LogicalPlan): Unit = {
-    val offending = plan.collect {
+    val badWindows = plan.collect {
       case w: Window if w.partitionSpec.isEmpty && reachesRawRows(w.child) => w
     }
-    if (offending.nonEmpty)
+    if (badWindows.nonEmpty)
       throw new UnscalablePlanException(
         "unpartitioned window over raw rows — this moves the whole input " +
           "through ONE partition and cannot be saved by more executors. " +
           "Partition the window, pre-aggregate its input, or use the " +
           "bucketed graft.operators.PrefixSum rewrite for global " +
-          s"ranks/cumsums. Offending window: ${offending.head.simpleString(3)}")
+          s"ranks/cumsums. Offending window: ${badWindows.head.simpleString(3)}")
+    val badJoins = plan.collect {
+      case j: Join if j.condition.isEmpty &&
+        (j.joinType == Inner || j.joinType == Cross) &&
+        reachesRawRows(j.left) && reachesRawRows(j.right) => j
+    }
+    if (badJoins.nonEmpty)
+      throw new UnscalablePlanException(
+        "condition-free join with BOTH sides raw — a full n×m Cartesian " +
+          "product. Add a join condition, or collapse one side (aggregate " +
+          "/ limit) so it broadcasts as a bounded frame. Offending join: " +
+          badJoins.head.simpleString(3))
   }
 
   /** Convenience form for the imperative path. */

@@ -169,6 +169,15 @@ class PlanSpec extends SparkSpec {
     val local = Seq(1, 2, 3).toDF("i").withColumn("rk",
       row_number().over(W.orderBy(col("i"))))
     ScaleGuard.assertScalable(local)
+    // condition-free raw×raw join = full Cartesian product: rejected
+    val li = Queries.table(spark, sf(), "lineitem")
+    intercept[ScaleGuard.UnscalablePlanException] {
+      ScaleGuard.assertScalable(o.crossJoin(li))
+    }
+    // the catalog's scalar-distribution idiom — crossJoin against a
+    // one-row aggregate — is a collapsed side and passes
+    ScaleGuard.assertScalable(
+      o.crossJoin(li.agg(count(lit(1)).as("n"))))
   }
 
   test("q269: the partition column is NOT read from parquet data pages") {
