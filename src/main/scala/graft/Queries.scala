@@ -11683,6 +11683,131 @@ object Queries {
           bool_or(l_quantity > 45) AS any_bulk
         FROM r GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
+    "q287_eb_shrinkage" -> Q(
+      // Empirical-Bayes shrinkage of per-nation fulfillment rates: fit a
+      // Beta prior to the 25 observed rates by method of moments, then
+      // shrink each nation toward it — (k+α)/(n+α+β) — so thin nations
+      // move a lot and populous ones barely (the "true rate for small
+      // segments" estimator; Robinson's batting-average classic). One
+      // hash agg to the bounded nation frame; the prior moments are
+      // 8-snapped decimal sums over 25 rows (combine-order-independent);
+      // α/β and every shrunken rate are fixed-shape doubles, snapped
+      // once. The audit column `moved` = |shrunk − raw| makes the
+      // shrinkage visibly data-driven (power discipline).
+      build = (s, dir) => {
+        val nf = table(s, dir, "orders")
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("o_orderstatus") === "F").cast("long")).as("k"))
+          .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+        val mom = nf.agg(count(lit(1)).as("g"),
+          sum(round(col("p"), 8).cast("decimal(12,8)"))
+            .cast("decimal(16,8)").as("sp"),
+          sum(round(col("p") * col("p"), 8).cast("decimal(12,8)"))
+            .cast("decimal(16,8)").as("spp"))
+        val gD = col("g").cast("double")
+        val m = col("sp").cast("double") / gD
+        val v = col("spp").cast("double") / gD - m * m
+        val common = m * (lit(1.0) - m) / v - lit(1.0)
+        nf.crossJoin(broadcast(mom))
+          .withColumn("alpha", m * common)
+          .withColumn("beta", (lit(1.0) - m) * common)
+          .select(col("n_name"), col("n"), col("k"),
+            round(col("p"), 8).as("raw_rate"),
+            round((col("k").cast("double") + col("alpha"))
+              / (col("n").cast("double") + col("alpha") + col("beta")), 8)
+              .as("shrunk_rate"),
+            round(abs((col("k").cast("double") + col("alpha"))
+              / (col("n").cast("double") + col("alpha") + col("beta"))
+              - col("p")), 8).as("moved"))
+          .orderBy("n_name")
+      },
+      oracle = Some("""
+        WITH nf AS (
+          SELECT n_name, count(*) AS n,
+            CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        np AS (SELECT *, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+          FROM nf),
+        mom AS (
+          SELECT count(*) AS g,
+            CAST(sum(CAST(round(p, 8) AS DECIMAL(12,8)))
+              AS DECIMAL(16,8)) AS sp,
+            CAST(sum(CAST(round(p * p, 8) AS DECIMAL(12,8)))
+              AS DECIMAL(16,8)) AS spp
+          FROM np),
+        pri AS (
+          SELECT g, sp, spp,
+            CAST(sp AS DOUBLE) / CAST(g AS DOUBLE) AS m,
+            CAST(spp AS DOUBLE) / CAST(g AS DOUBLE)
+              - (CAST(sp AS DOUBLE) / CAST(g AS DOUBLE))
+              * (CAST(sp AS DOUBLE) / CAST(g AS DOUBLE)) AS v
+          FROM mom),
+        ab AS (
+          SELECT m * (m * (1.0 - m) / v - 1.0) AS alpha,
+            (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+          FROM pri)
+        SELECT n_name, n, k, round(p, 8) AS raw_rate,
+          round((CAST(k AS DOUBLE) + alpha)
+            / (CAST(n AS DOUBLE) + alpha + beta), 8) AS shrunk_rate,
+          round(abs((CAST(k AS DOUBLE) + alpha)
+            / (CAST(n AS DOUBLE) + alpha + beta) - p), 8) AS moved
+        FROM np CROSS JOIN ab
+        ORDER BY n_name""")),
+
+    "q288_median_ci" -> Q(
+      // Distribution-free 95% CI for the median — the two order
+      // statistics at the binomial-quantile ranks n/2 ∓ 0.98·√n (normal
+      // approximation, fixed-shape integer formulas replicated verbatim
+      // in the oracle) — composed on q265's two-phase Selection operator:
+      // three exact order statistics (lo, median, hi) with NO global
+      // sort, each one bounded in-bucket refinement. The interval that
+      // turns "the median is X" into "the median is X, and we are 95%
+      // sure it is between L and H" without assuming any distribution
+      // (order-statistic CI, Conover 1971).
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        def rlo(n: Long): Long =
+          math.max(1L, (n / 2.0 - 0.98 * math.sqrt(n.toDouble)).floor.toLong)
+        def rhi(n: Long): Long =
+          math.min(n, (n / 2.0 + 1.0 + 0.98 * math.sqrt(n.toDouble)).ceil.toLong)
+        Selection.orderStatistics(o, "o_totalprice", Seq(
+          ("ci_lo", rlo), ("median", n => (n + 1) / 2), ("ci_hi", rhi)),
+          1000.0)
+          .orderBy("stat")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT o_totalprice AS val FROM orders
+                   WHERE o_totalprice IS NOT NULL),
+        r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        cnt AS (SELECT count(*) AS n FROM v),
+        ks AS (
+          SELECT
+            greatest(1, CAST(floor(n / 2.0 - 0.98 * sqrt(CAST(n AS
+              DOUBLE))) AS BIGINT)) AS k_lo,
+            CAST((n + 1) // 2 AS BIGINT) AS k_med,
+            least(n, CAST(ceil(n / 2.0 + 1.0 + 0.98 * sqrt(CAST(n AS
+              DOUBLE))) AS BIGINT)) AS k_hi
+          FROM cnt)
+        SELECT 'ci_hi' AS stat, k_hi AS k,
+          (SELECT val FROM r WHERE rn = (SELECT k_hi FROM ks)) AS value
+          FROM ks
+        UNION ALL
+        SELECT 'ci_lo', k_lo,
+          (SELECT val FROM r WHERE rn = (SELECT k_lo FROM ks)) FROM ks
+        UNION ALL
+        SELECT 'median', k_med,
+          (SELECT val FROM r WHERE rn = (SELECT k_med FROM ks)) FROM ks
+        ORDER BY stat""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
