@@ -11808,6 +11808,36 @@ object Queries {
           (SELECT val FROM r WHERE rn = (SELECT k_med FROM ks)) FROM ks
         ORDER BY stat""")),
 
+    "q289_stream_scd2" -> Q(
+      // Streaming SCD2 dimension maintenance (q85's batch operator as a
+      // continuously-running stream): each user's event_type history
+      // kept as ONE open row in keyed state — the state IS the live
+      // dimension table — with every actual change emitting the closed
+      // validity interval. Closure is data-driven (no watermark timeout
+      // needed: a dimension's current version stays open forever), so
+      // the emitted set over the bounded run equals the batch SCD2 rows
+      // whose effective_to is non-NULL, tie-broken by the opening
+      // event id exactly like the batch operator.
+      build = (s, dir) => ntzOut(
+        graft.streaming.BoundedRuns.emittedScd2(s, dir)),
+      oracle = Some("""
+        WITH chg AS (
+          SELECT user_id, ts, event_id, event_type,
+            lag(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        f AS (SELECT * FROM chg WHERE prev IS DISTINCT FROM event_type),
+        scd AS (
+          SELECT user_id, event_type, ts AS effective_from,
+            lead(ts) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id)
+              AS effective_to,
+            event_id AS open_id
+          FROM f)
+        SELECT user_id, event_type, effective_from, effective_to, open_id
+        FROM scd WHERE effective_to IS NOT NULL
+        ORDER BY user_id, effective_from, open_id""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on

@@ -306,6 +306,22 @@ object BoundedRuns {
       .orderBy(col("day"), col("rnk"))
   }
 
+  /** Bounded [[EventStreams.scd2Stream]]: the emitted CLOSED validity
+    * intervals of each user's event_type dimension. The staged input
+    * runs as one batch in the batch operator's total order, so the
+    * emitted set equals [[graft.operators.Scd2.fromChangeLog]]'s rows
+    * with a non-NULL effective_to (each user's current open version
+    * lives in state, never in the append stream). */
+  def emittedScd2(spark: SparkSession, dir: String,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    import spark.implicits._
+    runEmitted(spark, dir,
+      df => EventStreams.scd2Stream(df.as[EventStreams.Event],
+        watermarkDelay).toDF(),
+      "scd2-")
+      .orderBy(col("user_id"), col("effective_from"), col("open_id"))
+  }
+
   /** Streamed NATIVE session windows: Spark's built-in `session_window`
     * generator inside a watermarked streaming aggregation (the operator
     * twin of [[EventStreams.sessionize]]'s custom state — same gap

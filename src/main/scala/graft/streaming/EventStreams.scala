@@ -265,6 +265,58 @@ object EventStreams {
         col("click_id"), col("click_ts"))
   }
 
+  /** A closed SCD2 validity interval, the streaming face of
+    * [[graft.operators.Scd2.fromChangeLog]]'s output rows (open rows —
+    * NULL effective_to — live in state, not the append stream). */
+  final case class Scd2Out(user_id: Long, event_type: String,
+      effective_from: Timestamp, effective_to: Timestamp, open_id: Long)
+
+  /** The open dimension row per key: tracked attribute, since-when
+    * (epoch micros), and the event id that opened it (the tie-break that
+    * keeps the history comparable to the batch operator). */
+  final case class OpenDim(attr: String, sinceUs: Long, tieId: Long)
+
+  /** SCD type-2 dimension history as a continuously-running stream: each
+    * user's tracked attribute (event_type) maintained as ONE open row in
+    * keyed state; an arriving observation with a DIFFERENT attribute
+    * closes the open interval (emitted) and opens a new one. Closure is
+    * data-driven — no timeout: the state IS the live dimension table,
+    * one fixed-size row per key, which is exactly what a dimension
+    * costs; `NoTimeout` is deliberate, not an oversight. Within a
+    * micro-batch, observations apply in (ts, event_id) order — the batch
+    * operator's total order — and a row older than the open interval's
+    * start (out-of-order beyond the current version) is dropped as late,
+    * the streaming-dimension convention. With in-order arrival the
+    * emitted set equals the batch operator's closed intervals exactly
+    * (the q289 oracle). */
+  def scd2Stream(events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[Scd2Out] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenDim, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[OpenDim]) =>
+          val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+          val out = Seq.newBuilder[Scd2Out]
+          var cur = state.getOption.orNull
+          sorted.foreach { e =>
+            val t = tsUs(e.ts)
+            if (cur == null) cur = OpenDim(e.event_type, t, e.event_id)
+            else if (t < cur.sinceUs) () // late beyond the open version
+            else if (e.event_type != cur.attr) {
+              out += Scd2Out(uid, cur.attr, usTs(cur.sinceUs), usTs(t),
+                cur.tieId)
+              cur = OpenDim(e.event_type, t, e.event_id)
+            } // same attribute: an observation, not a change
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization as a continuously-running stream: the
     * streaming twin of the batch lag+cumsum formulation. One
     * [[OpenSession]] per user in state; a session is emitted when a new

@@ -112,6 +112,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2Stream closes intervals across micro-batches and drops stale versions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.scd2Stream(in.toDS())
+      .toDF().writeStream.format("memory").queryName("scd2s")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: click@0 opens; view@10 closes click [0,10); view stays open
+      in.addData(ev(1, 1, 0), ev(1, 2, 10, typ = "view"))
+      q.processAllAvailable()
+      def rows() = spark.table("scd2s").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), r.getTimestamp(3))).toSet
+      assert(rows() == Set((1L, "click", ts(0), ts(10))))
+      // batch 2: the open `view` row CARRIED ACROSS the batch boundary —
+      // another view@20 is an observation (no change); purchase@30 closes
+      // view at [10,30); a stale click@5 (older than the open version)
+      // is dropped, NOT spliced into history
+      in.addData(ev(1, 3, 20, typ = "view"), ev(1, 4, 30, typ = "purchase"),
+        ev(1, 5, 5, typ = "click"))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (1L, "click", ts(0), ts(10)),
+        (1L, "view", ts(10), ts(30))))
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-horizon clicks, streams both sides") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Event]
