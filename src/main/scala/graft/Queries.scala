@@ -11838,6 +11838,147 @@ object Queries {
         FROM scd WHERE effective_to IS NOT NULL
         ORDER BY user_id, effective_from, open_id""")),
 
+    "q290_tail_attribution" -> Q(
+      // Tail attribution: WHO lives above the global p99 — the "which
+      // segment drives tail latency" panel of any SLO review. The
+      // global p99 comes from Selection's two-phase exact selection
+      // (q265's operator — a hash-agg histogram + one in-bucket
+      // refinement, never a global sort), collected as one bounded
+      // driver scalar and pushed back into a single counting pass:
+      // per-priority total, tail count, and each priority's share of
+      // the whole tail. Exact integers plus one fixed-shape division.
+      build = (s, dir) => {
+        val o = table(s, dir, "orders")
+        val p99 = Selection.orderStatistics(o, "o_totalprice",
+            Seq(("p99", n => (99 * n + 99) / 100)), 1000.0)
+          .collect()(0).getDouble(2)
+        val per = o.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("o_totalprice").cast("double") > lit(p99))
+              .cast("long")).as("n_tail"))
+        val tot = per.agg(sum(col("n_tail")).as("tt"))
+        per.crossJoin(broadcast(tot))
+          .select(col("o_orderpriority"), col("n"), col("n_tail"),
+            round(col("n_tail").cast("double") / col("tt").cast("double"),
+              8).as("tail_share"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT o_totalprice AS val FROM orders
+                   WHERE o_totalprice IS NOT NULL),
+        r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+        cnt AS (SELECT count(*) AS n FROM v),
+        p99 AS (SELECT val AS p FROM r
+                WHERE rn = (SELECT (99 * n + 99) // 100 FROM cnt)),
+        per AS (
+          SELECT o_orderpriority, count(*) AS n,
+            CAST(sum(CASE WHEN CAST(o_totalprice AS DOUBLE)
+              > (SELECT p FROM p99) THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_tail
+          FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tail) AS BIGINT) AS tt FROM per)
+        SELECT o_orderpriority, n, n_tail,
+          round(CAST(n_tail AS DOUBLE) / CAST(tt AS DOUBLE), 8)
+            AS tail_share
+        FROM per CROSS JOIN tot
+        ORDER BY o_orderpriority""")),
+
+    "q291_oof_ols_stacking" -> Q(
+      // Out-of-fold REGRESSION predictions (stacking's first stage,
+      // leakage-free like q283's encoder): price ~ quantity fit per
+      // fold ON THE COMPLEMENT ONLY, via the moment-subtraction trick —
+      // five exact-decimal moments per fold (bounded 5-row frame), each
+      // fold's coefficients from (total − own fold), then one residual
+      // pass scoring every row with ITS fold's out-of-fold line. The
+      // whole stacked-feature computation costs two scans and zero
+      // model-fit iterations; rmse varies by fold (power discipline) and
+      // every residual² is snapped into an exact sum before the mean.
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(pmod(col("l_orderkey"), lit(5)).cast("long").as("fold"),
+            dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+        val mom = li.groupBy(col("fold"))
+          .agg(count(lit(1)).as("nf"),
+            sum(col("x")).cast("decimal(20,2)").as("sx"),
+            sum(col("x") * col("x")).cast("decimal(30,4)").as("sxx"),
+            sum(col("y")).cast("decimal(22,2)").as("sy"),
+            sum(col("x") * col("y")).cast("decimal(32,4)").as("sxy"))
+        val tot = mom.agg(sum(col("nf")).as("nt"),
+          sum(col("sx")).cast("decimal(22,2)").as("tx"),
+          sum(col("sxx")).cast("decimal(32,4)").as("txx"),
+          sum(col("sy")).cast("decimal(24,2)").as("ty"),
+          sum(col("sxy")).cast("decimal(34,4)").as("txy"))
+        val nc = (col("nt") - col("nf")).cast("double")
+        val cx = (col("tx") - col("sx")).cast("double")
+        val cxx = (col("txx") - col("sxx")).cast("double")
+        val cy = (col("ty") - col("sy")).cast("double")
+        val cxy = (col("txy") - col("sxy")).cast("double")
+        val den = nc * cxx - cx * cx
+        val coef = mom.crossJoin(broadcast(tot))
+          .withColumn("slope", round((nc * cxy - cx * cy) / den, 8))
+          .withColumn("icept", round((cy - col("slope") * cx) / nc, 6))
+          .select(col("fold"), col("nf"), col("slope"), col("icept"))
+        li.join(broadcast(coef), "fold")
+          .withColumn("r2t", round(
+            pow(col("y").cast("double") - col("icept")
+              - col("slope") * col("x").cast("double"), 2.0), 4)
+            .cast("decimal(24,4)"))
+          .groupBy(col("fold"), col("nf"), col("slope"), col("icept"))
+          .agg(sum(col("r2t")).cast("decimal(30,4)").as("sse"))
+          .select(col("fold"), col("nf").as("n"), col("slope"),
+            col("icept").as("intercept"),
+            round(sqrt(col("sse").cast("double")
+              / col("nf").cast("double")), 6).as("oof_rmse"))
+          .orderBy("fold")
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT l_orderkey % 5 AS fold,
+            CAST(l_quantity AS DECIMAL(20,2)) AS x,
+            CAST(l_extendedprice AS DECIMAL(20,2)) AS y
+          FROM lineitem),
+        mom AS (
+          SELECT fold, count(*) AS nf,
+            CAST(sum(x) AS DECIMAL(20,2)) AS sx,
+            CAST(sum(x * x) AS DECIMAL(30,4)) AS sxx,
+            CAST(sum(y) AS DECIMAL(22,2)) AS sy,
+            CAST(sum(x * y) AS DECIMAL(32,4)) AS sxy
+          FROM li GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(nf) AS BIGINT) AS nt,
+            CAST(sum(sx) AS DECIMAL(22,2)) AS tx,
+            CAST(sum(sxx) AS DECIMAL(32,4)) AS txx,
+            CAST(sum(sy) AS DECIMAL(24,2)) AS ty,
+            CAST(sum(sxy) AS DECIMAL(34,4)) AS txy
+          FROM mom),
+        coef AS (
+          SELECT fold, nf,
+            round((CAST(nt - nf AS DOUBLE) * CAST(txy - sxy AS DOUBLE)
+                - CAST(tx - sx AS DOUBLE) * CAST(ty - sy AS DOUBLE))
+              / (CAST(nt - nf AS DOUBLE) * CAST(txx - sxx AS DOUBLE)
+                - CAST(tx - sx AS DOUBLE) * CAST(tx - sx AS DOUBLE)), 8)
+              AS slope,
+            round((CAST(ty - sy AS DOUBLE)
+                - round((CAST(nt - nf AS DOUBLE)
+                    * CAST(txy - sxy AS DOUBLE)
+                  - CAST(tx - sx AS DOUBLE) * CAST(ty - sy AS DOUBLE))
+                / (CAST(nt - nf AS DOUBLE) * CAST(txx - sxx AS DOUBLE)
+                  - CAST(tx - sx AS DOUBLE) * CAST(tx - sx AS DOUBLE)), 8)
+                  * CAST(tx - sx AS DOUBLE))
+              / CAST(nt - nf AS DOUBLE), 6) AS icept
+          FROM mom CROSS JOIN tot),
+        res AS (
+          SELECT li.fold, nf, slope, icept,
+            CAST(round(pow(CAST(y AS DOUBLE) - icept
+              - slope * CAST(x AS DOUBLE), 2.0), 4) AS DECIMAL(24,4))
+              AS r2t
+          FROM li JOIN coef USING (fold))
+        SELECT fold, nf AS n, slope, icept AS intercept,
+          round(sqrt(CAST(CAST(sum(r2t) AS DECIMAL(30,4)) AS DOUBLE)
+            / CAST(nf AS DOUBLE)), 6) AS oof_rmse
+        FROM res GROUP BY fold, nf, slope, icept
+        ORDER BY fold""")),
+
   )
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
