@@ -134,7 +134,12 @@ class PlanSpec extends SparkSpec {
       "q271_isotonic_calibration", // distinct-score bin frame (Isotonic)
       "q275_neyman_allocation",    // 5-stratum remainder rank
       "q278_ranking_metrics",      // 10-row top-k rank + IDCG cumsum
-      "q282_quantile_normalization") // PrefixSum offsets (pooled ranks)
+      "q282_quantile_normalization", // PrefixSum offsets (pooled ranks)
+      "q298_rrf_fusion",        // rank inside top-100 TakeOrdered frames
+      "q299_cusum_changepoint", // calendar-day CUSUM frame
+      "q306_lateness_grid",     // <=32-row chunk prefix-max frame
+      "q314_runs_test",         // calendar-day sign-adjacency frame
+      "q318_durbin_watson")     // calendar-day residual-lag frame
     val offenders = catalogPlans.collect {
       case (name, p) if !allowed(name) && p.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
