@@ -13946,6 +13946,50 @@ object Queries {
         FROM unrolled
         ORDER BY column_name""")),
 
+    "q316_ipf_raking" -> Q(
+      // Survey raking / iterative proportional fitting (Deming-Stephan
+      // 1940): calibrate the 5x5 segment-by-region customer cell counts
+      // to uniform target margins (N/5 per row and per column) with
+      // three full IPF sweeps. The cell frame is bounded (25 rows after
+      // one scan), every margin sum is an exact decimal over 5 cells,
+      // and the weight is SNAPPED to 8 decimals after each half-sweep —
+      // the q301 Platt discipline: the snap stops cross-libm ulps from
+      // compounding across iterations, and all snapped values stay
+      // exactly double-representable. The oracle unrolls the same three
+      // sweeps as generated CTEs.
+      build = (s, dir) => {
+        val cells = table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("reg"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.agg(sum(col("n")).as("nn"))
+        var w = cells.crossJoin(broadcast(tot))
+          .withColumn("w", col("n").cast("decimal(20,8)"))
+        for (_ <- 1 to 3) {
+          val rowS = w.groupBy(col("seg"))
+            .agg(sum(col("w")).cast("decimal(24,8)").as("sw"))
+          w = w.join(broadcast(rowS), Seq("seg"))
+            .withColumn("w", round(col("w").cast("double")
+              * (col("nn").cast("double") / lit(5.0))
+              / col("sw").cast("double"), 8).cast("decimal(20,8)"))
+            .drop("sw")
+          val colS = w.groupBy(col("reg"))
+            .agg(sum(col("w")).cast("decimal(24,8)").as("sw"))
+          w = w.join(broadcast(colS), Seq("reg"))
+            .withColumn("w", round(col("w").cast("double")
+              * (col("nn").cast("double") / lit(5.0))
+              / col("sw").cast("double"), 8).cast("decimal(20,8)"))
+            .drop("sw")
+        }
+        w.select(col("seg"), col("reg"), col("n"),
+            col("w").cast("double").as("w_raked"))
+          .orderBy(col("seg"), col("reg"))
+      },
+      oracle = Some(ipfRakingOracle)),
+
     "q317_cochran_armitage" -> Q(
       // Cochran-Armitage trend test: does the URGENT-order share trend
       // monotonically across acctbal-quintile customer tiers? The
@@ -13962,8 +14006,8 @@ object Queries {
         // domain would still be a global sort; instead reuse the exact
         // interpolated-quantile machinery on the snapped decimal value
         val edges = c.agg(
-          expr("percentile(cast(c_acctbal as decimal(12,2)), " +
-            "array(0.2, 0.4, 0.6, 0.8))").as("e"))
+          expr("percentile(c_acctbal, array(0.2, 0.4, 0.6, 0.8))")
+            .as("e"))
         val tiered = c.crossJoin(broadcast(edges))
           .select(col("c_custkey"),
             (when(col("c_acctbal") <= col("e").getItem(0), 1)
@@ -13998,8 +14042,7 @@ object Queries {
       },
       oracle = Some("""
         WITH edges AS (
-          SELECT quantile_cont(CAST(c_acctbal AS DECIMAL(12,2)),
-            [0.2, 0.4, 0.6, 0.8]) AS e
+          SELECT quantile_cont(c_acctbal, [0.2, 0.4, 0.6, 0.8]) AS e
           FROM customer),
         tiered AS (
           SELECT c_custkey,
@@ -14137,7 +14180,996 @@ object Queries {
             / 2.0, 6) AS rho
         FROM lagged""")),
 
+    "q319_cem_matching" -> Q(
+      // Coarsened exact matching (Iacus-King-Porro) — the DESIGN-stage
+      // causal operator that complements q294's model-stage IPW:
+      // "treated" = BUILDING-segment customers, outcome = lifetime
+      // order revenue, strata = region x 2000-wide acctbal band
+      // (coarsening is plain integer arithmetic — fully deterministic,
+      // no propensity model to disagree about). Unmatched strata (no
+      // treated or no controls) are pruned exactly as CEM prescribes;
+      // the ATT reweights control means to the treated stratum
+      // distribution. One outcome join + one bounded strata frame;
+      // per-stratum mean gaps snap to 6 decimals and fold into the ATT
+      // through exact decimal x integer sums (no double accumulation).
+      build = (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spent"))
+        val c = table(s, dir, "customer")
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(spend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("r_name"),
+            floor((col("c_acctbal").cast("decimal(12,2)") + 1000)
+              / 2000).cast("long").as("band"),
+            (col("c_mktsegment") === "BUILDING").cast("int").as("t"),
+            coalesce(col("spent"), lit(0).cast("decimal(12,2)"))
+              .cast("decimal(14,2)").as("y"))
+        val strata = c.groupBy(col("r_name"), col("band"))
+          .agg(sum(col("t")).as("n_t"),
+            sum(lit(1) - col("t")).as("n_c"),
+            sum(when(col("t") === 1, col("y"))).as("sy_t"),
+            sum(when(col("t") === 0, col("y"))).as("sy_c"))
+          .filter(col("n_t") > 0 && col("n_c") > 0)
+          .withColumn("gap", round(col("sy_t").cast("double") / col("n_t")
+            - col("sy_c").cast("double") / col("n_c"), 6))
+        val att = strata.agg(
+          round(sum(col("gap").cast("decimal(20,6)") * col("n_t"))
+              .cast("double")
+            / sum(col("n_t")), 6).as("att"),
+          sum(col("n_t")).as("n_matched_t"))
+        strata.crossJoin(broadcast(att))
+          .select(col("r_name"), col("band"), col("n_t"), col("n_c"),
+            col("gap"), col("att"), col("n_matched_t"))
+          .orderBy(col("r_name"), col("band"))
+      },
+      oracle = Some("""
+        WITH spend AS (
+          SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2)))
+            AS spent
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT r_name,
+            CAST(floor((CAST(c_acctbal AS DECIMAL(12,2)) + 1000)
+              / 2000) AS BIGINT) AS band,
+            CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+            CAST(coalesce(spent, 0) AS DECIMAL(14,2)) AS y
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          LEFT JOIN spend ON c_custkey = o_custkey),
+        strata AS (
+          SELECT r_name, band,
+            CAST(sum(t) AS BIGINT) AS n_t,
+            CAST(sum(1 - t) AS BIGINT) AS n_c,
+            sum(CASE WHEN t = 1 THEN y END) AS sy_t,
+            sum(CASE WHEN t = 0 THEN y END) AS sy_c
+          FROM c GROUP BY 1, 2
+          HAVING sum(t) > 0 AND sum(1 - t) > 0),
+        gapped AS (
+          SELECT *, round(CAST(sy_t AS DOUBLE) / n_t
+            - CAST(sy_c AS DOUBLE) / n_c, 6) AS gap
+          FROM strata),
+        att AS (
+          SELECT round(CAST(sum(CAST(gap AS DECIMAL(20,6)) * n_t)
+              AS DOUBLE) / sum(n_t), 6) AS att,
+            CAST(sum(n_t) AS BIGINT) AS n_matched_t
+          FROM gapped)
+        SELECT r_name, band, n_t, n_c, gap, att, n_matched_t
+        FROM gapped CROSS JOIN att
+        ORDER BY r_name, band""")),
+
+    "q320_brown_forsythe" -> Q(
+      // Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+      // test across the 5 market segments — the assumption check that
+      // gates q213's ANOVA: ANOVA on the absolute deviations from each
+      // GROUP MEDIAN (medians via the exact type-7 interpolation both
+      // engines share; deviations snapped to 6 decimals so every moment
+      // is an exact decimal). Two scans (medians, then deviation
+      // moments) + the bounded 5-group frame; F is one double formula
+      // on exact moments, output magnitudes O(1-100) so decimal→double
+      // cast ulps are invisible under the 6-decimal round.
+      build = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val med = c.groupBy(col("c_mktsegment"))
+          .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+        val z = c.join(broadcast(med), Seq("c_mktsegment"))
+          .select(col("c_mktsegment"),
+            abs(col("c_acctbal") - col("med")).cast("decimal(16,6)")
+              .as("z"))
+        val g = z.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_g"), sum(col("z")).as("sz"),
+            sum((col("z") * col("z")).cast("decimal(38,12)")).as("szz"))
+        val tot = g.agg(sum(col("n_g")).as("nn"),
+          sum(col("sz")).cast("decimal(30,6)").as("szt"),
+          count(lit(1)).as("k"),
+          sum(col("szz").cast("decimal(38,12)")).cast("decimal(38,12)")
+            .as("szzt"),
+          round(sum((col("sz").cast("double") * col("sz").cast("double")
+              / col("n_g")).cast("decimal(30,6)")).cast("double"), 6)
+            .as("between_raw"))
+        val f = tot.select(col("k"), col("nn"),
+          round((col("between_raw")
+              - (col("szt").cast("double") * col("szt").cast("double")
+                / col("nn")))
+            / (col("szzt").cast("double") - col("between_raw"))
+            * (col("nn") - col("k")).cast("double") / (col("k") - 1),
+            6).as("f_stat"))
+        g.join(broadcast(med), Seq("c_mktsegment"))
+          .crossJoin(broadcast(f))
+          .select(col("c_mktsegment"), col("n_g"),
+            round(col("med").cast("double"), 6).as("group_median"),
+            round(col("sz").cast("double") / col("n_g"), 6)
+              .as("mean_absdev"),
+            col("k"), col("nn"), col("f_stat"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some("""
+        WITH med AS (
+          SELECT c_mktsegment,
+            quantile_cont(c_acctbal, 0.5) AS med
+          FROM customer GROUP BY 1),
+        z AS (
+          SELECT c.c_mktsegment,
+            CAST(abs(c.c_acctbal - m.med) AS DECIMAL(16,6)) AS z
+          FROM customer c JOIN med m USING (c_mktsegment)),
+        g AS (
+          SELECT c_mktsegment, count(*) AS n_g, sum(z) AS sz,
+            sum(CAST(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6))
+              AS DECIMAL(38,12))) AS szz
+          FROM z GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+            CAST(sum(sz) AS DECIMAL(30,6)) AS szt,
+            count(*) AS k,
+            CAST(sum(szz) AS DECIMAL(38,12)) AS szzt,
+            round(CAST(sum(CAST(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)
+              / n_g AS DECIMAL(30,6))) AS DOUBLE), 6) AS between_raw
+          FROM g),
+        f AS (
+          SELECT k, nn,
+            round((between_raw
+                - (CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / nn))
+              / (CAST(szzt AS DOUBLE) - between_raw)
+              * CAST(nn - k AS DOUBLE) / (k - 1), 6) AS f_stat
+          FROM tot)
+        SELECT g.c_mktsegment, g.n_g,
+          round(CAST(m.med AS DOUBLE), 6) AS group_median,
+          round(CAST(g.sz AS DOUBLE) / g.n_g, 6) AS mean_absdev,
+          f.k, f.nn, f.f_stat
+        FROM g JOIN med m USING (c_mktsegment) CROSS JOIN f
+        ORDER BY g.c_mktsegment""")),
+
+    "q321_heaps_law" -> Q(
+      // Heaps'-law vocabulary-growth audit: V(n) ≈ K n^beta, fit from
+      // 10 corpus-prefix checkpoints — the curve that predicts how a
+      // tokenizer vocabulary scales to the full 100 TB corpus from a
+      // prefix. NO sequential scan anywhere: a term's contribution to
+      // checkpoint i is decided by its FIRST occurrence (min doc_id per
+      // term — one hash agg), and both cumulative token and vocabulary
+      // counts are conditional sums against the broadcast 10-row
+      // checkpoint grid. The log-log OLS runs on the bounded 10-row
+      // frame with lns snapped to 8 decimals into exact sums (the q280
+      // log discipline).
+      build = (s, dir) => {
+        import s.implicits._
+        val toks = table(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("w"))
+        val perDoc = toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("tok"))
+        val firsts = toks.groupBy(col("w"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val nd = perDoc.agg((max(col("doc_id")) + 1).as("ndocs"))
+        val grid = (1 to 10).toDF("i")
+        val cuts = grid.crossJoin(broadcast(nd))
+          .select(col("i"),
+            (col("ndocs") * col("i") / 10).cast("long").as("k_docs"))
+        val tokAt = perDoc.crossJoin(broadcast(cuts))
+          .filter(col("doc_id") < col("k_docs"))
+          .groupBy(col("i"), col("k_docs"))
+          .agg(sum(col("tok")).as("tokens"))
+        val vocAt = firsts.crossJoin(broadcast(cuts))
+          .filter(col("first_doc") < col("k_docs"))
+          .groupBy(col("i"))
+          .agg(count(lit(1)).as("vocab"))
+        val pts = tokAt.join(vocAt, Seq("i"))
+          .withColumn("lx", round(log(col("tokens").cast("double")), 8))
+          .withColumn("ly", round(log(col("vocab").cast("double")), 8))
+        val fit = pts.agg(count(lit(1)).as("np"),
+            sum(col("lx").cast("decimal(16,8)")).as("sx"),
+            sum(col("ly").cast("decimal(16,8)")).as("sy"),
+            sum((col("lx").cast("decimal(16,8)")
+              * col("ly").cast("decimal(16,8)")).cast("decimal(30,16)"))
+              .as("sxy"),
+            sum((col("lx").cast("decimal(16,8)")
+              * col("lx").cast("decimal(16,8)")).cast("decimal(30,16)"))
+              .as("sxx"))
+          .select(
+            round((col("sxy").cast("double") - col("sx").cast("double")
+                * col("sy").cast("double") / col("np"))
+              / (col("sxx").cast("double") - col("sx").cast("double")
+                * col("sx").cast("double") / col("np")), 6).as("beta"))
+        pts.crossJoin(broadcast(fit))
+          .select(col("i"), col("k_docs"), col("tokens"), col("vocab"),
+            col("beta"))
+          .orderBy(col("i"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+          FROM documents),
+        per_doc AS (
+          SELECT doc_id, count(*) AS tok FROM toks GROUP BY 1),
+        firsts AS (
+          SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        nd AS (SELECT max(doc_id) + 1 AS ndocs FROM per_doc),
+        cuts AS (
+          SELECT i, ndocs * i // 10 AS k_docs
+          FROM (SELECT unnest(range(1, 11)) AS i) CROSS JOIN nd),
+        tok_at AS (
+          SELECT i, k_docs, CAST(sum(tok) AS BIGINT) AS tokens
+          FROM per_doc CROSS JOIN cuts WHERE doc_id < k_docs
+          GROUP BY 1, 2),
+        voc_at AS (
+          SELECT i, count(*) AS vocab
+          FROM firsts CROSS JOIN cuts WHERE first_doc < k_docs
+          GROUP BY 1),
+        pts AS (
+          SELECT i, k_docs, tokens, vocab,
+            round(ln(CAST(tokens AS DOUBLE)), 8) AS lx,
+            round(ln(CAST(vocab AS DOUBLE)), 8) AS ly
+          FROM tok_at JOIN voc_at USING (i)),
+        fit AS (
+          SELECT round((CAST(sum(CAST(CAST(lx AS DECIMAL(19,8))
+                * CAST(ly AS DECIMAL(19,8)) AS DECIMAL(38,16)))
+                AS DOUBLE)
+              - CAST(sum(CAST(lx AS DECIMAL(16,8))) AS DOUBLE)
+                * CAST(sum(CAST(ly AS DECIMAL(16,8))) AS DOUBLE)
+                / count(*))
+            / (CAST(sum(CAST(CAST(lx AS DECIMAL(19,8))
+                * CAST(lx AS DECIMAL(19,8)) AS DECIMAL(38,16)))
+                AS DOUBLE)
+              - CAST(sum(CAST(lx AS DECIMAL(16,8))) AS DOUBLE)
+                * CAST(sum(CAST(lx AS DECIMAL(16,8))) AS DOUBLE)
+                / count(*)), 6) AS beta
+          FROM pts)
+        SELECT i, k_docs, tokens, vocab, beta
+        FROM pts CROSS JOIN fit
+        ORDER BY i""")),
+
+    "q322_huber_irls" -> Q(
+      // Huber robust regression by IRLS (Huber 1964) on the daily-
+      // revenue trend — the outlier-resistant rival of q139's Theil-Sen
+      // and the OLS fits: three unrolled reweighting steps from the OLS
+      // start, weights w = min(1, k/|e|) with k = 1.345·RMS. The q301
+      // iteration discipline throughout: (a, b) snap to 6 decimals and
+      // w to 4 AT EVERY step, so cross-libm ulps cannot compound, and
+      // every weighted moment is an exact decimal sum over the bounded
+      // day frame (y quantized to thousands like q312 — integer
+      // moments). Each step is one pass over the <=365-row frame
+      // against its broadcast predecessor fit; the oracle unrolls the
+      // same three steps as generated CTEs. Output: the fit trajectory
+      // (step 0 = OLS), with the surviving total weight as the
+      // downweighting evidence.
+      build = (s, dir) => {
+        val day0 = lit("1995-01-01").cast("date")
+        val daily = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("srev"))
+          .select(datediff(col("day"), day0).as("x"),
+            floor(col("srev").cast("double") / lit(1000.0)).as("y"))
+        def nd(c: String): Column = col(c).cast("double")
+        val m0 = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val st0 = m0
+          .withColumn("b", round((nd("sxy") - nd("sx") * nd("sy")
+              / col("n"))
+            / (nd("sxx") - nd("sx") * nd("sx") / col("n")), 6))
+          .withColumn("a", round((nd("sy") - col("b") * nd("sx"))
+            / col("n"), 6))
+          .withColumn("k", round(lit(1.345) * sqrt(
+            ((nd("syy") - nd("sy") * nd("sy") / col("n"))
+              - (nd("sxy") - nd("sx") * nd("sy") / col("n"))
+                * (nd("sxy") - nd("sx") * nd("sy") / col("n"))
+                / (nd("sxx") - nd("sx") * nd("sx") / col("n")))
+            / col("n")), 4))
+          .select(lit(0).as("step"), col("a"), col("b"), col("k"),
+            round(nd("n"), 4).as("total_w"))
+        var prev = st0
+        var fits = Seq(st0)
+        for (i <- 1 to 3) {
+          val wtd = daily.crossJoin(broadcast(
+              prev.select(col("a"), col("b"), col("k"))))
+            .withColumn("e", col("y") - col("a") - col("b") * col("x"))
+            .withColumn("w", when(abs(col("e")) <= col("k"),
+                lit(1.0).cast("decimal(5,4)"))
+              .otherwise(round(col("k") / abs(col("e")), 4)
+                .cast("decimal(5,4)")))
+          val mi = wtd.agg(
+            sum(col("w")).cast("decimal(14,4)").as("sw"),
+            sum(col("w") * col("x")).cast("decimal(18,4)").as("swx"),
+            sum(col("w") * col("y")).cast("decimal(20,4)").as("swy"),
+            sum(col("w") * col("x") * col("y")).cast("decimal(24,4)")
+              .as("swxy"),
+            sum(col("w") * col("x") * col("x")).cast("decimal(20,4)")
+              .as("swxx"),
+            max(col("k")).as("k"))
+          prev = mi
+            .withColumn("b", round((nd("swxy") - nd("swx") * nd("swy")
+                / nd("sw"))
+              / (nd("swxx") - nd("swx") * nd("swx") / nd("sw")), 6))
+            .withColumn("a", round((nd("swy") - col("b") * nd("swx"))
+              / nd("sw"), 6))
+            .select(lit(i).as("step"), col("a"), col("b"), col("k"),
+              round(nd("sw"), 4).as("total_w"))
+          fits = fits :+ prev
+        }
+        fits.reduce(_.unionAll(_)).orderBy(col("step"))
+      },
+      oracle = Some(huberOracle)),
+
+    "q323_mood_median" -> Q(
+      // Mood's median test across the 5 market segments: 2xk chi-square
+      // on counts above/below the GRAND median — the coarsest, most
+      // outlier-proof of the location tests (q213 ANOVA assumes
+      // normality, q214 Mann-Whitney is 2-sample; this is its k-sample
+      // contingency cousin). The grand median interpolates in double on
+      // both engines (the q320 rule); counts are exact integers and the
+      // chi-square is one double formula over the bounded 5-row frame.
+      // Ties AT the median go below (<=), identically on both engines.
+      build = (s, dir) => {
+        val c = table(s, dir, "customer")
+        val gm = c.agg(expr("percentile(c_acctbal, 0.5)").as("gmed"))
+        val per = c.crossJoin(broadcast(gm))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_g"),
+            sum((col("c_acctbal") > col("gmed")).cast("int"))
+              .as("above"))
+        val tot = per.agg(sum(col("n_g")).as("nn"),
+          sum(col("above")).as("ta"))
+        val chi = per.crossJoin(broadcast(tot))
+          .select(((col("above").cast("double") - col("n_g")
+              * col("ta").cast("double") / col("nn"))
+            * (col("above").cast("double") - col("n_g")
+              * col("ta").cast("double") / col("nn"))
+            / (col("n_g") * col("ta").cast("double") / col("nn"))
+            + ((col("n_g") - col("above")).cast("double") - col("n_g")
+              * (col("nn") - col("ta")).cast("double") / col("nn"))
+            * ((col("n_g") - col("above")).cast("double") - col("n_g")
+              * (col("nn") - col("ta")).cast("double") / col("nn"))
+            / (col("n_g") * (col("nn") - col("ta")).cast("double")
+              / col("nn"))).cast("decimal(20,8)").as("cell"))
+          .agg(round(sum(col("cell")).cast("double"), 6).as("chi2"))
+        per.crossJoin(broadcast(chi))
+          .select(col("c_mktsegment"), col("n_g"), col("above"),
+            (col("n_g") - col("above")).as("below"), col("chi2"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some("""
+        WITH gm AS (
+          SELECT quantile_cont(c_acctbal, 0.5) AS gmed FROM customer),
+        per AS (
+          SELECT c_mktsegment, count(*) AS n_g,
+            CAST(sum(CASE WHEN c_acctbal > gmed THEN 1 ELSE 0 END)
+              AS BIGINT) AS above
+          FROM customer CROSS JOIN gm
+          GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+            CAST(sum(above) AS BIGINT) AS ta
+          FROM per),
+        chi AS (
+          SELECT round(CAST(sum(CAST(
+            (CAST(above AS DOUBLE) - n_g * CAST(ta AS DOUBLE) / nn)
+            * (CAST(above AS DOUBLE) - n_g * CAST(ta AS DOUBLE) / nn)
+            / (n_g * CAST(ta AS DOUBLE) / nn)
+            + (CAST(n_g - above AS DOUBLE) - n_g
+              * CAST(nn - ta AS DOUBLE) / nn)
+            * (CAST(n_g - above AS DOUBLE) - n_g
+              * CAST(nn - ta AS DOUBLE) / nn)
+            / (n_g * CAST(nn - ta AS DOUBLE) / nn)
+            AS DECIMAL(20,8)))
+            AS DOUBLE), 6) AS chi2
+          FROM per CROSS JOIN tot)
+        SELECT c_mktsegment, n_g, above, n_g - above AS below, chi2
+        FROM per CROSS JOIN chi
+        ORDER BY c_mktsegment""")),
+
+    "q324_theil_decomposition" -> Q(
+      // Theil-T inequality decomposition (Theil 1967) of customer spend
+      // by nation: total inequality = between-nation + within-nation —
+      // the additive decomposition q141's Gini famously LACKS, and the
+      // standard audit of "is the disparity across groups or inside
+      // them". Spend-weighted logs reduce in ONE pass (per-row ln
+      // snapped to 8 decimals into exact decimal sums — the q280 log
+      // discipline), so T_g = L_g/Y_g − ln(mu_g) is closed-form per
+      // nation and the identity T = between + Σ share·T_g holds to the
+      // snap. Zero-spend customers are excluded (ln 0), stated here.
+      build = (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).cast("decimal(14,2)")
+            .as("y"))
+          .filter(col("y") > 0)
+        val per = spend
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_g"),
+            sum(col("y")).cast("decimal(24,2)").as("yg"),
+            sum((col("y").cast("double")
+              * round(log(col("y").cast("double")), 8))
+              .cast("decimal(28,8)")).as("lg"))
+        val tot = per.agg(sum(col("n_g")).as("nn"),
+          sum(col("yg")).cast("decimal(30,2)").as("yy"),
+          sum(col("lg")).cast("decimal(34,8)").as("ll"))
+        val parts = per.crossJoin(broadcast(tot))
+          .withColumn("share", round(col("yg").cast("double")
+            / col("yy").cast("double"), 8))
+          .withColumn("t_g", round(col("lg").cast("double")
+              / col("yg").cast("double")
+            - log(col("yg").cast("double") / col("n_g")), 6))
+          .withColumn("btw_term", round(col("yg").cast("double")
+              / col("yy").cast("double")
+            * log((col("yg").cast("double") / col("n_g"))
+              / (col("yy").cast("double") / col("nn"))), 8))
+        val decomp = parts.agg(
+          round(max(col("ll").cast("double") / col("yy").cast("double")
+            - log(col("yy").cast("double") / col("nn"))), 6)
+            .as("t_total"),
+          round(sum(col("btw_term").cast("decimal(16,8)"))
+            .cast("double"), 6).as("t_between"))
+        parts.crossJoin(broadcast(decomp))
+          .select(col("n_name"), col("n_g"), col("share"), col("t_g"),
+            col("t_total"), col("t_between"),
+            round(col("t_total") - col("t_between"), 6).as("t_within"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some("""
+        WITH spend AS (
+          SELECT o_custkey,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(14,2)) AS y
+          FROM orders GROUP BY 1
+          HAVING sum(CAST(o_totalprice AS DECIMAL(12,2))) > 0),
+        per AS (
+          SELECT n_name, count(*) AS n_g,
+            CAST(sum(y) AS DECIMAL(24,2)) AS yg,
+            CAST(sum(CAST(CAST(y AS DOUBLE)
+              * round(ln(CAST(y AS DOUBLE)), 8) AS DECIMAL(28,8)))
+              AS DECIMAL(34,8)) AS lg
+          FROM spend
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+            CAST(sum(yg) AS DECIMAL(30,2)) AS yy,
+            CAST(sum(lg) AS DECIMAL(34,8)) AS ll
+          FROM per),
+        parts AS (
+          SELECT n_name, n_g, nn, yy, ll,
+            round(CAST(yg AS DOUBLE) / CAST(yy AS DOUBLE), 8) AS share,
+            round(CAST(lg AS DOUBLE) / CAST(yg AS DOUBLE)
+              - ln(CAST(yg AS DOUBLE) / n_g), 6) AS t_g,
+            round(CAST(yg AS DOUBLE) / CAST(yy AS DOUBLE)
+              * ln((CAST(yg AS DOUBLE) / n_g)
+                / (CAST(yy AS DOUBLE) / nn)), 8) AS btw_term
+          FROM per CROSS JOIN tot),
+        decomp AS (
+          SELECT
+            round(max(CAST(ll AS DOUBLE) / CAST(yy AS DOUBLE)
+              - ln(CAST(yy AS DOUBLE) / nn)), 6) AS t_total,
+            round(CAST(sum(CAST(btw_term AS DECIMAL(16,8)))
+              AS DOUBLE), 6) AS t_between
+          FROM parts)
+        SELECT n_name, n_g, share, t_g, t_total, t_between,
+          round(t_total - t_between, 6) AS t_within
+        FROM parts CROSS JOIN decomp
+        ORDER BY n_name""")),
+
+    "q325_graph_modularity" -> Q(
+      // Newman modularity of the NATION partition on the co-supply
+      // graph (suppliers joined by supplying the same part) — the
+      // community-QUALITY score that completes the graph battery
+      // (q52/q132 find components, q115/q233 count closures; this
+      // scores a given partition): Q = sum_c [e_c/m - (d_c/2m)^2].
+      // Edges come from the part-BLOCKED self-join (distinct suppliers
+      // per part is bounded — q229's discipline, never all-pairs),
+      // deduped across parts; e_c and d_c are exact integer counts, so
+      // Q is one rational formula rounded at 6. Nation tags ride a
+      // broadcast dimension.
+      build = (s, dir) => {
+        val ps = table(s, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .distinct()
+        val e = ps.join(ps.select(col("pk"),
+            col("sk").as("sk2")), Seq("pk"))
+          .filter(col("sk") < col("sk2"))
+          .select(col("sk").as("a"), col("sk2").as("b"))
+          .distinct()
+        val snat = table(s, dir, "supplier")
+          .join(broadcast(table(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        val tagged = e
+          .join(snat.select(col("s_suppkey").as("a"),
+            col("n_name").as("na")), Seq("a"))
+          .join(snat.select(col("s_suppkey").as("b"),
+            col("n_name").as("nb")), Seq("b"))
+        val m = tagged.agg(count(lit(1)).as("m"))
+        val deg = tagged.select(col("na").as("n_name"))
+          .unionAll(tagged.select(col("nb").as("n_name")))
+          .groupBy(col("n_name")).agg(count(lit(1)).as("d_c"))
+        val ein = tagged.filter(col("na") === col("nb"))
+          .groupBy(col("na").as("n_name"))
+          .agg(count(lit(1)).as("e_in"))
+        val per = deg.join(ein, Seq("n_name"), "left")
+          .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+          .crossJoin(broadcast(m))
+          .withColumn("q_term", round(col("e_in").cast("double")
+              / col("m")
+            - (col("d_c").cast("double") / (col("m") * 2))
+              * (col("d_c").cast("double") / (col("m") * 2)), 8))
+        val q = per.agg(
+          round(sum(col("q_term").cast("decimal(16,8)")).cast("double"),
+            6).as("modularity"))
+        per.crossJoin(broadcast(q))
+          .select(col("n_name"), col("d_c"), col("e_in"), col("m"),
+            col("q_term"), col("modularity"))
+          .orderBy(col("n_name"))
+      },
+      oracle = Some("""
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+          FROM lineitem),
+        e AS (
+          SELECT DISTINCT p1.sk AS a, p2.sk AS b
+          FROM ps p1 JOIN ps p2 ON p1.pk = p2.pk AND p1.sk < p2.sk),
+        snat AS (
+          SELECT s_suppkey, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        tagged AS (
+          SELECT sa.n_name AS na, sb.n_name AS nb
+          FROM e
+          JOIN snat sa ON e.a = sa.s_suppkey
+          JOIN snat sb ON e.b = sb.s_suppkey),
+        m AS (SELECT count(*) AS m FROM tagged),
+        deg AS (
+          SELECT n_name, count(*) AS d_c FROM (
+            SELECT na AS n_name FROM tagged
+            UNION ALL SELECT nb FROM tagged)
+          GROUP BY 1),
+        ein AS (
+          SELECT na AS n_name, count(*) AS e_in
+          FROM tagged WHERE na = nb GROUP BY 1),
+        per AS (
+          SELECT d.n_name, d.d_c,
+            CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in, m.m,
+            round(CAST(coalesce(ei.e_in, 0) AS DOUBLE) / m.m
+              - (CAST(d.d_c AS DOUBLE) / (m.m * 2))
+                * (CAST(d.d_c AS DOUBLE) / (m.m * 2)), 8) AS q_term
+          FROM deg d LEFT JOIN ein ei USING (n_name) CROSS JOIN m),
+        q AS (
+          SELECT round(CAST(sum(CAST(q_term AS DECIMAL(16,8)))
+            AS DOUBLE), 6) AS modularity
+          FROM per)
+        SELECT n_name, d_c, e_in, m, q_term, modularity
+        FROM per CROSS JOIN q
+        ORDER BY n_name""")),
+
+    "q326_hurst_rs" -> Q(
+      // Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+      // Mandelbrot's long-memory diagnostic) over the event-value
+      // series in event_id order: R/S per block at three block sizes,
+      // H = log-log slope. The cumulative deviation never touches a
+      // global window — blocks are keyed (size, chunk) partitions, and
+      // the running deviation is kept EXACT by scaling: n·P_i − i·S_g
+      // (prefix sum times block size minus index times block sum) is
+      // pure decimal/integer arithmetic, so R needs no float cumsum at
+      // all. Incomplete tail blocks are dropped. Block R/S snaps at 6,
+      // block means and the final 3-point fit follow the q280 snapped-
+      // log discipline.
+      build = (s, dir) => {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+          .select(col("event_id"),
+            col("value").cast("decimal(14,6)").as("v"))
+        val sizes = Seq(64, 128, 256).toDF("bsize")
+        val blocked = ev.crossJoin(broadcast(sizes))
+          .withColumn("chunk", floor(col("event_id") / col("bsize")))
+        val wPart = Window.partitionBy(col("bsize"), col("chunk"))
+        val wRows = wPart.orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = blocked
+          .withColumn("i", count(lit(1)).over(wRows).cast("decimal(4,0)"))
+          .withColumn("p", sum(col("v")).over(wRows).cast("decimal(24,6)"))
+          .withColumn("sg", sum(col("v")).over(wPart).cast("decimal(24,6)"))
+          .withColumn("cnt", count(lit(1)).over(wPart))
+          .filter(col("cnt") === col("bsize"))
+          .withColumn("dev", col("p") * col("bsize") - col("sg") * col("i"))
+        val per = cum.groupBy(col("bsize"), col("chunk"))
+          .agg(max(col("dev")).as("mx"), min(col("dev")).as("mn"),
+            max(col("sg")).as("sg"),
+            sum((col("v") * col("v")).cast("decimal(38,12)")).as("szz"))
+          .withColumn("r",
+            (col("mx") - col("mn")).cast("double") / col("bsize"))
+          .withColumn("sdev", sqrt(col("szz").cast("double")
+              / col("bsize")
+            - (col("sg").cast("double") / col("bsize"))
+              * (col("sg").cast("double") / col("bsize"))))
+          .withColumn("rs", round(col("r") / col("sdev"), 6))
+        val bySize = per.groupBy(col("bsize"))
+          .agg(count(lit(1)).as("n_blocks"),
+            round(sum(col("rs").cast("decimal(16,6)")).cast("double")
+              / count(lit(1)), 8).as("rs_mean"))
+          .withColumn("lx", round(log(col("bsize").cast("double")), 8))
+          .withColumn("ly", round(log(col("rs_mean")), 8))
+        val fit = bySize.agg(count(lit(1)).as("np"),
+            sum(col("lx").cast("decimal(16,8)")).as("sx"),
+            sum(col("ly").cast("decimal(16,8)")).as("sy"),
+            sum((col("lx").cast("decimal(16,8)")
+              * col("ly").cast("decimal(16,8)")).cast("decimal(33,16)"))
+              .as("sxy"),
+            sum((col("lx").cast("decimal(16,8)")
+              * col("lx").cast("decimal(16,8)")).cast("decimal(33,16)"))
+              .as("sxx"))
+          .select(round((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")
+                / col("np"))
+            / (col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx").cast("double") / col("np")), 6).as("hurst"))
+        bySize.crossJoin(broadcast(fit))
+          .select(col("bsize"), col("n_blocks"), col("rs_mean"),
+            col("hurst"))
+          .orderBy(col("bsize"))
+      },
+      oracle = Some("""
+        WITH sizes AS (SELECT unnest([64, 128, 256]) AS bsize),
+        blocked AS (
+          SELECT bsize, event_id,
+            CAST(value AS DECIMAL(14,6)) AS v,
+            CAST(floor(event_id / bsize) AS BIGINT) AS chunk
+          FROM events CROSS JOIN sizes),
+        cum AS (
+          SELECT bsize, chunk, v,
+            CAST(count(*) OVER wr AS DECIMAL(4,0)) AS i,
+            CAST(sum(v) OVER wr AS DECIMAL(24,6)) AS p,
+            CAST(sum(v) OVER wp AS DECIMAL(24,6)) AS sg,
+            count(*) OVER wp AS cnt
+          FROM blocked
+          WINDOW wr AS (PARTITION BY bsize, chunk ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wp AS (PARTITION BY bsize, chunk)),
+        devs AS (
+          SELECT bsize, chunk, v, sg,
+            p * bsize - sg * i AS dev
+          FROM cum WHERE cnt = bsize),
+        per AS (
+          SELECT bsize, chunk, max(dev) AS mx, min(dev) AS mn,
+            max(sg) AS sg,
+            sum(CAST(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(19,6))
+              AS DECIMAL(38,12))) AS szz
+          FROM devs GROUP BY 1, 2),
+        scored AS (
+          SELECT bsize, chunk,
+            round((CAST(mx - mn AS DOUBLE) / bsize)
+              / sqrt(CAST(szz AS DOUBLE) / bsize
+                - (CAST(sg AS DOUBLE) / bsize)
+                  * (CAST(sg AS DOUBLE) / bsize)), 6) AS rs
+          FROM per),
+        by_size AS (
+          SELECT bsize, count(*) AS n_blocks,
+            round(CAST(sum(CAST(rs AS DECIMAL(16,6))) AS DOUBLE)
+              / count(*), 8) AS rs_mean
+          FROM scored GROUP BY 1),
+        pts AS (
+          SELECT bsize, n_blocks, rs_mean,
+            round(ln(CAST(bsize AS DOUBLE)), 8) AS lx,
+            round(ln(rs_mean), 8) AS ly
+          FROM by_size),
+        fit AS (
+          SELECT round((CAST(sum(CAST(CAST(lx AS DECIMAL(19,8))
+                * CAST(ly AS DECIMAL(19,8)) AS DECIMAL(38,16)))
+                AS DOUBLE)
+              - CAST(sum(CAST(lx AS DECIMAL(16,8))) AS DOUBLE)
+                * CAST(sum(CAST(ly AS DECIMAL(16,8))) AS DOUBLE)
+                / count(*))
+            / (CAST(sum(CAST(CAST(lx AS DECIMAL(19,8))
+                * CAST(lx AS DECIMAL(19,8)) AS DECIMAL(38,16)))
+                AS DOUBLE)
+              - CAST(sum(CAST(lx AS DECIMAL(16,8))) AS DOUBLE)
+                * CAST(sum(CAST(lx AS DECIMAL(16,8))) AS DOUBLE)
+                / count(*)), 6) AS hurst
+          FROM pts)
+        SELECT CAST(bsize AS INTEGER) AS bsize, n_blocks, rs_mean,
+          hurst
+        FROM pts CROSS JOIN fit
+        ORDER BY bsize""")),
+
+    "q327_stream_cusum" -> Q(
+      // Streaming twin of q299: the stream maintains per-day click-value
+      // moments (one (n, sum) state row per open day, emitted exactly
+      // once on watermark close); the Page CUSUM scan then runs in batch
+      // over the bounded emitted day frame — the production drift-
+      // monitor shape ("store moments, decide later"). The final open
+      // day is pending (q76's convention), so the oracle restricts
+      // q299's SQL to days closed by the terminal watermark; on those
+      // days stream ≡ batch hash-exactly. The CUSUM window is the q299
+      // calendar-day frame (allowlisted).
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.streamedDailyCusum(s, dir),
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+            sum(CAST(value AS DECIMAL(18,6))) AS sv
+          FROM events WHERE event_type = 'click'
+            AND CAST(ts AS DATE) + INTERVAL '1 day'
+              <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+          GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+            CAST(sum(sv) AS DECIMAL(24,6)) AS svt
+          FROM daily),
+        dev AS (
+          SELECT day, n,
+            round(CAST(sv AS DOUBLE) / n, 6) AS daily_mean,
+            CAST(round(CAST(sv AS DOUBLE) / n
+              - CAST(svt AS DOUBLE) / nt, 6) AS DECIMAL(18,6)) AS d
+          FROM daily CROSS JOIN tot),
+        cum AS (
+          SELECT day, n, daily_mean,
+            CAST(sum(d) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(20,6)) AS cusum
+          FROM dev),
+        peak AS (SELECT max(abs(cusum)) AS mx FROM cum)
+        SELECT day, n, daily_mean, CAST(cusum AS DOUBLE) AS cusum,
+          CAST(CASE WHEN abs(cusum) = mx THEN 1 ELSE 0 END AS BIGINT)
+            AS is_peak
+        FROM cum CROSS JOIN peak
+        ORDER BY day""")),
+
+    "q328_stream_msprt" -> Q(
+      // Streaming twin of q300: per-(day, arm) view-value moments live
+      // as streaming state (exactly-once emission per closed day), and
+      // the always-valid mixture-SPRT decision — cumulative moments,
+      // pooled variance, lnLambda, the ln(1/alpha) stop — is computed in
+      // batch over the bounded emitted frame, q300's math verbatim. The
+      // oracle is q300's SQL restricted to watermark-closed days; on
+      // those days stream ≡ batch hash-exactly. The "peeking" monitor
+      // literally peeks at streamed state, which is the shape this test
+      // exists for.
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.streamedMsprt(s, dir),
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+            count(*) AS n,
+            sum(CAST(value AS DECIMAL(18,6))) AS sv,
+            CAST(sum(CAST(value AS DECIMAL(18,6))
+              * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS svv
+          FROM events WHERE event_type = 'view'
+            AND CAST(ts AS DATE) + INTERVAL '1 day'
+              <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT day, arm,
+            sum(n) OVER (PARTITION BY arm ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+            CAST(CAST(sum(sv) OVER (PARTITION BY arm ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(24,6)) AS DOUBLE) AS cs,
+            CAST(CAST(sum(svv) OVER (PARTITION BY arm ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DECIMAL(38,12)) AS DOUBLE) AS cq
+          FROM daily),
+        ab AS (
+          SELECT a.day,
+            CAST(a.cn AS BIGINT) AS na, CAST(b.cn AS BIGINT) AS nb,
+            a.cs AS sa, a.cq AS qa, b.cs AS sb, b.cq AS qb
+          FROM (SELECT * FROM cum WHERE arm = 0) a
+          JOIN (SELECT * FROM cum WHERE arm = 1) b USING (day)),
+        st AS (
+          SELECT day, na, nb,
+            sa / na - sb / nb AS diff,
+            ((qa - sa * sa / na) + (qb - sb * sb / nb))
+              / (na + nb - 2.0) * (1.0 / na + 1.0 / nb) AS vv
+          FROM ab)
+        SELECT day, na, nb, round(diff, 6) AS mean_diff,
+          round(0.5 * ln(vv / (vv + 1.0))
+            + diff * diff * 1.0 / (2.0 * vv * (vv + 1.0)), 6)
+            AS ln_lambda,
+          CAST(CASE WHEN round(0.5 * ln(vv / (vv + 1.0))
+            + diff * diff * 1.0 / (2.0 * vv * (vv + 1.0)), 6)
+            >= ln(20.0) THEN 1 ELSE 0 END AS BIGINT) AS significant
+        FROM st ORDER BY day""")),
+
+    "q329_hill_tail_index" -> Q(
+      // Hill estimator of the power-law tail index (Hill 1975) for
+      // customer lifetime spend — the EVT statistic behind "how heavy is
+      // the whale tail", feeding q140's ABC and q141's Gini with an
+      // extrapolatable exponent. The order statistics come from the
+      // NATIVE graft_topk heap aggregate (k=100): a map-side-capped hash
+      // aggregate, not a global sort — the q253 scale story doing real
+      // statistical work. Ties at the boundary break toward the smaller
+      // custkey in the aggregate AND in the oracle's window, so the
+      // selected set is identical; lns snap at 8 into exact sums.
+      build = (s, dir) => {
+        val spend = table(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(dec(col("o_totalprice"))).as("spent"))
+          .filter(col("spent") > 0)
+        val top = spend.agg(expr(
+            "graft_topk(CAST(spent AS DOUBLE), CAST(o_custkey AS BIGINT), 100)")
+            .as("tk"))
+          .select(posexplode(col("tk")))
+          .select((col("pos") + 1).cast("long").as("rnk"),
+            col("col.ord").as("x"))
+        val xk = top.filter(col("rnk") === 100)
+          .select(col("x").as("x_k"))
+        top.filter(col("rnk") < 100).crossJoin(broadcast(xk))
+          .agg(count(lit(1)).as("k_minus_1"),
+            max(col("x_k")).as("x_k"),
+            sum(round(log(col("x") / col("x_k")), 8)
+              .cast("decimal(16,8)")).as("slog"))
+          .select((col("k_minus_1") + 1).as("k"), col("x_k"),
+            round(col("slog").cast("double") / col("k_minus_1"), 8)
+              .as("mean_excess_log"),
+            round(col("k_minus_1") / col("slog").cast("double"), 6)
+              .as("hill_alpha"))
+      },
+      oracle = Some("""
+        WITH spend AS (
+          SELECT o_custkey,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2)
+              AS DOUBLE) AS spent
+          FROM orders GROUP BY 1
+          HAVING sum(CAST(o_totalprice AS DECIMAL(12,2))) > 0),
+        ranked AS (
+          SELECT spent AS x,
+            row_number() OVER (ORDER BY spent DESC, o_custkey ASC)
+              AS rnk
+          FROM spend),
+        xk AS (SELECT x AS x_k FROM ranked WHERE rnk = 100),
+        agg AS (
+          SELECT count(*) AS k_minus_1, max(x_k) AS x_k,
+            sum(CAST(round(ln(x / x_k), 8) AS DECIMAL(16,8))) AS slog
+          FROM ranked CROSS JOIN xk WHERE rnk < 100)
+        SELECT CAST(k_minus_1 + 1 AS BIGINT) AS k, x_k,
+          round(CAST(slog AS DOUBLE) / k_minus_1, 8) AS mean_excess_log,
+          round(k_minus_1 / CAST(slog AS DOUBLE), 6) AS hill_alpha
+        FROM agg""")),
+
   )
+
+  /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
+    * half-sweep then column half-sweep per round), each half-sweep
+    * snapping the weight to DECIMAL(20,8) exactly like the Spark build.
+    * `lazy` is load-bearing — referenced from `all`. */
+  private lazy val ipfRakingOracle: String = {
+    val sweeps = (1 to 3).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""r$i AS (SELECT seg, sum(w) AS sw FROM $prev GROUP BY seg),
+        wr$i AS (SELECT p.seg, p.reg, p.n, p.nn,
+          CAST(round(CAST(p.w AS DOUBLE) * (CAST(p.nn AS DOUBLE) / 5.0)
+            / CAST(r.sw AS DOUBLE), 8) AS DECIMAL(20,8)) AS w
+          FROM $prev p JOIN r$i r USING (seg)),
+        c$i AS (SELECT reg, sum(w) AS sw FROM wr$i GROUP BY reg),
+        w$i AS (SELECT p.seg, p.reg, p.n, p.nn,
+          CAST(round(CAST(p.w AS DOUBLE) * (CAST(p.nn AS DOUBLE) / 5.0)
+            / CAST(c.sw AS DOUBLE), 8) AS DECIMAL(20,8)) AS w
+          FROM wr$i p JOIN c$i c USING (reg))"""
+    }.mkString(",\n        ")
+    s"""
+        WITH cells AS (
+          SELECT c_mktsegment AS seg, r_name AS reg, count(*) AS n
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        w0 AS (
+          SELECT seg, reg, n, nn, CAST(n AS DECIMAL(20,8)) AS w
+          FROM cells CROSS JOIN tot),
+        $sweeps
+        SELECT seg, reg, n, CAST(w AS DOUBLE) AS w_raked
+        FROM w3 ORDER BY seg, reg"""
+  }
+
+  /** q322's oracle: the OLS start plus three IRLS reweighting steps
+    * unrolled as generated CTEs, with the identical 6/4-decimal snap
+    * points as the Spark build. `lazy` — referenced from `all`. */
+  private lazy val huberOracle: String = {
+    val steps = (1 to 3).map { i =>
+      val f = s"f${i - 1}"
+      s"""s$i AS (
+          SELECT d.x, d.y, f.k,
+            CASE WHEN abs(d.y - f.a - f.b * d.x) <= f.k
+              THEN CAST(1.0 AS DECIMAL(5,4))
+              ELSE CAST(round(f.k / abs(d.y - f.a - f.b * d.x), 4)
+                AS DECIMAL(5,4)) END AS w
+          FROM daily d CROSS JOIN $f f),
+        m$i AS (
+          SELECT CAST(sum(w) AS DECIMAL(14,4)) AS sw,
+            CAST(sum(w * x) AS DECIMAL(18,4)) AS swx,
+            CAST(sum(w * y) AS DECIMAL(20,4)) AS swy,
+            CAST(sum(w * x * y) AS DECIMAL(24,4)) AS swxy,
+            CAST(sum(w * x * x) AS DECIMAL(20,4)) AS swxx,
+            max(k) AS k
+          FROM s$i),
+        f${i}a AS (
+          SELECT sw, swx, swy, swxx, swxy, k,
+            round((CAST(swxy AS DOUBLE) - CAST(swx AS DOUBLE)
+                * CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE))
+              / (CAST(swxx AS DOUBLE) - CAST(swx AS DOUBLE)
+                * CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)), 6) AS b
+          FROM m$i),
+        f$i AS (
+          SELECT k, sw, b,
+            round((CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE))
+              / CAST(sw AS DOUBLE), 6) AS a
+          FROM f${i}a)"""
+    }.mkString(",\n        ")
+    val tails = (1 to 3).map { i =>
+      s"""UNION ALL SELECT $i, a, b, k, round(CAST(sw AS DOUBLE), 4)
+          FROM f$i"""
+    }.mkString("\n        ")
+    s"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS x,
+            CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DOUBLE) / 1000.0) AS BIGINT) AS y
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY CAST(o_orderdate AS DATE)),
+        m0 AS (
+          SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily),
+        f0a AS (
+          SELECT n, sx, sy, sxy, sxx, syy,
+            round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n)
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n), 6) AS b
+          FROM m0),
+        f0 AS (
+          SELECT n, b,
+            round((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n, 6)
+              AS a,
+            round(1.345 * sqrt(
+              ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / n)
+                - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / n)
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / n)
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / n)) / n), 4) AS k
+          FROM f0a),
+        $steps
+        SELECT CAST(0 AS INTEGER) AS step, a, b, k,
+          round(CAST(n AS DOUBLE), 4) AS total_w FROM f0
+        $tails
+        ORDER BY step"""
+  }
 
   /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
     * temp views; DuckDB on the parquet views) — correlated-subquery

@@ -117,6 +117,89 @@ object BoundedRuns {
     spark.read.parquet(s"$work/out")
   }
 
+  /** Streamed CUSUM changepoint (q299's twin): the STREAM maintains the
+    * per-day click-value moments ([[EventStreams.dailyValueMoments]] —
+    * one (n, sum) state row per open day, emitted exactly once on
+    * watermark close); the Page CUSUM scan, grand mean and peak flag
+    * then run in batch over the bounded emitted day frame, exactly as
+    * q299 does over its batch frame. The final open day is pending
+    * (q76's convention), so the monitor sees every CLOSED day — the
+    * production drift-monitor shape. */
+  def streamedDailyCusum(spark: SparkSession, dir: String,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = runEmitted(spark, dir,
+      df => EventStreams.dailyValueMoments(df, "click", "ts",
+        watermarkDelay), "cusum-")
+    val tot = daily.agg(
+      sum(col("n")).as("nt"),
+      sum(col("sv")).cast("decimal(24,6)").as("svt"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .select(col("day"), col("n"),
+        round(col("sv").cast("double") / col("n").cast("double"), 6)
+          .as("daily_mean"),
+        round(col("sv").cast("double") / col("n").cast("double")
+          - col("svt").cast("double") / col("nt").cast("double"), 6)
+          .cast("decimal(18,6)").as("d"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dev.withColumn("cusum",
+        sum(col("d")).over(wCum).cast("decimal(20,6)"))
+      .withColumn("abs_c", abs(col("cusum")))
+    val peak = cum.agg(max(col("abs_c")).as("mx"))
+    cum.crossJoin(broadcast(peak))
+      .select(col("day"), col("n"), col("daily_mean"),
+        col("cusum").cast("double").as("cusum"),
+        (col("abs_c") === col("mx")).cast("long").as("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  /** Streamed mSPRT sequential monitor (q300's twin): the stream
+    * maintains per-(day, arm) view-value moments ([[EventStreams
+    * .dailyArmMoments]], exactly-once emission per closed day); the
+    * cumulative moments, pooled variance and mixture log-likelihood
+    * ratio then run in batch over the bounded emitted frame — the
+    * always-valid "peek every day" decision computed from streamed
+    * state, q300's math verbatim. */
+  def streamedMsprt(spark: SparkSession, dir: String,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = runEmitted(spark, dir,
+      df => EventStreams.dailyArmMoments(df, "view", "ts",
+        watermarkDelay), "msprt-")
+    val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cs", sum(col("sv")).over(w).cast("decimal(24,6)"))
+      .withColumn("cq", sum(col("svv")).over(w).cast("decimal(38,12)"))
+      .select(col("day"), col("arm"), col("cn"),
+        col("cs").cast("double").as("cs"),
+        col("cq").cast("double").as("cq"))
+    val a = cum.filter(col("arm") === 0)
+      .select(col("day"), col("cn").as("na"), col("cs").as("sa"),
+        col("cq").as("qa"))
+    val b = cum.filter(col("arm") === 1)
+      .select(col("day"), col("cn").as("nb"), col("cs").as("sb"),
+        col("cq").as("qb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val diff = col("sa") / naD - col("sb") / nbD
+    val ss = (col("qa") - col("sa") * col("sa") / naD) +
+      (col("qb") - col("sb") * col("sb") / nbD)
+    val s2p = ss / (naD + nbD - lit(2.0))
+    val vv = s2p * (lit(1.0) / naD + lit(1.0) / nbD)
+    val tau2 = lit(1.0)
+    val lnLam = lit(0.5) * log(vv / (vv + tau2)) +
+      diff * diff * tau2 / (lit(2.0) * vv * (vv + tau2))
+    a.join(b, "day")
+      .select(col("day"), col("na"), col("nb"),
+        round(diff, 6).as("mean_diff"),
+        round(lnLam, 6).as("ln_lambda"),
+        (round(lnLam, 6) >= log(lit(20.0))).cast("long")
+          .as("significant"))
+      .orderBy("day")
+  }
+
   /** Bounded [[EventStreams.sessionize]]: the emitted (closed) sessions.
     * A session is emitted iff it was closed by a successor event (every
     * non-final session of a user) or by event-time timeout under the

@@ -110,6 +110,45 @@ object EventStreams {
         col("c"), col("cnt"))
   }
 
+  /** Daily exact-decimal value moments for one event type — the
+    * streaming half of a monitoring statistic (CUSUM, mSPRT, control
+    * chart): per closed day, the count and decimal-exact value sum.
+    * State is one (n, sum) row per open day; a day emits exactly once
+    * when the watermark passes its end, and the emitted moments are
+    * hash-identical to the batch aggregate of the same days — the
+    * monitor itself then runs downstream in batch over the bounded
+    * emitted frame ("store moments, decide later", the q130 register
+    * shape applied to drift detection). */
+  def dailyValueMoments(events: DataFrame, eventType: String,
+      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .filter(col("event_type") === eventType)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("sv"))
+      .select(col("window.start").cast("date").as("day"), col("n"),
+        col("sv"))
+
+  /** Per-(day, arm) exact-decimal first and second value moments for one
+    * event type — the streaming state behind a sequential A/B monitor
+    * (q300's mSPRT): arms by user parity, one (n, sum, sumsq) row per
+    * open (day, arm), emitted exactly once on watermark close. The
+    * always-valid test statistic is then closed-form downstream on the
+    * bounded emitted frame. */
+  def dailyArmMoments(events: DataFrame, eventType: String,
+      tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .filter(col("event_type") === eventType)
+      .withColumn("v", col("value").cast("decimal(18,6)"))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 day"),
+        (col("user_id") % 2).cast("long").as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).cast("decimal(38,12)").as("svv"))
+      .select(col("window.start").cast("date").as("day"), col("arm"),
+        col("n"), col("sv"), col("svv"))
+
   /** Exactly-once event ids within the watermark horizon: duplicates of an
     * `event_id` arriving inside `watermarkDelay` are dropped; the key is
     * evicted from state afterwards (bounded memory, unlike plain

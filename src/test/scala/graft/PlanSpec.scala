@@ -71,7 +71,7 @@ class PlanSpec extends SparkSpec {
     "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
     "q201_stream_debounce", "q263_stream_topk",
     "q274_stream_session_window", "q281_stream_outer_attribution",
-    "q289_stream_scd2")
+    "q289_stream_scd2", "q327_stream_cusum", "q328_stream_msprt")
 
   // Plan the whole catalog ONCE; both catalog-wide audits walk this.
   private lazy val catalogPlans: Seq[(String, SparkPlan)] =
