@@ -15052,6 +15052,148 @@ object Queries {
           round(k_minus_1 / CAST(slog AS DOUBLE), 6) AS hill_alpha
         FROM agg""")),
 
+    "q330_gumbel_return_level" -> Q(
+      // Gumbel extreme-value fit by block maxima (Fisher-Tippett;
+      // method-of-moments) on monthly maxima of daily revenue, with the
+      // 12-period return level — the capacity-planning statistic ("the
+      // monthly peak you expect once a year") that q329's tail index
+      // complements from the other side. Daily and monthly reductions
+      // are exact-decimal; the ~80-month maxima frame is bounded; mu,
+      // beta and the return level are fixed double formulas from exact
+      // moments (Euler-Mascheroni and pi as identical literals).
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).cast("decimal(14,2)")
+            .as("rev"))
+        val monthly = daily
+          .groupBy(date_trunc("month", col("day")).as("m"))
+          .agg(max(col("rev")).cast("decimal(19,2)").as("mx"))
+        val mom = monthly.agg(count(lit(1)).as("nb"),
+          sum(col("mx")).cast("decimal(24,2)").as("sm"),
+          sum((col("mx") * col("mx")).cast("decimal(38,4)")).as("smm"),
+          max(col("mx")).cast("double").as("max_of_max"))
+        mom.select(col("nb"), col("max_of_max"),
+            (col("sm").cast("double") / col("nb")).as("mean_mx"),
+            sqrt((col("smm").cast("double") - col("sm").cast("double")
+              * col("sm").cast("double") / col("nb"))
+              / (col("nb") - 1)).as("sd_mx"))
+          .select(col("nb"), col("max_of_max"),
+            col("mean_mx"), col("sd_mx"),
+            (col("sd_mx") * sqrt(lit(6.0)) / lit(math.Pi)).as("beta"))
+          .select(col("nb"), col("max_of_max"),
+            (col("mean_mx") - lit(0.5772156649) * col("beta"))
+              .as("mu"), col("beta"))
+          .select(col("nb"), col("max_of_max"),
+            round(col("mu"), 4).as("mu"),
+            round(col("beta"), 4).as("beta"),
+            round(col("mu") - col("beta")
+              * log(-log(lit(1.0) - lit(1.0) / 12)), 4)
+              .as("return_level_12"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(14,2)) AS rev
+          FROM orders GROUP BY 1),
+        monthly AS (
+          SELECT date_trunc('month', day) AS m,
+            CAST(max(rev) AS DECIMAL(19,2)) AS mx
+          FROM daily GROUP BY 1),
+        mom AS (
+          SELECT count(*) AS nb,
+            CAST(sum(mx) AS DECIMAL(24,2)) AS sm,
+            CAST(sum(CAST(mx * mx AS DECIMAL(38,4))) AS DECIMAL(38,4))
+              AS smm,
+            CAST(max(mx) AS DOUBLE) AS max_of_max
+          FROM monthly),
+        fit0 AS (
+          SELECT nb, max_of_max,
+            CAST(sm AS DOUBLE) / nb AS mean_mx,
+            sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)
+              * CAST(sm AS DOUBLE) / nb) / (nb - 1)) AS sd_mx
+          FROM mom),
+        fit1 AS (
+          SELECT nb, max_of_max, mean_mx,
+            sd_mx * sqrt(6) / pi() AS beta
+          FROM fit0),
+        fit2 AS (
+          SELECT nb, max_of_max,
+            mean_mx - 0.5772156649 * beta AS mu, beta
+          FROM fit1)
+        SELECT nb, max_of_max, round(mu, 4) AS mu,
+          round(beta, 4) AS beta,
+          round(mu - beta * ln(-ln(1.0 - 1.0 / 12)), 4)
+            AS return_level_12
+        FROM fit2""")),
+
+    "q331_tukey_hsd" -> Q(
+      // Tukey HSD post-hoc battery: the studentized-range q statistic
+      // for every pair of market segments — the multiple-comparison
+      // follow-up q213's omnibus ANOVA demands before any "segment A
+      // differs from B" claim. One scan builds the 5-group exact moment
+      // frame; the 10 pairs are a broadcast self-join of that bounded
+      // frame; pooled MSE and each q are fixed double formulas. The
+      // unbalanced-n form (Tukey-Kramer) is used.
+      build = (s, dir) => {
+        val g = table(s, dir, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast("decimal(12,2)"))
+              .cast("decimal(20,2)").as("sv"),
+            sum((col("c_acctbal").cast("decimal(12,2)")
+              * col("c_acctbal").cast("decimal(12,2)"))
+              .cast("decimal(38,4)")).as("svv"))
+        val mse = g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+            sum((col("svv").cast("double") - col("sv").cast("double")
+              * col("sv").cast("double") / col("n"))
+              .cast("decimal(24,4)")).as("ssw"))
+          .select(col("nn"), col("k"),
+            (col("ssw").cast("double") / (col("nn") - col("k")))
+              .as("mse"))
+        val a = g.select(col("c_mktsegment").as("seg_a"),
+          col("n").as("na"), col("sv").as("sa"))
+        val b = g.select(col("c_mktsegment").as("seg_b"),
+          col("n").as("nb"), col("sv").as("sb"))
+        a.join(broadcast(b), col("seg_a") < col("seg_b"))
+          .crossJoin(broadcast(mse))
+          .select(col("seg_a"), col("seg_b"),
+            round(col("sa").cast("double") / col("na")
+              - col("sb").cast("double") / col("nb"), 6)
+              .as("mean_diff"),
+            round(abs(col("sa").cast("double") / col("na")
+              - col("sb").cast("double") / col("nb"))
+              / sqrt(col("mse") / 2
+                * (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 6)
+              .as("q_stat"))
+          .orderBy(col("seg_a"), col("seg_b"))
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT c_mktsegment, count(*) AS n,
+            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(20,2))
+              AS sv,
+            CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(19,2))
+              * CAST(c_acctbal AS DECIMAL(19,2)) AS DECIMAL(38,4)))
+              AS DECIMAL(38,4)) AS svv
+          FROM customer GROUP BY 1),
+        mse AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+            CAST(sum(CAST(CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+              * CAST(sv AS DOUBLE) / n AS DECIMAL(24,4))) AS DOUBLE)
+              / (sum(n) - count(*)) AS mse
+          FROM g)
+        SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+          round(CAST(a.sv AS DOUBLE) / a.n
+            - CAST(b.sv AS DOUBLE) / b.n, 6) AS mean_diff,
+          round(abs(CAST(a.sv AS DOUBLE) / a.n
+            - CAST(b.sv AS DOUBLE) / b.n)
+            / sqrt(mse / 2 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+        FROM g a JOIN g b ON a.c_mktsegment < b.c_mktsegment
+        CROSS JOIN mse
+        ORDER BY seg_a, seg_b""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
