@@ -1604,4 +1604,70 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(s2.getAs[Double]("b1") - 2.0) < 1e-6)
     assert(math.abs(s2.getAs[Double]("b2")) < 1e-6)
   }
+
+  test("q307 Shapley efficiency axiom: the phis sum to v(full) - v(empty)") {
+    // Efficiency is THE structural property of Shapley values: total
+    // credit distributed = total value created. phi6 are exact integer
+    // sixths, so the check is exact integer arithmetic, no tolerance.
+    val rows = Queries.queries("q307_shapley_attribution")(spark, sf())
+      .collect()
+    val phi6Sum = rows.map(_.getAs[Long]("phi6")).sum
+    val peru = graft.sources.Tables.load(spark, sf(), "events")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"),
+        max(when(col("event_type").isin("view", "click", "signup"), 1)
+          .otherwise(0)).as("touched"))
+    val vFull = peru.agg(sum(col("conv"))).head().getLong(0)
+    val vEmpty = peru.filter(col("touched") === 0)
+      .agg(coalesce(sum(col("conv")), lit(0L))).head().getLong(0)
+    assert(phi6Sum == 6L * (vFull - vEmpty),
+      s"sum(phi6)=$phi6Sum vs 6*(v(N)-v(0))=${6L * (vFull - vEmpty)}")
+  }
+
+  test("q316 IPF raking: both margins converge to N/5 after three sweeps") {
+    val rows = Queries.queries("q316_ipf_raking")(spark, sf()).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    val target = n / 5.0
+    // column (region) margin was scaled LAST -> exact to the 8-dec snap;
+    // row (segment) margin one half-sweep stale -> loose tolerance
+    val byReg = rows.groupBy(_.getAs[String]("reg"))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("w_raked")).sum }
+    byReg.foreach(m => assert(math.abs(m - target) < 1e-4,
+      s"region margin $m vs $target"))
+    val bySeg = rows.groupBy(_.getAs[String]("seg"))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("w_raked")).sum }
+    bySeg.foreach(m => assert(math.abs(m - target) < 0.05 * target,
+      s"segment margin $m vs $target"))
+  }
+
+  test("q324 Theil decomposition: within-share recomposes from the parts") {
+    // t_within is reported as t_total - t_between; the structural
+    // identity says it must ALSO equal sum(share_g * t_g). Both sides
+    // carry 6-decimal snaps through ~25 terms, so tolerance 1e-3.
+    val rows = Queries.queries("q324_theil_decomposition")(spark, sf())
+      .collect()
+    val within = rows.head.getAs[Double]("t_within")
+    val recomposed = rows.map(r =>
+      r.getAs[Double]("share") * r.getAs[Double]("t_g")).sum
+    assert(math.abs(within - recomposed) < 1e-3,
+      s"t_within=$within vs sum(share*t_g)=$recomposed")
+    assert(rows.head.getAs[Double]("t_total") >= 0.0)
+  }
+
+  test("q322 Huber IRLS downweights an injected outlier-heavy tail") {
+    // Structural property of the robust fit: total weight after the
+    // first reweighting step is strictly below n (something got
+    // downweighted on real revenue data), and never increases across
+    // steps once k is fixed... steps may oscillate slightly, so assert
+    // only step1..3 < step0 = n.
+    val rows = Queries.queries("q322_huber_irls")(spark, sf()).collect()
+      .sortBy(_.getAs[Int]("step"))
+    val n = rows.head.getAs[Double]("total_w")
+    rows.tail.foreach { r =>
+      assert(r.getAs[Double]("total_w") < n,
+        s"step ${r.getAs[Int]("step")} weight not below n=$n")
+    }
+  }
 }
