@@ -13968,6 +13968,7 @@ object Queries {
         val tot = cells.agg(sum(col("n")).as("nn"))
         var w = cells.crossJoin(broadcast(tot))
           .withColumn("w", col("n").cast("decimal(20,8)"))
+        var prevCkpt: DataFrame = null
         for (_ <- 1 to 3) {
           val rowS = w.groupBy(col("seg"))
             .agg(sum(col("w")).cast("decimal(24,8)").as("sw"))
@@ -13983,6 +13984,13 @@ object Queries {
               * (col("nn").cast("double") / lit(5.0))
               / col("sw").cast("double"), 8).cast("decimal(20,8)"))
             .drop("sw")
+            // each half-sweep references w TWICE (margin agg + join), so
+            // the lineage doubles per sweep — checkpoint the bounded
+            // 25-row frame once per sweep (GraphCore's iterative-frame
+            // rule) to keep plan depth linear; unpersist the stale one
+            .localCheckpoint()
+          if (prevCkpt != null) prevCkpt.unpersist()
+          prevCkpt = w
         }
         w.select(col("seg"), col("reg"), col("n"),
             col("w").cast("double").as("w_raked"))
@@ -15194,6 +15202,568 @@ object Queries {
         CROSS JOIN mse
         ORDER BY seg_a, seg_b""")),
 
+    "q332_histogram_split" -> Q(
+      // Histogram-based decision-stump split finding — THE distributed
+      // gradient-boosting primitive (XGBoost/LightGBM's approx split):
+      // ONE scan bins the feature (acctbal) into 32 fixed-width buckets
+      // with exact per-bin (n, positives) for the label "customer has an
+      // urgent order"; every candidate threshold's Gini gain is then
+      // arithmetic on the bounded 32-row histogram via a 32x31
+      // conditional cross — no sort, no per-candidate rescans, no
+      // windows. Winner = max gain, ties to the smallest threshold.
+      // Empty-side candidates are excluded (gain undefined).
+      build = (s, dir) => {
+        import s.implicits._
+        val lbl = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+          .withColumn("pos", lit(1))
+        val c = table(s, dir, "customer")
+          .join(lbl, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_acctbal").as("x"),
+            coalesce(col("pos"), lit(0)).as("y"))
+        val mm = c.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val binned = c.crossJoin(broadcast(mm))
+          .withColumn("b", least(lit(31), floor((col("x") - col("mn"))
+            / (col("mx") - col("mn")) * 32).cast("int")))
+        val hist = binned.groupBy(col("b"))
+          .agg(count(lit(1)).as("n_b"), sum(col("y")).as("p_b"))
+        val cands = (0 to 30).toDF("t")
+        val split = hist.crossJoin(broadcast(cands))
+          .groupBy(col("t"))
+          .agg(
+            sum(when(col("b") <= col("t"), col("n_b")).otherwise(0L))
+              .as("nl"),
+            sum(when(col("b") <= col("t"), col("p_b")).otherwise(0L))
+              .as("pl"),
+            sum(col("n_b")).as("nn"), sum(col("p_b")).as("pp"))
+          .filter(col("nl") > 0 && col("nl") < col("nn"))
+        def gini(p: Column, n: Column): Column = {
+          val r = p.cast("double") / n
+          lit(1.0) - r * r - (lit(1.0) - r) * (lit(1.0) - r)
+        }
+        val scored = split.select(col("t"), col("nl"), col("pl"),
+          round(gini(col("pp"), col("nn"))
+            - (col("nl").cast("double") / col("nn"))
+              * gini(col("pl"), col("nl"))
+            - ((col("nn") - col("nl")).cast("double") / col("nn"))
+              * gini(col("pp") - col("pl"), col("nn") - col("nl")), 8)
+            .as("gain"))
+        val best = scored.agg(max(col("gain")).as("gmax"))
+          .crossJoin(scored)
+          .filter(col("gain") === col("gmax"))
+          .agg(min(col("t")).as("best_t"))
+        scored.crossJoin(broadcast(best))
+          .select(col("t"), col("nl"), col("pl"), col("gain"),
+            (col("t") === col("best_t")).cast("int").as("is_best"))
+          .orderBy(col("t"))
+      },
+      oracle = Some("""
+        WITH lbl AS (
+          SELECT DISTINCT o_custkey, 1 AS pos
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        c AS (
+          SELECT c_acctbal AS x, coalesce(pos, 0) AS y
+          FROM customer LEFT JOIN lbl ON c_custkey = o_custkey),
+        mm AS (SELECT min(x) AS mn, max(x) AS mx FROM c),
+        binned AS (
+          SELECT least(31, CAST(floor((x - mn) / (mx - mn) * 32)
+            AS INTEGER)) AS b, y
+          FROM c CROSS JOIN mm),
+        hist AS (
+          SELECT b, count(*) AS n_b, CAST(sum(y) AS BIGINT) AS p_b
+          FROM binned GROUP BY 1),
+        cands AS (SELECT unnest(range(0, 31)) AS t),
+        split AS (
+          SELECT t,
+            CAST(sum(CASE WHEN b <= t THEN n_b ELSE 0 END) AS BIGINT)
+              AS nl,
+            CAST(sum(CASE WHEN b <= t THEN p_b ELSE 0 END) AS BIGINT)
+              AS pl,
+            CAST(sum(n_b) AS BIGINT) AS nn,
+            CAST(sum(p_b) AS BIGINT) AS pp
+          FROM hist CROSS JOIN cands
+          GROUP BY t
+          HAVING sum(CASE WHEN b <= t THEN n_b ELSE 0 END) > 0
+            AND sum(CASE WHEN b <= t THEN n_b ELSE 0 END) < sum(n_b)),
+        scored AS (
+          SELECT t, nl, pl,
+            round(
+              (1.0 - (CAST(pp AS DOUBLE) / nn) * (CAST(pp AS DOUBLE) / nn)
+                - (1.0 - CAST(pp AS DOUBLE) / nn)
+                  * (1.0 - CAST(pp AS DOUBLE) / nn))
+              - (CAST(nl AS DOUBLE) / nn)
+                * (1.0 - (CAST(pl AS DOUBLE) / nl)
+                    * (CAST(pl AS DOUBLE) / nl)
+                  - (1.0 - CAST(pl AS DOUBLE) / nl)
+                    * (1.0 - CAST(pl AS DOUBLE) / nl))
+              - (CAST(nn - nl AS DOUBLE) / nn)
+                * (1.0 - (CAST(pp - pl AS DOUBLE) / (nn - nl))
+                    * (CAST(pp - pl AS DOUBLE) / (nn - nl))
+                  - (1.0 - CAST(pp - pl AS DOUBLE) / (nn - nl))
+                    * (1.0 - CAST(pp - pl AS DOUBLE) / (nn - nl))), 8)
+              AS gain
+          FROM split),
+        best AS (
+          SELECT min(t) AS best_t FROM scored
+          WHERE gain = (SELECT max(gain) FROM scored))
+        SELECT CAST(t AS INTEGER) AS t, nl, pl, gain,
+          CAST(CASE WHEN t = best_t THEN 1 ELSE 0 END AS INTEGER)
+            AS is_best
+        FROM scored CROSS JOIN best
+        ORDER BY t""")),
+
+    "q333_page_trend" -> Q(
+      // Page's L test for an ORDERED alternative (Page 1963) — the
+      // directional sharpening of q310's Friedman: with treatments
+      // pre-ordered by urgency (the priority's leading digit 1..5),
+      // L = sum_j s_j R_j concentrates power on the monotone hypothesis
+      // the omnibus test dilutes. Same complete-block monthly machinery
+      // as q310 (exact-decimal cells, keyed rank windows, exact integer
+      // rank sums); mu_L = b·k·(k+1)^2/4 and sigma_L^2 =
+      // b·(k^3−k)^2 / (144·(k−1)) give the normal z as one double
+      // formula.
+      build = (s, dir) => {
+        val cell = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+            col("o_orderpriority"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val full = cell.groupBy(col("m"))
+          .agg(count(lit(1)).as("k_m"))
+          .filter(col("k_m") === 5)
+          .select(col("m"))
+        val ranked = cell.join(broadcast(full), Seq("m"))
+          .withColumn("rk", rank().over(
+            Window.partitionBy(col("m")).orderBy(col("rev"))))
+        val sums = ranked.groupBy(col("o_orderpriority"))
+          .agg(sum(col("rk")).as("r_sum"), count(lit(1)).as("b"))
+          .withColumn("score",
+            substring(col("o_orderpriority"), 1, 1).cast("long"))
+        val stat = sums.agg(max(col("b")).as("b"),
+            sum(col("score") * col("r_sum")).as("l_stat"))
+          .select(col("b"), col("l_stat"),
+            round((col("l_stat").cast("double")
+              - col("b") * 5 * 36 / lit(4.0))
+              / sqrt(col("b") * lit(120.0) * 120 / (lit(144.0) * 4)),
+              6).as("z"))
+        sums.crossJoin(broadcast(stat.select(col("b").as("n_blocks"),
+            col("l_stat"), col("z"))))
+          .select(col("o_orderpriority"), col("score"), col("r_sum"),
+            col("n_blocks"), col("l_stat"), col("z"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(s"""
+        WITH cell AS (
+          SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2),
+        full_m AS (
+          SELECT m FROM cell GROUP BY m HAVING count(*) = 5),
+        ranked AS (
+          SELECT c.o_orderpriority,
+            rank() OVER (PARTITION BY c.m ORDER BY c.rev) AS rk
+          FROM cell c JOIN full_m USING (m)),
+        sums AS (
+          SELECT o_orderpriority,
+            CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score,
+            CAST(sum(rk) AS BIGINT) AS r_sum,
+            count(*) AS b
+          FROM ranked GROUP BY 1),
+        stat AS (
+          SELECT max(b) AS n_blocks,
+            CAST(sum(score * r_sum) AS BIGINT) AS l_stat,
+            round((CAST(sum(score * r_sum) AS DOUBLE)
+              - max(b) * 5 * 36 / 4.0)
+              / sqrt(max(b) * 120.0 * 120 / (144.0 * 4)), 6) AS z
+          FROM sums)
+        SELECT o_orderpriority, score, r_sum, n_blocks, l_stat, z
+        FROM sums CROSS JOIN stat
+        ORDER BY o_orderpriority""")),
+
+    "q334_negbin_dispersion" -> Q(
+      // Negative-binomial overdispersion fit by method of moments on
+      // per-user-per-day event counts: dispersion index v/m, and the NB
+      // size r = m^2/(v - m) with p = m/v — the count-data modeling
+      // step that decides Poisson vs NB for activity simulation.
+      // Population moments from exact integers (counts); r/p are NULL
+      // when v <= m (under-dispersed — Poisson wins), decided by an
+      // identical CASE on both engines. Zero-activity days are not
+      // observed rows and are deliberately excluded (stated).
+      build = (s, dir) => {
+        val daily = table(s, dir, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val mom = daily.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+        mom.select(col("n"), col("sx"),
+            (col("sx").cast("double") / col("n")).as("m"),
+            ((col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx") / col("n")) / col("n")).as("v"))
+          .select(col("n"), col("sx"),
+            round(col("m"), 6).as("mean_count"),
+            round(col("v"), 6).as("var_count"),
+            round(col("v") / col("m"), 6).as("dispersion"),
+            round(when(col("v") > col("m"),
+              col("m") * col("m") / (col("v") - col("m"))), 6)
+              .as("nb_r"),
+            round(when(col("v") > col("m"), col("m") / col("v")), 6)
+              .as("nb_p"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS x
+          FROM events GROUP BY 1, 2),
+        mom AS (
+          SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM daily),
+        mv AS (
+          SELECT n, sx,
+            CAST(sx AS DOUBLE) / n AS m,
+            (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / n
+              AS v
+          FROM mom)
+        SELECT n, sx, round(m, 6) AS mean_count,
+          round(v, 6) AS var_count,
+          round(v / m, 6) AS dispersion,
+          round(CASE WHEN v > m THEN m * m / (v - m) END, 6) AS nb_r,
+          round(CASE WHEN v > m THEN m / v END, 6) AS nb_p
+        FROM mv""")),
+
+    "q335_markov_entropy_rate" -> Q(
+      // Entropy rate of the event-type Markov chain (Shannon): H =
+      // -sum_i pi_i sum_j p_ij ln p_ij with the EMPIRICAL source
+      // distribution as pi (stated: empirical, not the stationary
+      // eigenvector — no iteration, exact from counts) — how
+      // predictable the next user action is given the current one,
+      // the sequence-compressibility rival of q58's unigram entropy.
+      // Transitions come from one keyed lag per user (q107's shape);
+      // everything after is exact integer counts on the bounded 5x5
+      // grid with 8-decimal-snapped logs.
+      build = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = table(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("a"))
+          .withColumn("b", lead(col("a"), 1).over(w))
+          .filter(col("b").isNotNull)
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val outN = trans.groupBy(col("a"))
+          .agg(sum(col("n_ab")).as("n_a"))
+        val tot = outN.agg(sum(col("n_a")).as("nn"))
+        val terms = trans.join(broadcast(outN), Seq("a"))
+          .withColumn("p", col("n_ab").cast("double") / col("n_a"))
+          .withColumn("term",
+            (col("p") * round(-log(col("p")), 8))
+              .cast("decimal(16,8)"))
+        val perState = terms.groupBy(col("a"))
+          .agg(max(col("n_a")).as("n_a"),
+            round(sum(col("term")).cast("double"), 6).as("h_state"))
+        val rate = perState.crossJoin(broadcast(tot))
+          .agg(round(sum((col("n_a").cast("double") / col("nn")
+              * col("h_state")).cast("decimal(16,8)")).cast("double"),
+              6).as("h_rate"))
+        perState.crossJoin(broadcast(tot))
+          .select(col("a").as("state"), col("n_a"),
+            round(col("n_a").cast("double") / col("nn"), 8).as("pi"),
+            col("h_state"))
+          .crossJoin(broadcast(rate))
+          .orderBy(col("state"))
+      },
+      oracle = Some("""
+        WITH seq AS (
+          SELECT event_type AS a,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS b
+          FROM events),
+        trans AS (
+          SELECT a, b, count(*) AS n_ab
+          FROM seq WHERE b IS NOT NULL GROUP BY 1, 2),
+        outn AS (
+          SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+          FROM trans GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS nn FROM outn),
+        terms AS (
+          SELECT t.a, o.n_a,
+            CAST((CAST(t.n_ab AS DOUBLE) / o.n_a)
+              * round(-ln(CAST(t.n_ab AS DOUBLE) / o.n_a), 8)
+              AS DECIMAL(16,8)) AS term
+          FROM trans t JOIN outn o USING (a)),
+        per_state AS (
+          SELECT a, max(n_a) AS n_a,
+            round(CAST(sum(term) AS DOUBLE), 6) AS h_state
+          FROM terms GROUP BY a),
+        rate AS (
+          SELECT round(CAST(sum(CAST(CAST(n_a AS DOUBLE) / nn * h_state
+            AS DECIMAL(16,8))) AS DOUBLE), 6) AS h_rate
+          FROM per_state CROSS JOIN tot)
+        SELECT a AS state, n_a,
+          round(CAST(n_a AS DOUBLE) / nn, 8) AS pi, h_state, h_rate
+        FROM per_state CROSS JOIN tot CROSS JOIN rate
+        ORDER BY state""")),
+
+    "q336_rolling_origin_backtest" -> Q(
+      // Rolling-origin forecast backtest (time-series cross-validation):
+      // for each of three origins, fit the monthly-revenue trend on all
+      // PRIOR months only and score the one-step-ahead forecast against
+      // the actual — the leakage-free evaluation harness every forecast
+      // claim needs (q212's seasonal-naive MASE is the baseline; this
+      // is the protocol). Monthly y floor-quantized to thousands (q312
+      // integer-moment rule); per-origin training moments via the
+      // origin-grid conditional cross on the bounded month frame — no
+      // windows, no per-origin rescans.
+      build = (s, dir) => {
+        import s.implicits._
+        val monthly = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(sum(dec(col("o_totalprice"))).as("srev"))
+          .select(((year(col("m")) - 1992) * 12 + month(col("m")) - 1)
+            .as("mi"),
+            floor(col("srev").cast("double") / lit(1000.0)).as("y"))
+        val origins = Seq("1997-01-01", "1997-07-01", "1998-01-01")
+          .toDF("od")
+          .select(col("od").cast("date").as("origin"),
+            ((year(col("od").cast("date")) - 1992) * 12
+              + month(col("od").cast("date")) - 1).as("oi"))
+        val mom = monthly.crossJoin(broadcast(origins))
+          .groupBy(col("origin"), col("oi"))
+          .agg(
+            sum(when(col("mi") < col("oi"), 1).otherwise(0)).as("n"),
+            sum(when(col("mi") < col("oi"), col("mi")).otherwise(0L))
+              .as("sx"),
+            sum(when(col("mi") < col("oi"), col("y"))).as("sy"),
+            sum(when(col("mi") < col("oi"), col("mi") * col("y")))
+              .as("sxy"),
+            sum(when(col("mi") < col("oi"), col("mi") * col("mi"))
+              .otherwise(0L)).as("sxx"),
+            max(when(col("mi") === col("oi"), col("y"))).as("actual"))
+          .filter(col("actual").isNotNull)
+        def d(c: String): Column = col(c).cast("double")
+        val fit = mom
+          .withColumn("b", round((d("sxy") - d("sx") * d("sy")
+              / col("n"))
+            / (d("sxx") - d("sx") * d("sx") / col("n")), 6))
+          .withColumn("a", round((d("sy") - col("b") * d("sx"))
+            / col("n"), 6))
+          .withColumn("yhat", round(col("a") + col("b") * col("oi"), 4))
+        fit.select(col("origin"), col("n").as("n_train"),
+            col("b").as("slope"), col("yhat"), col("actual"),
+            round(abs(col("yhat") - col("actual"))
+              / col("actual"), 6).as("ape"))
+          .orderBy(col("origin"))
+      },
+      oracle = Some("""
+        WITH monthly AS (
+          SELECT (year(o_orderdate) - 1992) * 12
+            + month(o_orderdate) - 1 AS mi,
+            CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DOUBLE) / 1000.0) AS BIGINT) AS y
+          FROM orders
+          GROUP BY date_trunc('month', o_orderdate),
+            (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1),
+        origins AS (
+          SELECT origin,
+            (year(origin) - 1992) * 12 + month(origin) - 1 AS oi
+          FROM (SELECT unnest([DATE '1997-01-01', DATE '1997-07-01',
+            DATE '1998-01-01']) AS origin)),
+        mom AS (
+          SELECT origin, oi,
+            CAST(sum(CASE WHEN mi < oi THEN 1 ELSE 0 END) AS BIGINT)
+              AS n,
+            CAST(sum(CASE WHEN mi < oi THEN mi ELSE 0 END) AS BIGINT)
+              AS sx,
+            CAST(sum(CASE WHEN mi < oi THEN y END) AS BIGINT) AS sy,
+            CAST(sum(CASE WHEN mi < oi THEN mi * y END) AS BIGINT)
+              AS sxy,
+            CAST(sum(CASE WHEN mi < oi THEN mi * mi ELSE 0 END)
+              AS BIGINT) AS sxx,
+            max(CASE WHEN mi = oi THEN y END) AS actual
+          FROM monthly CROSS JOIN origins
+          GROUP BY 1, 2
+          HAVING max(CASE WHEN mi = oi THEN y END) IS NOT NULL),
+        fit AS (
+          SELECT origin, n, actual, oi,
+            round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n)
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n), 6) AS b,
+            sx, sy
+          FROM mom),
+        fit2 AS (
+          SELECT origin, n, actual, oi, b,
+            round((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n, 6)
+              AS a
+          FROM fit),
+        fc AS (
+          SELECT origin, n, b, actual,
+            round(a + b * oi, 4) AS yhat
+          FROM fit2)
+        SELECT origin, n AS n_train, b AS slope, yhat, actual,
+          round(abs(yhat - actual) / actual, 6) AS ape
+        FROM fc
+        ORDER BY origin""")),
+
+    "q337_classifier_panel" -> Q(
+      // Binary-classifier evaluation panel beyond accuracy: confusion
+      // matrix, precision/recall/F1, Matthews correlation and Cohen's
+      // kappa for the rule "acctbal above the global median predicts an
+      // urgent order" — the chance-corrected metrics (MCC, kappa) that
+      // q95's AUC and the ML layer's report don't cover, as one
+      // conditional-aggregate scan. The median threshold interpolates
+      // in double on both engines (q320 rule); every cell is an exact
+      // integer, and all metrics are fixed double formulas from those
+      // four integers.
+      build = (s, dir) => {
+        val lbl = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+          .withColumn("y", lit(1))
+        val gm = table(s, dir, "customer")
+          .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+        val scored = table(s, dir, "customer")
+          .join(lbl, col("c_custkey") === col("o_custkey"), "left")
+          .crossJoin(broadcast(gm))
+          .select(coalesce(col("y"), lit(0)).as("y"),
+            (col("c_acctbal") > col("med")).cast("int").as("yh"))
+        val cm = scored.agg(
+          sum(col("y") * col("yh")).as("tp"),
+          sum((lit(1) - col("y")) * col("yh")).as("fp"),
+          sum(col("y") * (lit(1) - col("yh"))).as("fn"),
+          sum((lit(1) - col("y")) * (lit(1) - col("yh"))).as("tn"))
+        def d(c: String): Column = col(c).cast("double")
+        cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+            round(d("tp") / (d("tp") + d("fp")), 6).as("precision"),
+            round(d("tp") / (d("tp") + d("fn")), 6).as("recall"),
+            round(lit(2.0) * d("tp")
+              / (lit(2.0) * d("tp") + d("fp") + d("fn")), 6).as("f1"),
+            round((d("tp") * d("tn") - d("fp") * d("fn"))
+              / sqrt((d("tp") + d("fp")) * (d("tp") + d("fn"))
+                * (d("tn") + d("fp")) * (d("tn") + d("fn"))), 6)
+              .as("mcc"),
+            round(((d("tp") + d("tn"))
+                / (d("tp") + d("fp") + d("fn") + d("tn"))
+              - ((d("tp") + d("fp")) * (d("tp") + d("fn"))
+                + (d("fn") + d("tn")) * (d("fp") + d("tn")))
+                / ((d("tp") + d("fp") + d("fn") + d("tn"))
+                  * (d("tp") + d("fp") + d("fn") + d("tn"))))
+              / (lit(1.0)
+              - ((d("tp") + d("fp")) * (d("tp") + d("fn"))
+                + (d("fn") + d("tn")) * (d("fp") + d("tn")))
+                / ((d("tp") + d("fp") + d("fn") + d("tn"))
+                  * (d("tp") + d("fp") + d("fn") + d("tn")))), 6)
+              .as("kappa"))
+      },
+      oracle = Some("""
+        WITH lbl AS (
+          SELECT DISTINCT o_custkey, 1 AS y
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        gm AS (
+          SELECT quantile_cont(c_acctbal, 0.5) AS med FROM customer),
+        scored AS (
+          SELECT coalesce(y, 0) AS y,
+            CASE WHEN c_acctbal > med THEN 1 ELSE 0 END AS yh
+          FROM customer LEFT JOIN lbl ON c_custkey = o_custkey
+          CROSS JOIN gm),
+        cm AS (
+          SELECT CAST(sum(y * yh) AS BIGINT) AS tp,
+            CAST(sum((1 - y) * yh) AS BIGINT) AS fp,
+            CAST(sum(y * (1 - yh)) AS BIGINT) AS fn,
+            CAST(sum((1 - y) * (1 - yh)) AS BIGINT) AS tn
+          FROM scored),
+        m AS (
+          SELECT tp, fp, fn, tn,
+            CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+            CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd
+          FROM cm)
+        SELECT tp, fp, fn, tn,
+          round(tpd / (tpd + fpd), 6) AS precision,
+          round(tpd / (tpd + fnd), 6) AS recall,
+          round(2.0 * tpd / (2.0 * tpd + fpd + fnd), 6) AS f1,
+          round((tpd * tnd - fpd * fnd)
+            / sqrt((tpd + fpd) * (tpd + fnd)
+              * (tnd + fpd) * (tnd + fnd)), 6) AS mcc,
+          round(((tpd + tnd) / (tpd + fpd + fnd + tnd)
+            - ((tpd + fpd) * (tpd + fnd)
+              + (fnd + tnd) * (fpd + tnd))
+              / ((tpd + fpd + fnd + tnd)
+                * (tpd + fpd + fnd + tnd)))
+            / (1.0
+            - ((tpd + fpd) * (tpd + fnd)
+              + (fnd + tnd) * (fpd + tnd))
+              / ((tpd + fpd + fnd + tnd)
+                * (tpd + fpd + fnd + tnd))), 6) AS kappa
+        FROM m""")),
+
+    "q338_bradley_terry" -> Q(
+      // Bradley-Terry preference strengths via Hunter's MM algorithm
+      // (Hunter 2004), six unrolled iterations: which order priority
+      // "wins" the monthly revenue contest, as a fitted strength rather
+      // than a rank — the pairwise-comparison model behind every
+      // LLM-preference leaderboard (Elo's batch cousin), here exercised
+      // on exact-decimal monthly cells. Wins come from the complete-
+      // block month frame (ties contribute nothing, identically on both
+      // engines); the MM update runs on the bounded 20-pair frame with
+      // every divisor term snapped to DECIMAL(20,10) before summing and
+      // theta snapped to 8 decimals + sum-normalized per iteration
+      // (the q301/q316 discipline). One localCheckpoint per iteration
+      // keeps lineage linear (the q316 lesson).
+      build = (s, dir) => {
+        val cell = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+            col("o_orderpriority"))
+          .agg(msum(col("o_totalprice")).as("rev"))
+        val full = cell.groupBy(col("m"))
+          .agg(count(lit(1)).as("k_m")).filter(col("k_m") === 5)
+          .select(col("m"))
+        val c2 = cell.join(broadcast(full), Seq("m"))
+        val a = c2.select(col("m"), col("o_orderpriority").as("i"),
+          col("rev").as("ri"))
+        val b = c2.select(col("m"), col("o_orderpriority").as("j"),
+          col("rev").as("rj"))
+        val wins = a.join(b, Seq("m")).filter(col("i") =!= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg(sum((col("ri") > col("rj")).cast("long")).as("w"))
+        val wRev = wins.select(col("j").as("i2"), col("i").as("j2"),
+          col("w").as("w_rev"))
+        val pairs = wins.join(wRev,
+            col("i") === col("i2") && col("j") === col("j2"))
+          .select(col("i"), col("j"), (col("w") + col("w_rev")).as("n"))
+          .filter(col("n") > 0)
+        val wI = wins.groupBy(col("i")).agg(sum(col("w")).as("wi"))
+        var theta = wI.select(col("i"),
+          lit(1.0).cast("decimal(12,8)").as("theta"))
+        var prevCkpt: DataFrame = null
+        for (_ <- 1 to 6) {
+          val tj = theta.select(col("i").as("j"),
+            col("theta").as("theta_j"))
+          val den = pairs.join(broadcast(theta), Seq("i"))
+            .join(broadcast(tj), Seq("j"))
+            .withColumn("term", (col("n").cast("double")
+              / (col("theta") + col("theta_j")).cast("double"))
+              .cast("decimal(20,10)"))
+            .groupBy(col("i")).agg(sum(col("term")).as("den"))
+          val raw = den.join(broadcast(wI), Seq("i"))
+            .withColumn("traw", round(col("wi").cast("double")
+              / col("den").cast("double"), 8).cast("decimal(16,8)"))
+          val tot = raw.agg(sum(col("traw")).cast("decimal(20,8)")
+            .as("tot"))
+          theta = raw.crossJoin(broadcast(tot))
+            .select(col("i"), round(lit(5.0)
+              * col("traw").cast("double") / col("tot").cast("double"),
+              8).cast("decimal(12,8)").as("theta"))
+            .localCheckpoint()
+          if (prevCkpt != null) prevCkpt.unpersist()
+          prevCkpt = theta
+        }
+        theta.join(broadcast(wI), Seq("i"))
+          .select(col("i").as("o_orderpriority"), col("wi").as("n_wins"),
+            col("theta").cast("double").as("bt_strength"))
+          .orderBy(col("o_orderpriority"))
+      },
+      oracle = Some(bradleyTerryOracle)),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
@@ -15228,6 +15798,63 @@ object Queries {
         $sweeps
         SELECT seg, reg, n, CAST(w AS DOUBLE) AS w_raked
         FROM w3 ORDER BY seg, reg"""
+  }
+
+  /** q338's oracle: Hunter's MM iteration unrolled six times as
+    * generated CTEs, with the identical DECIMAL(20,10) term snap,
+    * 8-decimal theta snap and sum-normalization as the Spark build.
+    * `lazy` — referenced from `all`. */
+  private lazy val bradleyTerryOracle: String = {
+    val iters = (1 to 6).map { k =>
+      val prev = s"it${k - 1}"
+      s"""d$k AS MATERIALIZED (
+          SELECT p.i,
+            sum(CAST(CAST(p.n AS DOUBLE)
+              / CAST(t.theta + t2.theta AS DOUBLE) AS DECIMAL(20,10)))
+              AS den
+          FROM pairs p
+          JOIN $prev t ON t.i = p.i
+          JOIN $prev t2 ON t2.i = p.j
+          GROUP BY 1),
+        r$k AS MATERIALIZED (
+          SELECT d.i,
+            CAST(round(CAST(w.wi AS DOUBLE) / CAST(d.den AS DOUBLE), 8)
+              AS DECIMAL(16,8)) AS traw
+          FROM d$k d JOIN wi w ON w.i = d.i),
+        s$k AS MATERIALIZED (
+          SELECT CAST(sum(traw) AS DECIMAL(20,8)) AS tot FROM r$k),
+        it$k AS MATERIALIZED (
+          SELECT i, CAST(round(5.0 * CAST(traw AS DOUBLE)
+            / CAST(tot AS DOUBLE), 8) AS DECIMAL(12,8)) AS theta
+          FROM r$k CROSS JOIN s$k)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH cell AS MATERIALIZED (
+          SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2),
+        full_m AS (SELECT m FROM cell GROUP BY m HAVING count(*) = 5),
+        c2 AS (SELECT c.* FROM cell c JOIN full_m USING (m)),
+        wins AS MATERIALIZED (
+          SELECT a.o_orderpriority AS i, b.o_orderpriority AS j,
+            CAST(sum(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)
+              AS BIGINT) AS w
+          FROM c2 a JOIN c2 b ON a.m = b.m
+            AND a.o_orderpriority <> b.o_orderpriority
+          GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT w1.i, w1.j, w1.w + w2.w AS n
+          FROM wins w1 JOIN wins w2 ON w1.i = w2.j AND w1.j = w2.i
+          WHERE w1.w + w2.w > 0),
+        wi AS MATERIALIZED (
+          SELECT i, CAST(sum(w) AS BIGINT) AS wi FROM wins GROUP BY 1),
+        it0 AS MATERIALIZED (
+          SELECT i, CAST(1.0 AS DECIMAL(12,8)) AS theta FROM wi),
+        $iters
+        SELECT t.i AS o_orderpriority, w.wi AS n_wins,
+          CAST(t.theta AS DOUBLE) AS bt_strength
+        FROM it6 t JOIN wi w ON w.i = t.i
+        ORDER BY o_orderpriority"""
   }
 
   /** q322's oracle: the OLS start plus three IRLS reweighting steps
