@@ -13769,7 +13769,8 @@ object Queries {
         SELECT CAST(b AS BIGINT) AS b, diff,
           CAST(is_extreme AS BIGINT) AS is_extreme, d_obs, p_value
         FROM ext CROSS JOIN p
-        ORDER BY b""")),
+        ORDER BY b"""),
+      bench = true),
 
     "q314_runs_test" -> Q(
       // Wald-Wolfowitz runs test for randomness of the daily-revenue
@@ -15311,7 +15312,8 @@ object Queries {
           CAST(CASE WHEN t = best_t THEN 1 ELSE 0 END AS INTEGER)
             AS is_best
         FROM scored CROSS JOIN best
-        ORDER BY t""")),
+        ORDER BY t"""),
+      bench = true),
 
     "q333_page_trend" -> Q(
       // Page's L test for an ORDERED alternative (Page 1963) — the
