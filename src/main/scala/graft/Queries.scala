@@ -15766,6 +15766,302 @@ object Queries {
       },
       oracle = Some(bradleyTerryOracle)),
 
+    "q339_newey_west" -> Q(
+      // Newey-West (HAC) standard error of the daily-revenue mean, lag
+      // window L=5 with Bartlett weights — the dependence-aware
+      // uncertainty every autocorrelated daily series needs (q149
+      // MEASURES the autocorrelation; this prices it into the SE; the
+      // naive iid SE rides along for the contrast). The autocovariances
+      // stay EXACT by the q339 scaling trick: n²·gamma_l's numerator is
+      // sum (n·y_t − S)(n·y_{t−l} − S), pure integer arithmetic in
+      // decimal(38,0) on the bounded day frame — no float residuals
+      // anywhere. Calendar-day lags (missing-day pairs drop, stated);
+      // the lag join is an equi-join against the 6-row lag grid.
+      build = (s, dir) => {
+        import s.implicits._
+        val day0 = lit("1995-01-01").cast("date")
+        val daily = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("srev"))
+          .select(datediff(col("day"), day0).as("x"),
+            floor(col("srev").cast("double") / lit(1000.0)).as("y"))
+        val tot = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        // integer-center first (shift-invariant: n·yd − sd == n·y − sy
+        // exactly) so the scaled lag products stay well inside 2^53 at
+        // the gate SFs — the q312 exactness budget applied to products
+        val cent = daily.crossJoin(broadcast(tot))
+          .withColumn("c", floor(col("sy").cast("double") / col("n")))
+          .select(col("x"), (col("y") - col("c")).as("yd"), col("n"),
+            (col("sy") - col("n") * col("c")).as("sd"))
+        val lags = (0 to 5).toDF("l")
+        val right = cent.crossJoin(broadcast(lags))
+          .select((col("x") + col("l")).as("x"), col("l"),
+            col("yd").as("yd_lag"))
+        val prods = cent.join(right, Seq("x"))
+          .groupBy(col("l"))
+          .agg(max(col("n")).as("n"),
+            sum(((col("n") * col("yd") - col("sd"))
+              * (col("n") * col("yd_lag") - col("sd")))
+              .cast("decimal(38,0)")).as("g_num"),
+            count(lit(1)).as("n_pairs"))
+          .withColumn("gamma", round(col("g_num").cast("double")
+            / (col("n").cast("double") * col("n") * col("n")), 6))
+        val se = prods.agg(max(col("n")).as("n"),
+            round(sum(when(col("l") === 0, col("gamma"))
+              .otherwise((lit(2.0) - lit(2.0) * col("l") / 6)
+                * col("gamma")).cast("decimal(20,6)")).cast("double"),
+              6).as("lrv"),
+            round(max(when(col("l") === 0, col("gamma"))), 6)
+              .as("g0"))
+          .select(col("n"),
+            round(sqrt(abs(col("lrv")) / col("n")), 6).as("se_nw"),
+            round(sqrt(col("g0") / col("n")), 6).as("se_iid"))
+        prods.select(col("l"), col("n_pairs"), col("gamma"))
+          .crossJoin(broadcast(se))
+          .orderBy(col("l"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS x,
+            CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DOUBLE) / 1000.0) AS BIGINT) AS y
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY CAST(o_orderdate AS DATE)),
+        tot AS (
+          SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+          FROM daily),
+        cent AS (
+          SELECT x,
+            y - CAST(floor(CAST(sy AS DOUBLE) / n) AS BIGINT) AS yd,
+            n,
+            sy - n * CAST(floor(CAST(sy AS DOUBLE) / n) AS BIGINT)
+              AS sd
+          FROM daily CROSS JOIN tot),
+        lags AS (SELECT unnest(range(0, 6)) AS l),
+        rt AS (
+          SELECT x + l AS x, l, yd AS yd_lag
+          FROM cent CROSS JOIN lags),
+        prods AS (
+          SELECT l, max(n) AS n, count(*) AS n_pairs,
+            round(CAST(sum(CAST((n * d.yd - sd)
+              * (n * rt.yd_lag - sd) AS DECIMAL(38,0))) AS DOUBLE)
+              / (CAST(max(n) AS DOUBLE) * max(n) * max(n)), 6)
+              AS gamma
+          FROM cent d JOIN rt USING (x)
+          GROUP BY l),
+        se AS (
+          SELECT max(n) AS n,
+            round(CAST(sum(CAST(CASE WHEN l = 0 THEN gamma
+              ELSE (2.0 - 2.0 * l / 6) * gamma END AS DECIMAL(20,6)))
+              AS DOUBLE), 6) AS lrv,
+            round(max(CASE WHEN l = 0 THEN gamma END), 6) AS g0
+          FROM prods)
+        SELECT l, n_pairs, gamma,
+          se.n, round(sqrt(abs(lrv) / se.n), 6) AS se_nw,
+          round(sqrt(g0 / se.n), 6) AS se_iid
+        FROM prods CROSS JOIN se
+        ORDER BY l""")),
+
+    "q340_periodogram" -> Q(
+      // Fixed-frequency periodogram (Schuster) of daily revenue at the
+      // candidate periods {7, 30, 91, 365} days — the frequency-domain
+      // seasonality probe that complements q126/q248's calendar-keyed
+      // view: which rhythm actually carries the power, asked of the raw
+      // series. cos/sin values snap to 8 decimals before entering the
+      // exact decimal sums (the q280 log discipline applied to trig),
+      // so both engines accumulate identical terms; power is one double
+      // formula per period over the bounded grid.
+      build = (s, dir) => {
+        import s.implicits._
+        val day0 = lit("1995-01-01").cast("date")
+        val daily = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).as("srev"))
+          .select(datediff(col("day"), day0).as("x"),
+            floor(col("srev").cast("double") / lit(1000.0)).as("y"))
+        // integer-center (q339's trick): removes DC leakage into the
+        // nonzero frequencies AND keeps y·trig sums exact under 2^53
+        val tot = daily.agg(count(lit(1)).as("n0"),
+          sum(col("y")).as("sy0"))
+        val cent = daily.crossJoin(broadcast(tot))
+          .select(col("x"), (col("y") - floor(col("sy0").cast("double")
+            / col("n0"))).as("yd"))
+        val periods = Seq(7, 30, 91, 365).toDF("p")
+        val terms = cent.crossJoin(broadcast(periods))
+          .withColumn("arg", lit(2.0) * lit(math.Pi) * col("x")
+            / col("p"))
+          .select(col("p"), col("yd"),
+            round(cos(col("arg")), 8).as("c8"),
+            round(sin(col("arg")), 8).as("s8"))
+        val pw = terms.groupBy(col("p"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("yd") * col("c8")).cast("decimal(24,8)")).as("sc"),
+            sum((col("yd") * col("s8")).cast("decimal(24,8)")).as("ss"))
+          .withColumn("power", round((col("sc").cast("double")
+              * col("sc").cast("double")
+            + col("ss").cast("double") * col("ss").cast("double"))
+            / col("n"), 2))
+        val peak = pw.agg(max(col("power")).as("pmax"))
+          .crossJoin(pw).filter(col("power") === col("pmax"))
+          .agg(min(col("p")).as("peak_p"))
+        pw.crossJoin(broadcast(peak))
+          .select(col("p"), col("n"), col("power"),
+            (col("p") === col("peak_p")).cast("int").as("is_peak"))
+          .orderBy(col("p"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS x,
+            CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DOUBLE) / 1000.0) AS BIGINT) AS y
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY CAST(o_orderdate AS DATE)),
+        tot AS (SELECT count(*) AS n0, CAST(sum(y) AS BIGINT) AS sy0
+          FROM daily),
+        cent AS (
+          SELECT x,
+            y - CAST(floor(CAST(sy0 AS DOUBLE) / n0) AS BIGINT) AS yd
+          FROM daily CROSS JOIN tot),
+        periods AS (SELECT unnest([7, 30, 91, 365]) AS p),
+        terms AS (
+          SELECT p, yd,
+            round(cos(2.0 * pi() * x / p), 8) AS c8,
+            round(sin(2.0 * pi() * x / p), 8) AS s8
+          FROM cent CROSS JOIN periods),
+        pw AS (
+          SELECT p, count(*) AS n,
+            sum(CAST(yd * c8 AS DECIMAL(24,8))) AS sc,
+            sum(CAST(yd * s8 AS DECIMAL(24,8))) AS ss
+          FROM terms GROUP BY 1),
+        scored AS (
+          SELECT p, n,
+            round((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+              + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n, 2)
+              AS power
+          FROM pw),
+        peak AS (
+          SELECT min(p) AS peak_p FROM scored
+          WHERE power = (SELECT max(power) FROM scored))
+        SELECT CAST(p AS INTEGER) AS p, n, power,
+          CAST(CASE WHEN p = peak_p THEN 1 ELSE 0 END AS INTEGER)
+            AS is_peak
+        FROM scored CROSS JOIN peak
+        ORDER BY p""")),
+
+    "q341_partial_correlation" -> Q(
+      // Partial correlation + variance-inflation panel on lineitem's
+      // (quantity, extendedprice, discount): r_qty,price controlling
+      // for discount, and the discount VIFs — the collinearity
+      // diagnostics behind q241's multiple regression. ONE scan
+      // collects all nine exact-decimal moments; the three pairwise
+      // correlations, the partial and the VIFs are fixed double
+      // formulas. Correlations are O(1) outputs, so the >2^53 decimal
+      // sums' cast ulps are invisible under the 6-decimal round (the
+      // q312 budget rule's output-magnitude corollary).
+      build = (s, dir) => {
+        val li = table(s, dir, "lineitem")
+          .select(col("l_quantity").cast("decimal(8,2)").as("x"),
+            col("l_extendedprice").cast("decimal(12,2)").as("y"),
+            col("l_discount").cast("decimal(4,2)").as("z"))
+        val m = li.agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(24,2)").as("sx"),
+          sum(col("y")).cast("decimal(24,2)").as("sy"),
+          sum(col("z")).cast("decimal(24,2)").as("sz"),
+          sum((col("x") * col("y")).cast("decimal(30,4)")).as("sxy"),
+          sum((col("x") * col("z")).cast("decimal(30,4)")).as("sxz"),
+          sum((col("y") * col("z")).cast("decimal(30,4)")).as("syz"),
+          sum((col("x") * col("x")).cast("decimal(30,4)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(30,4)")).as("syy"),
+          sum((col("z") * col("z")).cast("decimal(30,4)")).as("szz"))
+        def d(c: String): Column = col(c).cast("double")
+        def corr(sab: String, sa: String, sb: String,
+            saa: String, sbb: String): Column =
+          (d(sab) - d(sa) * d(sb) / col("n"))
+            ./(sqrt((d(saa) - d(sa) * d(sa) / col("n"))
+              * (d(sbb) - d(sb) * d(sb) / col("n"))))
+        val withR = m
+          .withColumn("r_xy", corr("sxy", "sx", "sy", "sxx", "syy"))
+          .withColumn("r_xz", corr("sxz", "sx", "sz", "sxx", "szz"))
+          .withColumn("r_yz", corr("syz", "sy", "sz", "syy", "szz"))
+        withR.select(col("n"),
+          round(col("r_xy"), 6).as("r_qty_price"),
+          round(col("r_xz"), 6).as("r_qty_disc"),
+          round(col("r_yz"), 6).as("r_price_disc"),
+          round((col("r_xy") - col("r_xz") * col("r_yz"))
+            / sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+              * (lit(1.0) - col("r_yz") * col("r_yz"))), 6)
+            .as("r_qty_price_given_disc"),
+          round(lit(1.0) / (lit(1.0) - col("r_xz") * col("r_xz")), 6)
+            .as("vif_qty_disc"),
+          round(lit(1.0) / (lit(1.0) - col("r_yz") * col("r_yz")), 6)
+            .as("vif_price_disc"))
+      },
+      oracle = Some("""
+        WITH li AS (
+          SELECT CAST(l_quantity AS DECIMAL(8,2)) AS x,
+            CAST(l_extendedprice AS DECIMAL(12,2)) AS y,
+            CAST(l_discount AS DECIMAL(4,2)) AS z
+          FROM lineitem),
+        m AS (
+          SELECT count(*) AS n,
+            CAST(sum(x) AS DECIMAL(24,2)) AS sx,
+            CAST(sum(y) AS DECIMAL(24,2)) AS sy,
+            CAST(sum(z) AS DECIMAL(24,2)) AS sz,
+            CAST(sum(CAST(CAST(x AS DECIMAL(19,2)) * y
+              AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS sxy,
+            CAST(sum(CAST(CAST(x AS DECIMAL(19,2)) * z
+              AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS sxz,
+            CAST(sum(CAST(CAST(y AS DECIMAL(19,2)) * z
+              AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS syz,
+            CAST(sum(CAST(CAST(x AS DECIMAL(19,2)) * x
+              AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS sxx,
+            CAST(sum(CAST(CAST(y AS DECIMAL(19,2)) * y
+              AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS syy,
+            CAST(sum(CAST(CAST(z AS DECIMAL(19,2)) * z
+              AS DECIMAL(30,4))) AS DECIMAL(30,4)) AS szz
+          FROM li),
+        r AS (
+          SELECT n,
+            (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE) / n)
+            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n)
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n)) AS r_xy,
+            (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sz AS DOUBLE) / n)
+            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n)
+              * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                * CAST(sz AS DOUBLE) / n)) AS r_xz,
+            (CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+              * CAST(sz AS DOUBLE) / n)
+            / sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n)
+              * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                * CAST(sz AS DOUBLE) / n)) AS r_yz
+          FROM m)
+        SELECT n,
+          round(r_xy, 6) AS r_qty_price,
+          round(r_xz, 6) AS r_qty_disc,
+          round(r_yz, 6) AS r_price_disc,
+          round((r_xy - r_xz * r_yz)
+            / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)), 6)
+            AS r_qty_price_given_disc,
+          round(1.0 / (1.0 - r_xz * r_xz), 6) AS vif_qty_disc,
+          round(1.0 / (1.0 - r_yz * r_yz), 6) AS vif_price_disc
+        FROM r""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
