@@ -255,4 +255,21 @@ class PlanSpec extends SparkSpec {
         s"global sort over raw rows:\n${offending.mkString("\n")}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("q329: the Hill tail takes its order statistics without ANY sort") {
+    // The estimator's scale claim: top-100 spends come from the
+    // graft_topk heap aggregate (a partial hash agg), so the plan must
+    // contain no SortExec and no window at all — the final output is a
+    // single aggregated row, and every join is a broadcast of a bounded
+    // frame. If a refactor reintroduces row_number()/ORDER BY for the
+    // order statistics, this fails.
+    val p = plan("q329_hill_tail_index")
+    val sorts = p.collect { case s: SortExec => s }
+    assert(sorts.isEmpty, s"SortExec found:\n${sorts.mkString("\n")}")
+    val topkAggs = p.collect {
+      case a if a.nodeName.contains("ObjectHashAggregate") => a
+    }
+    assert(topkAggs.nonEmpty,
+      "expected the TypedImperativeAggregate top-k (ObjectHashAggregate)")
+  }
 }
