@@ -16062,6 +16062,271 @@ object Queries {
           round(1.0 / (1.0 - r_yz * r_yz), 6) AS vif_price_disc
         FROM r""")),
 
+    "q342_seasonal_strength" -> Q(
+      // Strength-of-seasonality index (the STL F_s statistic, computed
+      // as the day-of-week factor's eta-squared on the detrended
+      // series): how much of the detrended variation the weekly cycle
+      // explains — q248 SHOWS the decomposition, this scores it with
+      // one number. Reuses q248's exact construction (centered 7-day MA
+      // trend over the banded self-join, 8-decimal-snapped ratios);
+      // between/total sums of squares come from the bounded 7-row
+      // weekday moment frame with the q320 snap discipline.
+      build = (s, dir) => {
+        val daily = table(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(dec(col("o_totalprice"))).cast("decimal(20,2)")
+            .as("rev"))
+          .withColumn("dayn", unix_date(col("day")))
+        val trended = daily.as("a").join(daily.as("b"),
+            col("b.dayn") >= col("a.dayn") - 3
+              && col("b.dayn") <= col("a.dayn") + 3)
+          .groupBy(col("a.day").as("day"), col("a.rev").as("rev"))
+          .agg(count(lit(1)).as("w"),
+            sum(col("b.rev")).cast("decimal(24,2)").as("srev"))
+          .filter(col("w") === 7)
+          .withColumn("ratio", round(col("rev").cast("double")
+            / (col("srev").cast("double") / lit(7.0)), 8)
+            .cast("decimal(14,8)"))
+        val dowm = trended
+          .withColumn("isodow", weekday(col("day")) + 1)
+          .groupBy(col("isodow"))
+          .agg(count(lit(1)).as("n_d"),
+            sum(col("ratio")).cast("decimal(20,8)").as("sd"),
+            sum((col("ratio") * col("ratio")).cast("decimal(30,16)"))
+              .as("sdd"))
+        val tot = dowm.agg(sum(col("n_d")).as("nn"),
+          sum(col("sd")).cast("decimal(24,8)").as("st"),
+          sum(col("sdd").cast("decimal(38,16)")).cast("decimal(38,16)")
+            .as("sst"),
+          round(sum((col("sd").cast("double") * col("sd").cast("double")
+            / col("n_d")).cast("decimal(24,10)")).cast("double"), 8)
+            .as("between_raw"))
+        tot.select(col("nn").as("n_days"),
+          round((col("between_raw") - col("st").cast("double")
+              * col("st").cast("double") / col("nn"))
+            / (col("sst").cast("double") - col("st").cast("double")
+              * col("st").cast("double") / col("nn")), 6)
+            .as("f_seasonal"),
+          round((col("sst").cast("double") - col("st").cast("double")
+            * col("st").cast("double") / col("nn"))
+            / col("nn"), 8).as("var_detrended"))
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(20,2)) AS rev
+          FROM orders GROUP BY 1),
+        trended AS (
+          SELECT a.day, a.rev, count(*) AS w,
+            CAST(sum(b.rev) AS DECIMAL(24,2)) AS srev
+          FROM daily a JOIN daily b
+            ON b.day >= a.day - 3 AND b.day <= a.day + 3
+          GROUP BY a.day, a.rev
+          HAVING count(*) = 7),
+        ratios AS (
+          SELECT isodow(day) AS isodow,
+            CAST(round(CAST(rev AS DOUBLE)
+              / (CAST(srev AS DOUBLE) / 7.0), 8) AS DECIMAL(14,8))
+              AS ratio
+          FROM trended),
+        dowm AS (
+          SELECT isodow, count(*) AS n_d,
+            CAST(sum(ratio) AS DECIMAL(20,8)) AS sd,
+            sum(CAST(CAST(ratio AS DECIMAL(19,8))
+              * CAST(ratio AS DECIMAL(19,8)) AS DECIMAL(30,16)))
+              AS sdd
+          FROM ratios GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_d) AS BIGINT) AS nn,
+            CAST(sum(sd) AS DECIMAL(24,8)) AS st,
+            CAST(sum(sdd) AS DECIMAL(38,16)) AS sst,
+            round(CAST(sum(CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+              / n_d AS DECIMAL(24,10))) AS DOUBLE), 8) AS between_raw
+          FROM dowm)
+        SELECT nn AS n_days,
+          round((between_raw - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+              / nn)
+            / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE)
+              * CAST(st AS DOUBLE) / nn), 6) AS f_seasonal,
+          round((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE)
+            * CAST(st AS DOUBLE) / nn) / nn, 8) AS var_detrended
+        FROM tot""")),
+
+    "q343_granger_lite" -> Q(
+      // Granger-style predictive F-test: do yesterday's CLICKS help
+      // predict today's PURCHASES beyond yesterday's purchases? Full
+      // model p_t ~ p_{t-1} + c_{t-1} vs restricted p_t ~ p_{t-1}; the
+      // F for the exclusion is the one-lag Granger test. All series are
+      // integer daily counts, lags are calendar-day equi-joins, and the
+      // two OLS fits are closed-form on exact centered moments (q272's
+      // normal-equation formulas) — zero windows, zero sorts.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        def cnt(t: String, name: String): DataFrame = ev
+          .filter(col("event_type") === t)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as(name))
+        val p = cnt("purchase", "p")
+        val c = cnt("click", "c")
+        val cur = p.select(unix_date(col("day")).as("d"),
+          col("p").as("y"))
+        val lag = p.select((unix_date(col("day")) + 1).as("d"),
+          col("p").as("a"))
+          .join(c.select((unix_date(col("day")) + 1).as("d"),
+            col("c").as("b")), Seq("d"))
+        val rows = cur.join(lag, Seq("d"))
+        val m = rows.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy"), sum(col("a")).as("sa"),
+          sum(col("b")).as("sb"),
+          sum(col("y") * col("a")).as("say"),
+          sum(col("y") * col("b")).as("sby"),
+          sum(col("a") * col("b")).as("sab"),
+          sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"),
+          sum(col("y") * col("y")).as("syy"))
+        def d(c0: String): Column = col(c0).cast("double")
+        val cm = m.select(col("n"),
+          (d("saa") - d("sa") * d("sa") / col("n")).as("caa"),
+          (d("sbb") - d("sb") * d("sb") / col("n")).as("cbb"),
+          (d("sab") - d("sa") * d("sb") / col("n")).as("cab"),
+          (d("say") - d("sa") * d("sy") / col("n")).as("cay"),
+          (d("sby") - d("sb") * d("sy") / col("n")).as("cby"),
+          (d("syy") - d("sy") * d("sy") / col("n")).as("cyy"))
+        val fit = cm.select(col("n"), col("cyy"),
+            ((col("cay") * col("cbb") - col("cby") * col("cab"))
+              / (col("caa") * col("cbb") - col("cab") * col("cab")))
+              .as("b1"),
+            ((col("cby") * col("caa") - col("cay") * col("cab"))
+              / (col("caa") * col("cbb") - col("cab") * col("cab")))
+              .as("b2"),
+            col("cay"), col("cby"), col("caa"))
+          .select(col("n"),
+            (col("cyy") - col("b1") * col("cay")
+              - col("b2") * col("cby")).as("sse_full"),
+            (col("cyy") - col("cay") * col("cay") / col("caa"))
+              .as("sse_restricted"),
+            round(col("b2"), 6).as("b_clicks"))
+        fit.select(col("n"), col("b_clicks"),
+          round(col("sse_restricted"), 4).as("sse_restricted"),
+          round(col("sse_full"), 4).as("sse_full"),
+          round((col("sse_restricted") - col("sse_full"))
+            / (col("sse_full") / (col("n") - 3)), 6).as("f_granger"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS p
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        c AS (
+          SELECT CAST(ts AS DATE) AS day, count(*) AS c
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        rows_ AS (
+          SELECT cur.p AS y, lp.p AS a, lc.c AS b
+          FROM p cur
+          JOIN p lp ON lp.day + 1 = cur.day
+          JOIN c lc ON lc.day + 1 = cur.day),
+        m AS (
+          SELECT count(*) AS n,
+            CAST(sum(y) AS BIGINT) AS sy, CAST(sum(a) AS BIGINT) AS sa,
+            CAST(sum(b) AS BIGINT) AS sb,
+            CAST(sum(y * a) AS BIGINT) AS say,
+            CAST(sum(y * b) AS BIGINT) AS sby,
+            CAST(sum(a * b) AS BIGINT) AS sab,
+            CAST(sum(a * a) AS BIGINT) AS saa,
+            CAST(sum(b * b) AS BIGINT) AS sbb,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM rows_),
+        cm AS (
+          SELECT n,
+            CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n AS caa,
+            CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n AS cbb,
+            CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n AS cab,
+            CAST(say AS DOUBLE) - CAST(sa AS DOUBLE) * sy / n AS cay,
+            CAST(sby AS DOUBLE) - CAST(sb AS DOUBLE) * sy / n AS cby,
+            CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy
+          FROM m),
+        fit AS (
+          SELECT n, cyy, cay, cby, caa,
+            (cay * cbb - cby * cab) / (caa * cbb - cab * cab) AS b1,
+            (cby * caa - cay * cab) / (caa * cbb - cab * cab) AS b2
+          FROM cm),
+        sse AS (
+          SELECT n, round(b2, 6) AS b_clicks,
+            cyy - b1 * cay - b2 * cby AS sse_full,
+            cyy - cay * cay / caa AS sse_restricted
+          FROM fit)
+        SELECT n, b_clicks,
+          round(sse_restricted, 4) AS sse_restricted,
+          round(sse_full, 4) AS sse_full,
+          round((sse_restricted - sse_full) / (sse_full / (n - 3)), 6)
+            AS f_granger
+        FROM sse""")),
+
+    "q344_power_analysis" -> Q(
+      // Two-proportion sample-size calculator (the experiment-design
+      // companion of q249's SRM check and q300's monitor): for the
+      // MEASURED urgent-order baseline rate and a grid of absolute
+      // MDEs, the per-arm n for alpha=0.05 two-sided / 80% power by the
+      // standard normal approximation. The baseline comes from exact
+      // integers; z quantiles are identical literals; ceil is
+      // direction-deterministic. A planning operator — the answer the
+      // data team needs BEFORE q293/q294 can ever be run.
+      build = (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "orders").agg(
+          count(lit(1)).as("n_orders"),
+          sum((col("o_orderpriority") === "1-URGENT").cast("long"))
+            .as("n_urgent"))
+        val mdes = Seq(0.01, 0.02, 0.05).toDF("mde")
+        val za = lit(1.959963985)
+        val zb = lit(0.8416212336)
+        base.crossJoin(mdes)
+          .withColumn("p1", col("n_urgent").cast("double")
+            / col("n_orders"))
+          .withColumn("p2", col("p1") + col("mde"))
+          .withColumn("pbar", (col("p1") + col("p2")) / 2)
+          .withColumn("n_per_arm", ceil(
+            (za * sqrt(lit(2.0) * col("pbar") * (lit(1.0) - col("pbar")))
+              + zb * sqrt(col("p1") * (lit(1.0) - col("p1"))
+                + col("p2") * (lit(1.0) - col("p2"))))
+            * (za * sqrt(lit(2.0) * col("pbar")
+                * (lit(1.0) - col("pbar")))
+              + zb * sqrt(col("p1") * (lit(1.0) - col("p1"))
+                + col("p2") * (lit(1.0) - col("p2"))))
+            / (col("mde") * col("mde"))))
+          .select(col("mde"), round(col("p1"), 6).as("p_baseline"),
+            round(col("p2"), 6).as("p_target"), col("n_per_arm"),
+            col("n_orders"))
+          .orderBy(col("mde"))
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT count(*) AS n_orders,
+            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+              ELSE 0 END) AS BIGINT) AS n_urgent
+          FROM orders),
+        mdes AS (SELECT CAST(unnest([0.01, 0.02, 0.05]) AS DOUBLE)
+          AS mde),
+        g AS (
+          SELECT mde, n_orders,
+            CAST(n_urgent AS DOUBLE) / n_orders AS p1,
+            CAST(n_urgent AS DOUBLE) / n_orders + mde AS p2
+          FROM base CROSS JOIN mdes),
+        g2 AS (
+          SELECT mde, n_orders, p1, p2, (p1 + p2) / 2 AS pbar
+          FROM g)
+        SELECT mde, round(p1, 6) AS p_baseline,
+          round(p2, 6) AS p_target,
+          CAST(ceil(
+            (1.959963985 * sqrt(2.0 * pbar * (1.0 - pbar))
+              + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+            * (1.959963985 * sqrt(2.0 * pbar * (1.0 - pbar))
+              + 0.8416212336 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+            / (mde * mde)) AS BIGINT) AS n_per_arm,
+          n_orders
+        FROM g2
+        ORDER BY mde""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
