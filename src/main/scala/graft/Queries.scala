@@ -16327,6 +16327,193 @@ object Queries {
         FROM g2
         ORDER BY mde""")),
 
+    "q345_mann_kendall" -> Q(
+      // Mann-Kendall trend test on monthly revenue — the nonparametric
+      // "is there ANY monotone trend" standard (environmental
+      // statistics' workhorse), rank-based where q139's Theil-Sen is
+      // slope-based and q312 is model-based: S = sum of sign(y_j − y_i)
+      // over ordered month pairs, tie-corrected variance, continuity-
+      // corrected z. The pair frame is the bounded ~80-month
+      // post-aggregation frame self-joined (≤3k pairs, broadcast);
+      // signs compare EXACT decimals, so S and the tie groups are exact
+      // integers and z is one double formula.
+      build = (s, dir) => {
+        val monthly = table(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+          .agg(sum(dec(col("o_totalprice"))).cast("decimal(20,2)")
+            .as("y"))
+          .select(((year(col("m")) - 1992) * 12 + month(col("m")) - 1)
+            .as("mi"), col("y"))
+        val a = monthly.select(col("mi").as("i"), col("y").as("yi"))
+        val b = monthly.select(col("mi").as("j"), col("y").as("yj"))
+        val sS = a.join(broadcast(b), col("i") < col("j"))
+          .agg(sum(when(col("yj") > col("yi"), 1)
+            .when(col("yj") < col("yi"), -1).otherwise(0)).as("s_stat"))
+        val ties = monthly.groupBy(col("y"))
+          .agg(count(lit(1)).as("t")).filter(col("t") > 1)
+          .agg(coalesce(sum(col("t") * (col("t") - 1)
+            * (col("t") * 2 + 5)), lit(0L)).as("tie_term"))
+        val n = monthly.agg(count(lit(1)).as("nm"))
+        sS.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+          .withColumn("var_s", (col("nm") * (col("nm") - 1)
+            * (col("nm") * 2 + 5) - col("tie_term")).cast("double")
+            / 18)
+          .select(col("nm").as("n_months"), col("s_stat"),
+            round(col("var_s"), 4).as("var_s"),
+            round(when(col("s_stat") > 0,
+                (col("s_stat") - 1).cast("double") / sqrt(col("var_s")))
+              .when(col("s_stat") < 0,
+                (col("s_stat") + 1).cast("double") / sqrt(col("var_s")))
+              .otherwise(lit(0.0)), 6).as("z"))
+      },
+      oracle = Some("""
+        WITH monthly AS (
+          SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate)
+              - 1 AS mi,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(20,2)) AS y
+          FROM orders GROUP BY date_trunc('month', o_orderdate),
+            (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1),
+        s_stat AS (
+          SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+            WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+          FROM monthly a JOIN monthly b ON a.mi < b.mi),
+        ties AS (
+          SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+            AS BIGINT) AS tie_term
+          FROM (SELECT count(*) AS t FROM monthly GROUP BY y
+                HAVING count(*) > 1)),
+        n AS (SELECT count(*) AS nm FROM monthly),
+        v AS (
+          SELECT nm, s_stat, tie_term,
+            CAST(nm * (nm - 1) * (2 * nm + 5) - tie_term AS DOUBLE)
+              / 18 AS var_s
+          FROM s_stat CROSS JOIN ties CROSS JOIN n)
+        SELECT nm AS n_months, s_stat, round(var_s, 4) AS var_s,
+          round(CASE WHEN s_stat > 0
+              THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+            WHEN s_stat < 0
+              THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+            ELSE 0.0 END, 6) AS z
+        FROM v""")),
+
+    "q346_greenwood_bands" -> Q(
+      // Greenwood 95% confidence bands for the q200 Kaplan-Meier curve
+      // — the uncertainty every survival plot needs before anyone
+      // compares arms: Var[S(t)] = S(t)² · cumsum d/(n(n−d)), bands
+      // clamped to [0,1]. Same bounded distinct-duration machinery as
+      // q200 (one day-level aggregate + cumulative windows on the
+      // bounded frame, allowlisted); the Greenwood terms snap at 10
+      // decimals into an exact cumulative sum, and the d = n_risk tail
+      // (division by zero) yields NULL bands via identical guards.
+      build = (s, dir) => {
+        val ev = table(s, dir, "events")
+        val t0 = ev.groupBy(col("user_id"))
+          .agg(min(to_date(col("ts"))).as("d0"))
+        val tp = ev.filter(col("event_type") === "purchase"
+            && col("value") >= 150)
+          .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("dp"))
+        val end = ev.agg(max(to_date(col("ts"))).as("dend"))
+        val durs = t0.join(tp, Seq("user_id"), "left")
+          .crossJoin(broadcast(end))
+          .select(
+            when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+              .otherwise(datediff(col("dend"), col("d0")))
+              .cast("long").as("dur"),
+            col("dp").isNotNull.cast("long").as("ev"))
+        val dayAgg = durs.groupBy(col("dur"))
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("cnt"))
+        val wPrev = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dayAgg
+          .crossJoin(broadcast(durs.agg(count(lit(1)).as("ntot"))))
+          .withColumn("n_risk",
+            col("ntot") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0)
+          .withColumn("lnterm", when(col("d") < col("n_risk"),
+              round(log(lit(1.0)
+                - col("d").cast("double") / col("n_risk")), 8))
+            .otherwise(lit(-99.0)))
+          .withColumn("surv", round(exp(
+            sum(col("lnterm").cast("decimal(20,8)")).over(wCum)
+              .cast("double")), 8))
+          .withColumn("gwterm", when(col("d") < col("n_risk"),
+              round(col("d").cast("double") / (col("n_risk")
+                * (col("n_risk") - col("d"))), 10))
+            .otherwise(lit(0.0)))
+          .withColumn("gwsum",
+            sum(col("gwterm").cast("decimal(24,10)")).over(wCum)
+              .cast("double"))
+          .withColumn("se", when(col("d") < col("n_risk"),
+            round(col("surv") * sqrt(col("gwsum")), 8)))
+          .select(col("dur").as("t_days"), col("n_risk"), col("d"),
+            col("surv"), col("se"),
+            round(greatest(col("surv") - lit(1.959963985) * col("se"),
+              lit(0.0)), 8).as("ci_lo"),
+            round(least(col("surv") + lit(1.959963985) * col("se"),
+              lit(1.0)), 8).as("ci_hi"))
+          .orderBy(col("t_days"))
+      },
+      oracle = Some("""
+        WITH t0 AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS d0
+          FROM events GROUP BY 1),
+        tp AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS dp
+          FROM events WHERE event_type = 'purchase' AND value >= 150
+          GROUP BY 1),
+        endd AS (SELECT max(CAST(ts AS DATE)) AS dend FROM events),
+        durs AS (
+          SELECT CAST(CASE WHEN tp.dp IS NOT NULL
+              THEN date_diff('day', t0.d0, tp.dp)
+              ELSE date_diff('day', t0.d0, endd.dend) END AS BIGINT)
+              AS dur,
+            CAST(CASE WHEN tp.dp IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS ev
+          FROM t0 LEFT JOIN tp ON tp.user_id = t0.user_id
+          CROSS JOIN endd),
+        day_agg AS (
+          SELECT dur, CAST(sum(ev) AS BIGINT) AS d, count(*) AS cnt
+          FROM durs GROUP BY 1),
+        risk AS (
+          SELECT dur, d,
+            CAST((SELECT count(*) FROM durs) - coalesce(
+              sum(cnt) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+          FROM day_agg),
+        terms AS (
+          SELECT dur, d, n_risk,
+            CASE WHEN d < n_risk
+              THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 8)
+              ELSE -99.0 END AS lnterm,
+            CASE WHEN d < n_risk
+              THEN round(CAST(d AS DOUBLE)
+                / (n_risk * (n_risk - d)), 10)
+              ELSE 0.0 END AS gwterm
+          FROM risk WHERE d > 0),
+        cum AS (
+          SELECT dur, d, n_risk,
+            round(exp(CAST(sum(CAST(lnterm AS DECIMAL(20,8)))
+              OVER w AS DOUBLE)), 8) AS surv,
+            CAST(sum(CAST(gwterm AS DECIMAL(24,10))) OVER w AS DOUBLE)
+              AS gwsum
+          FROM terms
+          WINDOW w AS (ORDER BY dur
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        banded AS (
+          SELECT dur, d, n_risk, surv,
+            CASE WHEN d < n_risk
+              THEN round(surv * sqrt(gwsum), 8) END AS se
+          FROM cum)
+        SELECT dur AS t_days, n_risk, d, surv, se,
+          round(greatest(surv - 1.959963985 * se, 0.0), 8) AS ci_lo,
+          round(least(surv + 1.959963985 * se, 1.0), 8) AS ci_hi
+        FROM banded
+        ORDER BY t_days""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row

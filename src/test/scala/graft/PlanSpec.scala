@@ -121,6 +121,7 @@ class PlanSpec extends SparkSpec {
       "q192_compaction_planner",// PrefixSum offsets
       "q198_rank_correlation",  // distinct-value frames via PrefixSum
       "q200_kaplan_meier",      // distinct-duration (calendar-bounded)
+      "q346_greenwood_bands",   // q200's distinct-duration frame
       "q204_largest_remainder", // 25 nations
       "q214_mann_whitney",      // distinct-value frame via PrefixSum
       "q215_ks_test",           // distinct-value frame via PrefixSum
