@@ -16514,6 +16514,201 @@ object Queries {
         FROM banded
         ORDER BY t_days""")),
 
+    "q347_shift_share" -> Q(
+      // Shift-share decomposition (Dunn 1960) of 1995→1996 regional
+      // revenue growth into national-growth, industry-mix (priority
+      // mix) and competitive components — the regional-economics
+      // standard for "did the region grow because of WHAT it sells or
+      // HOW it competes". Two scans reduce to the bounded 25-cell
+      // (region × priority × year) frame; growth rates snap at 8 from
+      // exact decimals; components fold through snapped decimal sums
+      // so NS + IM + CE recomposes the actual change to the snap.
+      build = (s, dir) => {
+        val cells = table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(table(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderpriority").as("ind"),
+            year(col("o_orderdate")).as("yr"))
+          .agg(sum(dec(col("o_totalprice"))).cast("decimal(20,2)")
+            .as("rev"))
+        val base = cells.filter(col("yr") === 1995)
+          .select(col("r_name"), col("ind"), col("rev").as("b"))
+        val cur = cells.filter(col("yr") === 1996)
+          .select(col("r_name"), col("ind"), col("rev").as("c"))
+        val ri = base.join(cur, Seq("r_name", "ind"))
+          .withColumn("g_ri", round((col("c").cast("double")
+            - col("b").cast("double")) / col("b").cast("double"), 8))
+        val indG = ri.groupBy(col("ind"))
+          .agg(sum(col("b")).cast("decimal(24,2)").as("bi"),
+            sum(col("c")).cast("decimal(24,2)").as("ci"))
+          .withColumn("g_i", round((col("ci").cast("double")
+            - col("bi").cast("double")) / col("bi").cast("double"), 8))
+          .select(col("ind"), col("g_i"))
+        val nat = ri.agg(sum(col("b")).cast("decimal(26,2)").as("bn"),
+            sum(col("c")).cast("decimal(26,2)").as("cn"))
+          .select(round((col("cn").cast("double")
+            - col("bn").cast("double")) / col("bn").cast("double"), 8)
+            .as("g_n"))
+        ri.join(broadcast(indG), Seq("ind"))
+          .crossJoin(broadcast(nat))
+          .groupBy(col("r_name"))
+          .agg(
+            sum(col("b")).cast("decimal(24,2)").as("base_rev"),
+            round(sum(((col("c").cast("double")
+              - col("b").cast("double"))).cast("decimal(24,6)"))
+              .cast("double"), 2).as("actual_change"),
+            round(sum((col("b").cast("double") * col("g_n"))
+              .cast("decimal(24,6)")).cast("double"), 2).as("ns"),
+            round(sum((col("b").cast("double")
+              * (col("g_i") - col("g_n"))).cast("decimal(24,6)"))
+              .cast("double"), 2).as("im"),
+            round(sum((col("b").cast("double")
+              * (col("g_ri") - col("g_i"))).cast("decimal(24,6)"))
+              .cast("double"), 2).as("ce"))
+          .select(col("r_name"),
+            col("base_rev").cast("double").as("base_rev"),
+            col("actual_change"), col("ns"), col("im"), col("ce"))
+          .orderBy(col("r_name"))
+      },
+      oracle = Some("""
+        WITH cells AS (
+          SELECT r_name, o_orderpriority AS ind,
+            year(o_orderdate) AS yr,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DECIMAL(20,2)) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2, 3),
+        ri AS (
+          SELECT b.r_name, b.ind, b.rev AS b, c.rev AS c,
+            round((CAST(c.rev AS DOUBLE) - CAST(b.rev AS DOUBLE))
+              / CAST(b.rev AS DOUBLE), 8) AS g_ri
+          FROM (SELECT * FROM cells WHERE yr = 1995) b
+          JOIN (SELECT * FROM cells WHERE yr = 1996) c
+            USING (r_name, ind)),
+        ind_g AS (
+          SELECT ind,
+            round((CAST(CAST(sum(c) AS DECIMAL(24,2)) AS DOUBLE)
+              - CAST(CAST(sum(b) AS DECIMAL(24,2)) AS DOUBLE))
+              / CAST(CAST(sum(b) AS DECIMAL(24,2)) AS DOUBLE), 8)
+              AS g_i
+          FROM ri GROUP BY 1),
+        nat AS (
+          SELECT round((CAST(CAST(sum(c) AS DECIMAL(26,2)) AS DOUBLE)
+            - CAST(CAST(sum(b) AS DECIMAL(26,2)) AS DOUBLE))
+            / CAST(CAST(sum(b) AS DECIMAL(26,2)) AS DOUBLE), 8) AS g_n
+          FROM ri)
+        SELECT r_name,
+          CAST(CAST(sum(b) AS DECIMAL(24,2)) AS DOUBLE) AS base_rev,
+          round(CAST(sum(CAST(CAST(c AS DOUBLE) - CAST(b AS DOUBLE)
+            AS DECIMAL(24,6))) AS DOUBLE), 2) AS actual_change,
+          round(CAST(sum(CAST(CAST(b AS DOUBLE) * g_n
+            AS DECIMAL(24,6))) AS DOUBLE), 2) AS ns,
+          round(CAST(sum(CAST(CAST(b AS DOUBLE) * (g_i - g_n)
+            AS DECIMAL(24,6))) AS DOUBLE), 2) AS im,
+          round(CAST(sum(CAST(CAST(b AS DOUBLE) * (g_ri - g_i)
+            AS DECIMAL(24,6))) AS DOUBLE), 2) AS ce
+        FROM ri JOIN ind_g USING (ind) CROSS JOIN nat
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    "q348_price_index" -> Q(
+      // Laspeyres / Paasche / Fisher price indices for 1995→1996 on
+      // per-part unit prices — index-number theory as a query: the
+      // deflator machinery every revenue time series needs before
+      // "growth" claims. Per-part-year unit price is an exact-decimal
+      // ratio snapped at 6; the four basket sums (p1q0, p0q0, p1q1,
+      // p0q1) are exact decimal products of snapped prices and integer-
+      // quantity sums; the three indices are fixed double formulas.
+      // Only parts traded in BOTH years enter (the matched-model rule,
+      // stated).
+      build = (s, dir) => {
+        val py = table(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+          .agg(sum(dec(col("l_extendedprice"))).cast("decimal(20,2)")
+            .as("ext"),
+            sum(col("l_quantity").cast("decimal(12,2)"))
+              .cast("decimal(16,2)").as("qty"))
+          .withColumn("p", round(col("ext").cast("double")
+            / col("qty").cast("double"), 6).cast("decimal(16,6)"))
+        val y0 = py.filter(col("yr") === 1995)
+          .select(col("l_partkey"), col("p").as("p0"),
+            col("qty").as("q0"))
+        val y1 = py.filter(col("yr") === 1996)
+          .select(col("l_partkey"), col("p").as("p1"),
+            col("qty").as("q1"))
+        val m = y0.join(y1, Seq("l_partkey"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum((col("p1") * col("q0")).cast("decimal(30,8)"))
+              .as("p1q0"),
+            sum((col("p0") * col("q0")).cast("decimal(30,8)"))
+              .as("p0q0"),
+            sum((col("p1") * col("q1")).cast("decimal(30,8)"))
+              .as("p1q1"),
+            sum((col("p0") * col("q1")).cast("decimal(30,8)"))
+              .as("p0q1"))
+        m.select(col("n_parts"),
+            (col("p1q0").cast("double") / col("p0q0").cast("double"))
+              .as("laspeyres"),
+            (col("p1q1").cast("double") / col("p0q1").cast("double"))
+              .as("paasche"))
+          .select(col("n_parts"),
+            round(col("laspeyres"), 6).as("laspeyres"),
+            round(col("paasche"), 6).as("paasche"),
+            round(sqrt(col("laspeyres") * col("paasche")), 6)
+              .as("fisher"))
+      },
+      oracle = Some("""
+        WITH py AS (
+          SELECT l_partkey, year(l_shipdate) AS yr,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+              AS DECIMAL(20,2)) AS ext,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2)))
+              AS DECIMAL(16,2)) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2),
+        priced AS (
+          SELECT l_partkey, yr, qty,
+            CAST(round(CAST(ext AS DOUBLE) / CAST(qty AS DOUBLE), 6)
+              AS DECIMAL(16,6)) AS p
+          FROM py),
+        m AS (
+          SELECT count(*) AS n_parts,
+            sum(CAST(CAST(y1.p AS DECIMAL(19,6)) * y0.qty
+              AS DECIMAL(30,8))) AS p1q0,
+            sum(CAST(CAST(y0.p AS DECIMAL(19,6)) * y0.qty
+              AS DECIMAL(30,8))) AS p0q0,
+            sum(CAST(CAST(y1.p AS DECIMAL(19,6)) * y1.qty
+              AS DECIMAL(30,8))) AS p1q1,
+            sum(CAST(CAST(y0.p AS DECIMAL(19,6)) * y1.qty
+              AS DECIMAL(30,8))) AS p0q1
+          FROM (SELECT * FROM priced WHERE yr = 1995) y0
+          JOIN (SELECT * FROM priced WHERE yr = 1996) y1
+            USING (l_partkey)),
+        idx AS (
+          SELECT n_parts,
+            CAST(p1q0 AS DOUBLE) / CAST(p0q0 AS DOUBLE) AS laspeyres,
+            CAST(p1q1 AS DOUBLE) / CAST(p0q1 AS DOUBLE) AS paasche
+          FROM m)
+        SELECT n_parts, round(laspeyres, 6) AS laspeyres,
+          round(paasche, 6) AS paasche,
+          round(sqrt(laspeyres * paasche), 6) AS fisher
+        FROM idx""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
