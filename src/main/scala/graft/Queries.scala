@@ -16709,6 +16709,145 @@ object Queries {
           round(sqrt(laspeyres * paasche), 6) AS fisher
         FROM idx""")),
 
+    "q349_chao1_richness" -> Q(
+      // Chao1 richness estimator (Chao 1984): how many vocabulary types
+      // the corpus HASN'T shown yet, from singleton/doubleton counts —
+      // the unseen-species bound that pairs with q309's Good-Turing
+      // unseen MASS and q321's Heaps growth curve. One term-count scan,
+      // then pure arithmetic on three exact integers (S_obs, F1, F2),
+      // with the bias-corrected form and Chao's variance as fixed
+      // double formulas.
+      build = (s, dir) => {
+        val counts = table(s, dir, "documents")
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("r"))
+        val m = counts.agg(count(lit(1)).as("s_obs"),
+          sum((col("r") === 1).cast("long")).as("f1"),
+          sum((col("r") === 2).cast("long")).as("f2"))
+        def d(c: String): Column = col(c).cast("double")
+        m.select(col("s_obs"), col("f1"), col("f2"),
+          round(d("s_obs") + d("f1") * (d("f1") - 1)
+            / (lit(2.0) * (d("f2") + 1)), 4).as("chao1"),
+          round((d("f1") * (d("f1") - 1) / (lit(2.0) * (d("f2") + 1)))
+            + (d("f1") * (lit(2.0) * d("f1") - 1)
+              * (lit(2.0) * d("f1") - 1))
+              / (lit(4.0) * (d("f2") + 1) * (d("f2") + 1))
+            + (d("f1") * d("f1") * d("f2")
+              * (d("f1") - 1) * (d("f1") - 1))
+              / (lit(4.0) * (d("f2") + 1) * (d("f2") + 1)
+                * (d("f2") + 1) * (d("f2") + 1)), 4).as("var_chao1"))
+      },
+      oracle = Some("""
+        WITH counts AS (
+          SELECT w, count(*) AS r
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                  AS w FROM documents)
+          GROUP BY 1),
+        m AS (
+          SELECT count(*) AS s_obs,
+            CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS f1,
+            CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS f2
+          FROM counts),
+        md AS (
+          SELECT s_obs, f1, f2,
+            CAST(s_obs AS DOUBLE) AS sd, CAST(f1 AS DOUBLE) AS f1d,
+            CAST(f2 AS DOUBLE) AS f2d
+          FROM m)
+        SELECT s_obs, f1, f2,
+          round(sd + f1d * (f1d - 1) / (2.0 * (f2d + 1)), 4) AS chao1,
+          round((f1d * (f1d - 1) / (2.0 * (f2d + 1)))
+            + (f1d * (2.0 * f1d - 1) * (2.0 * f1d - 1))
+              / (4.0 * (f2d + 1) * (f2d + 1))
+            + (f1d * f1d * f2d * (f1d - 1) * (f1d - 1))
+              / (4.0 * (f2d + 1) * (f2d + 1) * (f2d + 1) * (f2d + 1)),
+            4) AS var_chao1
+        FROM md""")),
+
+    "q350_odds_ratio" -> Q(
+      // Odds ratio with the Woolf logit 95% CI for every market
+      // segment vs the rest, outcome = has an urgent order — the
+      // epidemiology-standard effect size q111's chi-square only tests
+      // and q337's panel doesn't interval-ize. One conditional scan
+      // per... no: ONE scan builds all five 2x2 tables simultaneously
+      // (segment grid vs broadcast totals by moment subtraction); OR,
+      // ln OR and the CI are fixed double formulas on exact integers,
+      // with the Haldane-Anscombe +0.5 correction applied identically
+      // when any cell is zero.
+      build = (s, dir) => {
+        val lbl = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct().withColumn("y", lit(1))
+        val c = table(s, dir, "customer")
+          .join(lbl, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment"), coalesce(col("y"), lit(0)).as("y"))
+        val per = c.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_g"), sum(col("y")).as("pos_g"))
+        val tot = per.agg(sum(col("n_g")).as("nn"),
+          sum(col("pos_g")).as("pp"))
+        val cells = per.crossJoin(broadcast(tot))
+          .select(col("c_mktsegment"),
+            col("pos_g").as("a"), (col("n_g") - col("pos_g")).as("b"),
+            (col("pp") - col("pos_g")).as("cc"),
+            (col("nn") - col("n_g") - col("pp") + col("pos_g"))
+              .as("dd"))
+          .withColumn("corr", when(col("a") === 0 || col("b") === 0
+            || col("cc") === 0 || col("dd") === 0, 0.5).otherwise(0.0))
+        def ad(c0: String): Column = col(c0).cast("double") + col("corr")
+        val scored = cells
+          .withColumn("or_", (ad("a") * ad("dd"))
+            / (ad("b") * ad("cc")))
+          .withColumn("se_ln", sqrt(lit(1.0) / ad("a") + lit(1.0)
+            / ad("b") + lit(1.0) / ad("cc") + lit(1.0) / ad("dd")))
+        scored.select(col("c_mktsegment"), col("a"), col("b"),
+            col("cc").as("c"), col("dd").as("d"),
+            round(col("or_"), 6).as("odds_ratio"),
+            round(exp(log(col("or_")) - lit(1.959963985)
+              * col("se_ln")), 6).as("ci_lo"),
+            round(exp(log(col("or_")) + lit(1.959963985)
+              * col("se_ln")), 6).as("ci_hi"))
+          .orderBy(col("c_mktsegment"))
+      },
+      oracle = Some("""
+        WITH lbl AS (
+          SELECT DISTINCT o_custkey, 1 AS y
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        c AS (
+          SELECT c_mktsegment, coalesce(y, 0) AS y
+          FROM customer LEFT JOIN lbl ON c_custkey = o_custkey),
+        per AS (
+          SELECT c_mktsegment, count(*) AS n_g,
+            CAST(sum(y) AS BIGINT) AS pos_g
+          FROM c GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+            CAST(sum(pos_g) AS BIGINT) AS pp
+          FROM per),
+        cells AS (
+          SELECT c_mktsegment, pos_g AS a, n_g - pos_g AS b,
+            pp - pos_g AS cc, nn - n_g - pp + pos_g AS dd,
+            CASE WHEN pos_g = 0 OR n_g - pos_g = 0
+              OR pp - pos_g = 0 OR nn - n_g - pp + pos_g = 0
+              THEN 0.5 ELSE 0.0 END AS corr
+          FROM per CROSS JOIN tot),
+        scored AS (
+          SELECT c_mktsegment, a, b, cc, dd,
+            ((CAST(a AS DOUBLE) + corr) * (CAST(dd AS DOUBLE) + corr))
+              / ((CAST(b AS DOUBLE) + corr)
+                * (CAST(cc AS DOUBLE) + corr)) AS or_,
+            sqrt(1.0 / (CAST(a AS DOUBLE) + corr)
+              + 1.0 / (CAST(b AS DOUBLE) + corr)
+              + 1.0 / (CAST(cc AS DOUBLE) + corr)
+              + 1.0 / (CAST(dd AS DOUBLE) + corr)) AS se_ln
+          FROM cells)
+        SELECT c_mktsegment, a, b, cc AS c, dd AS d,
+          round(or_, 6) AS odds_ratio,
+          round(exp(ln(or_) - 1.959963985 * se_ln), 6) AS ci_lo,
+          round(exp(ln(or_) + 1.959963985 * se_ln), 6) AS ci_hi
+        FROM scored
+        ORDER BY c_mktsegment""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
