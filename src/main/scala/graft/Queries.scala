@@ -16848,6 +16848,166 @@ object Queries {
         FROM scored
         ORDER BY c_mktsegment""")),
 
+    "q351_fleiss_kappa" -> Q(
+      // Fleiss' kappa for THREE binary "raters" per customer (above-
+      // median balance, has-urgent-order, BUILDING segment) — the
+      // inter-rater agreement statistic behind every labeling-quality
+      // audit, exercised on deterministic rule-raters. One scan tags
+      // all three rules; agreement reduces to the bounded 4-row
+      // positive-count histogram (N_k for k=0..3) of exact integers;
+      // P-bar, P_e and kappa are fixed double formulas. The median
+      // rater interpolates in double on both engines (q320 rule).
+      build = (s, dir) => {
+        val gm = table(s, dir, "customer")
+          .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+        val urgent = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct().withColumn("u", lit(1))
+        val tagged = table(s, dir, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+          .crossJoin(broadcast(gm))
+          .select(((col("c_acctbal") > col("med")).cast("int")
+            + coalesce(col("u"), lit(0))
+            + (col("c_mktsegment") === "BUILDING").cast("int"))
+            .as("k"))
+        val hist = tagged.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_k"))
+        val m = hist.agg(sum(col("n_k")).as("nn"),
+          sum(col("k") * col("n_k")).as("spos"),
+          sum((col("k") * (col("k") - 1)
+            + (lit(3) - col("k")) * (lit(2) - col("k"))) * col("n_k"))
+            .as("agree_num"))
+        val stats = m.select(col("nn"),
+            (col("agree_num").cast("double") / (col("nn") * 6))
+              .as("p_bar"),
+            (col("spos").cast("double") / (col("nn") * 3)).as("p_pos"))
+          .select(col("nn"), col("p_bar"), col("p_pos"),
+            (col("p_pos") * col("p_pos") + (lit(1.0) - col("p_pos"))
+              * (lit(1.0) - col("p_pos"))).as("p_e"))
+          .select(col("nn").as("n_items"),
+            round(col("p_bar"), 6).as("p_observed"),
+            round(col("p_e"), 6).as("p_expected"),
+            round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")),
+              6).as("fleiss_kappa"))
+        hist.crossJoin(broadcast(stats))
+          .select(col("k"), col("n_k"), col("n_items"),
+            col("p_observed"), col("p_expected"), col("fleiss_kappa"))
+          .orderBy(col("k"))
+      },
+      oracle = Some("""
+        WITH gm AS (
+          SELECT quantile_cont(c_acctbal, 0.5) AS med FROM customer),
+        urgent AS (
+          SELECT DISTINCT o_custkey, 1 AS u
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        tagged AS (
+          SELECT (CASE WHEN c_acctbal > med THEN 1 ELSE 0 END)
+            + coalesce(u, 0)
+            + (CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+            AS k
+          FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+          CROSS JOIN gm),
+        hist AS (SELECT k, count(*) AS n_k FROM tagged GROUP BY 1),
+        m AS (
+          SELECT CAST(sum(n_k) AS BIGINT) AS nn,
+            CAST(sum(k * n_k) AS BIGINT) AS spos,
+            CAST(sum((k * (k - 1) + (3 - k) * (2 - k)) * n_k)
+              AS BIGINT) AS agree_num
+          FROM hist),
+        st AS (
+          SELECT nn,
+            CAST(agree_num AS DOUBLE) / (nn * 6) AS p_bar,
+            CAST(spos AS DOUBLE) / (nn * 3) AS p_pos
+          FROM m),
+        st2 AS (
+          SELECT nn, p_bar, p_pos,
+            p_pos * p_pos + (1.0 - p_pos) * (1.0 - p_pos) AS p_e
+          FROM st)
+        SELECT k, n_k, nn AS n_items,
+          round(p_bar, 6) AS p_observed,
+          round(p_e, 6) AS p_expected,
+          round((p_bar - p_e) / (1.0 - p_e), 6) AS fleiss_kappa
+        FROM hist CROSS JOIN st2
+        ORDER BY k""")),
+
+    "q352_cronbach_alpha" -> Q(
+      // Cronbach's alpha internal-consistency coefficient for the same
+      // three binary indicators — do the "affluent customer" signals
+      // hang together as a scale? Population item variances come from
+      // exact marginals, the total-score variance from the bounded
+      // 4-row score histogram (all exact integers), and alpha =
+      // (k/(k-1))(1 − Σvar_i/var_T) is one double formula. Reliability
+      // analysis as a two-aggregate query.
+      build = (s, dir) => {
+        val gm = table(s, dir, "customer")
+          .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+        val urgent = table(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct().withColumn("u", lit(1))
+        val items = table(s, dir, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+          .crossJoin(broadcast(gm))
+          .select((col("c_acctbal") > col("med")).cast("long").as("i1"),
+            coalesce(col("u"), lit(0)).cast("long").as("i2"),
+            (col("c_mktsegment") === "BUILDING").cast("long").as("i3"))
+        val m = items.agg(count(lit(1)).as("nn"),
+          sum(col("i1")).as("s1"), sum(col("i2")).as("s2"),
+          sum(col("i3")).as("s3"),
+          sum((col("i1") + col("i2") + col("i3"))
+            * (col("i1") + col("i2") + col("i3"))).as("stt"),
+          sum(col("i1") + col("i2") + col("i3")).as("st"))
+        def d(c: String): Column = col(c).cast("double")
+        val v = m.select(col("nn"),
+          (d("s1") / col("nn") * (lit(1.0) - d("s1") / col("nn"))
+            + d("s2") / col("nn") * (lit(1.0) - d("s2") / col("nn"))
+            + d("s3") / col("nn") * (lit(1.0) - d("s3") / col("nn")))
+            .as("sum_var_items"),
+          (d("stt") / col("nn") - d("st") / col("nn") * (d("st")
+            / col("nn"))).as("var_total"))
+        v.select(col("nn").as("n_items_scored"),
+          round(col("sum_var_items"), 6).as("sum_var_items"),
+          round(col("var_total"), 6).as("var_total"),
+          round(lit(1.5) * (lit(1.0) - col("sum_var_items")
+            / col("var_total")), 6).as("cronbach_alpha"))
+      },
+      oracle = Some("""
+        WITH gm AS (
+          SELECT quantile_cont(c_acctbal, 0.5) AS med FROM customer),
+        urgent AS (
+          SELECT DISTINCT o_custkey, 1 AS u
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        items AS (
+          SELECT CASE WHEN c_acctbal > med THEN 1 ELSE 0 END AS i1,
+            coalesce(u, 0) AS i2,
+            CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS i3
+          FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
+          CROSS JOIN gm),
+        m AS (
+          SELECT count(*) AS nn,
+            CAST(sum(i1) AS BIGINT) AS s1,
+            CAST(sum(i2) AS BIGINT) AS s2,
+            CAST(sum(i3) AS BIGINT) AS s3,
+            CAST(sum((i1 + i2 + i3) * (i1 + i2 + i3)) AS BIGINT)
+              AS stt,
+            CAST(sum(i1 + i2 + i3) AS BIGINT) AS st
+          FROM items),
+        v AS (
+          SELECT nn,
+            CAST(s1 AS DOUBLE) / nn * (1.0 - CAST(s1 AS DOUBLE) / nn)
+              + CAST(s2 AS DOUBLE) / nn
+                * (1.0 - CAST(s2 AS DOUBLE) / nn)
+              + CAST(s3 AS DOUBLE) / nn
+                * (1.0 - CAST(s3 AS DOUBLE) / nn) AS sum_var_items,
+            CAST(stt AS DOUBLE) / nn - CAST(st AS DOUBLE) / nn
+              * (CAST(st AS DOUBLE) / nn) AS var_total
+          FROM m)
+        SELECT nn AS n_items_scored,
+          round(sum_var_items, 6) AS sum_var_items,
+          round(var_total, 6) AS var_total,
+          round(1.5 * (1.0 - sum_var_items / var_total), 6)
+            AS cronbach_alpha
+        FROM v""")),
+
   )
 
   /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
