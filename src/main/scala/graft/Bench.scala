@@ -39,6 +39,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      // same scale gate as Verify: analysis-time ScaleGuard on every
+      // benched plan (see plans/ScaleGuard.scala)
+      .withExtensions(new GraftExtensions)
+      .config("spark.graft.scaleGuard", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -111,6 +115,33 @@ object Bench {
     require(iters > 0,
       s"SPARK_GRAFT_BENCH_ITERS must be positive, got $iters — zero would " +
         "report Double.MaxValue as a 'successful' timing for every query")
+
+    // Global-window discipline, enforced at bench time (not just in
+    // PlanSpec): plan every query to be timed OUTSIDE the timed loop and
+    // assert that exactly the queries in plans.GlobalWindows.allowed
+    // contain an unpartitioned WindowExec. Only then is it legitimate to
+    // silence WindowExec's "No Partition Defined" warning, whose ~40-line
+    // flood buried real signals in every prior round's bench log — any
+    // query outside the allowlist that grows a global window fails here
+    // loudly instead of warning quietly.
+    locally {
+      import org.apache.spark.sql.execution.window.WindowExec
+      val planned = names.filter { name =>
+        Queries.queries(name)(spark, sfDir).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+      }.toSet
+      val undocumented = planned -- graft.plans.GlobalWindows.allowed.keySet
+      require(undocumented.isEmpty,
+        s"global window outside plans.GlobalWindows.allowed: $undocumented")
+      // (subset, not equality: the headline tier needn't contain every
+      // allowlisted query — PlanSpec asserts full set equality catalog-
+      // wide. Streaming bounded-run entries execute on build; free any
+      // frames they persisted before timing starts.)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        classOf[WindowExec].getName, org.apache.logging.log4j.Level.ERROR)
+    }
     // global warmup: one query untimed (JVM/classloader/parquet-footer
     // startup); per-query codegen warmup is covered by min-of-iters. A
     // broken first query must not kill the whole bench — timeTier will

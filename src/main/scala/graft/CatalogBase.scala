@@ -1,0 +1,427 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stable._
+
+/** Shared vocabulary of the query catalog: the [[Q]] entry type, the table
+  * loader, output-type conventions, and the oracle-SQL fragments reused by
+  * more than one catalog part. The catalog itself lives in Catalog1..7
+  * (original single-file order preserved); [[Queries]] stitches the parts
+  * together.
+  */
+private[graft] final case class Q(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false,
+    whyNoOracle: Option[String] = None)
+
+private[graft] trait CatalogBase {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** Casts every top-level TIMESTAMP_LTZ output column to TIMESTAMP_NTZ.
+    * Applied as the LAST step of any query that emits a raw timestamp:
+    * internally `ts` is LTZ (unix_micros & friends require it), but an
+    * LTZ OUTPUT column is a serialization hazard — Spark's default
+    * parquet writer emits it as legacy INT96 (r5 q85: far-future values
+    * wrap in nanosecond readers) and the TIMESTAMP_MICROS writer marks
+    * it UTC-adjusted, which oracle-side readers surface as a tz-AWARE
+    * type while the DuckDB oracle computes naive timestamps. Under the
+    * engine's fixed UTC session the NTZ cast is value-identity, and the
+    * written INT64 micros column reads back naive in any engine.
+    * Verify.assertNoLtz enforces this convention catalog-wide. */
+  protected def ntzOut(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+        case _ => d
+      }
+    }
+
+  // Shared SQL fragments (mirrored by the Column helpers in Stable).
+  protected val revSql = sqlRevenue("l_extendedprice", "l_discount")
+  protected val chargeSql = sqlCharge("l_extendedprice", "l_discount", "l_tax")
+
+  /** Where q73 persists the fitted IVF centroid table — model-as-data,
+    * readable by BOTH engines (the Spark search half and the DuckDB
+    * oracle), which is what makes an ANN search with a *trained*
+    * quantizer oracle-checkable at all. Absolute path: Verify/Bench run
+    * under sbt with the repo root as CWD, but nothing should depend on
+    * that. */
+  protected val ivfCentroidPath = "/root/repo/target/graft/ivf_centroids"
+
+  /** Shared oracle for q02 and its salted twin q50 — by construction the
+    * salted join must produce identical rows. */
+  protected val revenueByNationOracle: String = s"""
+        SELECT r_name, n_name,
+          ${sqlMsum("o_totalprice")} AS revenue,
+          count(*) AS n_orders,
+          count(DISTINCT o_custkey) AS n_custs
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name"""
+
+  /** q316's oracle: three IPF sweeps unrolled as generated CTEs (row
+    * half-sweep then column half-sweep per round), each half-sweep
+    * snapping the weight to DECIMAL(20,8) exactly like the Spark build.
+    * `lazy` is load-bearing — referenced from `all`. */
+  protected lazy val ipfRakingOracle: String = {
+    val sweeps = (1 to 3).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""r$i AS (SELECT seg, sum(w) AS sw FROM $prev GROUP BY seg),
+        wr$i AS (SELECT p.seg, p.reg, p.n, p.nn,
+          CAST(round(CAST(p.w AS DOUBLE) * (CAST(p.nn AS DOUBLE) / 5.0)
+            / CAST(r.sw AS DOUBLE), 8) AS DECIMAL(20,8)) AS w
+          FROM $prev p JOIN r$i r USING (seg)),
+        c$i AS (SELECT reg, sum(w) AS sw FROM wr$i GROUP BY reg),
+        w$i AS (SELECT p.seg, p.reg, p.n, p.nn,
+          CAST(round(CAST(p.w AS DOUBLE) * (CAST(p.nn AS DOUBLE) / 5.0)
+            / CAST(c.sw AS DOUBLE), 8) AS DECIMAL(20,8)) AS w
+          FROM wr$i p JOIN c$i c USING (reg))"""
+    }.mkString(",\n        ")
+    s"""
+        WITH cells AS (
+          SELECT c_mktsegment AS seg, r_name AS reg, count(*) AS n
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+        w0 AS (
+          SELECT seg, reg, n, nn, CAST(n AS DECIMAL(20,8)) AS w
+          FROM cells CROSS JOIN tot),
+        $sweeps
+        SELECT seg, reg, n, CAST(w AS DOUBLE) AS w_raked
+        FROM w3 ORDER BY seg, reg"""
+  }
+
+  /** q338's oracle: Hunter's MM iteration unrolled six times as
+    * generated CTEs, with the identical DECIMAL(20,10) term snap,
+    * 8-decimal theta snap and sum-normalization as the Spark build.
+    * `lazy` — referenced from `all`. */
+  protected lazy val bradleyTerryOracle: String = {
+    val iters = (1 to 6).map { k =>
+      val prev = s"it${k - 1}"
+      s"""d$k AS MATERIALIZED (
+          SELECT p.i,
+            sum(CAST(CAST(p.n AS DOUBLE)
+              / CAST(t.theta + t2.theta AS DOUBLE) AS DECIMAL(20,10)))
+              AS den
+          FROM pairs p
+          JOIN $prev t ON t.i = p.i
+          JOIN $prev t2 ON t2.i = p.j
+          GROUP BY 1),
+        r$k AS MATERIALIZED (
+          SELECT d.i,
+            CAST(round(CAST(w.wi AS DOUBLE) / CAST(d.den AS DOUBLE), 8)
+              AS DECIMAL(16,8)) AS traw
+          FROM d$k d JOIN wi w ON w.i = d.i),
+        s$k AS MATERIALIZED (
+          SELECT CAST(sum(traw) AS DECIMAL(20,8)) AS tot FROM r$k),
+        it$k AS MATERIALIZED (
+          SELECT i, CAST(round(5.0 * CAST(traw AS DOUBLE)
+            / CAST(tot AS DOUBLE), 8) AS DECIMAL(12,8)) AS theta
+          FROM r$k CROSS JOIN s$k)"""
+    }.mkString(",\n        ")
+    s"""
+        WITH cell AS MATERIALIZED (
+          SELECT date_trunc('month', o_orderdate) AS m, o_orderpriority,
+            ${sqlMsum("o_totalprice")} AS rev
+          FROM orders GROUP BY 1, 2),
+        full_m AS (SELECT m FROM cell GROUP BY m HAVING count(*) = 5),
+        c2 AS (SELECT c.* FROM cell c JOIN full_m USING (m)),
+        wins AS MATERIALIZED (
+          SELECT a.o_orderpriority AS i, b.o_orderpriority AS j,
+            CAST(sum(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END)
+              AS BIGINT) AS w
+          FROM c2 a JOIN c2 b ON a.m = b.m
+            AND a.o_orderpriority <> b.o_orderpriority
+          GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT w1.i, w1.j, w1.w + w2.w AS n
+          FROM wins w1 JOIN wins w2 ON w1.i = w2.j AND w1.j = w2.i
+          WHERE w1.w + w2.w > 0),
+        wi AS MATERIALIZED (
+          SELECT i, CAST(sum(w) AS BIGINT) AS wi FROM wins GROUP BY 1),
+        it0 AS MATERIALIZED (
+          SELECT i, CAST(1.0 AS DECIMAL(12,8)) AS theta FROM wi),
+        $iters
+        SELECT t.i AS o_orderpriority, w.wi AS n_wins,
+          CAST(t.theta AS DOUBLE) AS bt_strength
+        FROM it6 t JOIN wi w ON w.i = t.i
+        ORDER BY o_orderpriority"""
+  }
+
+  /** q322's oracle: the OLS start plus three IRLS reweighting steps
+    * unrolled as generated CTEs, with the identical 6/4-decimal snap
+    * points as the Spark build. `lazy` — referenced from `all`. */
+  protected lazy val huberOracle: String = {
+    val steps = (1 to 3).map { i =>
+      val f = s"f${i - 1}"
+      s"""s$i AS (
+          SELECT d.x, d.y, f.k,
+            CASE WHEN abs(d.y - f.a - f.b * d.x) <= f.k
+              THEN CAST(1.0 AS DECIMAL(5,4))
+              ELSE CAST(round(f.k / abs(d.y - f.a - f.b * d.x), 4)
+                AS DECIMAL(5,4)) END AS w
+          FROM daily d CROSS JOIN $f f),
+        m$i AS (
+          SELECT CAST(sum(w) AS DECIMAL(14,4)) AS sw,
+            CAST(sum(w * x) AS DECIMAL(18,4)) AS swx,
+            CAST(sum(w * y) AS DECIMAL(20,4)) AS swy,
+            CAST(sum(w * x * y) AS DECIMAL(24,4)) AS swxy,
+            CAST(sum(w * x * x) AS DECIMAL(20,4)) AS swxx,
+            max(k) AS k
+          FROM s$i),
+        f${i}a AS (
+          SELECT sw, swx, swy, swxx, swxy, k,
+            round((CAST(swxy AS DOUBLE) - CAST(swx AS DOUBLE)
+                * CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE))
+              / (CAST(swxx AS DOUBLE) - CAST(swx AS DOUBLE)
+                * CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE)), 6) AS b
+          FROM m$i),
+        f$i AS (
+          SELECT k, sw, b,
+            round((CAST(swy AS DOUBLE) - b * CAST(swx AS DOUBLE))
+              / CAST(sw AS DOUBLE), 6) AS a
+          FROM f${i}a)"""
+    }.mkString(",\n        ")
+    val tails = (1 to 3).map { i =>
+      s"""UNION ALL SELECT $i, a, b, k, round(CAST(sw AS DOUBLE), 4)
+          FROM f$i"""
+    }.mkString("\n        ")
+    s"""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '1995-01-01',
+              CAST(o_orderdate AS DATE)) AS x,
+            CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              AS DOUBLE) / 1000.0) AS BIGINT) AS y
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1996-01-01'
+          GROUP BY CAST(o_orderdate AS DATE)),
+        m0 AS (
+          SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+            CAST(sum(y) AS BIGINT) AS sy,
+            CAST(sum(x * y) AS BIGINT) AS sxy,
+            CAST(sum(x * x) AS BIGINT) AS sxx,
+            CAST(sum(y * y) AS BIGINT) AS syy
+          FROM daily),
+        f0a AS (
+          SELECT n, sx, sy, sxy, sxx, syy,
+            round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sy AS DOUBLE) / n)
+              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE) / n), 6) AS b
+          FROM m0),
+        f0 AS (
+          SELECT n, b,
+            round((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / n, 6)
+              AS a,
+            round(1.345 * sqrt(
+              ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                  * CAST(sy AS DOUBLE) / n)
+                - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / n)
+                  * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / n)
+                  / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / n)) / n), 4) AS k
+          FROM f0a),
+        $steps
+        SELECT CAST(0 AS INTEGER) AS step, a, b, k,
+          round(CAST(n AS DOUBLE), 4) AS total_w FROM f0
+        $tails
+        ORDER BY step"""
+  }
+
+  /** q267's battery: ONE ANSI text executed by BOTH engines (spark.sql on
+    * temp views; DuckDB on the parquet views) — correlated-subquery
+    * decorrelation parity. The "above nation average" probe compares in
+    * exact decimal (bal·count > sum) instead of against a float avg,
+    * whose last-ulp combine-order difference could flip a boundary row.
+    * `lazy` is load-bearing — referenced from `all`. */
+  protected lazy val correlatedBatterySql: String = """
+    SELECT 'exists_urgent' AS op, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'not_exists_big', count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    UNION ALL
+    SELECT 'scalar_above_nation_avg', count(*) FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(19,2)) *
+          (SELECT count(*) FROM customer c2
+           WHERE c2.c_nationkey = c.c_nationkey)
+        > (SELECT CAST(sum(CAST(c3.c_acctbal AS DECIMAL(19,2)))
+                  AS DECIMAL(30,2))
+           FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'in_deep_debt_nations', count(*) FROM nation n
+    WHERE n.n_nationkey IN (SELECT c_nationkey FROM customer
+                            WHERE c_acctbal < -900)
+    ORDER BY op"""
+
+  /** q254's oracle: the greedy max-coverage sweep unrolled to 6 rounds.
+    * Generated by loop because each round is the same two CTEs (top-1
+    * winner, then anti-join the winner's shingles out of the remaining
+    * pair frame); every multi-referenced CTE is MATERIALIZED. `lazy` is
+    * load-bearing — referenced from `all`. */
+  protected lazy val coverageOracle: String = {
+    val rounds = 6
+    val sb = new StringBuilder
+    sb ++= """WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    rem0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        FROM toks))"""
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+    w$r AS MATERIALIZED (
+      SELECT doc_id, count(*) AS g FROM rem${r - 1}
+      GROUP BY 1 ORDER BY g DESC, doc_id LIMIT 1)"""
+      if (r < rounds) sb ++= s""",
+    rem$r AS MATERIALIZED (
+      SELECT a.doc_id, a.s FROM rem${r - 1} a
+      WHERE a.s NOT IN (SELECT b.s FROM rem${r - 1} b JOIN w$r USING (doc_id)))"""
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT $r AS round, doc_id, CAST(g AS BIGINT) AS gain FROM w$r")
+      .mkString("\n    ", "\n    UNION ALL ", "")
+    sb ++= "\n    ORDER BY round"
+    sb.toString
+  }
+
+  /** q301's oracle: eight Newton-Raphson steps of the grouped-data
+    * logistic fit (Platt scaling) unrolled as generated CTE pairs —
+    * moments m{k} over the 10-bin frame, then parameter update it{k} —
+    * mirroring the Spark loop's snapped-decimal moments and the 8-decimal
+    * parameter snap per step. `lazy` is load-bearing — referenced from
+    * `all`. */
+  protected lazy val plattOracle: String = {
+    val iters = 8
+    val sb = new StringBuilder
+    sb ++= s"""WITH mm AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+    bins AS MATERIALIZED (
+      SELECT least(CAST(floor((o_totalprice - mn) / (mx - mn) * 10)
+          AS BIGINT), 9) AS bin,
+        count(*) AS n,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+          AS BIGINT) AS pos,
+        ${graft.functions.Stable.sqlDavg("(o_totalprice - mn) / (mx - mn)")}
+          AS c
+      FROM orders, mm GROUP BY 1),
+    it0 AS (SELECT 0.0 AS a, 0.0 AS b)"""
+    for (k <- 1 to iters) {
+      sb ++= s""",
+    m$k AS (
+      SELECT a, b,
+        CAST(sum(CAST(round((pos - n * p) * c, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) AS g1,
+        CAST(sum(CAST(round(pos - n * p, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) AS g2,
+        CAST(sum(CAST(round(n * p * (1.0 - p) * c * c, 6)
+          AS DECIMAL(18,6))) AS DOUBLE) AS h11,
+        CAST(sum(CAST(round(n * p * (1.0 - p) * c, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) AS h12,
+        CAST(sum(CAST(round(n * p * (1.0 - p), 6) AS DECIMAL(18,6)))
+          AS DOUBLE) AS h22
+      FROM (SELECT a, b, n, pos, c,
+              round(1.0 / (1.0 + exp(-(a * c + b))), 8) AS p
+            FROM bins CROSS JOIN it${k - 1})
+      GROUP BY a, b),
+    it$k AS (
+      SELECT round(a + (g1 * h22 - g2 * h12)
+          / (h11 * h22 - h12 * h12), 8) AS a,
+        round(b + (g2 * h11 - g1 * h12)
+          / (h11 * h22 - h12 * h12), 8) AS b
+      FROM m$k)"""
+    }
+    sb ++= s"""
+    SELECT CAST(sum(n) AS BIGINT) AS n, a, b,
+      round(CAST(sum(CAST(round(-(pos * ln(c) + (n - pos) * ln(1.0 - c)), 4)
+        AS DECIMAL(20,4))) AS DOUBLE), 4) AS ll_before,
+      round(CAST(sum(CAST(round(-(pos * ln(p) + (n - pos) * ln(1.0 - p)), 4)
+        AS DECIMAL(20,4))) AS DOUBLE), 4) AS ll_after
+    FROM (SELECT a, b, n, pos, c,
+            round(1.0 / (1.0 + exp(-(a * c + b))), 8) AS p
+          FROM bins CROSS JOIN it$iters)
+    GROUP BY a, b"""
+    sb.toString
+  }
+
+  /** Shared CTE body computing per-document 60-bit simhash sketches (used
+    * by the q29/q47 oracles; `lazy` is load-bearing — referenced from
+    * `all`, which is initialized above these definitions). */
+  protected lazy val simhashCtes: String = """toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    votes AS (
+      SELECT doc_id, bit,
+        sum(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM th
+      CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
+      GROUP BY doc_id, bit),
+    sk AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes
+      GROUP BY doc_id)"""
+
+  /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by
+    * q27/q28/q35 oracles; `lazy` is load-bearing — referenced from `all`,
+    * which is initialized above these definitions). */
+  protected lazy val ngramPairCtes: String = """toks AS MATERIALIZED (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(a.s) > 0 AND len(b.s) > 0)"""
+
+  /** Shared oracle for q194 (batch debounce) and q201 (its streaming
+    * twin): per-type kept/dropped counts under the 1 h lag-gap rule —
+    * stream end-state ≡ batch is exactly what the shared oracle proves
+    * (`lazy` is load-bearing — referenced from `all`). */
+  protected lazy val debounceOracle: String = """
+    WITH g AS (
+      SELECT event_type,
+        epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type, count(*) AS n_total,
+      CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
+        THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM g GROUP BY 1 ORDER BY 1"""
+
+  /** Shared oracle for q27/q28: exact word-3-gram Jaccard >= 0.6 pairs. */
+  protected lazy val ngramJaccardOracle: String = s"""
+    WITH $ngramPairCtes
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE jaccard >= 0.6
+    ORDER BY id_a, id_b"""
+}

@@ -18,6 +18,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's own scale contract gates the correctness sweep: the
+      // analysis-time ScaleGuard (plans/ScaleGuard.scala) rejects any
+      // query plan with an unpartitioned window over raw rows or a
+      // condition-free raw×raw join — so all 353 queries are proven
+      // scale-safe at RUNTIME every round, not just in PlanSpec
+      .withExtensions(new GraftExtensions)
+      .config("spark.graft.scaleGuard", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // never emit legacy INT96: the driver's reader maps INT96 to

@@ -43,11 +43,15 @@ object Isotonic {
     // bins is referenced three times (prefix sums, both join sides, the
     // output join) — checkpoint the RAW-DATA aggregation so the units
     // scan runs exactly once (GraphCore's multi-reference rule); the
-    // bounded bin frame itself is cheap to rescan
-    val bins = units
+    // bounded bin frame itself is cheap to rescan. The checkpoint severs
+    // lineage (the frame reads as a raw LogicalRDD afterwards), so the
+    // boundedness the aggregation established — one row per DISTINCT
+    // SCORE, scale-independent — is re-declared for ScaleGuard: the
+    // global prefix-sum windows below run on this bin frame only.
+    val bins = graft.plans.ScaleGuard.bounded(units
       .groupBy(col(scoreCol).cast("long").as("score"))
       .agg(count(lit(1)).as("n"), sum(col(posCol).cast("long")).as("k"))
-      .localCheckpoint()
+      .localCheckpoint())
     // inclusive prefix sums over the bounded bin frame; interval sums
     // j..k are then ck_k − ck_j + k_j (no exclusive-frame edge cases)
     val wCum = Window.orderBy(col("score"))

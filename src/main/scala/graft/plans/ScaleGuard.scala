@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Range, ResolvedHint, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 
 /** Analysis-time scale guard — the q246 failure class as an ENGINE check
@@ -35,7 +35,18 @@ object ScaleGuard {
     * condition-free inner/cross join whose BOTH sides are raw — the full
     * n×m product (a broadcast of a bounded side shows up as a join over
     * a collapsed/local side and is allowed). */
-  def check(plan: LogicalPlan): Unit = {
+  def check(plan: LogicalPlan): Unit = check(plan, skipRootJoin = false)
+
+  /** `skipRootJoin` is set ONLY by the injected session check rule:
+    * Dataset.join(right, usingColumns) internally analyzes a TRANSIENT
+    * `Join(l, r, Inner, None)` ROOT plan to disambiguate self-join
+    * attributes before attaching the USING condition, so a session rule
+    * sees that artifact for every healthy using-join whose sides aren't
+    * collapsed. Every real execution path (write, any projection /
+    * aggregation / command on top) puts the join below the root, where
+    * the check applies in full — and the imperative [[assertScalable]]
+    * keeps the root check. */
+  private def check(plan: LogicalPlan, skipRootJoin: Boolean): Unit = {
     val badWindows = plan.collect {
       case w: Window if w.partitionSpec.isEmpty && reachesRawRows(w.child) => w
     }
@@ -45,9 +56,9 @@ object ScaleGuard {
           "through ONE partition and cannot be saved by more executors. " +
           "Partition the window, pre-aggregate its input, or use the " +
           "bucketed graft.operators.PrefixSum rewrite for global " +
-          s"ranks/cumsums. Offending window: ${badWindows.head.simpleString(3)}")
+          s"ranks/cumsums. Offending window: ${badWindows.head.treeString.linesIterator.take(10).mkString("; ")}")
     val badJoins = plan.collect {
-      case j: Join if j.condition.isEmpty &&
+      case j: Join if !(skipRootJoin && (j eq plan)) && j.condition.isEmpty &&
         (j.joinType == Inner || j.joinType == Cross) &&
         reachesRawRows(j.left) && reachesRawRows(j.right) => j
     }
@@ -56,17 +67,42 @@ object ScaleGuard {
         "condition-free join with BOTH sides raw — a full n×m Cartesian " +
           "product. Add a join condition, or collapse one side (aggregate " +
           "/ limit) so it broadcasts as a bounded frame. Offending join: " +
-          badJoins.head.simpleString(3))
+          badJoins.head.treeString.linesIterator.take(14).mkString("; "))
   }
 
   /** Convenience form for the imperative path. */
   def assertScalable(df: DataFrame): Unit = check(df.queryExecution.analyzed)
 
+  /** Alias name [[bounded]] plants and [[reachesRawRows]] honors. */
+  val BoundedMarker = "graft_bounded"
+
+  /** Explicit, auditable boundedness claim for frames whose collapsed
+    * provenance the analyzer can no longer see — above all
+    * `localCheckpoint()` outputs (a checkpoint severs lineage into a
+    * `LogicalRDD` leaf, so a bin/centroid/day frame that was built by an
+    * aggregation reads as "raw" afterwards). Semantically a no-op
+    * (`df.alias`); every call site must carry a comment stating WHY the
+    * frame is bounded, and the claim is greppable
+    * (`ScaleGuard.bounded`). Do NOT use it to silence the guard on a
+    * frame whose size grows with the data — that is exactly the bug the
+    * guard exists to catch. */
+  def bounded(df: DataFrame): DataFrame = df.alias(BoundedMarker)
+
   /** True iff the subtree reaches a non-local leaf with no cardinality-
-    * collapsing operator on the path. */
+    * collapsing (or boundedness-claiming) operator on the path:
+    *  - `Aggregate` / `Limit` collapse cardinality to group/limit counts;
+    *  - `LocalRelation` (driver-local literals) and `Range` (literal
+    *    endpoints) are bounded by construction;
+    *  - an explicit `broadcast()` hint is a boundedness CLAIM the author
+    *    already stakes at runtime — a broadcast side must fit in driver +
+    *    executor memory, so an unbounded one fails loudly there, never
+    *    silently as a mis-scaled shuffle;
+    *  - the [[bounded]] marker (see its contract above). */
   private def reachesRawRows(p: LogicalPlan): Boolean = p match {
     case _: Aggregate | _: GlobalLimit | _: LocalLimit => false
-    case _: LocalRelation => false
+    case _: LocalRelation | _: Range => false
+    case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => false
+    case SubqueryAlias(id, _) if id.name == BoundedMarker => false
     case leaf if leaf.children.isEmpty => true
     case other => other.children.exists(reachesRawRows)
   }
@@ -75,6 +111,6 @@ object ScaleGuard {
     * when `spark.graft.scaleGuard=true` on the session. */
   def checkRule(session: SparkSession): LogicalPlan => Unit = { plan =>
     if (session.conf.getOption("spark.graft.scaleGuard").contains("true"))
-      check(plan)
+      check(plan, skipRootJoin = true)
   }
 }

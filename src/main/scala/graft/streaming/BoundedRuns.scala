@@ -128,9 +128,15 @@ object BoundedRuns {
   def streamedDailyCusum(spark: SparkSession, dir: String,
       watermarkDelay: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = runEmitted(spark, dir,
+    // the emitted frame is read back from the parquet sink, so its
+    // provenance is invisible to the analyzer — but it is one moment row
+    // per CLOSED CALENDAR DAY (dailyValueMoments emits exactly once per
+    // day on watermark close), i.e. calendar-bounded, which is what
+    // legitimizes the global CUSUM window below (q299's allowlisted
+    // calendar-day frame)
+    val daily = graft.plans.ScaleGuard.bounded(runEmitted(spark, dir,
       df => EventStreams.dailyValueMoments(df, "click", "ts",
-        watermarkDelay), "cusum-")
+        watermarkDelay), "cusum-"))
     val tot = daily.agg(
       sum(col("n")).as("nt"),
       sum(col("sv")).cast("decimal(24,6)").as("svt"))

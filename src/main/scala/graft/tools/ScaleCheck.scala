@@ -16,6 +16,9 @@ import graft.operators.{NearDup, Similarity, TextStats}
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg "skew": run only the round-8 adversarial-skew
+    // section (partition-count metrics, timing-insensitive)
+    val skewOnly = args.length > 1 && args(1) == "skew"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,6 +48,8 @@ object ScaleCheck {
       }.reduce(_ union _)
 
     docs.count() // warm
+
+    if (!skewOnly) {
 
     // round-3 additions: token entropy (two hash aggs over token rows)
     // and decontamination (broadcast bench shingle probe) — both should
@@ -170,6 +175,64 @@ object ScaleCheck {
       .cosineNearDupPairs(clustered(n), "vec_id", "embedding", 0.9).count()
     val lsh = lshClustered(n)
     println(s"clustered exactness @4k: lsh=$lsh exact=$exact equal=${lsh == exact}")
+    }
+
+    // round-8 addition: ADVERSARIAL-SKEW stress for the blocked-join
+    // path. TPC-H keys are benign (near-uniform), so the recorded scale
+    // checks above never exercised the straggler cliff SkewJoin exists
+    // for. Here 20% of the fact rows are rerouted to ONE hot key (the
+    // "20% identical names/shingles" worst case of ER/near-dup
+    // blocking), and the same equi-join runs three ways:
+    //   a) unsalted, AQE skew-join ON  — production default; AQE splits
+    //      oversized SORT-MERGE partitions at runtime;
+    //   b) unsalted, AQE skew-join OFF — the raw cliff (what a
+    //      shuffled-hash/pre-partitioned plan would hit);
+    //   c) salted (SkewJoin, factor 8), AQE skew-join OFF — the explicit
+    //      remedy for the cases AQE can't reach.
+    // Metric: per-partition JOIN-OUTPUT row counts (spark_partition_id
+    // captured in the join stage, before the audit's own shuffle) —
+    // worst, median, and worst/median. Pass = salted worst <= 4x median.
+    locally {
+      val o = graft.sources.Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, lit(1L))
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          col("o_totalprice"))
+      val c = graft.sources.Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      def partitionStats(out: DataFrame): (Long, Long, Long, Double) = {
+        val sizes = out.select(spark_partition_id().as("pid"))
+          .groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt")).collect().map(_.getLong(0)).sorted
+        val worst = sizes.last
+        val med = sizes(sizes.length / 2)
+        (sizes.length, worst, med, worst.toDouble / med.max(1L))
+      }
+      def run(label: String, salted: Boolean, aqeSkew: Boolean): Unit = {
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqeSkew)
+        // keep AQE's partition coalescing from blurring the comparison
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        // at sf0.1 the 15k-row customer side would BROADCAST, making the
+        // join shuffle-free and the stress vacuous — force the shuffled
+        // plan this stress exists to measure (at 100 TB the dim side of
+        // an ER blocking join is NOT broadcastable)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined =
+          if (salted) graft.operators.SkewJoin.saltedInnerJoin(
+            o, c, Seq("c_custkey"), saltFactor = 8, saltCols = Seq("o_orderkey"))
+          else o.join(c, Seq("c_custkey"))
+        val t0 = System.nanoTime()
+        val (nparts, worst, med, ratio) = partitionStats(joined)
+        println(f"skew-stress $label%-34s parts=$nparts worst=$worst " +
+          f"median=$med ratio=$ratio%.2f  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      }
+      run("unsalted, AQE skew-join on", salted = false, aqeSkew = true)
+      run("unsalted, AQE skew-join off", salted = false, aqeSkew = false)
+      run("salted x8, AQE skew-join off", salted = true, aqeSkew = false)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

@@ -98,56 +98,25 @@ class PlanSpec extends SparkSpec {
     // such site; this test keeps the audit from rotting: any NEW query
     // that plans a global window must consciously join this allowlist
     // (and the COVERAGE.md table) or fail here.
-    // Query -> the bounded frame its global window runs on (mirrors the
-    // COVERAGE.md audit table; sizes are scale-INDEPENDENT or calendar-
-    // bounded, never data-sized). "PrefixSum offsets" = the nBuckets-row
-    // bucket-totals frame inside operators.PrefixSum — the operator that
-    // EXISTS to replace data-sized global windows; its own offset window
-    // is what surfaces here.
-    val allowed = Set(
-      "q06_value_share",        // distinct values of the profiled column
-      "q41_monthly_delta",      // months after aggregation
-      "q57_sequence_packing",   // PrefixSum offsets
-      "q111_chi_square",        // contingency margins |A|·|B|
-      "q114_zipf_audit",        // top-1000 terms after limit
-      "q140_abc_classification",// PrefixSum offsets
-      "q141_gini_concentration",// PrefixSum offsets
-      "q143_gap_interpolation", // calendar-day spine
-      "q148_benford_audit",     // 9 first-digit groups
-      "q169_transit_concurrency",// calendar-day delta frame
-      "q171_changepoint",       // calendar-day frame
-      "q174_moving_bands",      // calendar-day frame
-      "q179_lorenz_deciles",    // 10-row decile frame + PrefixSum offsets
-      "q192_compaction_planner",// PrefixSum offsets
-      "q198_rank_correlation",  // distinct-value frames via PrefixSum
-      "q200_kaplan_meier",      // distinct-duration (calendar-bounded)
-      "q346_greenwood_bands",   // q200's distinct-duration frame
-      "q204_largest_remainder", // 25 nations
-      "q214_mann_whitney",      // distinct-value frame via PrefixSum
-      "q215_ks_test",           // distinct-value frame via PrefixSum
-      "q225_logrank",           // calendar-day frame
-      "q227_nelson_aalen",      // calendar-day frame
-      "q234_bh_fdr",            // 32-test family
-      // r7: decile assignment rewritten from data-sized ntile() to
-      // PrefixSum + exact integer ntile arithmetic; what remains is the
-      // PrefixSum offset frame + the 10-row decile cumsum
-      "q246_gains_table",
-      "q271_isotonic_calibration", // distinct-score bin frame (Isotonic)
-      "q275_neyman_allocation",    // 5-stratum remainder rank
-      "q278_ranking_metrics",      // 10-row top-k rank + IDCG cumsum
-      "q282_quantile_normalization", // PrefixSum offsets (pooled ranks)
-      "q298_rrf_fusion",        // rank inside top-100 TakeOrdered frames
-      "q299_cusum_changepoint", // calendar-day CUSUM frame
-      "q306_lateness_grid",     // <=32-row chunk prefix-max frame
-      "q314_runs_test",         // calendar-day sign-adjacency frame
-      "q318_durbin_watson")     // calendar-day residual-lag frame
-    val offenders = catalogPlans.collect {
-      case (name, p) if !allowed(name) && p.collect {
+    // The allowlist lives in MAIN source (graft.plans.GlobalWindows) so
+    // Bench can assert/silence against the same set; each entry carries
+    // its bounded-frame justification there (mirrored in COVERAGE.md).
+    // Asserted as set EQUALITY, both directions: a NEW global window must
+    // consciously join the allowlist, and a STALE allowlist entry whose
+    // query no longer plans a global window must leave it.
+    val allowed = graft.plans.GlobalWindows.allowed.keySet
+    val planned = catalogPlans.collect {
+      case (name, p) if p.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }.nonEmpty => name
-    }
-    assert(offenders.isEmpty,
-      s"undocumented global window in: ${offenders.mkString(", ")}")
+    }.toSet
+    val undocumented = planned -- allowed
+    assert(undocumented.isEmpty,
+      s"undocumented global window in: ${undocumented.mkString(", ")}")
+    val stale = (allowed -- planned).filterNot(streamingSkip)
+    assert(stale.isEmpty,
+      "stale GlobalWindows.allowed entries (no global window planned): " +
+        stale.mkString(", "))
   }
 
   test("ScaleGuard rejects unpartitioned windows over raw rows, allows bounded frames") {
@@ -185,6 +154,38 @@ class PlanSpec extends SparkSpec {
     // one-row aggregate — is a collapsed side and passes
     ScaleGuard.assertScalable(
       o.crossJoin(li.agg(count(lit(1)).as("n"))))
+  }
+
+  test("the INJECTED check rule (Verify/Bench session shape) fires on an unscalable canary") {
+    // Verify and Bench run with spark.graft.scaleGuard=true on a session
+    // built withExtensions(new GraftExtensions); this proves that exact
+    // wiring rejects an unscalable plan at ANALYSIS time — not just the
+    // imperative assertScalable path the test above exercises. newSession()
+    // inherits the extensions (and therefore the injected check rule) but
+    // has its own conf, so flipping the flag here cannot race the other
+    // suites sharing the main session.
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, row_number}
+    import graft.plans.ScaleGuard
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scaleGuard", "true")
+    val o = graft.sources.Tables.load(s2, sf(), "orders")
+    // Dataset construction analyzes EAGERLY (Dataset.ofRows calls
+    // assertAnalyzed), so the guard fires inside withColumn itself
+    intercept[ScaleGuard.UnscalablePlanException] {
+      o.withColumn("rk",
+        row_number().over(W.orderBy(col("o_totalprice")))).select(col("rk"))
+    }
+    // same plan, guard off (the default) — analyzes fine
+    val o0 = Queries.table(spark, sf(), "orders")
+    o0.withColumn("rk", row_number().over(W.orderBy(col("o_totalprice"))))
+      .select(col("rk")).queryExecution.assertAnalyzed()
+    // and a healthy using-join on the GUARDED session analyzes fine (the
+    // transient root-join artifact of Dataset.join(_, Seq(...)) must not
+    // trip the rule)
+    val c2 = graft.sources.Tables.load(s2, sf(), "customer")
+    o.withColumn("c_custkey", col("o_custkey"))
+      .join(c2, Seq("c_custkey")).queryExecution.assertAnalyzed()
   }
 
   test("q269: the partition column is NOT read from parquet data pages") {

@@ -14,6 +14,10 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // declarative extension install, matching the Verify/Bench session
+      // shape (functions + the ScaleGuard check rule — the guard itself
+      // stays off unless a test opts in on a newSession())
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -315,7 +315,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("dedupEvents recovers exactly-once state across a mid-stream restart") {
+  /** The kill-restart matrix runs each recovery scenario on BOTH state
+    * store providers: the default HDFS-backed in-memory map, and
+    * RocksDB — the provider a 100 TB-state production deployment runs
+    * (state no longer bounded by executor heap), whose serialization
+    * round-trip is a different code path than the in-memory map (values
+    * live as RocksDB byte[] rows, so custom state like the graft_topk
+    * heap must survive encode → RocksDB → decode, not just object
+    * retention). A newSession() isolates the conf flip: the provider
+    * class is read at query start, and the streams below run wholly on
+    * the parameterized session. */
+  private def providerSessions: Seq[(String, () => org.apache.spark.sql.SparkSession)] = Seq(
+    "default provider" -> (() => spark),
+    "RocksDB provider" -> { () =>
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s2
+    })
+
+  for ((provName, mkSession) <- providerSessions)
+  test(s"dedupEvents recovers exactly-once state across a mid-stream restart ($provName)") {
+    val s = mkSession()
     // The recovery property a real pipeline depends on: kill a
     // checkpointed query partway through its input, restart it from the
     // same checkpoint against MORE files (all byte-duplicates of already
@@ -333,7 +354,7 @@ class StreamingSpec extends SparkSpec {
     // watermark advanced — a tighter delay would drop them as genuinely
     // late (correct, but then the test measures lateness, not recovery)
     def start() = EventStreams
-      .dedupEvents(spark.readStream.schema(base.toDF().schema)
+      .dedupEvents(s.readStream.schema(base.toDF().schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$work/stage"),
         "ts", "2 hours")
       .writeStream.format("parquet").option("path", s"$work/out")
@@ -371,7 +392,9 @@ class StreamingSpec extends SparkSpec {
       s"expected each event exactly once, got ${ids.length} rows")
   }
 
-  test("graft_topk serialized heap state survives a checkpointed restart") {
+  for ((provName, mkSession) <- providerSessions)
+  test(s"graft_topk serialized heap state survives a checkpointed restart ($provName)") {
+    val s = mkSession()
     // The property that distinguishes a real TypedImperativeAggregate
     // streaming story from a demo: the bounded heap IS the state-store
     // row, so after a mid-day kill the restarted query must restore the
@@ -391,7 +414,7 @@ class StreamingSpec extends SparkSpec {
     val closer = Seq(ev(9, 99, 27 * 60))
     stage1.toDF().repartition(6).write.parquet(s"$work/stage")
 
-    def start() = spark.readStream.schema(stage1.toDF().schema)
+    def start() = s.readStream.schema(stage1.toDF().schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$work/stage")
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 day"))
