@@ -43,6 +43,12 @@ object Bench {
       // benched plan (see plans/ScaleGuard.scala)
       .withExtensions(new GraftExtensions)
       .config("spark.graft.scaleGuard", "true")
+      // see Verify: SPARK_GRAFT_STATESTORE=rocksdb opts the streaming
+      // queries onto the RocksDB state store
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -25,6 +25,15 @@ object Verify {
       // scale-safe at RUNTIME every round, not just in PlanSpec
       .withExtensions(new GraftExtensions)
       .config("spark.graft.scaleGuard", "true")
+      // SPARK_GRAFT_STATESTORE=rocksdb runs every streaming bounded-run
+      // query on RocksDBStateStoreProvider — the 100 TB-state production
+      // provider — so the oracle gate can exercise that code path too
+      // (default provider otherwise; COVERAGE.md records the RocksDB
+      // sweep). Same knob on Bench.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // never emit legacy INT96: the driver's reader maps INT96 to

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Range, ResolvedHint, SubqueryAlias, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Deduplicate, EventTimeWatermark, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Range, ResolvedHint, SubqueryAlias, Window}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 
 /** Analysis-time scale guard — the q246 failure class as an ENGINE check
@@ -68,6 +68,29 @@ object ScaleGuard {
           "product. Add a join condition, or collapse one side (aggregate " +
           "/ limit) so it broadcasts as a bounded frame. Offending join: " +
           badJoins.head.treeString.linesIterator.take(14).mkString("; "))
+    // Streaming face of the same contract: a plain `dropDuplicates` on a
+    // stream keeps one state row per distinct key FOREVER unless the
+    // EVENT-TIME column is among the dedup keys (Spark evicts dedup state
+    // only for keys carrying the watermark metadata — a watermark
+    // elsewhere in the plan does NOT bound this operator's state). At
+    // 100 TB/day that is the state store growing without bound until the
+    // job dies. Either include the watermarked column in the keys, or use
+    // `dropDuplicatesWithinWatermark` (a different operator, watermark-
+    // evicted by construction) — the engine's own EventStreams.dedupEvents
+    // does the latter.
+    if (plan.isStreaming) {
+      val badDedups = plan.collect {
+        case d: Deduplicate if d.child.isStreaming &&
+          !d.keys.exists(_.metadata.contains(EventTimeWatermark.delayKey)) => d
+      }
+      if (badDedups.nonEmpty)
+        throw new UnscalablePlanException(
+          "streaming dropDuplicates whose keys carry no event-time " +
+            "watermark — state grows without bound (one row per distinct " +
+            "key, never evicted). Include the watermarked column in the " +
+            "dedup keys, or use dropDuplicatesWithinWatermark. Offending: " +
+            badDedups.head.simpleString(3))
+    }
   }
 
   /** Convenience form for the imperative path. */

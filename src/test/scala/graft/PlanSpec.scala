@@ -188,6 +188,38 @@ class PlanSpec extends SparkSpec {
       .join(c2, Seq("c_custkey")).queryExecution.assertAnalyzed()
   }
 
+  test("ScaleGuard rejects unbounded streaming dedup state, allows watermark-evicted forms") {
+    // The streaming face of the scale contract: plain dropDuplicates on a
+    // stream evicts state ONLY for keys carrying the watermark metadata —
+    // a watermark elsewhere in the plan does not bound it. Guarded
+    // session (same shape as Verify/Bench); rate source gives a streaming
+    // frame with (timestamp, value) and no files to stage.
+    import graft.plans.ScaleGuard
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scaleGuard", "true")
+    def rate = s2.readStream.format("rate").load()
+    // no watermark at all: one state row per distinct key, forever
+    intercept[ScaleGuard.UnscalablePlanException] {
+      rate.dropDuplicates("value")
+    }
+    // watermark present but NOT among the dedup keys: still unbounded —
+    // this is the trap the check exists for
+    intercept[ScaleGuard.UnscalablePlanException] {
+      rate.withWatermark("timestamp", "1 hour").dropDuplicates("value")
+    }
+    // event-time column among the keys: state evicts on watermark — passes
+    rate.withWatermark("timestamp", "1 hour")
+      .dropDuplicates("value", "timestamp")
+      .queryExecution.assertAnalyzed()
+    // dropDuplicatesWithinWatermark: watermark-evicted by construction
+    rate.withWatermark("timestamp", "1 hour")
+      .dropDuplicatesWithinWatermark("value")
+      .queryExecution.assertAnalyzed()
+    // batch dropDuplicates is untouched by the streaming rule
+    Queries.table(s2, sf(), "orders").dropDuplicates("o_custkey")
+      .queryExecution.assertAnalyzed()
+  }
+
   test("q269: the partition column is NOT read from parquet data pages") {
     // partitionBy layout contract, negative half: o_orderpriority comes
     // back from directory names at listing time — a requiredSchema that
