@@ -18,6 +18,22 @@ package graft.plans
   */
 object GlobalWindows {
 
+  /** Catalog queries that EXECUTE a bounded streaming run at build time
+    * (Trigger.AvailableNow through graft.streaming.BoundedRuns). Their
+    * DataFrame is the post-run BATCH result — so plan-shape audits over
+    * the catalog must skip them: planning means running the stream, and
+    * the result frame's global windows are the same bounded calendar-day
+    * class their batch twins allowlist. The streaming plans themselves
+    * are gated by StreamingSpec and by the session ScaleGuard at query
+    * start. Shared by PlanSpec's audits and Bench's pre-timing audit. */
+  val streamingBoundedRuns: Set[String] = Set(
+    "q74_stream_upsert", "q75_stream_sessions", "q76_stream_hourly",
+    "q78_stream_attribution", "q79_stream_dedup", "q80_stream_enrich",
+    "q130_stream_hll", "q151_stream_cms", "q201_stream_debounce",
+    "q263_stream_topk", "q274_stream_session_window",
+    "q281_stream_outer_attribution", "q289_stream_scd2",
+    "q327_stream_cusum", "q328_stream_msprt")
+
   /** query name -> the bounded frame its global window runs on.
     * "PrefixSum offsets" = the nBuckets-row bucket-totals frame inside
     * graft.operators.PrefixSum — the operator that EXISTS to replace

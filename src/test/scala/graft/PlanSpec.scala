@@ -65,13 +65,9 @@ class PlanSpec extends SparkSpec {
   }
 
   // Streaming queries execute on build (bounded runs), so they are
-  // exercised by their own gate instead of planned here.
-  private val streamingSkip = Set("q74_stream_upsert", "q75_stream_sessions",
-    "q76_stream_hourly", "q78_stream_attribution", "q79_stream_dedup",
-    "q80_stream_enrich", "q130_stream_hll", "q151_stream_cms",
-    "q201_stream_debounce", "q263_stream_topk",
-    "q274_stream_session_window", "q281_stream_outer_attribution",
-    "q289_stream_scd2", "q327_stream_cusum", "q328_stream_msprt")
+  // exercised by their own gate instead of planned here. The set lives
+  // in main source (shared with Bench's pre-timing audit).
+  private val streamingSkip = graft.plans.GlobalWindows.streamingBoundedRuns
 
   // Plan the whole catalog ONCE; both catalog-wide audits walk this.
   private lazy val catalogPlans: Seq[(String, SparkPlan)] =

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# One-shot local gate: everything the per-round driver checks, in order,
+# fail-fast. Run from the repo root:
+#
+#   tools/gate.sh [sfDir]          # default /root/testdata/sf0.01
+#
+# Stages:
+#   1. compile + Test/compile
+#   2. sbt test                       (191 specs, both state-store providers)
+#   3. ScaleGuardSweep                (analysis-time scale contract, whole catalog)
+#   4. Verify + DuckDB compare        (354-query hash-match, ScaleGuard ON)
+#   5. oracle_lint                    (authoring-time oracle type lint)
+#
+# Bench is intentionally not included (timing work belongs on an idle box;
+# run `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"`
+# separately and read target/bench.json).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF=${1:-/root/testdata/sf0.01}
+OUT=$(mktemp -d /tmp/graft-gate-XXXX)
+
+echo "== 1/5 compile =="
+sbt -batch "compile; Test/compile" >"$OUT/compile.log" 2>&1 \
+  || { tail -30 "$OUT/compile.log"; exit 1; }
+
+echo "== 2/5 sbt test =="
+sbt -batch test >"$OUT/test.log" 2>&1 \
+  || { grep -E "FAILED|Tests: " "$OUT/test.log" | tail -20; exit 1; }
+grep -E "Tests: " "$OUT/test.log" | tail -1
+
+echo "== 3/5 ScaleGuardSweep =="
+sbt -batch "runMain graft.tools.ScaleGuardSweep /root/testdata/sf0.001" \
+  >"$OUT/sweep.log" 2>&1 || { tail -20 "$OUT/sweep.log"; exit 1; }
+grep -E "GUARD-FAIL|sweep:" "$OUT/sweep.log" | sed 's/^\[info\] //' | tail -5
+grep -q "0 fail" "$OUT/sweep.log" || exit 1
+
+echo "== 4/5 Verify + compare ($SF) =="
+sbt -batch "runMain graft.Verify $SF $OUT/verify" >"$OUT/verify.log" 2>&1 \
+  || { grep "\[verify\]" "$OUT/verify.log" | tail; exit 1; }
+python3 tools/compare.py "$OUT/verify" "$SF" | tail -2
+python3 tools/compare.py "$OUT/verify" "$SF" | grep -q " 0 fail" || exit 1
+
+echo "== 5/5 oracle_lint =="
+python3 tools/oracle_lint.py "$OUT/verify" "$SF" "$OUT/verify" | tail -1
+
+echo "GATE GREEN ($OUT)"
