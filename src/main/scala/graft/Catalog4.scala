@@ -2130,18 +2130,15 @@ private[graft] trait Catalog4 extends CatalogBase {
       // each) with total WCSS per k — the elbow curve that picks k.
       // WCSS is monotonically non-increasing in k on the same data;
       // each fit is the same deterministic Lloyd loop, so the whole
-      // curve is oracle-exact. (Five fits = five scan-sets; the sweep
-      // is a DIAGNOSTIC run, not a per-query cost.)
+      // curve is oracle-exact. KMeans.elbow2d fits ALL five k
+      // simultaneously — one scan per Lloyd round computes every k's
+      // assignments/updates side by side, so the sweep costs 5 scans
+      // total instead of 5 scan-sets (r8; per-k arithmetic is
+      // column-identical to fit2d, results and oracle unchanged).
       build = (s, dir) => {
         val li = table(s, dir, "lineitem")
           .withColumn("price_k", col("l_extendedprice") / lit(1000.0))
-        (2 to 6).map { k =>
-          KMeans.fit2d(li, "l_quantity", "price_k", k = k, iters = 3)
-            .agg(lit(k).as("k"),
-              sum(col("n_points")).as("n_points"),
-              round(sum(col("wcss").cast("decimal(24,4)")), 4)
-                .cast("double").as("total_wcss"))
-        }.reduce(_ unionByName _).orderBy(col("k"))
+        KMeans.elbow2d(li, "l_quantity", "price_k", ks = 2 to 6, iters = 3)
       },
       oracle = Some {
         val branches = (2 to 6).map { k =>

@@ -99,6 +99,107 @@ object KMeans {
       .orderBy(col("cluster"))
   }
 
+  /** The elbow sweep as ONE job: fits every k in `ks` simultaneously —
+    * per Lloyd round a single scan computes every k's assignments and
+    * update moments side by side (the centroid row just carries
+    * Σ_k 2k scalars instead of 2k), so the sweep costs |iters|+2 scans
+    * TOTAL instead of per k. At 100 TB that is the difference between
+    * an elbow diagnostic and |ks| full training runs. Per-k arithmetic
+    * is COLUMN-IDENTICAL to [[fit2d]] (same init, same tie-break, same
+    * decimal snaps), so results — and the DuckDB oracle built from
+    * per-k [[sqlCtes]] — are unchanged.
+    *
+    * Returns one row per k: (k, n_points, total_wcss), where
+    * total_wcss aggregates the per-cluster wcss values exactly as
+    * `fit2d(...).agg(sum(wcss cast decimal(24,4)))` does (per-cluster
+    * snap at 4 first, then the decimal sum — order-independent). */
+  def elbow2d(df: DataFrame, xCol: String, yCol: String, ks: Seq[Int],
+      iters: Int): DataFrame = {
+    require(ks.nonEmpty && ks.distinct == ks, "ks must be distinct, nonempty")
+    ks.foreach(k => require(k >= 2 && k <= 16, s"k must be in [2,16], got $k"))
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20], got $iters")
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val bounds = pts.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    // one centroid row carrying every k's grid init side by side
+    var cent = bounds.select(
+      ks.flatMap { k =>
+        (0 until k).flatMap { j =>
+          val f = lit((2 * j + 1).toDouble) / lit((2 * k).toDouble)
+          Seq((col("xmin") + f * (col("xmax") - col("xmin"))).as(s"k${k}_cx_$j"),
+            (col("ymin") + f * (col("ymax") - col("ymin"))).as(s"k${k}_cy_$j"))
+        }
+      }: _*)
+      .localCheckpoint(true)
+
+    def assign(c: DataFrame): DataFrame = {
+      var a = pts.crossJoin(broadcast(c))
+      ks.foreach { k =>
+        (0 until k).foreach { j =>
+          a = a.withColumn(s"k${k}_d_$j",
+            (col("x") - col(s"k${k}_cx_$j")) * (col("x") - col(s"k${k}_cx_$j"))
+              + (col("y") - col(s"k${k}_cy_$j")) * (col("y") - col(s"k${k}_cy_$j")))
+        }
+        a = a.withColumn(s"k${k}_dmin",
+          least((0 until k).map(j => col(s"k${k}_d_$j")): _*))
+        val cl = (0 until k).reverse.foldLeft(lit(null).cast("int")) {
+          (acc, j) =>
+            when(col(s"k${k}_d_$j") === col(s"k${k}_dmin"), lit(j)).otherwise(acc)
+        }
+        a = a.withColumn(s"k${k}_cluster", cl)
+      }
+      a
+    }
+
+    var t = 0
+    while (t < iters) {
+      val a = assign(cent)
+      val aggsU = ks.flatMap { k =>
+        (0 until k).flatMap { j =>
+          val in = col(s"k${k}_cluster") === j
+          Seq(count(when(in, lit(1))).as(s"k${k}_n_$j"),
+            sum(when(in, col("x").cast("decimal(18,6)"))).as(s"k${k}_sx_$j"),
+            sum(when(in, col("y").cast("decimal(18,6)"))).as(s"k${k}_sy_$j"))
+        }
+      }
+      val upd = a.agg(aggsU.head, aggsU.tail: _*)
+      cent = upd.crossJoin(broadcast(cent)).select(
+        ks.flatMap { k =>
+          (0 until k).flatMap { j =>
+            Seq(
+              when(col(s"k${k}_n_$j") > 0, round(col(s"k${k}_sx_$j").cast("double")
+                / col(s"k${k}_n_$j").cast("double"), 6))
+                .otherwise(col(s"k${k}_cx_$j")).as(s"k${k}_cx_$j"),
+              when(col(s"k${k}_n_$j") > 0, round(col(s"k${k}_sy_$j").cast("double")
+                / col(s"k${k}_n_$j").cast("double"), 6))
+                .otherwise(col(s"k${k}_cy_$j")).as(s"k${k}_cy_$j"))
+          }
+        }: _*)
+        .localCheckpoint(true)
+      t += 1
+    }
+
+    // final pass: every k's per-cluster wcss partials (snap at 4, like
+    // fit2d's per-cluster rows) plus the shared point count, in one agg
+    val fin = assign(cent)
+    val finAggs = count(lit(1)).as("n_points") +: ks.flatMap { k =>
+      (0 until k).map { j =>
+        round(sum(when(col(s"k${k}_cluster") === j,
+          round(col(s"k${k}_dmin"), 6).cast("decimal(20,6)"))), 4)
+          .cast("double").as(s"k${k}_wcss_$j")
+      }
+    }
+    val one = fin.agg(finAggs.head, finAggs.tail: _*).localCheckpoint(true)
+    ks.map { k =>
+      one.select(lit(k).as("k"), col("n_points"),
+        round((0 until k).map(j =>
+            coalesce(col(s"k${k}_wcss_$j"), lit(0.0)).cast("decimal(24,4)"))
+          .reduce(_ + _), 4).cast("double").as("total_wcss"))
+    }.reduce(_ unionByName _).orderBy(col("k"))
+  }
+
   /** DuckDB mirror of [[fit2d]] over `tbl`: emits CTEs (prefixed `pfx`, default `km`) ending in `$pfx`
     * (cluster, n_points, cx, cy, wcss). `xSql`/`ySql` are the coordinate
     * expressions. */

@@ -1302,6 +1302,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rs.forall(_.getDouble(4) == 0.0)) // zero spread -> zero wcss
   }
 
+  test("KMeans.elbow2d equals per-k fit2d totals (one-scan sweep parity)") {
+    // The elbow sweep computes every k in ONE scan set; its contract is
+    // per-k COLUMN-IDENTICAL arithmetic to fit2d. Assert the curve
+    // equals the independently-fitted totals, aggregated exactly the
+    // way q242 aggregates fit2d output.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, round, sum}
+    import graft.operators.KMeans
+    val pts = (1 to 60).map(i =>
+      ((i % 7).toDouble + i * 0.01, (i % 5).toDouble - i * 0.02)).toDF("x", "y")
+    val sweep = KMeans.elbow2d(pts, "x", "y", ks = Seq(2, 3, 4), iters = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (k <- Seq(2, 3, 4)) {
+      val one = KMeans.fit2d(pts, "x", "y", k = k, iters = 3)
+        .agg(sum(col("n_points")).as("n"),
+          round(sum(col("wcss").cast("decimal(24,4)")), 4)
+            .cast("double").as("w")).head()
+      assert(sweep(k) == ((one.getLong(0), one.getDouble(1))),
+        s"k=$k: sweep ${sweep(k)} vs fit2d ${(one.getLong(0), one.getDouble(1))}")
+    }
+    // WCSS must be non-increasing in k on the same data
+    val ws = Seq(2, 3, 4).map(k => sweep(k)._2)
+    assert(ws.zip(ws.tail).forall { case (a, b) => b <= a })
+  }
+
   test("Trend.pcaFirstComponent: perfect pair→λ=2 equal loadings, identity→λ=1") {
     import spark.implicits._
     import graft.operators.Trend
