@@ -58,52 +58,86 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Measured shuffle discipline: cumulative task metrics, snapshotted
+    // around each timed run; per-query DELTAS (shuffle r/w bytes, spill,
+    // scan input bytes/records) land in target/bench.json as
+    // `queries_metrics` / `queries_all_metrics`, so a broadcast join
+    // silently degrading to a shuffle, a scan losing column pruning, or
+    // a map-side combine stopping combining is a visible round-over-round
+    // number, not a wall-clock guess (see tools/TaskMetricsListener).
+    val taskMetrics = new graft.tools.TaskMetricsListener
+    spark.sparkContext.addSparkListener(taskMetrics)
+
     def run(name: String, dir: String): Unit = {
       Queries.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       // operators that persist internally (components' label frame, the
       // embedding-dedup base) pin executor storage per invocation; free it
       // between runs so a multi-query timing loop measures each query
-      // cold-cache and storage stays flat across the whole bench
+      // cold-cache and storage stays flat across the whole bench.
+      // TWO layers, both required (r8 — the task-metric telemetry caught
+      // iterations 2+ of every Dataset.persist-using query running with
+      // ZERO scan input): Dataset.persist registers in the session
+      // CacheManager keyed by LOGICAL PLAN, so (a) an RDD-level unpersist
+      // never evicts it and (b) the next iteration's structurally-equal
+      // plan silently reuses the warm cached copy ("Asked to cache
+      // already cached data" was the symptom flooding every prior bench
+      // log). clearCache() evicts the plan-level entries; the RDD sweep
+      // still covers localCheckpoint lineage, which clearCache ignores.
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
-    // per query: (min, median) over iters; a failed query must not
-    // masquerade as a (fast) success — marked (-1, -1) so any consumer of
-    // the JSON sees the failure
-    def timeTier(names: Seq[String], dir: String, iters: Int): Seq[(String, (Double, Double))] =
+    // per query: (min, median, last-iteration task-metric deltas) over
+    // iters; a failed query must not masquerade as a (fast) success —
+    // marked (-1, -1) so any consumer of the JSON sees the failure.
+    // Metrics come from the LAST iteration (the deltas are plan-
+    // deterministic — same shuffle/scan volume every run — so any
+    // settled iteration is representative); the settle wait runs OUTSIDE
+    // the timed window.
+    case class Timing(min: Double, median: Double, metrics: Map[String, Long])
+    def timeTier(names: Seq[String], dir: String, iters: Int): Seq[(String, Timing)] =
       names.map { name =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var failed = false
         var i = 0
+        var lastMetrics = Map.empty[String, Long]
         while (i < iters && !failed) {
+          val before = taskMetrics.snapshot
           val t0 = System.nanoTime()
           try {
             run(name, dir)
             times += (System.nanoTime() - t0) / 1e9
+            lastMetrics = taskMetrics.delta(before, taskMetrics.settledSnapshot())
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed = true
           }
           i += 1
         }
-        if (failed) name -> ((-1.0, -1.0))
+        if (failed) name -> Timing(-1.0, -1.0, Map.empty)
         else {
           val s = times.sorted
           val med =
             if (s.length % 2 == 1) s(s.length / 2)
             else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-          name -> ((s.head, med))
+          name -> Timing(s.head, med, lastMetrics)
         }
       }
 
     def toJsonObj(results: Seq[(String, Double)]): String =
       results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
         .mkString("{", ",", "}")
-    def mins(r: Seq[(String, (Double, Double))]): Seq[(String, Double)] =
-      r.map { case (k, (mn, _)) => k -> mn }
-    def medians(r: Seq[(String, (Double, Double))]): Seq[(String, Double)] =
-      r.map { case (k, (_, md)) => k -> md }
+    def metricsJson(r: Seq[(String, Timing)]): String =
+      r.map { case (k, t) =>
+        "\"" + k + "\":" + t.metrics.toSeq.sortBy(_._1)
+          .map { case (f, v) => "\"" + f + "\":" + v }
+          .mkString("{", ",", "}")
+      }.mkString("{", ",", "}")
+    def mins(r: Seq[(String, Timing)]): Seq[(String, Double)] =
+      r.map { case (k, t) => k -> t.min }
+    def medians(r: Seq[(String, Timing)]): Seq[(String, Double)] =
+      r.map { case (k, t) => k -> t.median }
 
     // SPARK_GRAFT_BENCH_ONLY=q52,q28 restricts the timed tier to a
     // prefix-matched subset of the WHOLE catalog (headline names are a
@@ -150,6 +184,7 @@ object Bench {
       // allowlisted query — PlanSpec asserts full set equality catalog-
       // wide. Streaming bounded-run entries execute on build; free any
       // frames they persisted before timing starts.)
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         classOf[WindowExec].getName, org.apache.logging.log4j.Level.ERROR)
@@ -162,6 +197,9 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
+    // drain warmup's (and the window audit's) task events so the first
+    // timed query's metric delta starts from a settled baseline
+    taskMetrics.settledSnapshot()
 
     val results = timeTier(names, sfDir, iters)
     // failed queries (-1 markers) must not subtract from the headline total
@@ -177,11 +215,11 @@ object Bench {
           "/root/testdata/sf0.01")
         val allResults = timeTier(Queries.all.map(_._1), allDir, 1)
         val allTotal = mins(allResults).map(_._2).filter(_ >= 0).sum
-        f""","queries_all":${toJsonObj(mins(allResults))},"queries_all_total":$allTotal%.3f,"queries_all_sf":"$allDir""""
+        f""","queries_all":${toJsonObj(mins(allResults))},"queries_all_total":$allTotal%.3f,"queries_all_sf":"$allDir","queries_all_metrics":${metricsJson(allResults)}"""
       }
 
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(mins(results))},"queries_median":${toJsonObj(medians(results))},"value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"$allTier}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(mins(results))},"queries_median":${toJsonObj(medians(results))},"queries_metrics":${metricsJson(results)},"value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"$allTier}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     // STDOUT gets a COMPACT line instead of the verbose artifact above:

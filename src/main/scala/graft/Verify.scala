@@ -77,7 +77,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free frames persisted inside operators (components, embedding
-      // dedup) so storage stays flat across the full catalog sweep
+      // dedup) so storage stays flat across the full catalog sweep.
+      // BOTH layers are needed: Dataset.persist lives in the session's
+      // CacheManager (plan-level — an RDD-level unpersist does NOT evict
+      // it, and the next build of the same plan silently reuses the
+      // cached copy), while localCheckpoint RDDs live only in
+      // persistentRdds (clearCache does not touch them).
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1327,6 +1327,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ws.zip(ws.tail).forall { case (a, b) => b <= a })
   }
 
+  test("TaskMetricsListener: shuffle/input deltas observed for a real shuffle") {
+    // the bench telemetry contract: a groupBy over a parquet scan must
+    // move BOTH the shuffle-write and input-bytes counters; deltas are
+    // asserted as strict increases (the listener is session-global, so
+    // concurrent suites can only ADD — monotonicity keeps this safe)
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.tools.TaskMetricsListener
+    val lm = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(lm)
+    try {
+      val before = lm.settledSnapshot()
+      graft.sources.Tables.load(spark, sf(), "lineitem")
+        .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+        .write.format("noop").mode("overwrite").save()
+      val d = lm.delta(before, lm.settledSnapshot())
+      assert(d("shuf_write") > 0, s"expected shuffle write bytes, got $d")
+      assert(d("shuf_read") > 0, s"expected shuffle read bytes, got $d")
+      assert(d("shuf_recs") > 0, s"expected shuffle records, got $d")
+      assert(d("input_bytes") > 0 && d("input_recs") > 0,
+        s"expected parquet scan input, got $d")
+      assert(d.values.forall(_ >= 0), s"counters must be monotone, got $d")
+    } finally spark.sparkContext.removeSparkListener(lm)
+  }
+
   test("Trend.pcaFirstComponent: perfect pair→λ=2 equal loadings, identity→λ=1") {
     import spark.implicits._
     import graft.operators.Trend
