@@ -69,9 +69,69 @@ class PlanSpec extends SparkSpec {
   // in main source (shared with Bench's pre-timing audit).
   private val streamingSkip = graft.plans.GlobalWindows.streamingBoundedRuns
 
-  // Plan the whole catalog ONCE; both catalog-wide audits walk this.
+  // Plan the whole catalog ONCE; all catalog-wide audits walk this.
+  // clearCache first: suites run sequentially in one JVM, and a cache
+  // entry a PRIOR suite registered (Dataset.persist is plan-keyed in the
+  // shared CacheManager) would splice an InMemoryTableScan into any
+  // structurally-matching subplan here, perturbing the fingerprints
+  // below depending on suite order. With a clean cache, the only cache
+  // nodes are the ones the catalog's own builds register — in fixed
+  // catalog order, hence deterministic.
+  // Builds (and their side effects: cache registration, staged writes,
+  // localCheckpoints) all run here, in fixed catalog order, BEFORE any
+  // plan phase is accessed — so every query's withCachedData sees the
+  // same final cache state no matter which audit test runs first.
+  private lazy val catalogQEs: Seq[(String, QueryExecution)] = {
+    spark.catalog.clearCache()
+    Queries.all.map(_._1).filterNot(streamingSkip)
+      .map(n => (n, Queries.queries(n)(spark, sf()).queryExecution))
+  }
   private lazy val catalogPlans: Seq[(String, SparkPlan)] =
-    Queries.all.map(_._1).filterNot(streamingSkip).map(n => (n, plan(n)))
+    catalogQEs.map { case (n, qe) => (n, qe.sparkPlan) }
+
+  test("catalog-wide: physical-plan fingerprints match the pinned fixture") {
+    // The scale contract, pinned per query: join strategy, exchange
+    // count, global-vs-partitioned sorts/windows, aggregate modes, and
+    // per-scan (table, pruned-schema width, filter pushdown). A benign
+    // refactor keeps these invariant; a broadcast degrading to
+    // sort-merge, a lost pushdown, or a new shuffle fails here with a
+    // one-line diff — at test time, not as a bench riser two rounds
+    // later. Regenerate consciously after an INTENDED plan change:
+    //   GRAFT_UPDATE_FINGERPRINTS=1 sbt "testOnly graft.PlanSpec -- -z fingerprint"
+    // and review the fixture diff like code.
+    val path = java.nio.file.Paths.get("src/test/resources/plan_fingerprints.txt")
+    // executedPlan, not sparkPlan: exchanges exist only after
+    // EnsureRequirements, and shuffle count is the headline signal
+    val actual = catalogQEs
+      .map { case (n, qe) => s"$n ${graft.plans.PlanFingerprint.of(qe.executedPlan)}" }
+    if (sys.env.contains("GRAFT_UPDATE_FINGERPRINTS")) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, actual.mkString("", "\n", "\n"))
+      info(s"fingerprint fixture rewritten: ${actual.length} queries")
+    } else {
+      assert(java.nio.file.Files.exists(path),
+        s"missing fixture $path — run with GRAFT_UPDATE_FINGERPRINTS=1 once")
+      val pinned = java.nio.file.Files.readAllLines(path).asScala
+        .filter(_.nonEmpty).toSeq
+      val pinnedMap = pinned.map(l => l.span(_ != ' ')).toMap
+      val actualMap = actual.map(l => l.span(_ != ' ')).toMap
+      val drift = actual.filter { l =>
+        val (n, fp) = l.span(_ != ' ')
+        pinnedMap.get(n).exists(_ != fp)
+      }.map { l =>
+        val (n, _) = l.span(_ != ' ')
+        s"  pinned: $n${pinnedMap(n)}\n  actual: $l"
+      }
+      val missing = pinnedMap.keySet -- actualMap.keySet
+      val added = actualMap.keySet -- pinnedMap.keySet
+      assert(drift.isEmpty && missing.isEmpty && added.isEmpty,
+        s"plan fingerprint drift (${drift.size} changed, ${missing.size} gone, " +
+          s"${added.size} new — review, then regenerate with " +
+          "GRAFT_UPDATE_FINGERPRINTS=1 if intended):\n" +
+          (drift ++ missing.map("  gone: " + _) ++ added.map("  new: " + _))
+            .mkString("\n"))
+    }
+  }
 
   test("catalog-wide: no unpartitioned CartesianProduct in any query plan") {
     // BroadcastNestedLoopJoin over a broadcast one-row frame is the
