@@ -222,6 +222,17 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(mins(results))},"queries_median":${toJsonObj(medians(results))},"queries_metrics":${metricsJson(results)},"value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"$allTier}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    // Timestamped archive copy: bench.json is overwritten by EVERY run
+    // (including single-query probes), which has already cost one round a
+    // full-tier artifact mid-analysis. History lives outside git; prune by
+    // hand. tools/metrics_diff.py takes any two of these.
+    val hist = java.nio.file.Paths.get("target/bench_history")
+    java.nio.file.Files.createDirectories(hist)
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd-HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    java.nio.file.Files.writeString(
+      hist.resolve(s"bench-$stamp.json"), json + "\n")
     // STDOUT gets a COMPACT line instead of the verbose artifact above:
     // the driver records only a ~2000-char tail of stdout and parses the
     // JSON line out of it — five rounds of BENCH_r*.json carry

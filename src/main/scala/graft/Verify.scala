@@ -16,7 +16,7 @@ object Verify {
       if (args.length > 2 && !sqlOnly) Some(args(2).split(",").toSet)
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       // the engine's own scale contract gates the correctness sweep: the
       // analysis-time ScaleGuard (plans/ScaleGuard.scala) rejects any
@@ -42,6 +42,20 @@ object Verify {
       // hash-mismatch (r5 q85). INT64 micros round-trips the full range.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": the execution-environment
+    // invariance matrix (COVERAGE.md) — the same oracle sweep re-run under
+    // a prime shuffle-partition count (results must not depend on
+    // parallelism: a cluster resize is not allowed to change answers),
+    // AQE disabled (no silent reliance on runtime re-planning), and
+    // interpreted expression eval (codegen.factoryMode=NO_CODEGEN +
+    // wholeStage=false — every custom Expression's eval() must match its
+    // doGenCode(), the classic divergence bug class). Applied LAST so the
+    // overrides win.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Execution-environment invariance matrix: the full oracle sweep re-run
+# under execution configs that must NOT change any answer. A cluster
+# resize (shuffle-partition count), an AQE toggle, or codegen falling
+# back to interpreted expression eval are all things that happen to a
+# real 100 TB job mid-flight; a query whose result moves under any of
+# them is nondeterministic at scale even if the fixed-config sweep is
+# green. Sweep 3 (NO_CODEGEN) is also the only path that exercises every
+# custom Catalyst Expression's eval() against the oracle — doGenCode()
+# and eval() drifting apart is the classic custom-expression bug class,
+# invisible while codegen always wins.
+#
+# Usage: tools/invariance.sh [sfDir] (default /root/testdata/sf0.01)
+# ~45-60 min total. Each sweep: graft.Verify dump + tools/compare.py.
+set -u
+SF=${1:-/root/testdata/sf0.01}
+fail=0
+run() { # name conf
+  local name=$1 conf=$2 out="/tmp/inv_$1"
+  echo "== $name: SPARK_GRAFT_EXTRA_CONF=$conf"
+  SPARK_GRAFT_EXTRA_CONF="$conf" sbt -batch \
+    "runMain graft.Verify $SF $out" >"/tmp/inv_$name.log" 2>&1 \
+    || { echo "  VERIFY FAILED (see /tmp/inv_$name.log)"; fail=1; return; }
+  python3 tools/compare.py "$out" "$SF" | tail -1
+  python3 tools/compare.py "$out" "$SF" >/dev/null 2>&1 || fail=1
+}
+run part7  "spark.sql.shuffle.partitions=7"
+run noaqe  "spark.sql.adaptive.enabled=false"
+run interp "spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN"
+exit $fail
