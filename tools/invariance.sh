@@ -27,4 +27,12 @@ run() { # name conf
 run part7  "spark.sql.shuffle.partitions=7"
 run noaqe  "spark.sql.adaptive.enabled=false"
 run interp "spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_CODEGEN"
+# (d)/(e): the custom TypedImperativeAggregates (graft_topk & friends)
+# normally run inside ObjectHashAggregate's hash map; (d) forces the
+# sort-based fallback at ONE distinct group (the memory-pressure path —
+# per-group serialize/merge on sorted runs), (e) removes
+# ObjectHashAggregate entirely (SortAggregate). Both are what a real
+# executor under memory pressure does to these aggregates at 100 TB.
+run aggfb  "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=1"
+run sortagg "spark.sql.execution.useObjectHashAggregateExec=false"
 exit $fail
