@@ -51,12 +51,18 @@ object BoundedRuns {
     Files.createTempDirectory(root, prefix).toString
   }
 
-  /** The events projection used by the bounded runs, with `ts_us` = epoch
+  /** The events projection used by the bounded runs, with `ts` pinned to
+    * the UTC interpretation of the stored wall clock ([[EventTime.pinIn]]
+    * — Tables.events' NTZ→LTZ cast is session-zone-dependent, and every
+    * instant the stream derives from it — `unix_micros`, window
+    * boundaries, watermark-relative state — would shift with the zone;
+    * identity under the default UTC session). `ts_us` downstream = epoch
     * micros (what [[JdbcUpsert.DerbyMergeVersioned]] guards on; unique per
     * user in the shipped data — no (user, ts) ties at any SF). */
   private def eventCols(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"),
+      .select(col("user_id"), col("event_id"),
+        EventTime.pinIn(col("ts")).as("ts"),
         col("event_type"), col("value"))
 
   /** Streamed keyed upsert, end state: stage events as `nFiles` parquet
@@ -114,7 +120,10 @@ object BoundedRuns {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$work/out")
+    // pinned-UTC rendering for every emitted timestamp column: the
+    // catalog's NTZ output cast renders in the session zone, which must
+    // not move the value (identity under the UTC default)
+    EventTime.pinOutAll(spark.read.parquet(s"$work/out"))
   }
 
   /** Streamed CUSUM changepoint (q299's twin): the STREAM maintains the
@@ -261,7 +270,7 @@ object BoundedRuns {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$work/out")
+    EventTime.pinOutAll(spark.read.parquet(s"$work/out"))
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
@@ -292,7 +301,7 @@ object BoundedRuns {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$work/out")
+    EventTime.pinOutAll(spark.read.parquet(s"$work/out"))
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
   }
 
@@ -322,7 +331,8 @@ object BoundedRuns {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$work/out").orderBy(col("event_id"))
+    EventTime.pinOutAll(spark.read.parquet(s"$work/out"))
+      .orderBy(col("event_id"))
   }
 
   /** Bounded [[EventStreams.enrich]]: the event stream left-joined to the
@@ -387,7 +397,7 @@ object BoundedRuns {
       df => df.withWatermark("ts", watermarkDelay)
         .groupBy(window(col("ts"), "1 day"))
         .agg(expr(s"graft_topk(value, event_id, $k)").as("tk"))
-        .select(col("window.start").cast("date").as("day"), col("tk")),
+        .select(EventTime.utcDay(col("window.start")).as("day"), col("tk")),
       "topkday-")
     emitted.select(col("day"), posexplode(col("tk")))
       .select(col("day"), (col("pos") + 1).cast("long").as("rnk"),
@@ -428,8 +438,10 @@ object BoundedRuns {
         .agg(count(lit(1)).as("n_ev"),
           graft.functions.Stable.msum(col("value")).as("val_sum"))
         .select(col("user_id"),
-          col("sw.start").cast("timestamp_ntz").as("s_start"),
-          col("sw.end").cast("timestamp_ntz").as("s_end"),
+          EventTime.pinOut(col("sw.start"))
+            .cast("timestamp_ntz").as("s_start"),
+          EventTime.pinOut(col("sw.end"))
+            .cast("timestamp_ntz").as("s_end"),
           col("n_ev"), col("val_sum")),
       "sesswin-")
     emitted.orderBy(col("user_id"), col("s_start"))

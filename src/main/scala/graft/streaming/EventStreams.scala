@@ -85,7 +85,7 @@ object EventStreams {
       .groupBy(window(col(tsCol), "1 day"),
         Hll.regCol(col(keyCol)).as("reg"))
       .agg(max(Hll.rhoCol(col(keyCol))).as("rho"))
-      .select(col("window.start").cast("date").as("day"), col("reg"),
+      .select(EventTime.utcDay(col("window.start")).as("day"), col("reg"),
         col("rho"))
   }
 
@@ -106,7 +106,7 @@ object EventStreams {
       .groupBy(window(col(tsCol), "1 day"),
         col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("window.start").cast("date").as("day"), col("r"),
+      .select(EventTime.utcDay(col("window.start")).as("day"), col("r"),
         col("c"), col("cnt"))
   }
 
@@ -127,7 +127,7 @@ object EventStreams {
       .groupBy(window(col(tsCol), "1 day"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).as("sv"))
-      .select(col("window.start").cast("date").as("day"), col("n"),
+      .select(EventTime.utcDay(col("window.start")).as("day"), col("n"),
         col("sv"))
 
   /** Per-(day, arm) exact-decimal first and second value moments for one
@@ -146,7 +146,7 @@ object EventStreams {
         (col("user_id") % 2).cast("long").as("arm"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
         sum(col("v") * col("v")).cast("decimal(38,12)").as("svv"))
-      .select(col("window.start").cast("date").as("day"), col("arm"),
+      .select(EventTime.utcDay(col("window.start")).as("day"), col("arm"),
         col("n"), col("sv"), col("svv"))
 
   /** Exactly-once event ids within the watermark horizon: duplicates of an

@@ -35,4 +35,11 @@ run interp "spark.sql.codegen.wholeStage=false;spark.sql.codegen.factoryMode=NO_
 # executor under memory pressure does to these aggregates at 100 TB.
 run aggfb  "spark.sql.objectHashAggregate.sortBased.fallbackThreshold=1"
 run sortagg "spark.sql.execution.useObjectHashAggregateExec=false"
+# (f): session-timezone independence, at the nastiest fixed offset
+# (+05:45). Batch is wall-clock-closed (NTZ→LTZ→NTZ round-trips the
+# stored wall); streaming derives INSTANTS (unix_micros, window
+# boundaries, watermark state) and is pinned to UTC event-time
+# semantics via streaming/EventTime — this row is what caught the
+# original 7-query drift (COVERAGE.md r8).
+run tz     "spark.sql.session.timeZone=Asia/Kathmandu"
 exit $fail
