@@ -42,4 +42,11 @@ run sortagg "spark.sql.execution.useObjectHashAggregateExec=false"
 # semantics via streaming/EventTime — this row is what caught the
 # original 7-query drift (COVERAGE.md r8).
 run tz     "spark.sql.session.timeZone=Asia/Kathmandu"
+# (g)/(h): storage/memory execution paths. The vectorized parquet
+# reader silently bails to the row-based reader on schema corner cases
+# (nested types, some decimals) — row (g) runs the WHOLE catalog on the
+# row-based path. Row (h) puts Tungsten buffers off-heap (how large
+# executors actually run), a different UnsafeRow memory path.
+run rowread "spark.sql.parquet.enableVectorizedReader=false"
+run offheap "spark.memory.offHeap.enabled=true;spark.memory.offHeap.size=1g"
 exit $fail
