@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.TimestampType
 
 /** Session-zone pinning for event-time streaming semantics.
@@ -24,24 +23,27 @@ import org.apache.spark.sql.types.TimestampType
   *  - [[pinOut]] is the inverse for rendering: applied before any
   *    LTZ→date / LTZ→NTZ cast, the rendered value equals the instant's
   *    UTC wall clock whatever the session zone.
-  * Both capture the session zone at PLAN BUILD TIME as a literal, and are
-  * exact identities under a UTC session (the Verify/Bench/test default).
-  * DST-transition instants (where the zone offset itself changes between
-  * `t` and `t − offset`) are the one measure-zero caveat; fixed-offset
-  * zones (UTC, Kathmandu) have none.
+  * Both read the zone via `current_timezone()`, evaluated under the conf
+  * of the session the query EXECUTES on — not captured at plan build.
+  * (The capture-at-build form was tried first and failed EventTimeSpec:
+  * `SQLConf.get` reads the THREAD-ACTIVE session, and `newSession()`
+  * does not change it, so a plan built on one thread for a different
+  * session pinned the wrong zone — the classic active-vs-owning-session
+  * trap.) Both are exact identities under a UTC session (the
+  * Verify/Bench/test default). DST-transition instants (where the zone
+  * offset itself changes between `t` and `t − offset`) are the one
+  * measure-zero caveat; fixed-offset zones (UTC, Kathmandu) have none.
   */
 object EventTime {
 
-  private def zone: String = SQLConf.get.sessionLocalTimeZone
-
   /** Stored-wall-clock LTZ (the [[graft.sources.Tables.events]] cast) →
     * the instant whose UTC wall equals that stored wall. */
-  def pinIn(c: Column): Column = from_utc_timestamp(c, zone)
+  def pinIn(c: Column): Column = from_utc_timestamp(c, current_timezone())
 
   /** Instant → the instant whose SESSION-zone rendering equals the
     * original's UTC rendering; compose with `.cast("date")` /
     * `.cast("timestamp_ntz")` for zone-independent output rendering. */
-  def pinOut(c: Column): Column = to_utc_timestamp(c, zone)
+  def pinOut(c: Column): Column = to_utc_timestamp(c, current_timezone())
 
   /** Calendar day of an event-time instant, rendered in UTC regardless of
     * the session zone. */
