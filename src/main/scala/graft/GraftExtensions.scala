@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis-time rejection of unscalable plan shapes, opt-in via
     // spark.graft.scaleGuard=true (see graft.plans.ScaleGuard)
     ext.injectCheckRule(graft.plans.ScaleGuard.checkRule)
+    // task-retry fault injection for the invariance matrix, opt-in via
+    // spark.graft.faultInject=true (see graft.plans.FaultInject)
+    ext.injectQueryStagePrepRule(graft.plans.FaultInject.rule)
   }
 }
 

@@ -16,8 +16,12 @@ object Verify {
       if (args.length > 2 && !sqlOnly) Some(args(2).split(",").toSet)
       else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_MASTER: the invariance matrix's task-retry row needs a
+    // master that allows retries (local[N] pins maxFailures=1; the conf
+    // key is ignored in local mode) — e.g. local[4,4].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       // the engine's own scale contract gates the correctness sweep: the
       // analysis-time ScaleGuard (plans/ScaleGuard.scala) rejects any
       // query plan with an unpartitioned window over raw rows or a
@@ -58,6 +62,16 @@ object Verify {
       }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHAOS=kill: chaos-kill invariance row — kill the first
+    // attempt of every third task mid-flight; killed tasks are rescheduled
+    // (kills don't count toward maxFailures) and every answer must still
+    // hash-match the oracle. Fails the sweep if no kill actually landed.
+    val chaos: Option[graft.tools.ChaosKillListener] =
+      if (sys.env.get("SPARK_GRAFT_CHAOS").contains("kill")) {
+        val l = new graft.tools.ChaosKillListener(spark.sparkContext)
+        spark.sparkContext.addSparkListener(l)
+        Some(l)
+      } else None
     new java.io.File(outDir).mkdirs()
     // Output-schema guard: an LTZ timestamp column is the one type that can
     // serialize differently from what the session shows (r5 q85: LTZ →
@@ -116,6 +130,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    chaos.foreach { l =>
+      System.err.println(
+        s"[chaos] kill attempts=${l.attempted.get} landed=${l.landed.get}")
+      if (l.landed.get == 0) throw new IllegalStateException(
+        "chaos-kill row vacuous: zero task kills landed")
+    }
     spark.stop()
   }
 }

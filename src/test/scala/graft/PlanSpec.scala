@@ -244,6 +244,29 @@ class PlanSpec extends SparkSpec {
       .join(c2, Seq("c_custkey")).queryExecution.assertAnalyzed()
   }
 
+  test("the injected FaultInject rule fires on first attempts; off by default") {
+    // taskretry invariance-row wiring (tools/invariance.sh row m): the
+    // conf-gated queryStagePrep rule wraps every parquet scan with a
+    // first-attempt throw. The test context is local[4] — maxFailures
+    // pinned to 1 — so the injected fault fails the job outright, which
+    // proves the fault actually fires inside the scan stage; the
+    // retry-SUCCEEDS half of the contract is the invariance row itself,
+    // run on a local[4,4] master. newSession(): own conf, shared context.
+    val s2 = spark.newSession()
+    s2.conf.set(graft.plans.FaultInject.CONF, "true")
+    val o = graft.sources.Tables.load(s2, sf(), "orders")
+    val e = intercept[Exception] { o.count() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("graft-fault-inject")),
+      s"expected the injected fault in the failure chain: ${chain(e)}")
+    // default session (conf unset): plans stay wrapper-free
+    val plain = Queries.table(spark, sf(), "orders")
+    assert(plain.count() > 0)
+    assert(!plain.queryExecution.executedPlan.exists(
+      _.isInstanceOf[graft.plans.FaultInjectExec]))
+  }
+
   test("ScaleGuard rejects unbounded streaming dedup state, allows watermark-evicted forms") {
     // The streaming face of the scale contract: plain dropDuplicates on a
     // stream evicts state ONLY for keys carrying the watermark metadata —
