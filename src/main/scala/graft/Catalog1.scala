@@ -497,21 +497,22 @@ private[graft] trait Catalog1 extends CatalogBase {
           len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
           length(regexp_replace(text, '[^.!?]', '', 'g')) AS q_punct,
           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-            / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+            / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS avg_token_len,
           CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE)
-            / length(text) AS punct_ratio,
+            / NULLIF(length(text), 0) AS punct_ratio,
           CAST(${TextStats.sqlStopwordCount("text")} AS DOUBLE)
-            / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+            / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS stopword_ratio
         FROM documents
         ORDER BY doc_id""")),
 
     "q25_knn_bruteforce" -> Q(
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         Vectors.bruteForceKnn(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3)
       },
-      oracle = Some("""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE $sqlEmbValid),
         sims AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
             list_dot_product(q.emb, c.emb)
@@ -532,7 +533,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       // mean is made combine-order-independent by snapping each similarity
       // to 8 exact decimals before the sum (Stable.davg).
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         val a = e.select(col("label"), col("vec_id").as("id_a"),
           Vectors.asDouble(col("embedding")).as("va"))
         val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
@@ -546,7 +547,8 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("label"))
       },
       oracle = Some(s"""
-        WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        WITH v AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE $sqlEmbValid),
         pairs AS (
           SELECT a.label AS label,
             list_dot_product(a.emb, b.emb)
@@ -587,8 +589,12 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("doc_id")),
       oracle = Some(s"""
         WITH $simhashCtes
-        SELECT doc_id, simhash FROM sk
-        ORDER BY doc_id"""),
+        -- LEFT JOIN keeps NULL-text documents (their token list unnests to
+        -- nothing, so sk has no row): the operator is total over the
+        -- corpus and a contentless doc sketches to NULL on both engines
+        SELECT d.doc_id, sk.simhash
+        FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
       bench = true),
 
     "q30_embedding_near_dup" -> Q(
@@ -599,12 +605,13 @@ private[graft] trait Catalog1 extends CatalogBase {
       // contains every >=0.4 pair on the testdata geometry (TuneAnn sweep,
       // SimilaritySpec), so the oracle is the same exact-pairs SQL.
       build = (s, dir) =>
-        Similarity.lshNearDupPairs(table(s, dir, "embeddings"), "vec_id",
+        Similarity.lshNearDupPairs(emb(s, dir), "vec_id",
             "embedding", minSim = 0.4)
           .orderBy(col("sim").desc, col("id_a"), col("id_b"))
           .limit(50),
-      oracle = Some("""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE $sqlEmbValid),
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             list_dot_product(a.emb, b.emb)
@@ -678,13 +685,14 @@ private[graft] trait Catalog1 extends CatalogBase {
 
     "q34_ann_lsh" -> Q(
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         Similarity.annTopK(e.filter(col("vec_id") < 20), e, "vec_id",
             "embedding", k = 3)
           .orderBy(col("query_id"), col("rank"))
       },
-      oracle = Some("""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      oracle = Some(s"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE $sqlEmbValid),
         sims AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
             list_dot_product(q.emb, c.emb)
@@ -724,14 +732,15 @@ private[graft] trait Catalog1 extends CatalogBase {
       // the aggregation a plain codegen'd hash agg (no array HOFs) and the
       // shuffle carries (label, pos, value) triples.
       build = (s, dir) =>
-        table(s, dir, "embeddings")
+        emb(s, dir)
           .select(col("label"), posexplode(Vectors.asDouble(col("embedding")))
             .as(Seq("pos", "v")))
           .groupBy(col("label"), (col("pos") + 1).as("dim"))
           .agg(davg(col("v")).as("centroid"), count(lit(1)).as("n"))
           .orderBy(col("label"), col("dim")),
       oracle = Some(s"""
-        WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE $sqlEmbValid),
         flat AS (
           SELECT label, i AS dim, emb[i] AS val
           FROM v, unnest(generate_series(1, len(emb))) t(i))
@@ -1247,7 +1256,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         starts AS (
           SELECT doc_id, t,
             unnest(generate_series(1, greatest(1, len(t) - 8), 8)) AS start_token,
@@ -1422,13 +1431,13 @@ private[graft] trait Catalog1 extends CatalogBase {
       // reconstruction error, zero-crush count, and L2 norm (decimal
       // accumulation).
       build = (s, dir) =>
-        Vectors.int8QuantAudit(table(s, dir, "embeddings"), "vec_id", "embedding")
+        Vectors.int8QuantAudit(emb(s, dir), "vec_id", "embedding")
           .withColumnRenamed("id", "vec_id")
           .orderBy(col("vec_id")),
-      oracle = Some("""
+      oracle = Some(s"""
         WITH e AS (
           SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS v
-          FROM embeddings),
+          FROM embeddings WHERE $sqlEmbValid),
         s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
         el AS (SELECT vec_id, mx, unnest(v) AS x FROM s),
         qn AS (
@@ -1795,7 +1804,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       // output checked as data. Unlike q34 (exact-equality-by-tuning),
       // this row checks the IVF search SEMANTICS, approximation included.
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         // The centroid handoff dir is keyed by an integer-exact content
         // fingerprint of the corpus (count + Σ floor(|emb[1]|·1e6), both
         // engine-identical arithmetic): concurrent or interleaved runs at
@@ -1814,12 +1823,13 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("query_id"), col("rank"))
       },
       oracle = Some(s"""
-        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+          WHERE $sqlEmbValid),
         ckey AS (
           SELECT 'n' || count(*) || '_k' ||
             CAST(sum(CAST(floor(abs(CAST(embedding[1] AS DOUBLE)) * 1000000.0)
               AS BIGINT)) AS VARCHAR) AS sub
-          FROM embeddings),
+          FROM embeddings WHERE $sqlEmbValid),
         c AS (
           SELECT cell, centroid
           FROM read_parquet('$ivfCentroidPath/*/*.parquet', filename=true)

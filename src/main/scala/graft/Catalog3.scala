@@ -309,8 +309,13 @@ private[graft] trait Catalog3 extends CatalogBase {
         val counts = table(s, dir, "documents")
           .groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n"))
-        val h = TextHash.md5Bits60(
-          concat_ws("|", col("lang"), col("source"), lit("dp")))
+        // NULL dims coalesce to a sentinel BEFORE keying: concat_ws would
+        // silently SKIP a NULL (folding the (NULL, x) group onto ("", x)'s
+        // key shape) while the oracle's || would NULL the whole key —
+        // both wrong, and differently so
+        val h = TextHash.md5Bits60(concat_ws("|",
+          coalesce(col("lang"), lit("(null)")),
+          coalesce(col("source"), lit("(null)")), lit("dp")))
         counts
           .withColumn("u",
             (h.cast("double") + lit(0.5)) / lit(math.pow(2.0, 60)) - lit(0.5))
@@ -328,7 +333,8 @@ private[graft] trait Catalog3 extends CatalogBase {
           FROM documents GROUP BY 1, 2),
         noised AS (
           SELECT lang, source, n,
-            (CAST(${TextHash.sqlMd5Bits60("lang || '|' || source || '|dp'")}
+            (CAST(${TextHash.sqlMd5Bits60(
+              "coalesce(lang, '(null)') || '|' || coalesce(source, '(null)') || '|dp'")}
               AS DOUBLE) + 0.5) / power(2.0, 60) - 0.5 AS u
           FROM counts)
         SELECT lang, source, n,
@@ -986,7 +992,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       // exact decimal ([[Stable.dsum]]), centroids and cosines are
       // fixed-shape double expressions snapped to 6.
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
           .select(col("label"), posexplode(col("embedding")))
           .toDF("label", "dim", "v")
         val cent = e.groupBy(col("label"), col("dim"))
@@ -1012,7 +1018,8 @@ private[graft] trait Catalog3 extends CatalogBase {
       oracle = Some(s"""
         WITH e AS (
           SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
-          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx),
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) idx
+          WHERE $sqlEmbValid),
         cent AS (
           SELECT label, dim,
             round(${sqlDsum("v")} / CAST(count(*) AS DOUBLE), 6) AS c
@@ -1175,7 +1182,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       // total (sim desc, neighbor_id), so the verdict is deterministic.
       // Bounded output: one row per label.
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         val lbl = e.select(col("vec_id"), col("label"))
         Vectors.bruteForceKnn(e, e, "vec_id", "embedding", k = 1)
           .join(lbl.select(col("vec_id").as("query_id"),
@@ -1189,10 +1196,10 @@ private[graft] trait Catalog3 extends CatalogBase {
             col("n_correct").cast("double") / col("n").cast("double"), 6))
           .orderBy(col("label"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH v AS (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings),
+          FROM embeddings WHERE $sqlEmbValid),
         sims AS (
           SELECT q.vec_id AS query_id, q.label AS q_label,
             c.label AS n_label,
@@ -1386,7 +1393,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       // to the smallest neighbor id / smallest confuser label in both
       // engines; similarities snap through davg's exact-decimal mean.
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         val q = e.select(col("vec_id").as("anchor_id"),
           col("label").as("a_label"), Vectors.asDouble(col("embedding")).as("qv"))
         val c = e.select(col("vec_id").as("neighbor_id"),
@@ -1414,7 +1421,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       oracle = Some(s"""
         WITH v AS (
           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings),
+          FROM embeddings WHERE $sqlEmbValid),
         sims AS (
           SELECT q.vec_id AS anchor_id, q.label AS a_label,
             c.vec_id AS neighbor_id, c.label AS n_label,

@@ -1852,7 +1852,7 @@ private[graft] trait Catalog5 extends CatalogBase {
       // into exact sums (davg). sign_agree counts pairs whose
       // truncated cosine keeps the full cosine's sign.
       build = (s, dir) => {
-        val e = table(s, dir, "embeddings")
+        val e = emb(s, dir)
         val a = e.select(col("vec_id").as("id_a"),
           Vectors.asDouble(col("embedding")).as("va"))
         val b = e.select(col("vec_id").as("id_b"),
@@ -1861,21 +1861,29 @@ private[graft] trait Catalog5 extends CatalogBase {
         pairs
           .withColumn("d", explode(array(lit(8), lit(16), lit(32),
             lit(64))))
-          .withColumn("cd", Vectors.cosine(
+          // A VALID vector can still have an all-zero prefix, so the
+          // truncated cosine can be 0/0 even behind the embedding gate:
+          // NaN there is poison (Spark orders NaN > 0 true, IEEE/DuckDB
+          // false). Undefined truncated cosine → NULL; the aggregates
+          // below then skip that pair on both engines identically.
+          .withColumn("cd_raw", Vectors.cosine(
             slice(col("va"), lit(1), col("d")),
             slice(col("vb"), lit(1), col("d"))))
+          .withColumn("cd",
+            when(isnan(col("cd_raw")), lit(null)).otherwise(col("cd_raw")))
           .withColumn("cf", Vectors.cosine(col("va"), col("vb")))
           .groupBy(col("d"))
           .agg(count(lit(1)).as("n_pairs"),
             davg(abs(col("cd") - col("cf"))).as("mean_abs_delta"),
-            sum(((col("cd") > 0) === (col("cf") > 0)).cast("long"))
+            sum(when(col("cd").isNotNull &&
+              ((col("cd") > 0) === (col("cf") > 0)), 1L).otherwise(0L))
               .as("sign_agree"))
           .orderBy("d")
       },
       oracle = Some(s"""
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-          FROM embeddings),
+          FROM embeddings WHERE $sqlEmbValid),
         p AS (
           SELECT a.emb AS va, b.emb AS vb
           FROM v a JOIN v b ON a.vec_id + 1 = b.vec_id),
@@ -1885,15 +1893,19 @@ private[graft] trait Catalog5 extends CatalogBase {
           FROM p CROSS JOIN dd),
         c AS (
           SELECT d,
-            list_dot_product(ca, cb) / (sqrt(list_dot_product(ca, ca))
-              * sqrt(list_dot_product(cb, cb))) AS cd,
+            -- zero-norm prefix of a valid vector → undefined truncated
+            -- cosine → NULL (mirrors the Spark side's isnan guard)
+            CASE WHEN sqrt(list_dot_product(ca, ca))
+                   * sqrt(list_dot_product(cb, cb)) = 0 THEN NULL
+              ELSE list_dot_product(ca, cb) / (sqrt(list_dot_product(ca, ca))
+                * sqrt(list_dot_product(cb, cb))) END AS cd,
             list_dot_product(va, vb) / (sqrt(list_dot_product(va, va))
               * sqrt(list_dot_product(vb, vb))) AS cf
           FROM x)
         SELECT d, count(*) AS n_pairs,
           ${sqlDavg("abs(cd - cf)")} AS mean_abs_delta,
-          CAST(sum(CASE WHEN (cd > 0) = (cf > 0) THEN 1 ELSE 0 END)
-            AS BIGINT) AS sign_agree
+          CAST(sum(CASE WHEN cd IS NOT NULL AND (cd > 0) = (cf > 0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS sign_agree
         FROM c GROUP BY d ORDER BY d""")),
 
     "q286_struct_array_battery" -> Q(

@@ -22,6 +22,20 @@ private[graft] trait CatalogBase {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** The embeddings table behind the validity gate
+    * ([[graft.operators.Vectors.validEmbeddings]]) — the load path of
+    * every similarity/centroid/quantization query. Raw-table QC queries
+    * (q135) deliberately bypass this and read [[table]] directly. */
+  protected def emb(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vectors.validEmbeddings(
+      table(s, dir, "embeddings"), "embedding")
+
+  /** Oracle-side mirror of [[emb]]: WHERE predicate over the raw
+    * `embedding` column. Every gated query's oracle filters through it so
+    * both engines see the identical vector set. */
+  protected val sqlEmbValid: String =
+    graft.operators.Vectors.sqlValidEmbedding("embedding")
+
   /** Casts every top-level TIMESTAMP_LTZ output column to TIMESTAMP_NTZ.
     * Applied as the LAST step of any query that emits a raw timestamp:
     * internally `ts` is LTZ (unix_micros & friends require it), but an

@@ -98,11 +98,14 @@ object TextHash {
   def sqlMd5Bits60(expr: String): String =
     s"CAST('0x' || substring(md5($expr), 1, 15) AS BIGINT)"
 
-  /** DuckDB mirror of [[polyHash]]. */
+  /** DuckDB mirror of [[polyHash]]. NULL-strict like the native
+    * expression: without the guard, `list_prepend(0, NULL)` is `[0]` and
+    * a NULL document would "hash" to 0 instead of NULL. */
   def sqlPolyHash(expr: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-       |  (acc, cp) -> (acc * $Base + cp) % $Mod)""".stripMargin
+    s"""CASE WHEN $expr IS NULL THEN NULL
+       |  ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($expr, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+       |    (acc, cp) -> (acc * $Base + cp) % $Mod) END""".stripMargin
 
   /** DuckDB mirror of [[minGramHash]]. */
   def sqlMinGramHash(expr: String, k: Int): String =

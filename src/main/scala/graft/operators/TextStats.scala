@@ -72,17 +72,24 @@ object TextStats {
 
   /** Adds deterministic per-document quality-signal columns:
     * character count, token count, punctuation count, mean token length,
-    * punctuation ratio, stopword ratio. */
+    * punctuation ratio, stopword ratio. Zero-length inputs make a ratio's
+    * denominator 0 (empty documents are a fact of any raw corpus); each
+    * ratio is NULL in that case — an explicit `when` guard, because ANSI
+    * mode turns the bare division into a job-killing error, and the
+    * DuckDB oracle mirrors it with NULLIF. NULL text yields NULL signals
+    * (the row stays — quality scoring is total over the corpus). */
   def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    def over(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(num / den)
     df.withColumn("q_chars", length(t))
       .withColumn("q_tokens", tokenCount(t))
       .withColumn("q_punct", punctCount(t))
       .withColumn("avg_token_len",
-        (length(regexp_replace(t, "\\s+", "")).cast("double")) / col("q_tokens"))
-      .withColumn("punct_ratio", col("q_punct").cast("double") / col("q_chars"))
+        over(length(regexp_replace(t, "\\s+", "")).cast("double"), col("q_tokens")))
+      .withColumn("punct_ratio", over(col("q_punct").cast("double"), col("q_chars")))
       .withColumn("stopword_ratio",
-        stopwordCount(t).cast("double") / col("q_tokens"))
+        over(stopwordCount(t).cast("double"), col("q_tokens")))
   }
 
   /** DuckDB mirror of [[stopwordCount]]. */
@@ -286,7 +293,10 @@ object TextStats {
     // the previous one
     val n = size(toks)
     val starts = sequence(lit(1), greatest(lit(1), n - stride), lit(stride))
-    df.select(col(idCol).as("id"), toks.as("__t"), n.as("__n"),
+    // NULL text produces no chunks (without the filter, NULL's size(-1)
+    // and a NULL token array leak one nonsense chunk row)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), toks.as("__t"), n.as("__n"),
         posexplode(starts).as(Seq("chunk_idx", "start_token")))
       .select(col("id"), col("chunk_idx"), col("start_token"),
         least(lit(chunkTokens), col("__n") - col("start_token") + 1).as("n_tokens"),

@@ -18,6 +18,47 @@ object Vectors {
   /** Promote an array<float> column to array<double> (exact). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Embedding validity envelope: L2 norm (computed in double) must land
+    * in [[NormFloor]], [[NormCeil]]]. One predicate subsumes every
+    * degenerate-vector class a raw 100 TB corpus ships:
+    *   - NaN/Inf elements → dot(v,v) is NaN/Inf → both comparisons false;
+    *   - zero vectors → norm 0 < floor (cosine would divide by zero);
+    *   - underflow-scale vectors (|x| ~ 1e-30) → norm below floor (their
+    *     pairwise dots underflow to 0 → 0/0 NaN similarities);
+    *   - corrupt huge-magnitude vectors (|x| ~ 1e18) → norm above ceil
+    *     (they overflow the exact-decimal audit paths, e.g. round(x²,12)
+    *     into DECIMAL(28,12), and long-cast content fingerprints).
+    * NaN comparison semantics agree across engines here: Spark orders NaN
+    * greater than any value (so `NaN <= ceil` is false) and DuckDB does
+    * the same — the predicate is false for NaN norms on both. Valid
+    * duplicates, antipodes, and zero-variance vectors PASS — similarity
+    * operators must handle those, and the adversarial fixture keeps them.
+    */
+  val NormFloor = 1e-6
+  val NormCeil = 1e6
+
+  /** L2 norm of a float/double array column, accumulated in double. */
+  def l2norm(v: Column): Column = {
+    val d = asDouble(v)
+    sqrt(call_function("graft_dot", d, d))
+  }
+
+  /** The validity predicate (see [[NormFloor]]). */
+  def isValidEmbedding(v: Column): Column =
+    l2norm(v).between(NormFloor, NormCeil)
+
+  /** Gate a frame to valid embeddings — the mandatory pre-filter of every
+    * similarity/centroid/quantization operator in the catalog. A map-side
+    * scan filter: no shuffle, and invalid rows never reach the O(n²)/agg
+    * machinery. */
+  def validEmbeddings(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(isValidEmbedding(col(vecCol)))
+
+  /** DuckDB mirror of [[isValidEmbedding]] as a WHERE-clause snippet. */
+  def sqlValidEmbedding(expr: String): String =
+    s"sqrt(list_dot_product(CAST($expr AS DOUBLE[]), CAST($expr AS DOUBLE[]))) " +
+      s"BETWEEN $NormFloor AND $NormCeil"
+
   /** Sequential-order dot product of two array<double> columns — the
     * native codegen'd [[graft.functions.DotProduct]] expression (requires
     * [[graft.GraftFunctions.register]] / GraftExtensions on the session;

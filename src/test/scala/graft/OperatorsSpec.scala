@@ -57,6 +57,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("Vectors.validEmbeddings gates every degenerate-vector class, keeps valid ones") {
+    val df = Seq(
+      (0L, Array(0.6f, 0.8f)),                        // valid, unit norm
+      (1L, Array(0.6f, 0.8f)),                        // exact duplicate: valid
+      (2L, Array(-0.6f, -0.8f)),                      // antipode: valid
+      (3L, Array(0.5f, 0.5f)),                        // zero variance: valid
+      (4L, Array(0.0f, 0.0f)),                        // zero norm: out
+      (5L, Array(1.0e18f, 1.0e18f)),                  // corrupt magnitude: out
+      (6L, Array(1.0e-30f, 1.0e-30f)),                // underflow scale: out
+      (7L, Array(Float.NaN, 1.0f)),                   // NaN poison: out
+      (8L, Array(Float.PositiveInfinity, 0.0f)),      // Inf poison: out
+      (9L, Array(1.0e30f, 0.0f))                      // finite but > ceil: out
+    ).toDF("vec_id", "embedding")
+    val kept = Vectors.validEmbeddings(df, "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L))
+  }
+
   test("Vectors.bruteForceKnn finds the exact nearest vector") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f)),

@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# Data-shape robustness row: the invariance matrix's DATA axis.
+# tools/invariance.sh re-runs the catalog under hostile EXECUTION configs;
+# this script re-runs it over hostile DATA — an adversarial derivative of a
+# testdata directory (tools/gen_adversarial.py: empty/whitespace/NULL
+# documents, sub-shingle-width docs, exact-duplicate clusters, a 40k-char
+# repetition bomb, emoji/CJK/RTL/combining-accent text, zero-norm /
+# NaN-free-but-degenerate embeddings, duplicate vectors). Every query and
+# its DuckDB oracle read the SAME derived parquet, so the sweep stays a
+# valid differential test: any mismatch is a real edge-case divergence
+# (NULL ordering, empty-token handling, float underflow, NaN comparison
+# semantics), invisible on the clean generator output.
+#
+# First run (r8) found 15: ANSI divide-by-zero on empty docs (q24),
+# decimal/long overflow on 1e18-magnitude vectors (q36/q63/q73/q173),
+# NaN-vs-NULL cosine divergence on zero-norm vectors (q25/q30/q34/q176/
+# q180), NULL-text hash/chunk semantics (q29/q32/q56), concat_ws-vs-||
+# NULL key folding (q160), and NaN sign comparison on zero-norm prefixes
+# (q285). Fixed via the embedding validity gate (Vectors.validEmbeddings
+# + sqlValidEmbedding in every similarity/centroid/quantization query's
+# BOTH sides) and explicit NULL/empty-input contracts.
+#
+# Usage: tools/adversarial.sh [baseSfDir]   (default /root/testdata/sf0.001)
+set -eu
+BASE=${1:-/root/testdata/sf0.001}
+ADV=/tmp/sfadv
+OUT=/tmp/advout
+python3 tools/gen_adversarial.py "$BASE" "$ADV"
+sbt -batch "runMain graft.Verify $ADV $OUT" > /tmp/adv_verify.log 2>&1 \
+  || { echo "VERIFY FAILED (see /tmp/adv_verify.log)"; exit 1; }
+python3 tools/compare.py "$OUT" "$ADV" | tail -1

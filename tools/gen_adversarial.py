@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Data-shape robustness fixture: derive an ADVERSARIAL copy of a testdata
+scale-factor directory. The execution-environment invariance matrix
+(tools/invariance.sh) re-runs the catalog under hostile EXECUTION configs;
+this tool attacks the other axis — hostile DATA. A 100 TB web corpus is
+not TPC-H-shaped: it has empty and whitespace-only documents, docs below
+the shingle width, exact-duplicate clusters, 40k-char repetition bombs,
+emoji/CJK/RTL/combining-accent text, NULL fields, zero-norm and
+denormal-magnitude embeddings, duplicate vectors. Every catalog query and
+its DuckDB oracle read the SAME parquet files, so the sweep stays a valid
+differential test on the derived directory: any hash mismatch is a real
+edge-case divergence (NULL ordering, empty-shingle-set handling, float
+underflow, tie nondeterminism), invisible on the clean generator output.
+
+Usage: python3 tools/gen_adversarial.py [baseSfDir] [outDir]
+  defaults: /root/testdata/sf0.001 /tmp/sfadv
+Unmodified tables are symlinked; documents/embeddings get appended rows
+with fresh ids. Fully deterministic — no RNG anywhere.
+"""
+import os
+import sys
+import unicodedata
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfadv"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def adversarial_documents(tbl: pa.Table) -> pa.Table:
+    max_id = max(tbl.column("doc_id").to_pylist())
+    texts0 = tbl.column("text").to_pylist()
+    rows = []  # (text, lang, source)
+    # --- degenerate lengths: below any shingle/k-gram width ---
+    rows.append(("", "en", "srcadv"))
+    rows.append(("   \n\t  ", "en", "srcadv"))
+    rows.append(("a", "en", "srcadv"))
+    rows.append(("ab", "fr", "srcadv"))
+    rows.append(("!!! ??? ... ;;; :::", "de", "srcadv"))
+    rows.append(("1234567890 0987654321", "es", "srcadv"))
+    # --- exact-duplicate cluster of an ORIGINAL doc (sizes the clusters
+    # the dedup family must agree on: original + 2 copies = 3) ---
+    rows.append((texts0[0], "es", "src0"))
+    rows.append((texts0[0], "es", "srcadv"))
+    # --- identical new pair (duplicate text that exists ONLY here) ---
+    dup = "duplicate pair adversarial row spark filter join window sort"
+    rows.append((dup, "en", "srcadv"))
+    rows.append((dup, "en", "src1"))
+    # --- near-duplicate of an original: one character changed ---
+    rows.append((texts0[1][:-1] + ("x" if texts0[1][-1] != "x" else "y"),
+                 "zh", "srcadv"))
+    # --- repetition bomb: one sentence repeated to ~40k chars ---
+    rows.append(("the quick spark row scans the fast table. " * 1000,
+                 "en", "srcadv"))
+    # --- unicode battery ---
+    rows.append(("数据 engine 🚀🚀 データ 分析 café naïve übergroß",
+                 "zh", "srcadv"))
+    rows.append(("مرحبا بالعالم هذا نص عربي واختبار", "xx", "srcadv"))
+    rows.append((unicodedata.normalize("NFD", "café résumé naïve"),
+                 "fr", "srcadv"))
+    rows.append(("word word word　word", "en", "srcadv"))
+    rows.append(("THE Fast KEY order SORT table SCAN merge", "en", "src0"))
+    # --- line-ending / control chars ---
+    rows.append(("line1\r\nline2\r\nline3\r\n", "de", "srcadv"))
+    rows.append(("a\nb\nc\nd\ne\nf\ng\nh\ni\nj\n", "es", "srcadv"))
+    # --- NULLs: missing text; missing lang ---
+    rows.append((None, "en", "srcadv"))
+    rows.append(("null language adversarial document row", None, "srcadv"))
+    ids = list(range(max_id + 1, max_id + 1 + len(rows)))
+    adv = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[0]) if r[0] is not None else None
+                             for r in rows], pa.int64()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_embeddings(tbl: pa.Table) -> pa.Table:
+    max_id = max(tbl.column("vec_id").to_pylist())
+    vec0 = tbl.column("embedding").to_pylist()[0]
+    lab0 = tbl.column("label").to_pylist()[0]
+    dim = len(vec0)
+    rows = []  # (vec, label)
+    rows.append(([0.0] * dim, 0))                      # zero norm
+    rows.append((list(vec0), lab0))                    # exact duplicate
+    rows.append(([-x for x in vec0], (lab0 + 1) % 10))  # antipode
+    rows.append(([1.0e18] * dim, 1))                   # huge magnitude
+    rows.append(([1.0e-30] * dim, 2))                  # float-underflow dots
+    rows.append(([0.0] * (dim // 2) + [1.0] * (dim - dim // 2), 3))
+    rows.append(([0.5] * dim, 4))                      # zero variance
+    ids = list(range(max_id + 1, max_id + 1 + len(rows)))
+    adv = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r[0] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[1] for r in rows], pa.int32()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if os.path.lexists(dst):
+            os.remove(dst)
+        if t == "documents":
+            pq.write_table(adversarial_documents(pq.read_table(src)), dst)
+        elif t == "embeddings":
+            pq.write_table(adversarial_embeddings(pq.read_table(src)), dst)
+        else:
+            os.symlink(src, dst)
+    d = pq.read_table(os.path.join(OUT, "documents.parquet"))
+    e = pq.read_table(os.path.join(OUT, "embeddings.parquet"))
+    print(f"wrote {OUT}: documents {d.num_rows} rows "
+          f"(+{d.num_rows - pq.read_metadata(os.path.join(BASE, 'documents.parquet')).num_rows}), "
+          f"embeddings {e.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
