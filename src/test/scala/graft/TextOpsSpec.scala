@@ -181,7 +181,16 @@ class TextOpsSpec extends SparkSpec {
     // whitespace, exactly-k-length strings)
     val edges = Seq("", "a", "  spaced   out  ", "héllo wörld €uro",
       "emoji 😀 pair", "abcdefgh", "abcdefg",
-      "same same same", "tab\tand\nnewline sep").toDF("text")
+      "same same same", "tab\tand\nnewline sep",
+      // adversarial-fixture classes (tools/gen_adversarial.py): NULL text,
+      // NFD combining accents, CRLF line endings, ideographic space, RTL
+      // script, and a repetition bomb long enough to cross buffer sizes
+      null,
+      java.text.Normalizer.normalize("café résumé",
+        java.text.Normalizer.Form.NFD),
+      "line1\r\nline2\r\nline3\r\n",
+      "word word word　word", "مرحبا بالعالم هذا نص",
+      "the quick spark row scans the fast table. " * 1000).toDF("text")
     val docs = graft.sources.Tables.load(spark, sf(), "documents").select("text")
     for (df <- Seq(edges, docs)) {
       val cmp = df.select(
