@@ -333,7 +333,12 @@ private[graft] trait Catalog1 extends CatalogBase {
     "q17_json_extract" -> Q(
       build = (s, dir) =>
         table(s, dir, "events")
-          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          // try_cast: a syntactically-valid payload whose k is not an
+          // integer must degrade to NULL like the malformed-JSON case
+          // (ANSI cast would kill the job); get_json_object itself
+          // already NULLs malformed JSON
+          .withColumn("k",
+            expr("try_cast(get_json_object(props, '$.k') AS INT)"))
           .groupBy(col("event_type"))
           .agg(
             count(col("k")).as("n_k"),
@@ -341,12 +346,20 @@ private[graft] trait Catalog1 extends CatalogBase {
             (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
           .orderBy(col("event_type")),
       oracle = Some("""
+        WITH j AS (
+          -- malformed payloads extract to NULL, mirroring Spark's
+          -- get_json_object (DuckDB's json_extract_string THROWS on
+          -- malformed input without the json_valid guard)
+          SELECT event_type,
+            CASE WHEN json_valid(props)
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+            END AS k
+          FROM events)
         SELECT event_type,
-          count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_k,
-          CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-          CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-            / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k
-        FROM events
+          count(k) AS n_k,
+          CAST(sum(k) AS BIGINT) AS sum_k,
+          CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        FROM j
         GROUP BY event_type
         ORDER BY event_type""")),
 
@@ -1884,7 +1897,7 @@ private[graft] trait Catalog1 extends CatalogBase {
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
         FROM (SELECT *, row_number() OVER (
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-              FROM events)
+              FROM events WHERE user_id IS NOT NULL)
         WHERE rn = 1
         ORDER BY user_id""")),
 
@@ -1899,9 +1912,10 @@ private[graft] trait Catalog1 extends CatalogBase {
       build = (s, dir) => ntzOut(graft.streaming.BoundedRuns.emittedSessions(s, dir)),
       oracle = Some("""
         WITH lagged AS (
+          -- keyed-operator contract: per-user session state needs the key
           SELECT user_id, event_id, ts,
             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         flagged AS (
           SELECT user_id, event_id, ts,
             CASE WHEN prev_ts IS NULL
@@ -1918,7 +1932,8 @@ private[graft] trait Catalog1 extends CatalogBase {
             min(ts) AS session_start, max(ts) AS session_end
           FROM numbered
           GROUP BY user_id, session_seq),
-        wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w FROM events)
+        wm AS (SELECT max(epoch_us(ts)) - 1800000000 AS w
+               FROM events WHERE user_id IS NOT NULL)
         SELECT user_id, session_seq, n_events, session_start, session_end
         FROM sess, wm
         WHERE session_seq < (SELECT max(session_seq) FROM sess s2
@@ -2408,7 +2423,14 @@ private[graft] trait Catalog1 extends CatalogBase {
       // cardinalities differ per type, so each group exercises its own
       // registers.
       build = (s, dir) => {
+        // user_id IS NOT NULL: the counted entity is the user-day, and a
+        // NULL user is no entity — exactly what count(DISTINCT user_id)
+        // semantics do. Without the filter, concat_ws would SKIP the
+        // NULL (folding it onto a date-only key) while the oracle's ||
+        // nulls the whole key, and the even/odd sketch split would drop
+        // the rows the exact count kept.
         val base = table(s, dir, "events")
+          .filter(col("user_id").isNotNull)
           .select(col("event_type").as("g"), col("user_id"),
             concat_ws("#", col("user_id"), col("ts").cast("date")).as("key"))
         val hist = Hll.sketch(base.filter(col("user_id") % 2 === 0), Seq("g"), "key")
@@ -2424,12 +2446,12 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("event_type"))
       },
       oracle = Some(s"""
-        WITH ${Hll.sqlSketchCtes("SELECT event_type AS g, user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key FROM events")},
+        WITH ${Hll.sqlSketchCtes("SELECT event_type AS g, user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key FROM events WHERE user_id IS NOT NULL")},
         ex AS (
           SELECT event_type AS g,
             count(DISTINCT user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR))
               AS n_exact
-          FROM events GROUP BY 1)
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1)
         SELECT e.g AS event_type, x.n_exact, e.occupied, e.zeros,
           e.s_scaled, e.hll_est,
           round(abs(e.hll_est - x.n_exact) / x.n_exact * 100.0, 2) AS err_pct

@@ -416,7 +416,11 @@ private[graft] trait Catalog2 extends CatalogBase {
       // user-day activity sets differ per type, so the estimates carry
       // real per-pair signal.
       build = (s, dir) => {
+        // user_id IS NOT NULL: same entity contract as q93 — a NULL user
+        // is no audience member (count-DISTINCT semantics), and the
+        // concat_ws-vs-|| NULL asymmetry would otherwise diverge
         val ev = table(s, dir, "events")
+          .filter(col("user_id").isNotNull)
           .select(col("event_type").as("g"),
             concat_ws("#", col("user_id"), col("ts").cast("date")).as("key"))
         val est = Kmv.intersectEstimates(Kmv.sketch(ev, "g", "key"), "g")
@@ -432,10 +436,10 @@ private[graft] trait Catalog2 extends CatalogBase {
           .orderBy(col("g_a"), col("g_b"))
       },
       oracle = Some(s"""
-        WITH ${Kmv.sqlCtes("SELECT event_type AS g, user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key FROM events")},
+        WITH ${Kmv.sqlCtes("SELECT event_type AS g, user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key FROM events WHERE user_id IS NOT NULL")},
         ex AS (SELECT DISTINCT event_type AS g,
           user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS key
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         exi AS (
           SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_inter_exact
           FROM ex a JOIN ex b ON a.key = b.key AND a.g < b.g
@@ -487,9 +491,12 @@ private[graft] trait Catalog2 extends CatalogBase {
           gapSeconds = 1800L, k = 20),
       oracle = Some("""
         WITH lagged AS (
+          -- mirrors Sequences.topPaths: only typed, attributable events
+          -- can contribute path steps
           SELECT user_id, event_id, ts, event_type,
             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-          FROM events),
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
         numbered AS (
           SELECT user_id, ts, event_id, event_type,
             sum(CASE WHEN prev_ts IS NULL

@@ -1992,13 +1992,20 @@ private[graft] trait Catalog3 extends CatalogBase {
       // packing.
       build = (s, dir) => {
         val target = 4096L
+        // NULL-field handling: a compaction planner counts EVERY row's
+        // bytes (coalesce on both variable-width fields), and unattributed
+        // events still occupy a file — user_id coalesces to the -1
+        // sentinel "file" so ordk stays a TOTAL order (a NULL ordk would
+        // sort NULLS FIRST in Spark but NULLS LAST in SQL, silently
+        // shifting every bucket boundary after it)
         val files = table(s, dir, "events")
-          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .groupBy(coalesce(col("user_id"), lit(-1L)).as("u"),
+            to_date(col("ts")).as("d"))
           .agg(sum(lit(32) + coalesce(length(col("props")), lit(0))
-            + length(col("event_type"))).as("bytes"))
+            + coalesce(length(col("event_type")), lit(0))).as("bytes"))
           .withColumn("ordk",
             datediff(col("d"), lit("1970-01-01")).cast("long") * 1000
-              + col("user_id"))
+              + col("u"))
         val ranked = PrefixSum.running(files, "ordk", "ordk", "bytes",
             descending = false)
           .withColumn("bucket",
@@ -2018,13 +2025,13 @@ private[graft] trait Catalog3 extends CatalogBase {
       },
       oracle = Some("""
         WITH files AS (
-          SELECT user_id, CAST(ts AS DATE) AS d,
-            CAST(sum(32 + coalesce(len(props), 0) + len(event_type))
-              AS BIGINT) AS bytes
+          SELECT coalesce(user_id, -1) AS u, CAST(ts AS DATE) AS d,
+            CAST(sum(32 + coalesce(len(props), 0)
+              + coalesce(len(event_type), 0)) AS BIGINT) AS bytes
           FROM events GROUP BY 1, 2),
         ordf AS (
           SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
-              * 1000 + user_id AS ordk,
+              * 1000 + u AS ordk,
             bytes
           FROM files),
         run AS (
@@ -2137,6 +2144,9 @@ private[graft] trait Catalog3 extends CatalogBase {
         val w = Window.partitionBy(col("user_id"), col("event_type"))
           .orderBy(col("ts"), col("event_id"))
         table(s, dir, "events")
+          // keyed-operator contract (mirrors the shared oracle): the
+          // debounce key is (user_id, event_type)
+          .filter(col("user_id").isNotNull && col("event_type").isNotNull)
           .withColumn("gap_us",
             unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
               .over(w))

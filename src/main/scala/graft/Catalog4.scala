@@ -404,7 +404,11 @@ private[graft] trait Catalog4 extends CatalogBase {
       // oracle states the long form directly — the round-trip through
       // the map is the Spark-side property under test.
       build = (s, dir) => {
+        // event_type IS NOT NULL: Spark forbids NULL map keys
+        // (NULL_MAP_KEY) — the battery maps TYPED activity; the oracle
+        // carries the same predicate
         val counts = table(s, dir, "events")
+          .filter(col("event_type").isNotNull)
           .groupBy(col("user_id"), col("event_type"))
           .agg(count(lit(1)).as("n"))
         val maps = counts.groupBy(col("user_id"))
@@ -429,6 +433,7 @@ private[graft] trait Catalog4 extends CatalogBase {
             THEN 1 END), 0) AS BIGINT) AS n_refund,
           count(*) AS n_total
         FROM events
+        WHERE event_type IS NOT NULL
         GROUP BY user_id
         ORDER BY user_id""")),
 
@@ -1949,10 +1954,15 @@ private[graft] trait Catalog4 extends CatalogBase {
           - col("sy").cast("double") * col("sy").cast("double") / nD)
           ./(nD - lit(1.0))
         val disp = varS / mean
+        // sample variance (and thus D, z) is undefined for a single
+        // observed day: explicit NULL instead of an ANSI 0-divide error
+        // (a sparse event type with one active day is normal raw data)
+        val defined = col("n_days") > 1
         m.select(col("event_type"), col("n_days"),
             round(mean, 6).as("mean_daily"),
-            round(disp, 6).as("dispersion_index"),
-            round((disp - lit(1.0)) * sqrt((nD - lit(1.0)) / lit(2.0)), 6)
+            when(defined, round(disp, 6)).as("dispersion_index"),
+            when(defined, round((disp - lit(1.0))
+              * sqrt((nD - lit(1.0)) / lit(2.0)), 6))
               .as("z_overdispersion"))
           .orderBy(col("event_type"))
       },
@@ -1968,17 +1978,19 @@ private[graft] trait Catalog4 extends CatalogBase {
         SELECT event_type, n_days,
           round(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
             AS mean_daily,
-          round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-              * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
-            / (CAST(n_days AS DOUBLE) - 1.0))
-            / (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
-            AS dispersion_index,
-          round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-              * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
-            / (CAST(n_days AS DOUBLE) - 1.0))
-            / (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) - 1.0)
-            * sqrt((CAST(n_days AS DOUBLE) - 1.0) / 2.0), 6)
-            AS z_overdispersion
+          CASE WHEN n_days > 1 THEN
+            round(((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+              / (CAST(n_days AS DOUBLE) - 1.0))
+              / (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)), 6)
+          END AS dispersion_index,
+          CASE WHEN n_days > 1 THEN
+            round((((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))
+              / (CAST(n_days AS DOUBLE) - 1.0))
+              / (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) - 1.0)
+              * sqrt((CAST(n_days AS DOUBLE) - 1.0) / 2.0), 6)
+          END AS z_overdispersion
         FROM m ORDER BY event_type""")),
 
     "q239_fd_audit" -> Q(

@@ -2106,10 +2106,11 @@ private[graft] trait Catalog5 extends CatalogBase {
         graft.streaming.BoundedRuns.emittedScd2(s, dir)),
       oracle = Some("""
         WITH chg AS (
+          -- keyed-operator contract: the dimension key is user_id
           SELECT user_id, ts, event_id, event_type,
             lag(event_type) OVER (
               PARTITION BY user_id ORDER BY ts, event_id) AS prev
-          FROM events),
+          FROM events WHERE user_id IS NOT NULL),
         f AS (SELECT * FROM chg WHERE prev IS DISTINCT FROM event_type),
         scd AS (
           SELECT user_id, event_type, ts AS effective_from,
@@ -2370,13 +2371,20 @@ private[graft] trait Catalog5 extends CatalogBase {
       // independent. Single bounded output row.
       build = (s, dir) => {
         val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        // user_id IS NOT NULL: a unit with no identity has no arm (and
+        // NULL % 2 would silently land in different arms across engines —
+        // Spark's grouping makes a NULL cell, SQL's CASE ELSE puts it in
+        // control); value IS NOT NULL via count(v): n must count observed
+        // OUTCOMES, not rows, or the cell mean is computed over phantom
+        // observations
         val cells = table(s, dir, "events")
-          .filter(col("event_type") === "purchase")
+          .filter(col("event_type") === "purchase"
+            && col("user_id").isNotNull)
           .select((col("user_id") % 2 === 0).cast("long").as("treated"),
             (col("ts") >= cut).cast("long").as("post"),
             col("value").cast("decimal(18,6)").as("v"))
           .groupBy(col("treated"), col("post"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          .agg(count(col("v")).as("n"), sum(col("v")).as("sv"),
             sum(col("v") * col("v")).cast("decimal(38,12)").as("svv"))
           .select(col("treated"), col("post"), col("n"),
             col("sv").cast("double").as("sv"),
@@ -2415,12 +2423,13 @@ private[graft] trait Catalog5 extends CatalogBase {
           SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
               THEN 1 ELSE 0 END AS post,
-            count(*) AS n,
+            count(value) AS n,
             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
               * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12))
               AS DOUBLE) AS svv
-          FROM events WHERE event_type = 'purchase'
+          FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
           GROUP BY 1, 2),
         one AS (
           SELECT

@@ -420,11 +420,15 @@ private[graft] trait CatalogBase {
     * (`lazy` is load-bearing — referenced from `all`). */
   protected lazy val debounceOracle: String = """
     WITH g AS (
+      -- keyed-operator contract: the debounce key is (user_id,
+      -- event_type); unattributable events are out of scope on both the
+      -- batch and streaming sides
       SELECT event_type,
         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
           PARTITION BY user_id, event_type
           ORDER BY ts, event_id) AS gap_us
-      FROM events)
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
     SELECT event_type, count(*) AS n_total,
       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 3600000000
         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

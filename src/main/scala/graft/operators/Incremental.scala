@@ -39,15 +39,24 @@ object Incremental {
 
   /** state(A) ⊕ state(B): full-outer on the keys — a key present in only
     * one side keeps its state verbatim (coalesce for the additive parts;
-    * `least`/`greatest` already skip NULL operands). */
+    * `least`/`greatest` already skip NULL operands).
+    *
+    * Key joins are NULL-SAFE (`<=>`): [[aggState]]'s groupBy puts all
+    * NULL-key rows in ONE group, so the state algebra must treat NULL
+    * keys as equal too — with plain `=` a NULL-key group would never
+    * merge with (or retract from) its own state row, silently breaking
+    * merge(state(A), state(B)) = state(A ∪ B) on raw data with
+    * unattributed keys. */
   def merge(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
     val stateCols = Seq("st_n", "st_sum", "st_min", "st_max")
     require(stateCols.forall(a.columns.contains) &&
       stateCols.forall(b.columns.contains),
       "merge expects two aggState frames")
-    val bb = stateCols.foldLeft(b)((df, c) => df.withColumnRenamed(c, s"d_$c"))
-    a.join(bb, keyCols, "full_outer")
-      .select(keyCols.map(col) ++ Seq(
+    val bb = (stateCols ++ keyCols).foldLeft(b)((df, c) =>
+      df.withColumnRenamed(c, s"d_$c"))
+    val cond = keyCols.map(k => col(k) <=> col(s"d_$k")).reduce(_ && _)
+    a.join(bb, cond, "full_outer")
+      .select(keyCols.map(k => coalesce(col(k), col(s"d_$k")).as(k)) ++ Seq(
         (coalesce(col("st_n"), lit(0L)) + coalesce(col("d_st_n"), lit(0L)))
           .as("st_n"),
         // both-NULL stays NULL (SQL: sum over zero non-null values), so a
@@ -77,17 +86,24 @@ object Incremental {
     * typically an anti-join on the row id). */
   def retract(state: DataFrame, deletes: DataFrame, survivors: DataFrame,
       keyCols: Seq[String], valCol: String): DataFrame = {
+    // all key joins null-safe, same reason as in [[merge]]
     val del = aggState(deletes, keyCols, valCol)
-    val touched = del.select(keyCols.map(col): _*)
-    val rec = aggState(
-        survivors.join(touched, keyCols, "left_semi"), keyCols, valCol)
+    val touched = keyCols.foldLeft(del.select(keyCols.map(col): _*))(
+      (df, k) => df.withColumnRenamed(k, s"t_$k"))
+    val semiCond = keyCols.map(k => col(k) <=> col(s"t_$k")).reduce(_ && _)
+    val rec0 = aggState(
+        survivors.join(touched, semiCond, "left_semi"), keyCols, valCol)
       .select(keyCols.map(col) ++ Seq(lit(true).as("r_present"),
         col("st_min").as("r_min"), col("st_max").as("r_max")): _*)
-    val dd = Seq("st_n", "st_sum", "st_min", "st_max")
+    val rec = keyCols.foldLeft(rec0)((df, k) =>
+      df.withColumnRenamed(k, s"r_$k"))
+    val dd = (Seq("st_n", "st_sum", "st_min", "st_max") ++ keyCols)
       .foldLeft(del)((df, c) => df.withColumnRenamed(c, s"d_$c"))
     val sumType = state.schema("st_sum").dataType
     val newN = col("st_n") - coalesce(col("d_st_n"), lit(0L))
-    state.join(dd, keyCols, "left").join(rec, keyCols, "left")
+    val dCond = keyCols.map(k => col(k) <=> col(s"d_$k")).reduce(_ && _)
+    val rCond = keyCols.map(k => col(k) <=> col(s"r_$k")).reduce(_ && _)
+    state.join(dd, dCond, "left").join(rec, rCond, "left")
       .withColumn("touched", col("d_st_n").isNotNull)
       // a touched key survives iff the pruned recount saw it (this also
       // keeps NULL-measure-only keys, which st_n — a non-null count —

@@ -35,10 +35,18 @@ object Sequences {
 
   /** Top-k most frequent session paths: each gap-bounded session's ordered
     * token sequence joined into one `path` string, counted, heaviest
-    * first (ties broken on the path text — the top-k cut is total). */
+    * first (ties broken on the path text — the top-k cut is total).
+    *
+    * Rows with a NULL token or NULL user are excluded BEFORE
+    * sessionizing: a step with no token cannot appear in a path, and
+    * leaving it in diverges across engines (Spark's array_join renders an
+    * all-NULL session as '' where SQL string_agg yields NULL) — the
+    * untyped row also shouldn't silently extend a session's gap chain. */
   def topPaths(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, tokCol: String, gapSeconds: Long, k: Int): DataFrame = {
-    val se = Sessionize.withSessionSeq(events, userCol, tsCol, idCol, gapSeconds)
+    val se = Sessionize.withSessionSeq(
+      events.filter(col(userCol).isNotNull && col(tokCol).isNotNull),
+      userCol, tsCol, idCol, gapSeconds)
     se.groupBy(col(userCol), col("session_seq"))
       .agg(array_join(
         transform(

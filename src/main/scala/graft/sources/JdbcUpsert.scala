@@ -151,7 +151,19 @@ object JdbcUpsert {
           if (inBatch > 0) stmt.executeBatch()
           conn.commit()
           stmt.close()
-        } finally conn.close()
+        } catch {
+          case t: Throwable =>
+            // roll the open transaction back before close: Derby (and
+            // other embedded engines) refuse to close a connection with
+            // an active transaction, and that close() error would MASK
+            // the real failure (first seen when a MERGE hit a NULL key
+            // mid-batch — the task retry loop then reported the close
+            // error instead of the constraint violation)
+            try conn.rollback() catch { case _: Exception => () }
+            throw t
+        } finally {
+          conn.close()
+        }
       }
     }
   }

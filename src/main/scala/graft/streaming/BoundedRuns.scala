@@ -73,7 +73,10 @@ object BoundedRuns {
     */
   def upsertEndState(spark: SparkSession, dir: String, nFiles: Int = 4): DataFrame = {
     val work = freshDir("upsert-")
+    // keyed operator: the upsert key is user_id (a PRIMARY KEY in the
+    // target table) — unattributable events cannot be upserted by key
     val staged = eventCols(spark, dir)
+      .filter(col("user_id").isNotNull)
       .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
       .select(col("user_id"), col("event_id"), col("ts_us"),
         col("event_type"), col("value"))
@@ -222,8 +225,12 @@ object BoundedRuns {
   def emittedSessions(spark: SparkSession, dir: String,
       gapSeconds: Long = 1800L, watermarkDelay: String = "30 minutes"): DataFrame = {
     import spark.implicits._
+    // keyed operator: sessions are per-user state — NULL user_id rows are
+    // unattributable (and unencodable as the primitive key); the q75
+    // oracle carries the same predicate
     runEmitted(spark, dir,
-      df => EventStreams.sessionize(df.as[EventStreams.Event], gapSeconds,
+      df => EventStreams.sessionize(df.filter(col("user_id").isNotNull)
+        .as[EventStreams.Event], gapSeconds,
         watermarkDelay).toDF(),
       "sessions-")
       .select(col("user_id"), col("session_seq"), col("n_events"),
@@ -239,8 +246,12 @@ object BoundedRuns {
   def emittedDebounce(spark: SparkSession, dir: String,
       gapUs: Long, watermarkDelay: String = "30 minutes"): DataFrame = {
     import spark.implicits._
+    // keyed operator: the debounce key is (user_id, event_type) — both
+    // must exist; the shared q194/q201 oracle carries the same predicate
     runEmitted(spark, dir,
-      df => EventStreams.debounce(df.as[EventStreams.Event], gapUs,
+      df => EventStreams.debounce(df.filter(col("user_id").isNotNull
+          && col("event_type").isNotNull)
+        .as[EventStreams.Event], gapUs,
         watermarkDelay).toDF(),
       "debounce-")
   }
@@ -414,8 +425,11 @@ object BoundedRuns {
   def emittedScd2(spark: SparkSession, dir: String,
       watermarkDelay: String = "30 minutes"): DataFrame = {
     import spark.implicits._
+    // keyed operator: the dimension key is user_id; the q289 oracle
+    // carries the same predicate
     runEmitted(spark, dir,
-      df => EventStreams.scd2Stream(df.as[EventStreams.Event],
+      df => EventStreams.scd2Stream(df.filter(col("user_id").isNotNull)
+        .as[EventStreams.Event],
         watermarkDelay).toDF(),
       "scd2-")
       .orderBy(col("user_id"), col("effective_from"), col("open_id"))

@@ -24,9 +24,17 @@ import graft.sources.JdbcUpsert
   */
 object EventStreams {
 
-  /** Event row of the `events` table (TESTDATA.md). */
+  /** Event row of the `events` table (TESTDATA.md). `value` is Option:
+    * raw telemetry ships NULL metrics, and a primitive Double field would
+    * make the encoder kill the whole stream on the first such row
+    * (NOT_NULL_ASSERT_VIOLATION) — none of the typed operators read the
+    * metric, they only carry the row. `user_id` stays primitive ON
+    * PURPOSE: the typed operators are entity-KEYED (sessions, debounce,
+    * SCD2), and an event with no entity cannot be keyed — callers filter
+    * to attributable rows first (BoundedRuns does; the matching oracle
+    * carries the same predicate). */
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp,
-      event_type: String, value: Double)
+      event_type: String, value: Option[Double])
 
   /** A closed (or timed-out) session, same shape as the batch
     * [[graft.operators.Sessionize]] output. */

@@ -57,6 +57,28 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(sims(1)) < 1e-12)
   }
 
+  test("Incremental merge/retract treat NULL keys as one group (null-safe joins)") {
+    // aggState's groupBy puts all NULL-key rows in one group, so the
+    // state algebra must too: with plain `=` joins a NULL-key delete
+    // never matched its state row (the erased rows survived silently)
+    val base = Seq((Some(1L), 10L, 5.0), (None, 20L, 7.0), (None, 21L, 3.0))
+      .toDF("k", "id", "v")
+    val deletes = base.filter(col("id") === 20L)
+    val survivors = base.join(deletes.select("id"), Seq("id"), "left_anti")
+    val state = Incremental.aggState(base, Seq("k"), "v")
+    val out = Incremental.retract(state, deletes, survivors, Seq("k"), "v")
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toMap
+    assert(out == Map(Some(1L) -> 1L, None -> 1L),
+      s"retract must subtract from the NULL-key group: ${out.mkString(",")}")
+    // merge: state(A) ⊕ state(B) = state(A ∪ B), NULL keys included
+    val a = Incremental.aggState(base.filter(col("id") =!= 21L), Seq("k"), "v")
+    val b = Incremental.aggState(base.filter(col("id") === 21L), Seq("k"), "v")
+    val merged = Incremental.merge(a, b, Seq("k"))
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toMap
+    assert(merged == Map(Some(1L) -> 1L, None -> 2L),
+      s"merge must fold the NULL-key halves together: ${merged.mkString(",")}")
+  }
+
   test("Vectors.validEmbeddings gates every degenerate-vector class, keeps valid ones") {
     val df = Seq(
       (0L, Array(0.6f, 0.8f)),                        // valid, unit norm

@@ -19,7 +19,7 @@ class ResizeRestartSpec extends SparkSpec {
   private def ev(user: Long, id: Long, minutes: Int) =
     Event(user, id, new java.sql.Timestamp(
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-        + minutes * 60000L), "click", 1.0)
+        + minutes * 60000L), "click", Some(1.0))
 
   private val providers = Seq(
     "default provider" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",

@@ -19,7 +19,7 @@ class StreamingSpec extends SparkSpec {
 
   private def ev(user: Long, id: Long, minutes: Int,
       typ: String = "click", value: Double = 1.0): Event =
-    Event(user, id, ts(minutes), typ, value)
+    Event(user, id, ts(minutes), typ, Some(value))
 
   test("hourlyCounts emits finalized windows once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext

@@ -20,6 +20,15 @@
 # + sqlValidEmbedding in every similarity/centroid/quantization query's
 # BOTH sides) and explicit NULL/empty-input contracts.
 #
+# The events batch (r8, second run) found 13 more: typed-encoder kills on
+# NULL metrics/keys in the streaming twins (q74/q75/q201/q289 — fixed via
+# Option metric + the entity-keyed contract), a masked-rollback bug in
+# JdbcUpsert's error path, a NULL-key IVM algebra bug in Incremental
+# (q277 — plain = joins vs groupBy's NULL-equal grouping), concat_ws /
+# NULL-ordering folds (q93/q105/q108/q192/q293), a throwing oracle on
+# malformed JSON (q17), and an undefined one-observation variance (q238).
+# See COVERAGE.md for the full record.
+#
 # Usage: tools/adversarial.sh [baseSfDir]   (default /root/testdata/sf0.001)
 set -eu
 BASE=${1:-/root/testdata/sf0.001}

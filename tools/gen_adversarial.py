@@ -82,6 +82,61 @@ def adversarial_documents(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, adv])
 
 
+def adversarial_events(tbl: pa.Table) -> pa.Table:
+    """Raw-telemetry edges: timestamp ties, exact window/session-gap
+    boundaries, NULL keys/metrics, full-content duplicates, signed zeros,
+    empty-vs-NULL strings, malformed props JSON. Stays inside the base
+    table's time range so date spines don't change shape; appended ids are
+    fresh. Deliberately NOT included (documented hazards with their own
+    contracts): non-finite / huge metric values (exact-decimal envelope),
+    half-boundary decimals like 1.005 (the round-at-2dp trap), far-future
+    timestamps (spine blowup), NULL event time (streams cannot watermark
+    it — event time is NOT NULL at ingest by contract)."""
+    max_id = max(tbl.column("event_id").to_pylist())
+    ts0 = tbl.column("ts").to_pylist()[0]       # an EXISTING instant
+    u0 = tbl.column("user_id").to_pylist()[0]
+    import datetime as dt
+    mid = dt.datetime(2024, 1, 15, 0, 0, 0)     # exact midnight
+    rows = []  # (ts, user_id, event_type, value, props)
+    # --- same-microsecond ties ---
+    rows.append((ts0, u0, "click", 1.25, '{"k": 1}'))      # ties an ORIGINAL
+    rows.append((ts0, u0, "view", 2.50, '{"k": 2}'))       # three-way tie
+    rows.append((ts0, 3, "click", 1.25, '{"k": 3}'))       # cross-user tie
+    # --- full-content duplicate pair (only event_id differs) ---
+    rows.append((mid.replace(hour=6), 9, "view", 7.77, '{"k": 7}'))
+    rows.append((mid.replace(hour=6), 9, "view", 7.77, '{"k": 7}'))
+    # --- exact session/debounce boundaries: gap == 3600 s (the > vs >=
+    # edge), then one microsecond beyond ---
+    rows.append((mid.replace(hour=10), 9, "click", 1.00, '{"k": 10}'))
+    rows.append((mid.replace(hour=11), 9, "click", 1.00, '{"k": 11}'))
+    rows.append((mid.replace(hour=12, microsecond=1), 9, "click", 1.00,
+                 '{"k": 12}'))
+    # --- exact hour / midnight window boundaries ---
+    rows.append((mid, 8, "purchase", 3.00, '{"k": 20}'))
+    rows.append((mid.replace(hour=1), 8, "purchase", 4.00, '{"k": 21}'))
+    # --- NULL key / metric / payload fields ---
+    rows.append((mid.replace(hour=2), None, "purchase", 5.00, '{"k": 30}'))
+    rows.append((mid.replace(hour=3), 7, None, 6.00, '{"k": 31}'))
+    rows.append((mid.replace(hour=4), 7, "purchase", None, '{"k": 32}'))
+    rows.append((mid.replace(hour=5), 7, "view", 8.00, None))
+    # --- empty-vs-NULL string; malformed JSON payload ---
+    rows.append((mid.replace(hour=7), 6, "", 9.00, '{"k": 40}'))
+    rows.append((mid.replace(hour=8), 6, "click", 10.00, '{not json'))
+    # --- signed zeros (grouping/aggregation must not split ±0.0) ---
+    rows.append((mid.replace(hour=9), 6, "view", 0.0, '{"k": 50}'))
+    rows.append((mid.replace(hour=9, minute=1), 6, "view", -0.0, '{"k": 51}'))
+    ids = list(range(max_id + 1, max_id + 1 + len(rows)))
+    adv = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([r[0] for r in rows]),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([r[4] for r in rows], pa.string()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
 def adversarial_embeddings(tbl: pa.Table) -> pa.Table:
     max_id = max(tbl.column("vec_id").to_pylist())
     vec0 = tbl.column("embedding").to_pylist()[0]
@@ -115,6 +170,8 @@ def main():
             pq.write_table(adversarial_documents(pq.read_table(src)), dst)
         elif t == "embeddings":
             pq.write_table(adversarial_embeddings(pq.read_table(src)), dst)
+        elif t == "events":
+            pq.write_table(adversarial_events(pq.read_table(src)), dst)
         else:
             os.symlink(src, dst)
     d = pq.read_table(os.path.join(OUT, "documents.parquet"))
