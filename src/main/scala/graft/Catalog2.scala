@@ -1209,7 +1209,8 @@ private[graft] trait Catalog2 extends CatalogBase {
         SELECT user_id, count(*) AS n_intervals,
           CAST(sum(w_us) AS BIGINT) AS span_us,
           round(CAST(CAST(sum(CAST(w_us AS DECIMAL(20,0))
-              * CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+              * CAST((CASE WHEN isfinite(value) THEN value END)
+                  AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
             / CAST(CAST(sum(w_us) AS BIGINT) AS DOUBLE), 8) AS tw_avg
         FROM wd GROUP BY user_id
         ORDER BY user_id""")),

@@ -2419,7 +2419,14 @@ private[graft] trait Catalog5 extends CatalogBase {
             + vm("q_c_post", "s_c_post", "n_c_post")), 6).as("se"))
       },
       oracle = Some("""
-        WITH cells AS (
+        WITH fe AS (
+          -- observed outcome = FINITE metric (Spark's decimal cast maps
+          -- NaN/Inf to NULL, so n/sv/svv all skip corrupt rows there)
+          SELECT user_id, ts,
+            (CASE WHEN isfinite(value) THEN value END) AS value
+          FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        cells AS (
           SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
               THEN 1 ELSE 0 END AS post,
@@ -2428,8 +2435,7 @@ private[graft] trait Catalog5 extends CatalogBase {
             CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
               * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12))
               AS DOUBLE) AS svv
-          FROM events
-          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          FROM fe
           GROUP BY 1, 2),
         one AS (
           SELECT

@@ -482,7 +482,9 @@ private[graft] trait Catalog6 extends CatalogBase {
       // running sum so the scan is exact.
       build = (s, dir) => {
         val daily = table(s, dir, "events")
-          .filter(col("event_type") === "click")
+          // finite-observation contract, mirrored by the streaming
+          // twin's dailyValueMoments and both oracles
+          .filter(col("event_type") === "click" && finite(col("value")))
           .groupBy(to_date(col("ts")).as("day"))
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,6)")).as("sv"))
@@ -512,7 +514,8 @@ private[graft] trait Catalog6 extends CatalogBase {
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS day, count(*) AS n,
             sum(CAST(value AS DECIMAL(18,6))) AS sv
-          FROM events WHERE event_type = 'click'
+          FROM events
+          WHERE event_type = 'click' AND isfinite(value)
           GROUP BY 1),
         tot AS (
           SELECT CAST(sum(n) AS BIGINT) AS nt,
@@ -549,7 +552,9 @@ private[graft] trait Catalog6 extends CatalogBase {
       // that calendar-bounded frame (windows allowlisted in PlanSpec).
       build = (s, dir) => {
         val daily = table(s, dir, "events")
-          .filter(col("event_type") === "view")
+          // finite-observation contract (Stable.finite), mirrored by the
+          // streaming twin's dailyArmMoments and both oracles
+          .filter(col("event_type") === "view" && finite(col("value")))
           .select(to_date(col("ts")).as("day"),
             (col("user_id") % 2).cast("long").as("arm"),
             col("value").cast("decimal(18,6)").as("v"))
@@ -596,7 +601,7 @@ private[graft] trait Catalog6 extends CatalogBase {
             sum(CAST(value AS DECIMAL(18,6))) AS sv,
             CAST(sum(CAST(value AS DECIMAL(18,6))
               * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS svv
-          FROM events WHERE event_type = 'view'
+          FROM events WHERE event_type = 'view' AND isfinite(value)
           GROUP BY 1, 2),
         cum AS (
           SELECT day, arm,
@@ -1540,8 +1545,10 @@ private[graft] trait Catalog6 extends CatalogBase {
       // make every diff reproducible; p uses the add-one permutation
       // convention (#{|d_b| >= |d_obs|} + 1) / (B + 1).
       build = (s, dir) => {
+        // finite-observation + identified-unit contract (see q293/q300)
         val peru = table(s, dir, "events")
-          .filter(col("event_type") === "purchase")
+          .filter(col("event_type") === "purchase"
+            && col("user_id").isNotNull && finite(col("value")))
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_u"),
             sum(col("value").cast("decimal(18,6)")).as("s_u"))
@@ -1581,7 +1588,9 @@ private[graft] trait Catalog6 extends CatalogBase {
         WITH peru AS (
           SELECT user_id, count(*) AS n_u,
             sum(CAST(value AS DECIMAL(18,6))) AS s_u
-          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          FROM events WHERE event_type = 'purchase'
+            AND user_id IS NOT NULL AND isfinite(value)
+          GROUP BY 1),
         obs AS (
           SELECT round(
             CAST(sum(CASE WHEN user_id % 2 = 0 THEN s_u END) AS DOUBLE)

@@ -269,8 +269,11 @@ private[graft] trait Catalog7 extends CatalogBase {
       oracle = Some("""
         WITH sizes AS (SELECT unnest([64, 128, 256]) AS bsize),
         blocked AS (
+          -- non-finite metric -> NULL, mirroring Spark's decimal cast
+          -- (the row keeps its block slot; sums skip it on both engines)
           SELECT bsize, event_id,
-            CAST(value AS DECIMAL(14,6)) AS v,
+            CAST((CASE WHEN isfinite(value) THEN value END)
+              AS DECIMAL(14,6)) AS v,
             CAST(floor(event_id / bsize) AS BIGINT) AS chunk
           FROM events CROSS JOIN sizes),
         cum AS (
@@ -345,7 +348,7 @@ private[graft] trait Catalog7 extends CatalogBase {
         WITH daily AS (
           SELECT CAST(ts AS DATE) AS day, count(*) AS n,
             sum(CAST(value AS DECIMAL(18,6))) AS sv
-          FROM events WHERE event_type = 'click'
+          FROM events WHERE event_type = 'click' AND isfinite(value)
             AND CAST(ts AS DATE) + INTERVAL '1 day'
               <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
           GROUP BY 1),
@@ -391,7 +394,7 @@ private[graft] trait Catalog7 extends CatalogBase {
             sum(CAST(value AS DECIMAL(18,6))) AS sv,
             CAST(sum(CAST(value AS DECIMAL(18,6))
               * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS svv
-          FROM events WHERE event_type = 'view'
+          FROM events WHERE event_type = 'view' AND isfinite(value)
             AND CAST(ts AS DATE) + INTERVAL '1 day'
               <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
           GROUP BY 1, 2),

@@ -34,6 +34,14 @@ object Stable {
 
   private def one: Column = lit(1).cast("decimal(3,2)")
 
+  /** TRUE iff `c` is a finite (non-NULL, non-NaN, non-±Inf) double — the
+    * metric-observation predicate of the statistical operators: a corrupt
+    * telemetry double is not an observation, and letting it through
+    * either crashes an exact-decimal cast (oracle side) or silently
+    * skews n-vs-sum bookkeeping. NULL input yields NULL (filtered). */
+  def finite(c: Column): Column =
+    !isnan(c) && abs(c) =!= lit(Double.PositiveInfinity)
+
   /** Finalize an exact decimal aggregate as a stable double. */
   def m2(c: Column): Column = round(c, 2).cast("double")
 
@@ -72,10 +80,25 @@ object Stable {
 
   // --- DuckDB-side mirrors -------------------------------------------------
   // Oracle SQL fragments computing the *identical* exact-decimal pipeline.
+  //
+  // Non-finite metric contract: Spark's double→DECIMAL cast maps NaN/±Inf
+  // to NULL, so a corrupt metric contributes nothing to an exact-decimal
+  // aggregate and an all-corrupt group aggregates to NULL. DuckDB's cast
+  // THROWS instead — every raw-double entry point below guards with
+  // isfinite so the oracle states the same semantics the engine has.
+
+  /** `expr` with non-finite doubles mapped to NULL — the SQL mirror of
+    * Spark's double→DECIMAL cast behavior on NaN/±Inf. Spelled with
+    * isnan + an Infinity compare (NOT DuckDB's isfinite): these helpers
+    * are DUAL-DIALECT — some catalog queries run them through
+    * `spark.sql`, where isfinite does not exist. */
+  def sqlFinite(expr: String): String =
+    s"(CASE WHEN isnan($expr) OR abs($expr) = CAST('Infinity' AS DOUBLE) " +
+      s"THEN NULL ELSE $expr END)"
 
   /** DuckDB mirror of [[msum]]. */
   def sqlMsum(col: String): String =
-    s"CAST(round(sum(CAST($col AS DECIMAL(12,2))),2) AS DOUBLE)"
+    s"CAST(round(sum(CAST(${sqlFinite(col)} AS DECIMAL(12,2))),2) AS DOUBLE)"
 
   /** DuckDB mirror of [[mavg]]. */
   def sqlMavg(col: String): String = s"${sqlMsum(col)} / count($col)"
@@ -94,16 +117,16 @@ object Stable {
 
   /** DuckDB mirror of [[davg]]. */
   def sqlDavg(expr: String): String =
-    s"CAST(round(sum(CAST(($expr) AS DECIMAL(14,8))),6) AS DOUBLE) / count(*)"
+    s"CAST(round(sum(CAST(${sqlFinite(s"($expr)")} AS DECIMAL(14,8))),6) AS DOUBLE) / count(*)"
 
   /** DuckDB mirror of [[dsum]]. */
   def sqlDsum(expr: String): String =
-    s"CAST(round(sum(CAST(($expr) AS DECIMAL(18,6))),4) AS DOUBLE)"
+    s"CAST(round(sum(CAST(${sqlFinite(s"($expr)")} AS DECIMAL(18,6))),4) AS DOUBLE)"
 
   /** DuckDB mirror of [[dsumsq]]. Declared width 19 (not 18): DuckDB
     * multiplies width-18 decimals in their int64 storage and overflows;
     * width 19 forces int128 and yields the exact DECIMAL(38,12) product —
     * numerically identical to Spark's (18,6)→(37,12). */
   def sqlDsumsq(expr: String): String =
-    s"CAST(round(sum(CAST(($expr) AS DECIMAL(19,6)) * CAST(($expr) AS DECIMAL(19,6))),4) AS DOUBLE)"
+    s"CAST(round(sum(CAST(${sqlFinite(s"($expr)")} AS DECIMAL(19,6)) * CAST(${sqlFinite(s"($expr)")} AS DECIMAL(19,6))),4) AS DOUBLE)"
 }

@@ -130,7 +130,9 @@ object EventStreams {
   def dailyValueMoments(events: DataFrame, eventType: String,
       tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .filter(col("event_type") === eventType)
+      // observation = finite metric (Stable.finite): corrupt doubles are
+      // not observations, and they must not split n from sv bookkeeping
+      .filter(col("event_type") === eventType && Stable.finite(col("value")))
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), "1 day"))
       .agg(count(lit(1)).as("n"),
@@ -147,7 +149,8 @@ object EventStreams {
   def dailyArmMoments(events: DataFrame, eventType: String,
       tsCol: String = "ts", watermarkDelay: String = "2 hours"): DataFrame =
     events
-      .filter(col("event_type") === eventType)
+      // same finite-observation contract as [[dailyValueMoments]]
+      .filter(col("event_type") === eventType && Stable.finite(col("value")))
       .withColumn("v", col("value").cast("decimal(18,6)"))
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), "1 day"),

@@ -85,10 +85,12 @@ def adversarial_documents(tbl: pa.Table) -> pa.Table:
 def adversarial_events(tbl: pa.Table) -> pa.Table:
     """Raw-telemetry edges: timestamp ties, exact window/session-gap
     boundaries, NULL keys/metrics, full-content duplicates, signed zeros,
-    empty-vs-NULL strings, malformed props JSON. Stays inside the base
-    table's time range so date spines don't change shape; appended ids are
-    fresh. Deliberately NOT included (documented hazards with their own
-    contracts): non-finite / huge metric values (exact-decimal envelope),
+    empty-vs-NULL strings, malformed props JSON, non-finite metric
+    doubles. Stays inside the base table's time range so date spines
+    don't change shape; appended ids are fresh. Deliberately NOT included
+    (documented hazards with their own contracts): huge-but-finite metric
+    values (the money-decimal envelope — DECIMAL(18,6) bounds the metric
+    domain, like the embedding norm envelope bounds vectors),
     half-boundary decimals like 1.005 (the round-at-2dp trap), far-future
     timestamps (spine blowup), NULL event time (streams cannot watermark
     it — event time is NOT NULL at ingest by contract)."""
@@ -125,6 +127,17 @@ def adversarial_events(tbl: pa.Table) -> pa.Table:
     # --- signed zeros (grouping/aggregation must not split ±0.0) ---
     rows.append((mid.replace(hour=9), 6, "view", 0.0, '{"k": 50}'))
     rows.append((mid.replace(hour=9, minute=1), 6, "view", -0.0, '{"k": 51}'))
+    # --- non-finite / overflow-scale metrics: corrupt telemetry doubles.
+    # The engine's metric contract scrubs non-finite to NULL at the
+    # consumption boundary (exact-decimal sums would otherwise ANSI-crash
+    # and NaN ordering diverges across engines); huge-but-finite values
+    # stay — they are data, and the decimal envelope must carry them ---
+    rows.append((mid.replace(hour=13), 5, "purchase", float("nan"),
+                 '{"k": 60}'))
+    rows.append((mid.replace(hour=14), 5, "purchase", float("inf"),
+                 '{"k": 61}'))
+    rows.append((mid.replace(hour=15), 5, "view", float("-inf"),
+                 '{"k": 62}'))
     ids = list(range(max_id + 1, max_id + 1 + len(rows)))
     adv = pa.table({
         "event_id": pa.array(ids, pa.int64()),
