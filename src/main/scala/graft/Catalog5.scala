@@ -2109,9 +2109,17 @@ private[graft] trait Catalog5 extends CatalogBase {
           -- keyed-operator contract: the dimension key is user_id
           SELECT user_id, ts, event_id, event_type,
             lag(event_type) OVER (
-              PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+            row_number() OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events WHERE user_id IS NOT NULL),
-        f AS (SELECT * FROM chg WHERE prev IS DISTINCT FROM event_type),
+        -- rn = 1: a user's FIRST event always opens a version. The lag
+        -- encoding alone cannot see it when the first attribute is NULL
+        -- (NULL IS DISTINCT FROM NULL is false), but the keyed state
+        -- operator correctly opens a NULL-attr version and closes it on
+        -- the first change.
+        f AS (SELECT * FROM chg
+              WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         scd AS (
           SELECT user_id, event_type, ts AS effective_from,
             lead(ts) OVER (

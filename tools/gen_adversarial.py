@@ -138,6 +138,13 @@ def adversarial_events(tbl: pa.Table) -> pa.Table:
                  '{"k": 61}'))
     rows.append((mid.replace(hour=15), 5, "view", float("-inf"),
                  '{"k": 62}'))
+    # --- a user whose FIRST event is untyped, then typed: a NULL first
+    # attribute is indistinguishable from "no previous row" under the
+    # naive lag-encoding of change detection (prev IS DISTINCT FROM attr
+    # misses it), while keyed SCD2 state correctly opens a NULL-attr
+    # version and closes it on the change ---
+    rows.append((mid.replace(hour=16), 15, None, 1.00, '{"k": 70}'))
+    rows.append((mid.replace(hour=17), 15, "click", 2.00, '{"k": 71}'))
     ids = list(range(max_id + 1, max_id + 1 + len(rows)))
     adv = pa.table({
         "event_id": pa.array(ids, pa.int64()),
