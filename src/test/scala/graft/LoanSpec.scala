@@ -214,6 +214,32 @@ class LoanSpec extends SparkSpec {
     assert(got == List(("L1", 111.0, "N"), ("L2", 250.0, "N"), ("L3", 300.0, "Y")))
   }
 
+  test("JdbcUpsert error path surfaces the REAL failure, not the close error") {
+    // regression pin: a MERGE failing mid-batch used to leave the
+    // transaction open, and Derby's close() then threw "Cannot close a
+    // connection while a transaction is still active", MASKING the actual
+    // constraint violation (first seen when a NULL key hit the PK on the
+    // adversarial-events fixture). The partition body now rolls back
+    // before close, so the original SQL error is what propagates.
+    val url = "jdbc:derby:memory:graftrollback;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE rb (k BIGINT NOT NULL PRIMARY KEY, v DOUBLE)")
+    conn.close()
+    val bad = Seq((Some(1L), 1.0), (None, 2.0)).toDF("k", "v") // NULL PK
+    val e = intercept[org.apache.spark.SparkException] {
+      JdbcUpsert.upsert(bad, url, "rb", Seq("k"), JdbcUpsert.DerbyMerge)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val msgs = chain(e).mkString(" | ")
+    assert(!msgs.contains("Cannot close a connection"),
+      s"close() error must not mask the real failure: $msgs")
+    assert(msgs.toLowerCase.contains("null"),
+      s"expected the NULL-constraint violation in the chain: $msgs")
+  }
+
   test("JdbcUpsert dialects: generated SQL matches golden strings") {
     // No live MySQL exists in this environment, so the REPLACE INTO dialect
     // (the reference's actual target, MySQL_Data_Loading.ipynb:515-527) is
