@@ -103,7 +103,12 @@ object Bench {
         var i = 0
         var lastMetrics = Map.empty[String, Long]
         while (i < iters && !failed) {
-          val before = taskMetrics.snapshot
+          // settled (bus-drained) baseline: after a failed query (whose
+          // catch path never settles) or any late listener drain,
+          // straggler task events from the PREVIOUS query would land
+          // inside this query's delta. The settle wait runs outside the
+          // timed window.
+          val before = taskMetrics.settledSnapshot()
           val t0 = System.nanoTime()
           try {
             run(name, dir)

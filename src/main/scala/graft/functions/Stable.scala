@@ -48,9 +48,13 @@ object Stable {
   /** Order-independent sum of a money column. */
   def msum(c: Column): Column = m2(sum(dec(c)))
 
-  /** Deterministic mean: stable-double numerator / exact count. A plain
-    * `avg(double)` would be combine-order-dependent. */
-  def mavg(c: Column): Column = msum(c) / count(c)
+  /** Deterministic mean: stable-double numerator / exact count of FINITE
+    * observations. A plain `avg(double)` would be combine-order-dependent;
+    * and counting with `count(c)` would tally NaN/±Inf rows that the
+    * exact-decimal numerator maps to NULL (double→DECIMAL cast), diluting
+    * the mean — the n-vs-sum bookkeeping skew [[finite]]'s doc warns
+    * about. Numerator and denominator see the same observation set. */
+  def mavg(c: Column): Column = msum(c) / count(when(finite(c), lit(1)))
 
   /** `price * (1 - discount)`, exact: decimal(12,2) * decimal(5,2). */
   def revenue(price: Column, discount: Column): Column =
@@ -100,8 +104,11 @@ object Stable {
   def sqlMsum(col: String): String =
     s"CAST(round(sum(CAST(${sqlFinite(col)} AS DECIMAL(12,2))),2) AS DOUBLE)"
 
-  /** DuckDB mirror of [[mavg]]. */
-  def sqlMavg(col: String): String = s"${sqlMsum(col)} / count($col)"
+  /** DuckDB mirror of [[mavg]] — the denominator counts the finite-mapped
+    * expression (NULL for NaN/±Inf), matching the engine's finite-only
+    * observation count. */
+  def sqlMavg(col: String): String =
+    s"${sqlMsum(col)} / count(${sqlFinite(col)})"
 
   /** DuckDB mirror of [[revenue]] (un-aggregated). */
   def sqlRevenue(price: String, discount: String): String =

@@ -40,12 +40,16 @@ object FaultInject {
   def rule(session: SparkSession): Rule[SparkPlan] = new Rule[SparkPlan] {
     override def apply(plan: SparkPlan): SparkPlan = {
       val on = session.conf.getOption(CONF).exists(_.toBoolean)
-      // idempotency across AQE re-planning passes: a freshly re-planned
-      // (sub)tree has bare scans and no wrapper; materialized stages are
-      // leaf nodes whose internals are neither visible nor re-transformed
-      if (!on || plan.exists(_.isInstanceOf[FaultInjectExec])) plan
+      // idempotency PER SCAN, not per subtree: an AQE re-planned subtree
+      // can mix one already-wrapped scan with a newly exposed bare one —
+      // a whole-subtree `plan.exists(FaultInjectExec)` guard would leave
+      // the new scan uninjected. transformUp wraps every bare scan; the
+      // collapse case then unwraps the double wrapper the bottom-up pass
+      // creates around scans that were already injected.
+      if (!on) plan
       else plan.transformUp {
         case scan: FileSourceScanExec => FaultInjectExec(scan)
+        case FaultInjectExec(FaultInjectExec(scan)) => FaultInjectExec(scan)
       }
     }
   }

@@ -58,7 +58,8 @@ object ScaleGuard {
           "bucketed graft.operators.PrefixSum rewrite for global " +
           s"ranks/cumsums. Offending window: ${badWindows.head.treeString.linesIterator.take(10).mkString("; ")}")
     val badJoins = plan.collect {
-      case j: Join if !(skipRootJoin && (j eq plan)) && j.condition.isEmpty &&
+      case j: Join if !(skipRootJoin && (j eq plan) && isUsingArtifact(j)) &&
+        j.condition.isEmpty &&
         (j.joinType == Inner || j.joinType == Cross) &&
         reachesRawRows(j.left) && reachesRawRows(j.right) => j
     }
@@ -92,6 +93,18 @@ object ScaleGuard {
             badDedups.head.simpleString(3))
     }
   }
+
+  /** Shape of the transient Dataset.join(usingColumns) disambiguation
+    * artifact the session-rule root exemption exists for: an INNER join
+    * with no condition whose sides share at least one output name (USING
+    * requires same-named columns on both sides). A bare `a.crossJoin(b)`
+    * (Cross) or a condition-free join of disjoint schemas at the root is
+    * NOT the artifact and stays guarded even under `skipRootJoin`. */
+  private def isUsingArtifact(j: Join): Boolean =
+    j.joinType == Inner && {
+      val leftNames = j.left.output.map(_.name.toLowerCase).toSet
+      j.right.output.exists(a => leftNames.contains(a.name.toLowerCase))
+    }
 
   /** Convenience form for the imperative path. */
   def assertScalable(df: DataFrame): Unit = check(df.queryExecution.analyzed)

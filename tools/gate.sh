@@ -6,7 +6,7 @@
 #
 # Stages:
 #   1. compile + Test/compile
-#   2. sbt test                       (191 specs, both state-store providers)
+#   2. sbt test                       (full ScalaTest suite, both state-store providers)
 #   3. ScaleGuardSweep                (analysis-time scale contract, whole catalog)
 #   4. Verify + DuckDB compare        (354-query hash-match, ScaleGuard ON)
 #   5. oracle_lint                    (authoring-time oracle type lint)
