@@ -158,6 +158,87 @@ object NearDup {
         col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
+  /** Exact all-pairs containment ≥ minC via PREFIX FILTERING — identical
+    * output to [[containmentPairs]], but discovery-tier: the quadratic
+    * hot-shingle blowup of the plain inverted index is gone. This closes
+    * the one scale gap the exact path left open — Jaccard had
+    * [[prefixJaccardPairs]]/[[minhashNearDupPairs]] as discover tiers;
+    * containment had only the verify-grade index.
+    *
+    * The asymmetric-threshold variant of the SSJoin prefix theorem:
+    * `max(|∩|/|A|, |∩|/|B|) ≥ t ⟺ |∩| ≥ t·min(|A|,|B|)`, so for the
+    * SMALLER set S of a qualifying pair, `|∩| ≥ t·|S|` — if none of S's
+    * `|S| − ⌊t·|S|⌋ + 1` globally-rarest shingles were shared, the
+    * overlap could be at most `⌊t·|S|⌋ − 1 < t·|S|`. Hence joining each
+    * document's PREFIX against the FULL index of its larger partners
+    * (prefix side = min side) provably surfaces every qualifying pair;
+    * candidates are then confirmed with the exact measure, so the output
+    * is deterministic and byte-identical to the verify tier. The ⌊⌋ form
+    * is ≥ the ⌈⌉ bound — float rounding can only lengthen a prefix,
+    * adding candidates, never losing one.
+    *
+    * Why this kills the hot-shingle cliff: a stop-phrase shingle shared
+    * by k documents produced k²/2 join rows in the plain index. Here the
+    * full side still holds all k rows, but the PREFIX side holds it only
+    * for documents where it ranks among the rarest `(1−t)·sz + 1`
+    * shingles — a globally-hot shingle ranks LAST in every document's
+    * rarest-first order, so p ≪ k documents carry it in their prefix and
+    * the join row count is p·k, not k². (Unlike a df-cap, nothing is
+    * dropped: recall stays exact.) Everything shuffles 16-byte
+    * (id, long) tuples; the df aggregation and rank window are linear.
+    *
+    * @param materialize persist the shingle-hash table — referenced four
+    *   times (df pass, rank pass, full index, verify sets); same measured
+    *   rationale as [[prefixJaccardPairs]]. */
+  def containmentCandidatePairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minC: Double = 0.5,
+      materialize: Boolean = true): DataFrame = {
+    require(minC > 0.0 && minC <= 1.0, s"minC must be in (0, 1], got $minC")
+    val rows0 = shingleHashRows(docs, idCol, textCol, n)
+    val rows =
+      if (materialize)
+        rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows0
+    val cand = containmentCandidates(rows, minC)
+    val sets = shingleSets(rows)
+    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+      .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .filter(col("common") >= 1)
+      .withColumn("cont_a_in_b", col("common").cast("double") / col("sa.sz"))
+      .withColumn("cont_b_in_a", col("common").cast("double") / col("sb.sz"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minC)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
+  /** The candidate stage of [[containmentCandidatePairs]], exposed for
+    * scale audits and delta variants: (id_a, id_b) pairs from the
+    * prefix-vs-full index join, over (id, hs) rows ([[shingleHashRows]]).
+    * Guaranteed to contain every pair with max-direction containment
+    * ≥ minC (prefix theorem in [[containmentCandidatePairs]]'s doc);
+    * callers confirm with the exact measure. */
+  def containmentCandidates(rows: DataFrame, minC: Double): DataFrame = {
+    val freq = rows.groupBy(col("hs")).agg(count(lit(1)).as("df"))
+    val sized = rows
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val prefix = sized
+      .join(freq, Seq("hs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("hs"))))
+      .filter(col("rk") <= col("sz") - floor(lit(minC) * col("sz")) + 1)
+      .select(col("id"), col("hs"), col("sz"))
+    // prefix side is the MIN side (ties broken by id so each pair fires
+    // from exactly one direction); the full side carries no df/rank work
+    prefix.alias("p").join(sized.alias("f"),
+        col("p.hs") === col("f.hs") &&
+          (col("p.sz") < col("f.sz") ||
+            (col("p.sz") === col("f.sz") && col("p.id") < col("f.id"))))
+      .select(least(col("p.id"), col("f.id")).as("id_a"),
+        greatest(col("p.id"), col("f.id")).as("id_b"))
+      .distinct()
+  }
+
   /** Incremental (delta-vs-corpus) exact Jaccard pairs — the production
     * ingest shape: score a NEW batch against the existing corpus WITHOUT
     * re-pairing the corpus with itself. The inverted index join runs
@@ -237,6 +318,45 @@ object NearDup {
         col("common").cast("double") / (col("sa.sz") + col("sb.sz") - col("common")))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental (delta-ingest) exact containment pairs: every pair with
+    * max-direction containment ≥ minC that has AT LEAST ONE side in the
+    * delta batch — i.e. exactly the pairs a full recompute over
+    * corpus ∪ delta would add to the (unchanged) corpus-only pair set.
+    * Covers delta×corpus AND delta×delta (two new docs quoting each
+    * other), never corpus×corpus, so daily cost scales with
+    * |delta| · overlap like [[deltaJaccardPairs]]. Output columns and
+    * canonical (id_a < id_b) ordering match [[containmentPairs]];
+    * corpus and delta ids must be disjoint (ingest batches have fresh
+    * ids by construction). */
+  def deltaContainmentPairs(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minC: Double = 0.5): DataFrame = {
+    val dSized = shingleHashRows(delta, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val cSized = shingleHashRows(corpus, idCol, textCol, n)
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    // delta side vs (corpus ∪ delta): a delta-corpus pair meets once; a
+    // delta-delta pair is deduplicated by id order at the JOIN (cheaper
+    // than a post-hoc distinct over canonicalized pairs)
+    val all = cSized.withColumn("isd", lit(false))
+      .unionByName(dSized.withColumn("isd", lit(true)))
+    dSized.alias("d").join(all.alias("x"),
+        col("d.hs") === col("x.hs") &&
+          (!col("x.isd") || col("d.id") < col("x.id")))
+      .select(
+        least(col("d.id"), col("x.id")).as("id_a"),
+        greatest(col("d.id"), col("x.id")).as("id_b"),
+        when(col("d.id") < col("x.id"), col("d.sz")).otherwise(col("x.sz")).as("sz_a"),
+        when(col("d.id") < col("x.id"), col("x.sz")).otherwise(col("d.sz")).as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_a_in_b", col("common").cast("double") / col("sz_a"))
+      .withColumn("cont_b_in_a", col("common").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minC)
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
   /** Benchmark decontamination: for each corpus document, the number of

@@ -19,6 +19,9 @@ object ScaleCheck {
     // optional 2nd arg "skew": run only the round-8 adversarial-skew
     // section (partition-count metrics, timing-insensitive)
     val skewOnly = args.length > 1 && args(1) == "skew"
+    // optional 2nd arg "containment": run only the round-9 hot-shingle
+    // containment section (the q354 candidate-tier scale record)
+    val containmentOnly = args.length > 1 && args(1) == "containment"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,7 +52,7 @@ object ScaleCheck {
 
     docs.count() // warm
 
-    if (!skewOnly) {
+    if (!skewOnly && !containmentOnly) {
 
     // round-3 additions: token entropy (two hash aggs over token rows)
     // and decontamination (broadcast bench shingle probe) — both should
@@ -177,6 +180,55 @@ object ScaleCheck {
     println(s"clustered exactness @4k: lsh=$lsh exact=$exact equal=${lsh == exact}")
     }
 
+    // round-9 addition: HOT-SHINGLE stress for the containment tiers.
+    // A stop-phrase shingle shared by k docs gives the plain inverted
+    // index (q147's verify tier) k(k-1)/2 join rows through that one hs
+    // key; the prefix-filtered candidate tier (q354) admits a hot
+    // shingle only into prefixes where it ranks among a doc's rarest
+    // (1-t)·sz+1 — so candidates should grow ~linearly in the number of
+    // docs sharing the phrase, while the plain index grows quadratically.
+    // Fixture: h docs all opening with the same 6-token stop phrase
+    // (4 hot shingles spanning it), each with a long unique tail, plus
+    // one planted true containment pair. Output identity is asserted at
+    // each scale; the recorded numbers are candidate counts and times.
+    if (!skewOnly) locally {
+      import spark.implicits._
+      def hotCorpus(h: Int): DataFrame = {
+        val pairs = Seq(
+          (9000001L, "alpha beta gamma delta epsilon zeta"),
+          (9000002L, "alpha beta gamma delta epsilon zeta " +
+            (1 to 60).map(i => s"tail$i").mkString(" ")))
+        ((0 until h).map { i =>
+          val unique = (0 until 40).map(j => s"u${i}q$j").mkString(" ")
+          (i.toLong, s"the shared stop phrase opens here $unique")
+        } ++ pairs).toDF("doc_id", "text")
+      }
+      for (h <- Seq(500, 2000)) {
+        val docs = hotCorpus(h)
+        val rows = NearDup.shingleHashRows(docs, "doc_id", "text", 3)
+          .persist()
+        rows.count()
+        // plain-index pair volume through the hot shingles (what q147's
+        // self-join materializes before grouping): sum over hs of
+        // df*(df-1)/2
+        val plainPairs = rows.groupBy(col("hs"))
+          .agg(count(lit(1)).as("df"))
+          .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+        val t0 = System.nanoTime()
+        val nCand = NearDup.containmentCandidates(rows, 0.5).count()
+        val tCand = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val exact = NearDup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+        val pf = NearDup.containmentCandidatePairs(docs, "doc_id", "text",
+          3, 0.5, materialize = false)
+        val same = exact.except(pf).count() == 0 && pf.except(exact).count() == 0
+        println(f"containment hot-shingle h=$h%-5d plain-index pairs=$plainPairs%9d  " +
+          f"prefix candidates=$nCand%6d ($tCand%5.2f s)  output==verify-tier: $same " +
+          f"(${(System.nanoTime() - t1) / 1e9}%5.2f s)")
+        rows.unpersist()
+      }
+    }
+
     // round-8 addition: ADVERSARIAL-SKEW stress for the blocked-join
     // path. TPC-H keys are benign (near-uniform), so the recorded scale
     // checks above never exercised the straggler cliff SkewJoin exists
@@ -192,7 +244,7 @@ object ScaleCheck {
     // Metric: per-partition JOIN-OUTPUT row counts (spark_partition_id
     // captured in the join stage, before the audit's own shuffle) —
     // worst, median, and worst/median. Pass = salted worst <= 4x median.
-    locally {
+    if (!containmentOnly) locally {
       val o = graft.sources.Tables.load(spark, dir, "orders")
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 5 === 0, lit(1L))

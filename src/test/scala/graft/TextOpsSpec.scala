@@ -87,6 +87,48 @@ class TextOpsSpec extends SparkSpec {
     assert(NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count() == 0)
   }
 
+  test("containment candidate tier equals the exact inverted index at every threshold") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    // 0.5 = the catalog threshold; 0.9 = shortest prefix (an off-by-one
+    // in its length first drops a true pair there); 0.31 = a
+    // non-representable t where the ⌊t·sz⌋ rounding matters
+    for (t <- Seq(0.31, 0.5, 0.9)) {
+      val exact = NearDup.containmentPairs(docs, "doc_id", "text", 3, t)
+      val pf = NearDup.containmentCandidatePairs(docs, "doc_id", "text", 3, t,
+        materialize = false)
+      assert(exact.count() > 0, s"threshold $t — vacuous fixture")
+      assert(exact.except(pf).count() == 0 && pf.except(exact).count() == 0,
+        s"threshold $t")
+    }
+    // the asymmetric case the tier exists for: short-quoted-in-long
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " " + (1 to 60).map(i => s"w$i").mkString(" ")
+    val planted = Seq((1L, short), (2L, long),
+      (3L, "unrelated text entirely different words here")).toDF("doc_id", "text")
+    val got = NearDup.containmentCandidatePairs(planted, "doc_id", "text",
+      n = 3, minC = 0.9, materialize = false).collect()
+    assert(got.length == 1 && got(0).getAs[Double]("cont_a_in_b") == 1.0)
+  }
+
+  test("containment candidates stay subquadratic on a planted hot shingle") {
+    // every doc shares one stop phrase (hot shingles, df = k) but is
+    // otherwise unique: the plain inverted index pairs ALL k docs through
+    // the hot shingles — k(k-1)/2 candidates — while the rarest-first
+    // prefix (t=0.5 → the ~17 rarest of ~33 shingles) excludes the hot
+    // shingles from every prefix, so no candidate is generated at all
+    val k = 40
+    val docs = (0 until k).map { i =>
+      val unique = (0 until 30).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, s"shared stop phrase common here $unique")
+    }.toDF("doc_id", "text")
+    val rows = NearDup.shingleHashRows(docs, "doc_id", "text", 3)
+    val nCand = NearDup.containmentCandidates(rows, 0.5).count()
+    val quadratic = k.toLong * (k - 1) / 2
+    assert(nCand < k, s"candidates $nCand not subquadratic (all-pairs = $quadratic)")
+    // and the verify tier agrees nothing qualifies at t=0.5
+    assert(NearDup.containmentPairs(docs, "doc_id", "text", 3, 0.5).count() == 0)
+  }
+
   test("deltaJaccardPairs scores delta vs corpus only — corpus never self-pairs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val corpus = Seq((1L, base), (2L, base + " tail"),
