@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Stable._
 import graft.operators._
 
-/** Catalog part 7 of 7: queries q324..q352, in original catalog
+/** Catalog part 7 of 7: queries q324..q357, in original catalog
   * order ([[Queries.all]] concatenates the parts — split from the former
   * single-file catalog purely for compile/review ergonomics; content and
   * order are unchanged).
@@ -2466,5 +2466,214 @@ private[graft] trait Catalog7 extends CatalogBase {
           CAST(n_nationkey * 2 AS BIGINT) AS w64
         FROM nation
         ORDER BY n_nationkey""")),
+
+    "q354_containment_prefix" -> Q(
+      // Discovery-tier asymmetric containment (r8 judge ask #1): q147's
+      // exact measure through the PREFIX-FILTERED candidate path
+      // (NearDup.containmentCandidatePairs) instead of the plain
+      // inverted-index self-join — a hot shingle shared by k docs costs
+      // p·k join rows (p = docs carrying it in their rarest-first
+      // prefix) rather than k²/2, with recall provably exact (see the
+      // operator's prefix-theorem doc). Threshold 0.5 is
+      // discovery-grade: the prefix length is (1−t)·sz + 1, so the tier
+      // earns its keep at dedup thresholds, while q147 (t = 0.15)
+      // remains the verify tier. The oracle is the brute-force all-pairs
+      // containment — identical rows prove candidate completeness.
+      build = (s, dir) =>
+        NearDup.containmentCandidatePairs(table(s, dir, "documents"),
+            "doc_id", "text", n = 3, minC = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s)) AS common,
+            len(a.s) AS sz_a, len(b.s) AS sz_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(a.s) > 0 AND len(b.s) > 0
+            AND len(list_intersect(a.s, b.s)) > 0)
+        SELECT id_a, id_b, common,
+          CAST(common AS DOUBLE) / sz_a AS cont_a_in_b,
+          CAST(common AS DOUBLE) / sz_b AS cont_b_in_a
+        FROM pairs
+        WHERE greatest(CAST(common AS DOUBLE) / sz_a,
+          CAST(common AS DOUBLE) / sz_b) >= 0.5
+        ORDER BY id_a, id_b"""),
+      bench = true),
+
+    "q355_delta_containment" -> Q(
+      // Incremental-ingest containment (r8 judge ask #4): the delta
+      // batch (doc_id % 10 = 0, q157's split) scored against the corpus
+      // AND itself via NearDup.deltaContainmentPairs — delta×corpus plus
+      // delta×delta, never corpus×corpus, so daily cost is
+      // |delta|·overlap. The oracle is the FULL-recompute brute-force
+      // containment restricted to pairs with ≥1 delta side — exactly
+      // the rows full recompute over corpus ∪ delta adds to the
+      // (unchanged) corpus-only pair set, so hash equality proves
+      // delta ∪ corpus-state ≡ full recompute.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        NearDup.deltaContainmentPairs(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", n = 3, minC = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+          FROM toks),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s)) AS common,
+            len(a.s) AS sz_a, len(b.s) AS sz_b
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+            AND len(a.s) > 0 AND len(b.s) > 0
+            AND len(list_intersect(a.s, b.s)) > 0)
+        SELECT id_a, id_b, common,
+          CAST(common AS DOUBLE) / sz_a AS cont_a_in_b,
+          CAST(common AS DOUBLE) / sz_b AS cont_b_in_a
+        FROM pairs
+        WHERE greatest(CAST(common AS DOUBLE) / sz_a,
+          CAST(common AS DOUBLE) / sz_b) >= 0.5
+        ORDER BY id_a, id_b""")),
+
+    "q356_delta_jw_pairs" -> Q(
+      // Incremental-ingest fuzzy pairs (r8 judge ask #4): q144's blocked
+      // Jaro-Winkler join run delta-vs-(corpus ∪ delta) only — the new
+      // batch (p_partkey % 10 = 0) meets each block's full population,
+      // delta-delta pairs deduplicated by id order AT the join, the
+      // corpus never self-pairs. Canonical (id_a < id_b) output; JW is
+      // symmetric so scoring is orientation-free. Oracle = q144's
+      // full-recompute SQL restricted to pairs with ≥1 delta side —
+      // hash equality proves the incremental blocked join reproduces
+      // exactly the delta slice of the full recompute.
+      build = (s, dir) => {
+        val p = table(s, dir, "part").select(
+          col("p_partkey").as("id"), col("p_name").as("name"),
+          concat_ws("|", col("p_brand"),
+            split(col("p_name"), " ").getItem(0),
+            shiftright(length(col("p_name")), 3)).as("blk"),
+          (col("p_partkey") % 10 === 0).as("isd"))
+        val d = p.filter(col("isd"))
+          .select(col("blk"), col("id").as("id_d"), col("name").as("name_d"))
+        val x = p.select(col("blk"), col("id").as("id_x"),
+          col("name").as("name_x"), col("isd").as("isd_x"))
+        d.join(x, Seq("blk"))
+          .filter(col("name_d") =!= col("name_x") &&
+            (!col("isd_x") || col("id_d") < col("id_x")))
+          .withColumn("jw",
+            call_function("graft_jaro_winkler", col("name_d"), col("name_x")))
+          .filter(col("jw") >= 0.84)
+          .select(least(col("id_d"), col("id_x")).as("id_a"),
+            greatest(col("id_d"), col("id_x")).as("id_b"),
+            when(col("id_d") < col("id_x"), col("name_d"))
+              .otherwise(col("name_x")).as("name_a"),
+            when(col("id_d") < col("id_x"), col("name_x"))
+              .otherwise(col("name_d")).as("name_b"),
+            col("jw"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some("""
+        WITH p AS (
+          SELECT p_partkey AS id, p_name AS name,
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0)
+              || '|' || CAST(length(p_name) // 8 AS VARCHAR) AS blk
+          FROM part)
+        SELECT a.id AS id_a, b.id AS id_b,
+          a.name AS name_a, b.name AS name_b,
+          jaro_winkler_similarity(a.name, b.name) AS jw
+        FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        WHERE (a.id % 10 = 0 OR b.id % 10 = 0)
+          AND a.name <> b.name
+          AND jaro_winkler_similarity(a.name, b.name) >= 0.84
+        ORDER BY id_a, id_b""")),
+
+    "q357_delta_er_clusters" -> Q(
+      // Incremental entity resolution (r8 judge ask #4): q152's
+      // composition run the way a daily pipeline would — corpus-only
+      // edges collapse to component STATE (each vertex linked to its
+      // label: the min-id member, itself a vertex, so state edges are
+      // ordinary edges), the delta batch contributes only its
+      // delta-sided blocked-JW edges, and components re-run over
+      // state ∪ delta edges. Connectivity of that union graph equals
+      // the full edge set's (corpus-corpus paths ride the state edges;
+      // everything else has a delta side), and min-id labeling is
+      // graph-shape-independent — so the oracle is q152's FULL
+      // recompute, and hash equality proves incremental ≡ full, labels,
+      // sizes, canonical names and all.
+      build = (s, dir) => {
+        val p = table(s, dir, "part").select(
+          col("p_partkey").as("id"), col("p_name").as("name"),
+          concat_ws("|", col("p_brand"),
+            split(col("p_name"), " ").getItem(0)).as("blk"),
+          (col("p_partkey") % 10 === 0).as("isd"))
+        val a = p.select(col("blk"), col("id").as("id_a"),
+          col("name").as("name_a"), col("isd").as("isd_a"))
+        val b = p.select(col("blk"), col("id").as("id_b"),
+          col("name").as("name_b"), col("isd").as("isd_b"))
+        val edges = a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b") && col("name_a") =!= col("name_b"))
+          .filter(call_function("graft_jaro_winkler",
+            col("name_a"), col("name_b")) >= 0.88)
+        val corpusEdges = edges.filter(!col("isd_a") && !col("isd_b"))
+          .select(col("id_a"), col("id_b"))
+        val deltaEdges = edges.filter(col("isd_a") || col("isd_b"))
+          .select(col("id_a"), col("id_b"))
+        val state = Components.connectedComponents(
+            p.filter(!col("isd")).select(col("id")), "id", corpusEdges)
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("id_a"), col("comp").as("id_b"))
+        val comp = Components.connectedComponents(
+          p.select(col("id")), "id", state.union(deltaEdges))
+        val sizes = comp.groupBy(col("comp"))
+          .agg(count(lit(1)).as("n_members"))
+        comp.join(sizes, "comp")
+          .join(p.select(col("id").as("comp"), col("name").as("canonical_name")),
+            "comp")
+          .select(col("id"), col("comp").as("component"), col("n_members"),
+            col("canonical_name"))
+          .orderBy(col("id"))
+      },
+      oracle = Some("""
+        WITH RECURSIVE p AS (
+          SELECT p_partkey AS id, p_name AS name,
+            p_brand || '|' || regexp_extract(p_name, '^[^ ]+', 0) AS blk
+          FROM part),
+        edges AS MATERIALIZED (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+          WHERE a.name <> b.name
+            AND jaro_winkler_similarity(a.name, b.name) >= 0.88),
+        sym AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM edges
+          UNION ALL
+          SELECT id_b, id_a FROM edges),
+        walk(id, reach) AS (
+          SELECT id, id FROM p
+          UNION
+          SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach),
+        comp AS (
+          SELECT id, min(reach) AS component FROM walk GROUP BY id),
+        sizes AS (
+          SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+        SELECT c.id, c.component, s.n_members, cn.name AS canonical_name
+        FROM comp c
+        JOIN sizes s USING (component)
+        JOIN p cn ON cn.id = c.component
+        ORDER BY c.id""")),
   )
 }

@@ -8,7 +8,7 @@
 #   1. compile + Test/compile
 #   2. sbt test                       (full ScalaTest suite, both state-store providers)
 #   3. ScaleGuardSweep                (analysis-time scale contract, whole catalog)
-#   4. Verify + DuckDB compare        (354-query hash-match, ScaleGuard ON)
+#   4. Verify + DuckDB compare        (358-query hash-match, ScaleGuard ON)
 #   5. oracle_lint                    (authoring-time oracle type lint)
 #
 # Bench is intentionally not included (timing work belongs on an idle box;
