@@ -95,7 +95,8 @@ object Bench {
     // deterministic — same shuffle/scan volume every run — so any
     // settled iteration is representative); the settle wait runs OUTSIDE
     // the timed window.
-    case class Timing(min: Double, median: Double, metrics: Map[String, Long])
+    case class Timing(min: Double, median: Double, metrics: Map[String, Long],
+        iters: Seq[Double])
     def timeTier(names: Seq[String], dir: String, iters: Int): Seq[(String, Timing)] =
       names.map { name =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -120,13 +121,13 @@ object Bench {
           }
           i += 1
         }
-        if (failed) name -> Timing(-1.0, -1.0, Map.empty)
+        if (failed) name -> Timing(-1.0, -1.0, Map.empty, Seq.empty)
         else {
           val s = times.sorted
           val med =
             if (s.length % 2 == 1) s(s.length / 2)
             else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-          name -> Timing(s.head, med, lastMetrics)
+          name -> Timing(s.head, med, lastMetrics, times.toSeq)
         }
       }
 
@@ -143,6 +144,20 @@ object Bench {
       r.map { case (k, t) => k -> t.min }
     def medians(r: Seq[(String, Timing)]): Seq[(String, Double)] =
       r.map { case (k, t) => k -> t.median }
+    def itersJson(r: Seq[(String, Timing)]): String =
+      r.map { case (k, t) =>
+        "\"" + k + "\":" + t.iters.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+    // Load telemetry (r8 judge ask #6): the r8 headline read needed
+    // bench_history archaeology to adjudicate a loaded driver box
+    // (min/median spread 1.66x vs 1.22x idle). Record the OS 1-minute
+    // load average around the run and the per-iteration raw times, so a
+    // loaded-box artifact is machine-identifiable: spread = value_median
+    // / value; on an idle box it sits near 1.0-1.2, and load averages
+    // far above the core count mean minutes are contended.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
 
     // SPARK_GRAFT_BENCH_ONLY=q52,q28 restricts the timed tier to a
     // prefix-matched subset of the WHOLE catalog (headline names are a
@@ -206,7 +221,9 @@ object Bench {
     // timed query's metric delta starts from a settled baseline
     taskMetrics.settledSnapshot()
 
+    val loadStart = loadAvg()
     val results = timeTier(names, sfDir, iters)
+    val loadEnd = loadAvg()
     // failed queries (-1 markers) must not subtract from the headline total
     val total = mins(results).map(_._2).filter(_ >= 0).sum
     val totalMedian = medians(results).map(_._2).filter(_ >= 0).sum
@@ -223,8 +240,9 @@ object Bench {
         f""","queries_all":${toJsonObj(mins(allResults))},"queries_all_total":$allTotal%.3f,"queries_all_sf":"$allDir","queries_all_metrics":${metricsJson(allResults)}"""
       }
 
+    val spread = if (total > 0) totalMedian / total else -1.0
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(mins(results))},"queries_median":${toJsonObj(medians(results))},"queries_metrics":${metricsJson(results)},"value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"$allTier}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(mins(results))},"queries_median":${toJsonObj(medians(results))},"queries_metrics":${metricsJson(results)},"queries_iters":${itersJson(results)},"value_median":$totalMedian%.3f,"spread":$spread%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":"$cpus","iters":$iters,"sf":"$sfDir"$allTier}"""
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
     // Timestamped archive copy: bench.json is overwritten by EVERY run
@@ -248,10 +266,10 @@ object Bench {
     val shortMins = mins(results).map { case (k, v) =>
       k.takeWhile(_ != '_') -> v }
     var compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(shortMins)},"value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${toJsonObj(shortMins)},"value_median":$totalMedian%.3f,"spread":$spread%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":"$cpus","iters":$iters,"sf":"$sfDir"}"""
     if (compact.length > 1900) // defensive: totals survive even if the
       compact =                // headline set outgrows the tail window
-        f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_median":$totalMedian%.3f,"iters":$iters,"sf":"$sfDir"}"""
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","value_median":$totalMedian%.3f,"spread":$spread%.3f,"load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"cpus":"$cpus","iters":$iters,"sf":"$sfDir"}"""
     // stop FIRST so the JSON is guaranteed to be stdout's last line
     spark.stop()
     println(compact)

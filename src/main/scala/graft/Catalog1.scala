@@ -1740,6 +1740,9 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("o_orderkey"))
       },
       oracle = Some("""
+        -- json: synthesized — the document is built by this query from
+        -- typed columns (well-formed or NULL by construction), so the
+        -- json_valid guard rule does not apply (tools/oracle_lint.py)
         WITH j AS (
           SELECT o_orderkey,
             '{"k":' || o_orderkey || ',"p":"' || o_orderpriority ||

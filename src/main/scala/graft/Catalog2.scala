@@ -1737,7 +1737,7 @@ private[graft] trait Catalog2 extends CatalogBase {
           FROM per_cust)
         SELECT count(*) AS n_custs,
           ${sqlDsum("rev")} AS total_rev,
-          round(2.0 * CAST(round(sum(CAST(i AS DECIMAL(10,0))
+          round(2.0 * CAST(round(sum(CAST(i AS DECIMAL(19,0))
               * CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE)
             / (CAST(count(*) AS DOUBLE) * ${sqlDsum("rev")})
             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 8)

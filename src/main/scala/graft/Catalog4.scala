@@ -1411,7 +1411,7 @@ private[graft] trait Catalog4 extends CatalogBase {
             CAST(sum(CAST(x AS DECIMAL(7,0)) * CAST(x AS DECIMAL(7,0)))
               AS DECIMAL(25,0)) AS sxx,
             CAST(sum(CAST(y AS DECIMAL(12,2))) AS DECIMAL(16,2)) AS sy,
-            CAST(sum(CAST(x AS DECIMAL(7,0)) * CAST(y AS DECIMAL(12,2)))
+            CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(12,2)))
               AS DECIMAL(23,2)) AS sxy
           FROM banded
           WHERE x IS NOT NULL AND y IS NOT NULL
@@ -2209,7 +2209,7 @@ private[graft] trait Catalog4 extends CatalogBase {
         m AS (
           SELECT prio, count(*) AS n_days,
             CAST(sum(CAST(rev AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sr,
-            CAST(sum(CAST(rev AS DECIMAL(18,2)) * CAST(rev AS DECIMAL(18,2)))
+            CAST(sum(CAST(rev AS DECIMAL(19,2)) * CAST(rev AS DECIMAL(18,2)))
               AS DECIMAL(34,4)) AS srr
           FROM daily GROUP BY 1),
         dev AS (

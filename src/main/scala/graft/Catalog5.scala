@@ -1207,7 +1207,7 @@ private[graft] trait Catalog5 extends CatalogBase {
           SELECT o_orderpriority AS stratum, count(*) AS nh,
             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
               AS DECIMAL(20,2)) AS sx,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))
+            CAST(sum(CAST(o_totalprice AS DECIMAL(19,2))
               * CAST(o_totalprice AS DECIMAL(15,2)))
               AS DECIMAL(38,4)) AS sxx
           FROM orders GROUP BY 1),
@@ -1961,7 +1961,7 @@ private[graft] trait Catalog5 extends CatalogBase {
           CAST(max(CASE WHEN rn = nl
             THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
             AS last_price,
-          CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(12,2))
+          CAST(round(sum(CAST(CAST(l_quantity AS DECIMAL(19,2))
               * CAST(l_extendedprice AS DECIMAL(12,2))
               AS DECIMAL(24,4))), 2) AS DOUBLE) AS order_total,
           bool_or(l_quantity > 45) AS any_bulk
@@ -2440,7 +2440,7 @@ private[graft] trait Catalog5 extends CatalogBase {
               THEN 1 ELSE 0 END AS post,
             count(value) AS n,
             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
-            CAST(CAST(sum(CAST(value AS DECIMAL(18,6))
+            CAST(CAST(sum(CAST(value AS DECIMAL(19,6))
               * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12))
               AS DOUBLE) AS svv
           FROM fe

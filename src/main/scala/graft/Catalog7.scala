@@ -392,7 +392,7 @@ private[graft] trait Catalog7 extends CatalogBase {
           SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
             count(*) AS n,
             sum(CAST(value AS DECIMAL(18,6))) AS sv,
-            CAST(sum(CAST(value AS DECIMAL(18,6))
+            CAST(sum(CAST(value AS DECIMAL(19,6))
               * CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS svv
           FROM events WHERE event_type = 'view' AND isfinite(value)
             AND CAST(ts AS DATE) + INTERVAL '1 day'

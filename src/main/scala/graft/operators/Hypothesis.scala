@@ -257,8 +257,8 @@ object Hypothesis {
       SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
         CAST(sum(nv - na_v) AS BIGINT) AS n_b,
         CAST(sum(CAST(na_v AS DECIMAL(14,0)) * mid2) AS DECIMAL(38,0)) AS r2a,
-        CAST(sum(CAST(nv AS DECIMAL(12,0)) * CAST(nv AS DECIMAL(12,0))
-          * CAST(nv AS DECIMAL(12,0)) - CAST(nv AS DECIMAL(12,0)))
+        CAST(sum(CAST(nv AS HUGEINT) * CAST(nv AS HUGEINT)
+          * CAST(nv AS HUGEINT) - CAST(nv AS HUGEINT))
           AS DECIMAL(38,0)) AS ties
       FROM mw_rk),
     mw AS (

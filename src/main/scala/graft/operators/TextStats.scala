@@ -416,7 +416,7 @@ object TextStats {
        |surp AS (
        |  SELECT tf.id, CAST(sum(c) AS BIGINT) AS n_tokens,
        |    round(log2(CAST(max(n_total) AS DOUBLE))
-       |      - CAST(sum(CAST(round(log2(CAST(f.cw AS DOUBLE)), 12) AS DECIMAL(15,12))
+       |      - CAST(sum(CAST(round(log2(CAST(f.cw AS DOUBLE)), 12) AS DECIMAL(19,12))
        |                  * CAST(c AS DECIMAL(9,0))) AS DOUBLE)
        |        / sum(c), 8) AS mean_surprisal
        |  FROM tf JOIN freq f USING (w) CROSS JOIN tot

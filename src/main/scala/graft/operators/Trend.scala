@@ -105,12 +105,16 @@ object Trend {
   }
 
   /** DuckDB mirror of [[fitContinuousXY]] over `tbl`: emits CTE `fit_g`
-    * (g, n, slope, intercept, r). Width-15 casts force DuckDB's int128
-    * multiply (see Stable.sqlDsumsq for the storage-width cliff). */
+    * (g, n, slope, intercept, r). Width-19 casts force DuckDB's int128
+    * multiply — re-pinned empirically in r9: DuckDB multiplies two
+    * width-<=18 decimals in their int64 storage regardless of the result
+    * width, so the old width-15 operands sat one order of magnitude from
+    * the overflow cliff (unscaled ln-value products reach ~2e18 vs
+    * int64's 9.2e18). See Stable.sqlDsumsq and oracle_lint rule 5. */
   def sqlFitContinuousCtes(tbl: String, gSql: String, xSql: String,
       ySql: String): String = {
-    val x = s"CAST(round($xSql, 8) AS DECIMAL(15,8))"
-    val y = s"CAST(round($ySql, 8) AS DECIMAL(15,8))"
+    val x = s"CAST(round($xSql, 8) AS DECIMAL(19,8))"
+    val y = s"CAST(round($ySql, 8) AS DECIMAL(19,8))"
     val cov = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
       "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
     val vx = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
@@ -715,7 +719,7 @@ object Trend {
         CAST(sum(CAST($xSql AS DECIMAL(7,0))) AS DECIMAL(18,0)) AS sx,
         CAST(sum(CAST($xSql AS DECIMAL(7,0)) * CAST($xSql AS DECIMAL(7,0))) AS DECIMAL(25,0)) AS sxx,
         CAST(sum(CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(16,2)) AS sy,
-        CAST(sum(CAST($xSql AS DECIMAL(7,0)) * CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(23,2)) AS sxy
+        CAST(sum(CAST($xSql AS DECIMAL(19,0)) * CAST($ySql AS DECIMAL(12,2))) AS DECIMAL(23,2)) AS sxy
       FROM $tbl
       WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL
       GROUP BY 1),

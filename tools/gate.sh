@@ -9,11 +9,18 @@
 #   2. sbt test                       (full ScalaTest suite, both state-store providers)
 #   3. ScaleGuardSweep                (analysis-time scale contract, whole catalog)
 #   4. Verify + DuckDB compare        (358-query hash-match, ScaleGuard ON)
-#   5. oracle_lint                    (authoring-time oracle type lint)
+#   5. oracle_lint                    (selftest canaries + authoring-time oracle lint)
+#   6. metrics_diff                   (shuffle/spill tripwire: headline tier, one
+#                                      iteration at sf0.01, metrics vs the pinned
+#                                      tools/baselines/metrics_sf001.json — fails on
+#                                      >10% shuffle/scan growth or any new spill;
+#                                      wall-clock is NOT compared, so a loaded box
+#                                      cannot fail this stage)
 #
-# Bench is intentionally not included (timing work belongs on an idle box;
-# run `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"`
-# separately and read target/bench.json).
+# Timing bench is intentionally not included (timing work belongs on an idle
+# box; run `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"`
+# separately and read target/bench.json). After a DELIBERATE plan change,
+# regenerate the metrics baseline with the stage-6 command below and commit it.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -41,7 +48,15 @@ sbt -batch "runMain graft.Verify $SF $OUT/verify" >"$OUT/verify.log" 2>&1 \
 python3 tools/compare.py "$OUT/verify" "$SF" | tail -2
 python3 tools/compare.py "$OUT/verify" "$SF" | grep -q " 0 fail" || exit 1
 
-echo "== 5/5 oracle_lint =="
+echo "== 5/6 oracle_lint =="
+python3 tools/oracle_lint.py --selftest
 python3 tools/oracle_lint.py "$OUT/verify" "$SF" "$OUT/verify" | tail -1
+
+echo "== 6/6 metrics_diff (shuffle/spill tripwire) =="
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ITERS=1 SPARK_GRAFT_BENCH_ALL=0 \
+  sbt -batch "runMain graft.Bench" >"$OUT/bench.log" 2>&1 \
+  || { tail -20 "$OUT/bench.log"; exit 1; }
+python3 tools/metrics_diff.py tools/baselines/metrics_sf001.json \
+  target/bench.json 10 | tail -5
 
 echo "GATE GREEN ($OUT)"

@@ -1,44 +1,62 @@
 #!/usr/bin/env python3
-"""Authoring-time type lint for the oracle catalog.
+"""Authoring-time lint for the oracle catalog.
 
-The driver's hash compare is type-sensitive; three failures across two
-rounds (q145, q227, q262) were oracle-SIDE type artifacts — HUGEINT from
-un-cast DuckDB sums / window sums, and DOUBLE from DuckDB `floor` where
-Spark emits an integral. This lint catches the class at authoring time,
-before a full Verify run:
+The driver's hash compare is type- and value-sensitive; every rule here
+mechanizes a divergence class that cost a real round-time failure (the
+full prose record lives in COVERAGE.md's round-6..9 sections):
 
-  1. Any result column whose DuckDB type is HUGEINT  -> FAIL (DuckDB's
-     128-bit sum type; Spark has no counterpart, always a missing cast).
-  2. If the Spark parquet dump for the query exists in <outdir>, any
-     column where DuckDB says DOUBLE/FLOAT but Spark's parquet is
-     integral (or vice versa)                        -> FAIL.
+  1. HUGEINT result column              -> FAIL. DuckDB's 128-bit sum
+     type; Spark has no counterpart — always a missing CAST (q145, q227,
+     q262 were this class).
+  2. dtype mismatch vs the Spark dump   -> FAIL. DOUBLE/DECIMAL oracle
+     column where Spark's parquet is integral, or vice versa.
+  3. NULL-order sensitivity             -> FAIL. Spark orders NULLS FIRST
+     on ASC, DuckDB NULLS LAST — any window/LIMIT whose ordering key is
+     not total diverges (q192's bucket boundaries). Executable check: the
+     oracle runs under BOTH default_null_order settings; a row-set
+     difference means the result depends on NULL placement. Fix: make the
+     key total (COALESCE a sentinel) or spell NULLS FIRST/LAST.
+  4. json_extract without json_valid    -> FAIL. DuckDB's json_extract*
+     THROWS on malformed JSON where get_json_object returns NULL (q17);
+     guard with json_valid + TRY_CAST.
+  5. int64-storage decimal multiplication with no headroom -> FAIL.
+     DuckDB multiplies two width-<=18 decimals in their int64 storage
+     (empirically re-pinned r9: `DECIMAL(15,6)*DECIMAL(15,6)` of 1e9-
+     scale values raises "Overflow in multiplication of DECIMAL(18)"
+     even though the declared RESULT width would be 30) — overflow is
+     value-dependent, bounded by the unscaled product, so it is
+     impossible iff w1+w2 <= 18 and latent otherwise. One width->=19
+     operand forces the int128 path and the exact product (the
+     sqlDsumsq rule). Flagged = both widths <= 18 AND w1+w2 >= 19:
+     the declared envelopes admit values whose product overflows.
 
 Usage:
     sbt "runMain graft.Verify /root/testdata/sf0.001 /tmp/lint --sql-only"
     python3 tools/oracle_lint.py /tmp/lint /root/testdata/sf0.001 [verify_outdir]
+    python3 tools/oracle_lint.py --selftest     # planted-violation canaries
 
 <outdir> must contain oracle_sql.json; the optional third arg points at a
-prior full Verify dump for the cross-check (defaults to <outdir> itself).
+prior full Verify dump for the dtype cross-check (defaults to <outdir>).
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
 
-outdir, sfdir = sys.argv[1], sys.argv[2]
-dumpdir = sys.argv[3] if len(sys.argv) > 3 else outdir
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-con = duckdb.connect()
-for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
-
-oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-
 INTEGRAL = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+# a `*` whose LEFT operand is a CAST(... AS DECIMAL(w<=18, s)) and whose
+# RIGHT operand is another decimal CAST — the int64-storage multiply cliff
+DEC_MUL = re.compile(
+    r"AS\s+DECIMAL\((\d+)\s*,\s*\d+\)\s*\)\s*\*\s*CAST\(.{0,400}?"
+    r"AS\s+DECIMAL\((\d+)\s*,\s*\d+\)",
+    re.IGNORECASE | re.DOTALL)
 
 
 def is_floating(t):
@@ -46,19 +64,62 @@ def is_floating(t):
     # oracle against an integral Spark column is the same dtype mismatch
     return t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL")
 
-n_pass = n_fail = 0
-for name, sql in sorted(oracle.items()):
+
+def canonical_rows(con, sql):
+    """Row set as order-insensitive repr tuples (compare.py sorts rows
+    before hashing, so pure output-order differences are not failures —
+    only value/row-membership changes are)."""
+    rows = con.sql(sql).fetchall()
+    return sorted(tuple(repr(v) for v in row) for row in rows)
+
+
+def lint_one(con, name, sql, dumpdir=None):
+    """All problems found for one oracle entry (empty list = clean)."""
+    problems = []
     try:
         rel = con.sql(sql)
         otypes = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
     except Exception as e:
-        print(f"FAIL {name}: oracle exec error: {str(e)[:200]}")
-        n_fail += 1
-        continue
-    problems = [f"col {c}: oracle type HUGEINT (add a CAST)"
-                for c, t in otypes.items() if t == "HUGEINT"]
-    spark_dump = f"{dumpdir}/{name}"
-    if os.path.isdir(spark_dump):
+        return [f"oracle exec error: {str(e)[:200]}"]
+    # rule 1: HUGEINT
+    problems += [f"col {c}: oracle type HUGEINT (add a CAST)"
+                 for c, t in otypes.items() if t == "HUGEINT"]
+    # rule 4: unguarded json_extract. Exemption: an explicit
+    # `json: synthesized` comment marks SQL whose JSON is built by the
+    # query itself (well-formed or NULL by construction) — auditable,
+    # greppable, and NULL input never throws, only malformed text does.
+    if re.search(r"\bjson_extract", sql, re.I) and \
+            not re.search(r"\bjson_valid\b|json:\s*synthesized", sql, re.I):
+        problems.append(
+            "json_extract without a json_valid guard — DuckDB THROWS on "
+            "malformed JSON where Spark's get_json_object returns NULL")
+    # rule 5: int64-storage decimal multiply
+    for m in DEC_MUL.finditer(sql):
+        w1, w2 = int(m.group(1)), int(m.group(2))
+        if w1 <= 18 and w2 <= 18 and w1 + w2 >= 19:
+            problems.append(
+                f"DECIMAL({w1},*) * DECIMAL({w2},*) — both stored int64 "
+                f"and the declared envelopes admit an unscaled product "
+                f"beyond int64 (w1+w2 = {w1 + w2} > 18 digits); declare "
+                f"one side width 19 to force int128 (the sqlDsumsq rule)")
+    # rule 3: NULL-order sensitivity (executable differential)
+    try:
+        con.execute("SET default_null_order='nulls_last'")
+        last = canonical_rows(con, sql)
+        con.execute("SET default_null_order='nulls_first'")
+        first = canonical_rows(con, sql)
+        if last != first:
+            problems.append(
+                "result changes under default_null_order flip — an "
+                "ordering key (window or LIMIT) is not total over NULLs; "
+                "COALESCE a sentinel or spell NULLS FIRST/LAST")
+    except Exception as e:
+        problems.append(f"null-order probe error: {str(e)[:160]}")
+    finally:
+        con.execute("SET default_null_order='nulls_last'")  # DuckDB default
+    # rule 2: dtype cross-check vs the Spark dump
+    spark_dump = f"{dumpdir}/{name}" if dumpdir else None
+    if spark_dump and os.path.isdir(spark_dump):
         try:
             srel = con.sql(f"SELECT * FROM '{spark_dump}/*.parquet'")
             stypes = {c: str(t).upper()
@@ -76,11 +137,66 @@ for name, sql in sorted(oracle.items()):
                         f"col {c}: oracle {ot} but Spark {st} (cast one side)")
         except Exception as e:
             problems.append(f"spark dump unreadable: {str(e)[:120]}")
-    if problems:
-        print(f"FAIL {name}: " + "; ".join(problems))
-        n_fail += 1
-    else:
-        n_pass += 1
+    return problems
 
-print(f"\n{n_pass} pass, {n_fail} fail")
-sys.exit(1 if n_fail else 0)
+
+def selftest():
+    """Planted violations — one per mechanized class — must each fire,
+    and a clean query must pass. Run by gate.sh so a lint regression
+    (a rule silently stops firing) fails the gate, not a future round."""
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT * FROM (VALUES "
+            "(1, 2.5, '{\"a\": 1}'), (NULL, 3.5, '{not json')) AS t(k, v, js)")
+    plants = {
+        "hugeint": ("SELECT sum(k) AS s FROM t", "HUGEINT"),
+        "nullorder": ("SELECT k, sum(v) OVER (ORDER BY k) AS rs FROM t",
+                      "default_null_order"),
+        "json": ("SELECT json_extract_string(js, '$.a') AS a FROM t",
+                 "json_valid"),
+        "decmul": ("SELECT CAST(v AS DECIMAL(18,6)) * CAST(v AS "
+                   "DECIMAL(18,6)) AS p FROM t", "force int128"),
+        "clean": ("SELECT CAST(sum(k) AS BIGINT) AS s, "
+                  "CAST(round(sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS "
+                  "DECIMAL(19,6))), 4) AS DOUBLE) AS ss FROM t", None),
+    }
+    failed = []
+    for name, (sql, expect) in plants.items():
+        problems = lint_one(con, name, sql)
+        if expect is None:
+            if problems:
+                failed.append(f"{name}: clean query flagged: {problems}")
+        elif not any(expect in p for p in problems):
+            failed.append(f"{name}: planted violation NOT caught "
+                          f"(got: {problems})")
+    if failed:
+        print("SELFTEST FAIL:\n  " + "\n  ".join(failed))
+        sys.exit(1)
+    print(f"selftest: {len(plants)} canaries pass "
+          "(hugeint, null-order, json, dec-mul, clean)")
+    sys.exit(0)
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    dumpdir = sys.argv[3] if len(sys.argv) > 3 else outdir
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        problems = lint_one(con, name, sql, dumpdir)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main()
