@@ -124,8 +124,12 @@ private[graft] trait Catalog1 extends CatalogBase {
       // pure `when`/`cast` expressions — unmapped values become NULL, like
       // pandas `.map` — no UDF.
       build = (s, dir) =>
+        // try_cast: pandas-map semantics for malformed codes (an empty
+        // priority string yields NULL, not an ANSI cast error) — the
+        // same contract LoanTransforms.cleanDependents states
         table(s, dir, "orders")
-          .withColumn("priority_num", substring(col("o_orderpriority"), 1, 1).cast("int"))
+          .withColumn("priority_num",
+            substring(col("o_orderpriority"), 1, 1).try_cast("int"))
           .withColumn("status_code",
             when(col("o_orderstatus") === "F", 1)
               .when(col("o_orderstatus") === "O", 0)
@@ -134,7 +138,7 @@ private[graft] trait Catalog1 extends CatalogBase {
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("priority_num"), col("status_code").asc_nulls_last),
       oracle = Some("""
-        SELECT CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+        SELECT TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
           CASE WHEN o_orderstatus = 'F' THEN 1
                WHEN o_orderstatus = 'O' THEN 0
                ELSE NULL END AS status_code,
@@ -406,12 +410,16 @@ private[graft] trait Catalog1 extends CatalogBase {
         val sumQ = m2(sum(dec(q)))
         val sumSq = round(sum(rate(q) * rate(q)), 4).cast("double")
         val n = count(q)
+        // moment-domain contract (r9 hostile relational sweep): a group
+        // with zero observations has no mean, one observation no sample
+        // std (n-1 = 0) — both are NULL, never an ANSI divide-by-zero
         table(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
             n.as("n"),
-            (sumQ / n).as("mean_qty"),
-            sqrt((sumSq - sumQ * sumQ / n) / (n - 1)).as("std_qty"),
+            when(n > 0, sumQ / n).as("mean_qty"),
+            when(n > 1,
+              sqrt((sumSq - sumQ * sumQ / n) / (n - 1))).as("std_qty"),
             expr("percentile(l_quantity, 0.25D)").as("p25"),
             expr("percentile(l_quantity, 0.5D)").as("median"),
             expr("percentile(l_quantity, 0.75D)").as("p75"),
@@ -422,10 +430,12 @@ private[graft] trait Catalog1 extends CatalogBase {
       oracle = Some(s"""
         SELECT l_returnflag,
           count(l_quantity) AS n,
-          ${sqlMsum("l_quantity")} / count(l_quantity) AS mean_qty,
+          CASE WHEN count(l_quantity) > 0
+            THEN ${sqlMsum("l_quantity")} / count(l_quantity) END AS mean_qty,
+          CASE WHEN count(l_quantity) > 1 THEN
           sqrt((CAST(round(sum(CAST(l_quantity AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(4,2))), 4) AS DOUBLE)
                 - ${sqlMsum("l_quantity")} * ${sqlMsum("l_quantity")} / count(l_quantity))
-               / (count(l_quantity) - 1)) AS std_qty,
+               / (count(l_quantity) - 1)) END AS std_qty,
           quantile_cont(l_quantity, 0.25) AS p25,
           quantile_cont(l_quantity, 0.5) AS median,
           quantile_cont(l_quantity, 0.75) AS p75,
@@ -2225,10 +2235,17 @@ private[graft] trait Catalog1 extends CatalogBase {
         WITH chg AS (
           SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
             lag(o_orderpriority) OVER (
-              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev,
+            row_number() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
           FROM orders),
+        -- rn = 1: a key's FIRST version opens even when its attribute is
+        -- NULL — lag-encoding alone misses it because NULL IS DISTINCT
+        -- FROM NULL is false (the q289 class, found on the r9 hostile
+        -- relational fixture; the engine's Scd2.fromChangeLog already
+        -- opens first versions by row number)
         f AS (SELECT * FROM chg
-              WHERE prev IS DISTINCT FROM o_orderpriority),
+              WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority),
         scd AS (
           SELECT o_custkey, o_orderpriority,
             o_orderdate AS effective_from,

@@ -47,15 +47,24 @@ private[graft] trait Catalog2 extends CatalogBase {
       // group, a single double division at the end (bit-equal across
       // engines, no rounding snap).
       build = (s, dir) =>
+        // evaluation contract (r9): an eval observation needs BOTH a
+        // score and a label — a NULL status is an unknown outcome (not a
+        // negative) and a NULL score has no rank (it would also sit at
+        // opposite ends of the two engines' rank windows)
         Auc.groupedAuc(
-            table(s, dir, "orders").select(
-              col("o_orderpriority").as("prio"),
-              col("o_totalprice").as("score"),
-              (col("o_orderstatus") === "F").cast("int").as("y")),
+            table(s, dir, "orders")
+              .filter(col("o_totalprice").isNotNull &&
+                col("o_orderstatus").isNotNull)
+              .select(
+                col("o_orderpriority").as("prio"),
+                col("o_totalprice").as("score"),
+                (col("o_orderstatus") === "F").cast("int").as("y")),
             Seq("prio"), "score", "y")
           .orderBy(col("prio")),
       oracle = Some(s"""
-        WITH ${Auc.sqlAucCtes("orders", "o_orderpriority", "o_totalprice",
+        WITH ${Auc.sqlAucCtes(
+          "(SELECT * FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL)",
+          "o_orderpriority", "o_totalprice",
           "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")}
         SELECT g AS prio, n, pos, auc FROM auc_g ORDER BY prio"""),
       bench = true),
@@ -1708,7 +1717,12 @@ private[graft] trait Catalog2 extends CatalogBase {
       // per-customer frame. Σ(i·x_i) accumulates exactly in decimal
       // (rank is an exact integer, x snapped to 2 decimals).
       build = (s, dir) => {
+        // observation contract (r9): concentration is over IDENTIFIED
+        // customers' OBSERVED totals — a NULL custkey is nobody and a
+        // NULL price is not revenue (a NULL rank key would also shift
+        // every other rank differently across engines)
         val perCust = table(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
           .groupBy(col("o_custkey").as("cust"))
           .agg(msum(col("o_totalprice")).as("rev"))
         // distributed rank (PrefixSum.rnk), not a single-partition window
@@ -1731,7 +1745,9 @@ private[graft] trait Catalog2 extends CatalogBase {
       oracle = Some(s"""
         WITH per_cust AS (
           SELECT o_custkey AS cust, ${sqlMsum("o_totalprice")} AS rev
-          FROM orders GROUP BY 1),
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
         ranked AS (
           SELECT rev, row_number() OVER (ORDER BY rev, cust) AS i
           FROM per_cust)
@@ -2124,7 +2140,13 @@ private[graft] trait Catalog2 extends CatalogBase {
       // misclassify. One scan → 9-row aggregate; the chi-square total
       // rides a window over the BOUNDED 9-row frame.
       build = (s, dir) => {
+        // domain contract (r9): Benford's law is a statement about
+        // POSITIVE amounts — zero has no leading digit and a negative
+        // sign is not a digit. Filter, don't try_cast: silently mapping
+        // '-' to NULL would fold sign information into a missing-digit
+        // bucket.
         val digits = table(s, dir, "orders")
+          .filter(col("o_totalprice") > 0)
           .select(substring(round(col("o_totalprice") * 100)
             .cast("long").cast("string"), 1, 1).cast("int").as("d"))
           .groupBy(col("d")).agg(count(lit(1)).as("n"))
@@ -2149,7 +2171,7 @@ private[graft] trait Catalog2 extends CatalogBase {
         WITH digits AS (
           SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
             AS VARCHAR), 1, 1) AS INT) AS d, count(*) AS n
-          FROM orders GROUP BY 1),
+          FROM orders WHERE o_totalprice > 0 GROUP BY 1),
         shared AS (
           SELECT d, n,
             sum(n) OVER () AS n_total,
@@ -2344,13 +2366,20 @@ private[graft] trait Catalog2 extends CatalogBase {
           .filter(call_function("graft_jaro_winkler",
             col("name_a"), col("name_b")) >= 0.88)
           .select(col("id_a"), col("id_b"))
+        // entity contract (r9 hostile fixture): the vertex set is the
+        // DISTINCT id set (a duplicate primary key is one entity with two
+        // source rows, not two vertices), and the canonical name under a
+        // duplicated canonical id is its lexicographically smallest name
+        // — a deterministic survivorship rule, where a bare join against
+        // the raw rows would emit one output row per duplicate
         val comp = Components.connectedComponents(
-          p.select(col("id")), "id", edges)
+          p.select(col("id")).distinct(), "id", edges)
         val sizes = comp.groupBy(col("comp"))
           .agg(count(lit(1)).as("n_members"))
+        val canon = p.groupBy(col("id").as("comp"))
+          .agg(min(col("name")).as("canonical_name"))
         comp.join(sizes, "comp")
-          .join(p.select(col("id").as("comp"), col("name").as("canonical_name")),
-            "comp")
+          .join(canon, "comp")
           .select(col("id"), col("comp").as("component"), col("n_members"),
             col("canonical_name"))
           .orderBy(col("id"))
@@ -2376,11 +2405,13 @@ private[graft] trait Catalog2 extends CatalogBase {
         comp AS (
           SELECT id, min(reach) AS component FROM walk GROUP BY id),
         sizes AS (
-          SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
-        SELECT c.id, c.component, s.n_members, cn.name AS canonical_name
+          SELECT component, count(*) AS n_members FROM comp GROUP BY 1),
+        canon AS (
+          SELECT id, min(name) AS cname FROM p GROUP BY id)
+        SELECT c.id, c.component, s.n_members, cn.cname AS canonical_name
         FROM comp c
         JOIN sizes s USING (component)
-        JOIN p cn ON cn.id = c.component
+        JOIN canon cn ON cn.id = c.component
         ORDER BY c.id"""),
       bench = true),
 

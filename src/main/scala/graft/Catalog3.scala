@@ -1331,7 +1331,11 @@ private[graft] trait Catalog3 extends CatalogBase {
       // decimal / exact decimal, snapped once; the cumulative window
       // runs over the 10-row decile frame.
       build = (s, dir) => {
+        // observation contract (r9): same as q141 — identified customers,
+        // observed prices (a NULL rank key shifts every rank differently
+        // across engines)
         val perCust = table(s, dir, "orders")
+          .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
           .groupBy(col("o_custkey").as("cust"))
           .agg(msum(col("o_totalprice")).as("rev"))
         val n = perCust.agg(count(lit(1)).as("n"))
@@ -1359,7 +1363,9 @@ private[graft] trait Catalog3 extends CatalogBase {
       oracle = Some(s"""
         WITH per_cust AS (
           SELECT o_custkey AS cust, ${sqlMsum("o_totalprice")} AS rev
-          FROM orders GROUP BY 1),
+          FROM orders
+          WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+          GROUP BY 1),
         ranked AS (
           SELECT rev,
             ((row_number() OVER (ORDER BY rev, cust) - 1) * 10)
@@ -1860,26 +1866,33 @@ private[graft] trait Catalog3 extends CatalogBase {
               .when(col("u") < 0.9963401531726563, 4L)
               .otherwise(5L))
           .groupBy(col("pri"), col("bi"))
-          .agg((round(sum(dec(col("price")) * col("wt").cast("decimal(2,0)")), 2)
-            .cast("double") / sum(col("wt"))).as("m"))
+          // degenerate-replicate contract (r9): a Poisson replicate whose
+          // total weight is 0 (likely for 1-row groups) has no mean ->
+          // NULL, and the across-replicate moments use the actual count
+          // of defined replicates B instead of the nominal 48
+          .agg(when(sum(col("wt")) > 0,
+            round(sum(dec(col("price")) * col("wt").cast("decimal(2,0)")), 2)
+              .cast("double") / sum(col("wt"))).as("m"))
         val boot = reps.groupBy(col("pri")).agg(
+            count(col("m")).as("b"),
             round(sum(col("m").cast("decimal(24,8)")), 8).cast("double")
               .as("s1"),
             round(sum((col("m") * col("m")).cast("decimal(30,8)")), 8)
               .cast("double").as("s2"))
-          .withColumn("se_boot", round(sqrt(greatest(
-            (col("s2") - col("s1") * col("s1") / 48.0) / 47.0,
-            lit(0.0))), 4))
+          .withColumn("se_boot", when(col("b") > 1, round(sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / col("b")) / (col("b") - 1),
+            lit(0.0))), 4)))
         val an = o.groupBy(col("o_orderpriority").as("pri")).agg(
             count(lit(1)).as("n"),
             dsum(col("o_totalprice")).as("t1"),
             dsumsq(col("o_totalprice")).as("t2"))
-          .withColumn("se_analytic", round(sqrt(
+          .withColumn("se_analytic", when(col("n") > 1, round(sqrt(
             (col("t2") - col("t1") * col("t1") / col("n"))
-              / (col("n") - 1) / col("n")), 4))
+              / (col("n") - 1) / col("n")), 4)))
         boot.join(an, Seq("pri"))
           .select(col("pri"), col("n"), col("se_boot"), col("se_analytic"),
-            round(col("se_boot") / col("se_analytic"), 4).as("ratio"))
+            when(col("se_analytic") > 0,
+              round(col("se_boot") / col("se_analytic"), 4)).as("ratio"))
           .orderBy(col("pri"))
       },
       oracle = Some(s"""
@@ -1901,19 +1914,21 @@ private[graft] trait Catalog3 extends CatalogBase {
           FROM b),
         reps AS (
           SELECT pri, bi,
-            CAST(round(sum(CAST(price AS DECIMAL(12,2))
-                * CAST(wt AS DECIMAL(2,0))), 2) AS DOUBLE)
-              / sum(wt) AS m
+            CASE WHEN sum(wt) > 0 THEN
+              CAST(round(sum(CAST(price AS DECIMAL(12,2))
+                  * CAST(wt AS DECIMAL(2,0))), 2) AS DOUBLE)
+                / sum(wt) END AS m
           FROM w GROUP BY 1, 2),
         boot AS (
-          SELECT pri,
+          SELECT pri, count(m) AS bcnt,
             CAST(round(sum(CAST(m AS DECIMAL(24,8))), 8) AS DOUBLE) AS s1,
             CAST(round(sum(CAST(m * m AS DECIMAL(30,8))), 8) AS DOUBLE) AS s2
           FROM reps GROUP BY 1),
         boot2 AS (
           SELECT pri,
-            round(sqrt(greatest((s2 - s1 * s1 / 48.0) / 47.0, 0.0)), 4)
-              AS se_boot
+            CASE WHEN bcnt > 1 THEN
+              round(sqrt(greatest((s2 - s1 * s1 / bcnt) / (bcnt - 1), 0.0)), 4)
+            END AS se_boot
           FROM boot),
         an AS (
           SELECT o_orderpriority AS pri, count(*) AS n,
@@ -1922,10 +1937,13 @@ private[graft] trait Catalog3 extends CatalogBase {
           FROM orders GROUP BY 1),
         an2 AS (
           SELECT pri, n,
-            round(sqrt((t2 - t1 * t1 / n) / (n - 1) / n), 4) AS se_analytic
+            CASE WHEN n > 1 THEN
+              round(sqrt((t2 - t1 * t1 / n) / (n - 1) / n), 4)
+            END AS se_analytic
           FROM an)
         SELECT b.pri, a.n, b.se_boot, a.se_analytic,
-          round(b.se_boot / a.se_analytic, 4) AS ratio
+          CASE WHEN a.se_analytic > 0 THEN
+            round(b.se_boot / a.se_analytic, 4) END AS ratio
         FROM boot2 b JOIN an2 a ON a.pri = b.pri
         ORDER BY b.pri""")),
 
@@ -1942,7 +1960,11 @@ private[graft] trait Catalog3 extends CatalogBase {
       build = (s, dir) => {
         val qsArr = (0 to 10).map(i => s"${i / 10.0}D").mkString(
           "array(", ",", ")")
-        val c = table(s, dir, "customer")
+        // observation contract (r9): quantiles are over OBSERVED balances
+        // — a group with none has no curve (Spark's percentile yields
+        // NULL and posexplode drops it; DuckDB keeps a NULL-list row —
+        // the filter makes both engines state the same thing)
+        val c = table(s, dir, "customer").filter(col("c_acctbal").isNotNull)
         val grp = c.groupBy(col("c_mktsegment").as("segment"))
           .agg(expr(s"percentile(c_acctbal, $qsArr)").as("gv"),
             count(lit(1)).as("n_rows"))
@@ -1966,11 +1988,11 @@ private[graft] trait Catalog3 extends CatalogBase {
           SELECT c_mktsegment AS segment, count(*) AS n_rows,
             quantile_cont(c_acctbal,
               [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS ql
-          FROM customer GROUP BY 1),
+          FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
         pooled AS (
           SELECT quantile_cont(c_acctbal,
             [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS pl
-          FROM customer)
+          FROM customer WHERE c_acctbal IS NOT NULL)
         SELECT g.segment, CAST(q.qi AS BIGINT) AS qi, g.n_rows,
           round(g.ql[q.qi + 1], 6) AS group_val,
           round(p.pl[q.qi + 1], 6) AS pooled_val,

@@ -205,7 +205,11 @@ private[graft] trait Catalog4 extends CatalogBase {
         SELECT g.pri, g.status,
           CAST(coalesce(c.n, 0) AS BIGINT) AS n
         FROM grid g
-        LEFT JOIN cells c ON c.pri = g.pri AND c.status = g.status
+        -- IS NOT DISTINCT FROM: the pivot's row key groups NULLs equal
+        -- (Spark groupBy semantics), so the grid re-join must be
+        -- NULL-safe or a NULL-pri cell zero-fills spuriously (r9)
+        LEFT JOIN cells c ON c.pri IS NOT DISTINCT FROM g.pri
+          AND c.status = g.status
         ORDER BY g.pri, g.status""")),
 
     "q204_largest_remainder" -> Q(
@@ -1027,7 +1031,12 @@ private[graft] trait Catalog4 extends CatalogBase {
       // sequence with a recursive CTE — same expression shapes, same
       // IEEE doubles, exact hash match on an iterated float algorithm.
       build = (s, dir) => {
+        // identified-series contract (r9): a time series needs a non-NULL
+        // key — same rule as the entity-keyed stream operators (a NULL
+        // key also silently vanishes from the oracle's recursive walk,
+        // whose g = g join is not NULL-safe)
         val daily = table(s, dir, "orders")
+          .filter(col("o_orderpriority").isNotNull)
           .groupBy(col("o_orderpriority").as("prio"),
             to_date(col("o_orderdate")).as("day"))
           .agg(count(lit(1)).as("y"))
@@ -1042,7 +1051,7 @@ private[graft] trait Catalog4 extends CatalogBase {
             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
               AS o,
             count(*) AS y
-          FROM orders GROUP BY 1, 2),
+          FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
         ${Trend.sqlHoltCtes("holt_src", alpha = 0.3, beta = 0.2,
           horizon = 7)}
         SELECT g AS prio, n_obs, level, trend, forecast_7
@@ -1826,10 +1835,14 @@ private[graft] trait Catalog4 extends CatalogBase {
             count(*) AS c
           FROM orders GROUP BY 1, 2),
         statuses AS (
+          -- coalesce to '': a group whose every status is NULL has an
+          -- EMPTY list — Spark's concat_ws over an empty collect_list
+          -- says '', DuckDB's string_agg over zero values says NULL
+          -- (the q108 all-NULL-input class, r9 relational fixture)
           SELECT prio,
-            string_agg(st, ',' ORDER BY st) AS statuses_sorted,
-            string_agg(st || ':' || CAST(c AS VARCHAR), ','
-              ORDER BY st || ':' || CAST(c AS VARCHAR)) AS status_counts
+            coalesce(string_agg(st, ',' ORDER BY st), '') AS statuses_sorted,
+            coalesce(string_agg(st || ':' || CAST(c AS VARCHAR), ','
+              ORDER BY st || ':' || CAST(c AS VARCHAR)), '') AS status_counts
           FROM sc GROUP BY 1),
         topk AS (
           -- ORDER BY the BIGINT key, not its string form: lexicographic
@@ -2185,20 +2198,24 @@ private[graft] trait Catalog4 extends CatalogBase {
               .as("srr"))
         val nD = col("n_days").cast("double")
         val mean = col("sr").cast("double") / nD
-        val sd = sqrt((col("srr").cast("double")
+        // moment-domain contract (r9): a single-day group has no sample
+        // sd (n-1 = 0) and a zero-spread group no G — both NULL
+        val sd = when(nD > 1.0, sqrt((col("srr").cast("double")
           - col("sr").cast("double") * col("sr").cast("double") / nD)
-          ./(nD - lit(1.0)))
+          ./(nD - lit(1.0))))
         val dev = daily.join(m, "prio")
           .withColumn("absdev", round(abs(col("rev") - mean), 6))
         val w = Window.partitionBy(col("prio"))
           .orderBy(col("absdev").desc, col("day").asc)
         dev.withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
+          .withColumn("sd_rev0", sd)
           .select(col("prio"), col("n_days"),
             round(mean, 4).as("mean_rev"),
-            round(sd, 4).as("sd_rev"),
+            round(col("sd_rev0"), 4).as("sd_rev"),
             col("day").as("worst_day"),
-            round(col("absdev") / sd, 6).as("g_stat"))
+            when(col("sd_rev0") > 0,
+              round(col("absdev") / col("sd_rev0"), 6)).as("g_stat"))
           .orderBy(col("prio"))
       },
       oracle = Some(s"""
@@ -2215,9 +2232,10 @@ private[graft] trait Catalog4 extends CatalogBase {
         dev AS (
           SELECT d.prio, d.day, m.n_days,
             CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
-            sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
-              * CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
-              / (CAST(n_days AS DOUBLE) - 1.0)) AS sd,
+            CASE WHEN n_days > 1 THEN
+              sqrt((CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)
+                * CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+                / (CAST(n_days AS DOUBLE) - 1.0)) END AS sd,
             round(abs(d.rev - CAST(sr AS DOUBLE)
               / CAST(n_days AS DOUBLE)), 6) AS absdev
           FROM daily d JOIN m USING (prio)),
@@ -2229,7 +2247,7 @@ private[graft] trait Catalog4 extends CatalogBase {
           round(mean, 4) AS mean_rev,
           round(sd, 4) AS sd_rev,
           day AS worst_day,
-          round(absdev / sd, 6) AS g_stat
+          CASE WHEN sd > 0 THEN round(absdev / sd, 6) END AS g_stat
         FROM ranked WHERE rk = 1
         ORDER BY prio""")),
 

@@ -279,7 +279,14 @@ private[graft] trait Catalog5 extends CatalogBase {
       // allocation). deff = Σ(Nh/N)·s²h / s²overall; all variances
       // from exact decimal moments, one scan.
       build = (s, dir) => {
+        // observation contract (r9): an observation is a non-NULL price
+        // in an IDENTIFIED stratum (NULL priority is not a stratum);
+        // strata need nh >= 2 to carry a within-variance — smaller ones
+        // are excluded from BOTH sides of the deff ratio so the SRS and
+        // stratified estimates cover the same rows
         val o = table(s, dir, "orders")
+          .filter(col("o_totalprice").isNotNull &&
+            col("o_orderpriority").isNotNull)
         val strata = o.groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("nh"),
             sum(dec(col("o_totalprice"))).cast("decimal(24,2)").as("sh"),
@@ -288,7 +295,7 @@ private[graft] trait Catalog5 extends CatalogBase {
         def varOf(n: Column, sx: Column, sxx: Column) =
           (sxx.cast("double") - sx.cast("double") * sx.cast("double")
             / n.cast("double")) / (n.cast("double") - lit(1.0))
-        val withVar = strata.withColumn("s2h",
+        val withVar = strata.filter(col("nh") >= 2).withColumn("s2h",
           varOf(col("nh"), col("sh"), col("shh")))
         // the ANOVA lesson: snap the SCALE-FREE s2h via floor(x·1e4+0.5)
         // (pure IEEE, engine-portable), then everything cross-stratum is
@@ -319,12 +326,14 @@ private[graft] trait Catalog5 extends CatalogBase {
             CAST(sum(CAST(o_totalprice AS DECIMAL(19,2))
               * CAST(o_totalprice AS DECIMAL(19,2)))
               AS DECIMAL(34,4)) AS shh
-          FROM orders GROUP BY 1),
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+          GROUP BY 1),
         wv AS (
           SELECT *,
             (CAST(shh AS DOUBLE) - CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE)
               / CAST(nh AS DOUBLE)) / (CAST(nh AS DOUBLE) - 1.0) AS s2h
-          FROM strata),
+          FROM strata WHERE nh >= 2),
         tot AS (
           SELECT CAST(sum(nh) AS BIGINT) AS n,
             count(*) AS n_strata,
@@ -1460,7 +1469,11 @@ private[graft] trait Catalog5 extends CatalogBase {
       // identical-IEEE (conf−y)² at 10 decimals into an exact sum, so
       // the data-sized aggregation is partitioning-independent too.
       build = (s, dir) => {
+        // evaluation contract (r9): calibration needs a score AND a
+        // label — NULL status is an unknown outcome, not a negative
         val o = table(s, dir, "orders")
+          .filter(col("o_totalprice").isNotNull &&
+            col("o_orderstatus").isNotNull)
         val mm = o.agg(min(col("o_totalprice")).as("mn"),
           max(col("o_totalprice")).as("mx"))
         val binned = o.crossJoin(broadcast(mm))
@@ -1499,16 +1512,19 @@ private[graft] trait Catalog5 extends CatalogBase {
               .as("brier_raw"))
       },
       oracle = Some(s"""
-        WITH mm AS (
+        WITH obs AS (
+          SELECT * FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderstatus IS NOT NULL),
+        mm AS (
           SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
-          FROM orders),
+          FROM obs),
         b AS (
           SELECT
             least(CAST(floor((o_totalprice - mn) / (mx - mn) * 10)
               AS BIGINT), 9) AS bin,
             (o_totalprice - mn) / (mx - mn) AS conf,
             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-          FROM orders, mm),
+          FROM obs, mm),
         raw AS (
           SELECT CAST(sum(CAST(round(pow(conf - y, 2.0), 10)
               AS DECIMAL(14,10))) AS DECIMAL(24,10)) AS bsum,
@@ -1666,21 +1682,30 @@ private[graft] trait Catalog5 extends CatalogBase {
       // (not exactly — the p-grids differ with group size) the same
       // pooled value.
       build = (s, dir) => {
+        // observation contract (r9): quantile normalization maps OBSERVED
+        // values — NULL prices are not observations (they would also sit
+        // at opposite ends of the two engines' rank windows). Means use
+        // a money-width (19,4) snap: davg's (14,8) envelope is for unit-
+        // scale metrics and a full-envelope DECIMAL(12,2) price overflows
+        // it on both engines.
+        def wavg(c: Column): Column =
+          round(sum(c.cast("decimal(19,4)")), 4).cast("double") / count(lit(1))
         val o = table(s, dir, "orders")
+          .filter(col("o_totalprice").isNotNull)
           .select(col("o_orderpriority").as("pri"),
             col("o_orderkey").as("id"),
             col("o_totalprice").cast("double").as("x"))
         QuantileNorm.toPooled(o, "pri", "x", "id")
           .groupBy(col("pri"))
-          .agg(count(lit(1)).as("n"), davg(col("x")).as("mean_pre"),
-            davg(col("qn_value")).as("mean_post"))
+          .agg(count(lit(1)).as("n"), wavg(col("x")).as("mean_pre"),
+            wavg(col("qn_value")).as("mean_post"))
           .orderBy("pri")
       },
       oracle = Some(s"""
         WITH o AS (
           SELECT o_orderpriority AS pri, o_orderkey AS id,
             CAST(o_totalprice AS DOUBLE) AS x
-          FROM orders),
+          FROM orders WHERE o_totalprice IS NOT NULL),
         g AS (
           SELECT *, row_number() OVER (PARTITION BY pri ORDER BY x, id)
               AS gr,
@@ -1707,8 +1732,11 @@ private[graft] trait Catalog5 extends CatalogBase {
           FROM q2
           JOIN p plo ON q2.lo = plo.prnk
           JOIN p phi ON q2.hi = phi.prnk)
-        SELECT pri, count(*) AS n, ${sqlDavg("x")} AS mean_pre,
-          ${sqlDavg("qn")} AS mean_post
+        SELECT pri, count(*) AS n,
+          CAST(round(sum(CAST(x AS DECIMAL(19,4))), 4) AS DOUBLE)
+            / count(*) AS mean_pre,
+          CAST(round(sum(CAST(qn AS DECIMAL(19,4))), 4) AS DOUBLE)
+            / count(*) AS mean_post
         FROM j GROUP BY pri ORDER BY pri""")),
 
     "q283_oof_target_encoding" -> Q(

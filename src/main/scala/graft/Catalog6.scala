@@ -133,7 +133,7 @@ private[graft] trait Catalog6 extends CatalogBase {
           // Snap the transform at 6 decimals, then square in EXACT
           // decimal — round()ing a ~1e11 double square would sit at the
           // double's own representability boundary and is not portable.
-          val ts = round(t(l), 6).cast("decimal(12,6)")
+          val ts = round(t(l), 6).cast("decimal(14,6)")
           Seq(
             sum(ts).cast("decimal(24,6)").as(s"st_${nm(l)}"),
             sum(ts * ts).cast("decimal(38,12)").as(s"st2_${nm(l)}"))
@@ -141,7 +141,10 @@ private[graft] trait Catalog6 extends CatalogBase {
           sum(round(log(y), 8).cast("decimal(20,8)")).cast("decimal(24,8)")
             .as("slog"),
           count(lit(1)).as("n"))
-        val mom = table(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+        // domain contract (r9): Box-Cox is defined for POSITIVE y (ln and
+        // negative powers of y <= 0 are not numbers on either engine)
+        val mom = table(s, dir, "orders")
+          .filter(col("o_totalprice") > 0).agg(aggs.head, aggs.tail: _*)
         def ll(l: Double): Column = {
           val nD = col("n").cast("double")
           val mean = col(s"st_${nm(l)}").cast("double") / nD
@@ -167,35 +170,35 @@ private[graft] trait Catalog6 extends CatalogBase {
             CAST(sum(CAST(round(ln(CAST(o_totalprice AS DOUBLE)), 8)
               AS DECIMAL(20,8))) AS DECIMAL(24,8)) AS slog,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), -1.0) - 1.0)
-              / -1.0, 6) AS DECIMAL(12,6))) AS DECIMAL(24,6)) AS st_m10,
+              / -1.0, 6) AS DECIMAL(14,6))) AS DECIMAL(24,6)) AS st_m10,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), -1.0) - 1.0)
               / -1.0, 6) AS DECIMAL(20,6)) * CAST(round((pow(CAST(o_totalprice
-              AS DOUBLE), -1.0) - 1.0) / -1.0, 6) AS DECIMAL(12,6)))
+              AS DOUBLE), -1.0) - 1.0) / -1.0, 6) AS DECIMAL(14,6)))
               AS DECIMAL(38,12)) AS st2_m10,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), -0.5) - 1.0)
-              / -0.5, 6) AS DECIMAL(12,6))) AS DECIMAL(24,6)) AS st_m05,
+              / -0.5, 6) AS DECIMAL(14,6))) AS DECIMAL(24,6)) AS st_m05,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), -0.5) - 1.0)
               / -0.5, 6) AS DECIMAL(20,6)) * CAST(round((pow(CAST(o_totalprice
-              AS DOUBLE), -0.5) - 1.0) / -0.5, 6) AS DECIMAL(12,6)))
+              AS DOUBLE), -0.5) - 1.0) / -0.5, 6) AS DECIMAL(14,6)))
               AS DECIMAL(38,12)) AS st2_m05,
             CAST(sum(CAST(round(ln(CAST(o_totalprice AS DOUBLE)), 6)
-              AS DECIMAL(12,6))) AS DECIMAL(24,6)) AS st_p00,
+              AS DECIMAL(14,6))) AS DECIMAL(24,6)) AS st_p00,
             CAST(sum(CAST(round(ln(CAST(o_totalprice AS DOUBLE)), 6)
               AS DECIMAL(20,6)) * CAST(round(ln(CAST(o_totalprice AS DOUBLE)),
-              6) AS DECIMAL(12,6))) AS DECIMAL(38,12)) AS st2_p00,
+              6) AS DECIMAL(14,6))) AS DECIMAL(38,12)) AS st2_p00,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), 0.5) - 1.0)
-              / 0.5, 6) AS DECIMAL(12,6))) AS DECIMAL(24,6)) AS st_p05,
+              / 0.5, 6) AS DECIMAL(14,6))) AS DECIMAL(24,6)) AS st_p05,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), 0.5) - 1.0)
               / 0.5, 6) AS DECIMAL(20,6)) * CAST(round((pow(CAST(o_totalprice
-              AS DOUBLE), 0.5) - 1.0) / 0.5, 6) AS DECIMAL(12,6)))
+              AS DOUBLE), 0.5) - 1.0) / 0.5, 6) AS DECIMAL(14,6)))
               AS DECIMAL(38,12)) AS st2_p05,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), 1.0) - 1.0)
-              / 1.0, 6) AS DECIMAL(12,6))) AS DECIMAL(24,6)) AS st_p10,
+              / 1.0, 6) AS DECIMAL(14,6))) AS DECIMAL(24,6)) AS st_p10,
             CAST(sum(CAST(round((pow(CAST(o_totalprice AS DOUBLE), 1.0) - 1.0)
               / 1.0, 6) AS DECIMAL(20,6)) * CAST(round((pow(CAST(o_totalprice
-              AS DOUBLE), 1.0) - 1.0) / 1.0, 6) AS DECIMAL(12,6)))
+              AS DOUBLE), 1.0) - 1.0) / 1.0, 6) AS DECIMAL(14,6)))
               AS DECIMAL(38,12)) AS st2_p10
-          FROM orders),
+          FROM orders WHERE o_totalprice > 0),
         wide AS (
           SELECT n,
             round(-0.5 * n * ln(CAST(st2_m10 AS DOUBLE) / n
@@ -1715,7 +1718,18 @@ private[graft] trait Catalog6 extends CatalogBase {
       // >= 3), so the verdict can't flip on engine float quirks.
       build = (s, dir) => {
         import s.implicits._
+        // key contract (r9): "insertion order" means the DENSE UNIQUE
+        // key — under a duplicated key the k+1 trick (and any lag) has
+        // no defined previous row, so profile one deterministic
+        // representative per key (min attribute tuple, NULLS FIRST)
+        val keyW = Window.partitionBy(col("o_orderkey")).orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("o_custkey").asc_nulls_first,
+          to_date(col("o_orderdate")).asc_nulls_first)
         val o = table(s, dir, "orders")
+          .withColumn("__rn", row_number().over(keyW))
+          .filter(col("__rn") === 1).drop("__rn")
         val prev = o.select((col("o_orderkey") + 1).as("o_orderkey"),
           col("o_orderstatus").as("p_status"),
           col("o_orderpriority").as("p_prio"),
@@ -1758,14 +1772,21 @@ private[graft] trait Catalog6 extends CatalogBase {
           .orderBy(col("column_name"))
       },
       oracle = Some("""
-        WITH lagged AS (
+        WITH orders1 AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY o_orderstatus NULLS FIRST,
+                o_orderpriority NULLS FIRST, o_custkey NULLS FIRST,
+                CAST(o_orderdate AS DATE) NULLS FIRST) AS rn
+            FROM orders) WHERE rn = 1),
+        lagged AS (
           SELECT o_orderstatus, o_orderpriority, o_custkey,
             CAST(o_orderdate AS DATE) AS o_odate,
             lag(o_orderstatus) OVER w AS p_status,
             lag(o_orderpriority) OVER w AS p_prio,
             lag(o_custkey) OVER w AS p_cust,
             lag(CAST(o_orderdate AS DATE)) OVER w AS p_date
-          FROM orders WINDOW w AS (ORDER BY o_orderkey)),
+          FROM orders1 WINDOW w AS (ORDER BY o_orderkey)),
         agg AS (
           SELECT count(*) AS n,
             count(DISTINCT o_orderstatus) AS ndv_status,
@@ -2391,7 +2412,10 @@ private[graft] trait Catalog6 extends CatalogBase {
       // chi-square is one double formula over the bounded 5-row frame.
       // Ties AT the median go below (<=), identically on both engines.
       build = (s, dir) => {
-        val c = table(s, dir, "customer")
+        // observation contract (r9): the test counts OBSERVED balances
+        // against the grand median — a NULL balance is neither above nor
+        // below (the oracle's CASE ELSE 0 would silently call it below)
+        val c = table(s, dir, "customer").filter(col("c_acctbal").isNotNull)
         val gm = c.agg(expr("percentile(c_acctbal, 0.5)").as("gmed"))
         val per = c.crossJoin(broadcast(gm))
           .groupBy(col("c_mktsegment"))
@@ -2419,13 +2443,15 @@ private[graft] trait Catalog6 extends CatalogBase {
           .orderBy(col("c_mktsegment"))
       },
       oracle = Some("""
-        WITH gm AS (
-          SELECT quantile_cont(c_acctbal, 0.5) AS gmed FROM customer),
+        WITH cobs AS (
+          SELECT * FROM customer WHERE c_acctbal IS NOT NULL),
+        gm AS (
+          SELECT quantile_cont(c_acctbal, 0.5) AS gmed FROM cobs),
         per AS (
           SELECT c_mktsegment, count(*) AS n_g,
             CAST(sum(CASE WHEN c_acctbal > gmed THEN 1 ELSE 0 END)
               AS BIGINT) AS above
-          FROM customer CROSS JOIN gm
+          FROM cobs CROSS JOIN gm
           GROUP BY 1),
         tot AS (
           SELECT CAST(sum(n_g) AS BIGINT) AS nn,

@@ -1053,7 +1053,11 @@ private[graft] trait Catalog7 extends CatalogBase {
           .withColumn("y", lit(1))
         val gm = table(s, dir, "customer")
           .agg(expr("percentile(c_acctbal, 0.5)").as("med"))
+        // evaluation contract (r9): a scoreless customer (NULL balance)
+        // has no prediction — the oracle's CASE ELSE 0 would call it a
+        // predicted negative while the engine's NULL comparison skips it
         val scored = table(s, dir, "customer")
+          .filter(col("c_acctbal").isNotNull)
           .join(lbl, col("c_custkey") === col("o_custkey"), "left")
           .crossJoin(broadcast(gm))
           .select(coalesce(col("y"), lit(0)).as("y"),
@@ -1096,7 +1100,8 @@ private[graft] trait Catalog7 extends CatalogBase {
           SELECT coalesce(y, 0) AS y,
             CASE WHEN c_acctbal > med THEN 1 ELSE 0 END AS yh
           FROM customer LEFT JOIN lbl ON c_custkey = o_custkey
-          CROSS JOIN gm),
+          CROSS JOIN gm
+          WHERE c_acctbal IS NOT NULL),
         cm AS (
           SELECT CAST(sum(y * yh) AS BIGINT) AS tp,
             CAST(sum((1 - y) * yh) AS BIGINT) AS fp,
@@ -2292,7 +2297,11 @@ private[graft] trait Catalog7 extends CatalogBase {
         val urgent = table(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey")).distinct().withColumn("u", lit(1))
+        // rating contract (r9): an item enters the agreement panel only
+        // if every rater can rate it — NULL balance/segment means that
+        // rater abstains, not that it votes 0
         val tagged = table(s, dir, "customer")
+          .filter(col("c_acctbal").isNotNull && col("c_mktsegment").isNotNull)
           .join(urgent, col("c_custkey") === col("o_custkey"), "left")
           .crossJoin(broadcast(gm))
           .select(((col("c_acctbal") > col("med")).cast("int")
@@ -2335,7 +2344,8 @@ private[graft] trait Catalog7 extends CatalogBase {
             + (CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
             AS k
           FROM customer LEFT JOIN urgent ON c_custkey = o_custkey
-          CROSS JOIN gm),
+          CROSS JOIN gm
+          WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
         hist AS (SELECT k, count(*) AS n_k FROM tagged GROUP BY 1),
         m AS (
           SELECT CAST(sum(n_k) AS BIGINT) AS nn,
@@ -2633,17 +2643,21 @@ private[graft] trait Catalog7 extends CatalogBase {
           .select(col("id_a"), col("id_b"))
         val deltaEdges = edges.filter(col("isd_a") || col("isd_b"))
           .select(col("id_a"), col("id_b"))
+        // same entity contract as q152 (r9): distinct vertex ids,
+        // min-name survivorship under duplicate primary keys
         val state = Components.connectedComponents(
-            p.filter(!col("isd")).select(col("id")), "id", corpusEdges)
+            p.filter(!col("isd")).select(col("id")).distinct(), "id",
+            corpusEdges)
           .filter(col("id") =!= col("comp"))
           .select(col("id").as("id_a"), col("comp").as("id_b"))
         val comp = Components.connectedComponents(
-          p.select(col("id")), "id", state.union(deltaEdges))
+          p.select(col("id")).distinct(), "id", state.union(deltaEdges))
         val sizes = comp.groupBy(col("comp"))
           .agg(count(lit(1)).as("n_members"))
+        val canon = p.groupBy(col("id").as("comp"))
+          .agg(min(col("name")).as("canonical_name"))
         comp.join(sizes, "comp")
-          .join(p.select(col("id").as("comp"), col("name").as("canonical_name")),
-            "comp")
+          .join(canon, "comp")
           .select(col("id"), col("comp").as("component"), col("n_members"),
             col("canonical_name"))
           .orderBy(col("id"))
@@ -2669,11 +2683,13 @@ private[graft] trait Catalog7 extends CatalogBase {
         comp AS (
           SELECT id, min(reach) AS component FROM walk GROUP BY id),
         sizes AS (
-          SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
-        SELECT c.id, c.component, s.n_members, cn.name AS canonical_name
+          SELECT component, count(*) AS n_members FROM comp GROUP BY 1),
+        canon AS (
+          SELECT id, min(name) AS cname FROM p GROUP BY id)
+        SELECT c.id, c.component, s.n_members, cn.cname AS canonical_name
         FROM comp c
         JOIN sizes s USING (component)
-        JOIN p cn ON cn.id = c.component
+        JOIN canon cn ON cn.id = c.component
         ORDER BY c.id""")),
   )
 }

@@ -29,6 +29,17 @@
 # malformed JSON (q17), and an undefined one-observation variance (q238).
 # See COVERAGE.md for the full record.
 #
+# The relational batch (r9) extended the generator to the seven TPC-H
+# tables (NULL/orphan FKs, duplicate PKs, negative/zero/NULL amounts,
+# boundary dates, empty/unicode names, unknown enum values) and found 23
+# more: 8 ANSI crash paths (bare casts, n<=1 sample-variance
+# denominators, decimal-envelope overflow on full-envelope money,
+# log/pow domain violations) and 15 silent divergences (NULL-rank
+# shifts, unlabeled-counted-as-negative, NULL-group lifecycle,
+# duplicate-PK join multiplication, a batch-SCD2 NULL-first-version
+# ORACLE bug, '' vs NULL empty aggregation). All fixed both-sides;
+# 358/358 green on the extended fixture since.
+#
 # Usage: tools/adversarial.sh [baseSfDir]   (default /root/testdata/sf0.001)
 set -eu
 BASE=${1:-/root/testdata/sf0.001}

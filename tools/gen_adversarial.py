@@ -12,10 +12,25 @@ differential test on the derived directory: any hash mismatch is a real
 edge-case divergence (NULL ordering, empty-shingle-set handling, float
 underflow, tie nondeterminism), invisible on the clean generator output.
 
+Round 9 extends the fixture to the seven RELATIONAL tables (previously
+symlinked unmodified): NULL and orphan foreign keys, duplicate primary
+keys, negative/zero/NULL amounts, boundary dates at the exact ends of the
+existing range, empty/unicode/duplicate names, unknown enum values. The
+~200 relational/stat queries had never seen a hostile row before this.
+
+Deliberately NOT included, with the contract that excludes each (same
+discipline as the events section below): NaN/Inf in money columns (price,
+balance, quantity — the exact-decimal money envelope is an INGEST
+contract, like the embedding norm envelope; corrupt money is rejected at
+the boundary, not carried), dates outside the existing [min, max] range
+(date-spine operators would inflate their output spine — a size effect,
+not an edge case), and huge-but-finite amounts beyond DECIMAL(12,2)'s
+10^10 envelope (documented overflow cliff, guarded by the dec() cast).
+
 Usage: python3 tools/gen_adversarial.py [baseSfDir] [outDir]
   defaults: /root/testdata/sf0.001 /tmp/sfadv
-Unmodified tables are symlinked; documents/embeddings get appended rows
-with fresh ids. Fully deterministic — no RNG anywhere.
+Every table gets appended hostile rows with fresh ids (plus deliberate
+duplicate-PK rows). Fully deterministic — no RNG anywhere.
 """
 import os
 import sys
@@ -179,6 +194,176 @@ def adversarial_embeddings(tbl: pa.Table) -> pa.Table:
     return pa.concat_tables([tbl, adv])
 
 
+def adversarial_region(tbl: pa.Table) -> pa.Table:
+    """Tiny dim: empty/NULL/unicode/duplicate names, one duplicate PK."""
+    rows = [  # (r_regionkey, r_name)
+        (5, ""),                       # empty name
+        (6, None),                     # NULL name
+        (7, tbl.column("r_name").to_pylist()[0]),  # duplicate NAME
+        (8, "亚洲 REGION 🌏"),          # unicode name
+        (0, "DUPLICATE KEY REGION"),   # duplicate PRIMARY KEY
+    ]
+    adv = pa.table({
+        "r_regionkey": pa.array([r[0] for r in rows], pa.int32()),
+        "r_name": pa.array([r[1] for r in rows], pa.string()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_nation(tbl: pa.Table) -> pa.Table:
+    rows = [  # (n_nationkey, n_name, n_regionkey)
+        (25, "", 0),                   # empty name
+        (26, None, None),              # NULL name + NULL FK
+        (27, "日本国 ñação", 9),        # unicode name + ORPHAN regionkey
+        (28, tbl.column("n_name").to_pylist()[0], 1),  # duplicate name
+        (0, "DUPLICATE KEY NATION", 0),  # duplicate PRIMARY KEY
+    ]
+    adv = pa.table({
+        "n_nationkey": pa.array([r[0] for r in rows], pa.int32()),
+        "n_name": pa.array([r[1] for r in rows], pa.string()),
+        "n_regionkey": pa.array([r[2] for r in rows], pa.int32()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_customer(tbl: pa.Table) -> pa.Table:
+    max_id = max(tbl.column("c_custkey").to_pylist())
+    name0 = tbl.column("c_name").to_pylist()[0]
+    k = max_id + 1
+    rows = [  # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        (k + 0, "", None, None, ""),   # empty name, NULL FK/bal, empty segment
+        (k + 1, None, 99, -0.0, None),  # NULL name, ORPHAN nation, signed zero
+        (k + 2, name0, 0, 0.0, "BUILDING"),  # duplicate NAME of customer 0
+        (k + 3, "客户 Müller-Lücke ☃", 1, -9999999.99, "AUTOMOBILE"),  # unicode; deep debt
+        (k + 4, "Customer#UPPER vs lower", 2, 9999999.99, "machinery"),  # case-variant segment
+        (0, "DUPLICATE KEY CUSTOMER", 3, 100.0, "HOUSEHOLD"),  # duplicate PK
+    ]
+    adv = pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "c_name": pa.array([r[1] for r in rows], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+        "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_supplier(tbl: pa.Table) -> pa.Table:
+    max_id = max(tbl.column("s_suppkey").to_pylist())
+    name0 = tbl.column("s_name").to_pylist()[0]
+    k = max_id + 1
+    rows = [  # (s_suppkey, s_name, s_nationkey, s_acctbal)
+        (k + 0, "", None, None),
+        (k + 1, None, 99, -0.0),       # NULL name, orphan nation
+        (k + 2, name0, 0, 0.0),        # duplicate name
+        (0, "DUPLICATE KEY SUPPLIER", 1, 50.0),  # duplicate PK
+    ]
+    adv = pa.table({
+        "s_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "s_name": pa.array([r[1] for r in rows], pa.string()),
+        "s_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+        "s_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_part(tbl: pa.Table) -> pa.Table:
+    max_id = max(tbl.column("p_partkey").to_pylist())
+    # an existing (name, brand, type) — duplicated to stress ER blocking
+    n0, b0, t0 = (tbl.column("p_name").to_pylist()[0],
+                  tbl.column("p_brand").to_pylist()[0],
+                  tbl.column("p_type").to_pylist()[0])
+    k = max_id + 1
+    rows = [  # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+        (k + 0, "", "", "", 0, 0.0),   # empty strings, zero size/price
+        (k + 1, None, None, None, None, None),  # all-NULL attributes
+        (k + 2, n0, b0, t0, -5, -900.0),  # duplicate name+brand; negative size/price
+        (k + 3, n0 + "x", b0, t0, 50, 919.9),  # near-dup name in the same block
+        (k + 4, "πart ünïcode widget", "Brand#99", "PROMO", 1, 900.0),  # unicode; fresh brand
+        (0, "duplicate key part", "Brand#13", "ECONOMY", 1, 900.0),  # duplicate PK
+    ]
+    adv = pa.table({
+        "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "p_name": pa.array([r[1] for r in rows], pa.string()),
+        "p_brand": pa.array([r[2] for r in rows], pa.string()),
+        "p_type": pa.array([r[3] for r in rows], pa.string()),
+        "p_size": pa.array([r[4] for r in rows], pa.int32()),
+        "p_retailprice": pa.array([r[5] for r in rows], pa.float64()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_orders(tbl: pa.Table) -> pa.Table:
+    import datetime as dt
+    max_id = max(tbl.column("o_orderkey").to_pylist())
+    dates = tbl.column("o_orderdate").to_pylist()
+    dmin, dmax = min(dates), max(dates)
+    k = max_id + 1
+    rows = [  # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+        (k + 0, None, "O", 100.0, dmin, "1-URGENT"),   # NULL FK; min-boundary date
+        (k + 1, 999999, "F", None, dmax, "5-LOW"),     # ORPHAN FK; NULL price; max-boundary date
+        (k + 2, 0, "X", -500.0, dt.datetime(1998, 6, 15), "3-MEDIUM"),  # unknown status; negative price
+        (k + 3, 1, "P", 0.0, dmin, None),              # zero price; NULL priority
+        (k + 4, 1, None, 9999999.99, dmax, ""),        # NULL status; empty priority; huge-but-in-envelope price
+        (0, 5, "O", 123.45, dt.datetime(1997, 3, 1), "3-MEDIUM"),  # duplicate PK
+    ]
+    adv = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in rows]),
+        "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+def adversarial_lineitem(tbl: pa.Table) -> pa.Table:
+    import datetime as dt
+    dates = tbl.column("l_shipdate").to_pylist()
+    dmin, dmax = min(dates), max(dates)
+    mid = dt.datetime(1998, 6, 15)
+    # fresh (orderkey, linenumber) pairs use an orderkey far beyond the base
+    # range but WITHIN int64, so they join nothing (orphans) unless stated
+    k = 900000
+    rows = [  # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+              #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+        (k + 0, 999999, 999999, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", mid),  # orphan part+supp (and order)
+        (k + 1, None, None, 1, None, None, None, None, None, None, dmin),  # NULL battery; min date
+        (k + 2, 0, 0, 1, 0.0, 0.0, 0.0, 0.0, "", "", dmax),  # zero qty/price; empty flags; max date
+        (k + 3, 0, 1, 2, -5.0, -1000.0, 0.0, 0.0, "R", "F", mid),  # negative qty/price
+        (k + 4, 1, 1, 1, 10.0, 1000.0, 1.0, 0.08, "A", "F", mid),  # discount 1.0 → zero revenue
+        (k + 5, 1, 2, 2, 10.0, 1000.0, -0.05, -0.02, "N", "O", mid),  # negative discount/tax
+        (k + 6, 2, 3, 1, 0.001, 0.01, 0.999, 0.999, "N", "O", mid),  # sub-cent money, near-1 rates
+        (0, 0, 0, 1, 17.0, 17000.0, 0.05, 0.02, "N", "O", mid),  # duplicate PK (l_orderkey 0, line 1 exists)
+    ]
+    adv = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in rows], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in rows], pa.float64()),
+        "l_discount": pa.array([r[6] for r in rows], pa.float64()),
+        "l_tax": pa.array([r[7] for r in rows], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in rows], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in rows], pa.string()),
+        "l_shipdate": pa.array([r[10] for r in rows]),
+    }).cast(tbl.schema)
+    return pa.concat_tables([tbl, adv])
+
+
+RELATIONAL = {
+    "region": adversarial_region,
+    "nation": adversarial_nation,
+    "customer": adversarial_customer,
+    "supplier": adversarial_supplier,
+    "part": adversarial_part,
+    "orders": adversarial_orders,
+    "lineitem": adversarial_lineitem,
+}
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     for t in TABLES:
@@ -192,6 +377,8 @@ def main():
             pq.write_table(adversarial_embeddings(pq.read_table(src)), dst)
         elif t == "events":
             pq.write_table(adversarial_events(pq.read_table(src)), dst)
+        elif t in RELATIONAL:
+            pq.write_table(RELATIONAL[t](pq.read_table(src)), dst)
         else:
             os.symlink(src, dst)
     d = pq.read_table(os.path.join(OUT, "documents.parquet"))
