@@ -515,8 +515,15 @@ object NearDup {
     * re-referenced subtree carries a window + distinct shuffle).
     * Unrelated documents (uniform sketches) collide per band with
     * probability 2^-bits (2^-15 at the default), so false candidates are
-    * rare; identical-content cliques are the output itself, as in every
-    * dedup pipeline. */
+    * rare at small n — but the expected false-candidate COUNT is
+    * n²/2^bits per band, a quadratic term that turns material around
+    * n ≈ 10^5 (measured in the r9 sf1 probe: exponent 1.59 at 50k
+    * docs on a pair-dense corpus). At corpus scale either widen the
+    * sketch (a 128-bit simhash gives 4×32-bit bands at the same
+    * Hamming coverage, pushing the cliff to n ≈ 10^9) or run the
+    * cascade with exact/minhash dedup upstream so n here is the
+    * residual; identical-content cliques are the output itself, as in
+    * every dedup pipeline. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, materialize: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 29,
