@@ -200,9 +200,15 @@ object NearDup {
         rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else rows0
     val cand = containmentCandidates(rows, minC)
+    // merge hints here too: the per-doc shingle-SET side is corpus-sized
+    // (it carries every shingle hash), so broadcasting it is wrong at
+    // scale — and at small SF its cached-size estimate straddles the
+    // broadcast threshold, flipping AQE's choice run-to-run (the r9
+    // metrics tripwire caught the verify stage flapping after the
+    // candidate join was pinned)
     val sets = shingleSets(rows)
-    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
-      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+    cand.join(sets.alias("sa").hint("merge"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb").hint("merge"), col("id_b") === col("sb.id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
       .filter(col("common") >= 1)
       .withColumn("cont_a_in_b", col("common").cast("double") / col("sa.sz"))
@@ -223,14 +229,23 @@ object NearDup {
     val sized = rows
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
     val prefix = sized
-      .join(freq, Seq("hs"))
+      // merge hint: the (hs -> df) frequency table is shingle-
+      // vocabulary-sized — never broadcastable at corpus scale, and at
+      // small SF its estimate straddles the broadcast threshold (the
+      // same measured AQE flip as the candidate/verify joins)
+      .join(freq.hint("merge"), Seq("hs"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("hs"))))
       .filter(col("rk") <= col("sz") - floor(lit(minC) * col("sz")) + 1)
       .select(col("id"), col("hs"), col("sz"))
     // prefix side is the MIN side (ties broken by id so each pair fires
-    // from exactly one direction); the full side carries no df/rank work
-    prefix.alias("p").join(sized.alias("f"),
+    // from exactly one direction); the full side carries no df/rank work.
+    // The merge hint pins the scale-correct strategy: BOTH sides are
+    // data-sized (at 100 TB neither broadcasts), and without it the
+    // small-SF plan sits exactly at the broadcast threshold — AQE's
+    // choice flips run-to-run with the cached table's size accounting
+    // (caught by the r9 metrics tripwire as a bistable shuffle volume).
+    prefix.alias("p").join(sized.alias("f").hint("merge"),
         col("p.hs") === col("f.hs") &&
           (col("p.sz") < col("f.sz") ||
             (col("p.sz") === col("f.sz") && col("p.id") < col("f.id"))))
@@ -296,13 +311,19 @@ object NearDup {
     val freq = rows.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val ranked = rows
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
-      .join(freq, Seq("hs"))
+      // merge hint: the (hs -> df) frequency table is shingle-
+      // vocabulary-sized — never broadcastable at corpus scale, and at
+      // small SF its estimate straddles the broadcast threshold (the
+      // same measured AQE flip as the candidate/verify joins)
+      .join(freq.hint("merge"), Seq("hs"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("hs"))))
     val prefix = ranked
       .filter(col("rk") <= col("sz") - floor(lit(minJ) * col("sz")) + 1)
       .select(col("id"), col("hs"), col("sz"))
-    val cand = prefix.alias("a").join(prefix.alias("b"),
+    // merge hint: same rationale (and same measured run-to-run AQE
+    // broadcast flip) as containmentCandidates — both sides data-sized
+    val cand = prefix.alias("a").join(prefix.alias("b").hint("merge"),
         col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
       // length filter: J ≤ min/max, and round-to-nearest division is
       // monotone, so this can never prune a pair the verify would keep
@@ -310,9 +331,11 @@ object NearDup {
         / greatest(col("a.sz"), col("b.sz")) >= minJ)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // merge hints: same scale rationale and the same measured AQE
+    // broadcast flip as containmentCandidatePairs' verify stage
     val sets = shingleSets(rows)
-    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
-      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+    cand.join(sets.alias("sa").hint("merge"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb").hint("merge"), col("id_b") === col("sb.id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sa.sz") + col("sb.sz") - col("common")))
