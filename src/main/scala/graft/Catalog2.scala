@@ -515,6 +515,9 @@ private[graft] trait Catalog2 extends CatalogBase {
                 ROWS UNBOUNDED PRECEDING) AS session_seq
           FROM lagged),
         paths AS (
+          -- agg: nonempty (lagged's WHERE keeps only non-NULL
+          -- event_type rows, so every (user, session) group feeds >= 1
+          -- non-NULL element — the '' vs NULL empty-agg class can't fire)
           SELECT user_id, session_seq,
             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
           FROM numbered GROUP BY user_id, session_seq)
@@ -1938,7 +1941,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       build = (s, dir) => {
         val p = table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
-          concat_ws("|", col("p_brand"),
+          pipeKey(col("p_brand"),
             split(col("p_name"), " ").getItem(0),
             shiftright(length(col("p_name")), 3)).as("blk"))
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
@@ -2258,7 +2261,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       build = (s, dir) => {
         val p = table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
-          concat_ws("|", col("p_brand"),
+          pipeKey(col("p_brand"),
             split(col("p_name"), " ").getItem(0),
             shiftright(length(col("p_name")), 3)).as("blk"))
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
@@ -2357,7 +2360,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       build = (s, dir) => {
         val p = table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
-          concat_ws("|", col("p_brand"),
+          pipeKey(col("p_brand"),
             split(col("p_name"), " ").getItem(0)).as("blk"))
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))

@@ -2092,12 +2092,17 @@ private[graft] trait Catalog3 extends CatalogBase {
       // uses the exact DECIMAL rendering on both sides.
       build = (s, dir) => {
         val o = table(s, dir, "orders")
-        def serial(price: Column): Column = concat_ws("|",
-          col("o_orderkey").cast("string"),
-          col("o_custkey").cast("string"),
+        // pipeKey (NULL-propagating, = the oracle's ||): a row with a
+        // NULL attribute serializes to a NULL hash on BOTH engines —
+        // excluded from the decimal digest, still counted by n. concat_ws
+        // would skip the field, hashing a truncated serial the oracle
+        // never computes (the q356 ADVICE class).
+        def serial(price: Column): Column = pipeKey(
+          col("o_orderkey"),
+          col("o_custkey"),
           col("o_orderstatus"),
-          price.cast("string"),
-          to_date(col("o_orderdate")).cast("string"),
+          price,
+          to_date(col("o_orderdate")),
           col("o_orderpriority"))
         def digest(df: DataFrame, price: Column): DataFrame = df
           .withColumn("bucket",

@@ -1846,7 +1846,9 @@ private[graft] trait Catalog4 extends CatalogBase {
           FROM sc GROUP BY 1),
         topk AS (
           -- ORDER BY the BIGINT key, not its string form: lexicographic
-          -- string order diverges from numeric once digit counts differ
+          -- string order diverges from numeric once digit counts differ.
+          -- agg: nonempty (k = o_orderkey is never NULL — PK, the dup-PK
+          -- hostile row included — and rn <= 3 keeps >= 1 row per group)
           SELECT prio, string_agg(CAST(k AS VARCHAR), ','
             ORDER BY k DESC) AS top3_keys
           FROM (

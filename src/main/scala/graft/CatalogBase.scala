@@ -56,6 +56,19 @@ private[graft] trait CatalogBase {
       }
     }
 
+  /** NULL-propagating '|'-separated composite key — mirrors SQL `||`
+    * exactly: any NULL component NULLs the WHOLE key, so a row with a
+    * missing attribute never joins/groups under a truncated key.
+    * `concat_ws` would silently SKIP the NULL component instead, folding
+    * e.g. (NULL brand, name) onto the key shape of (name alone) — a
+    * latent cross-engine divergence whenever the oracle builds the same
+    * key with `||` (the r10 ADVICE class on q356/q357; same contract as
+    * the r9 NULL-key fixes). Identical to concat_ws on fully non-NULL
+    * inputs, so clean-data results are unchanged. */
+  protected def pipeKey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    concat(cols.flatMap(c =>
+      Seq(c.cast("string"), lit("|"))).dropRight(1): _*)
+
   // Shared SQL fragments (mirrored by the Column helpers in Stable).
   protected val revSql = sqlRevenue("l_extendedprice", "l_discount")
   protected val chargeSql = sqlCharge("l_extendedprice", "l_discount", "l_tax")
@@ -397,6 +410,54 @@ private[graft] trait CatalogBase {
         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes
       GROUP BY doc_id)"""
+
+  /** Shared CTE body computing per-document 128-bit simhash sketches as
+    * signed (hi, lo) BIGINT halves (q358/q359 oracles; `lazy` is
+    * load-bearing — referenced from `all`). Portability mechanics: md5's
+    * 32 hex chars are read as four 32-bit words u0..u3 (big-endian, so
+    * u0‖u1 = hi, u2‖u3 = lo of the 128-bit value); per-(unit, bit) votes
+    * mirror the engine kernel exactly; each 64-bit half is recomposed as
+    * `(w_hi32 − [w_hi32 ≥ 2³¹]·2³²) · 2³² + w_lo32`, which lands on the
+    * identical two's-complement BIGINT without ever overflowing (max
+    * magnitude is exactly ±2⁶³). DuckDB's `>>` is arithmetic, so
+    * `(h >> bit) & 1` tests the right bit for every bit 0..31 of the
+    * non-negative words. */
+  protected lazy val simhash128Ctes: String = """toks AS (
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents),
+    th AS (
+      SELECT doc_id,
+        CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS u0,
+        CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS u1,
+        CAST('0x' || substring(md5(tok), 17, 8) AS BIGINT) AS u2,
+        CAST('0x' || substring(md5(tok), 25, 8) AS BIGINT) AS u3
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+    votes AS (
+      SELECT doc_id, unit, bit,
+        sum(CASE WHEN ((CASE unit WHEN 0 THEN u0 WHEN 1 THEN u1
+                        WHEN 2 THEN u2 ELSE u3 END) >> bit) & 1 = 1
+            THEN 1 ELSE -1 END) AS v
+      FROM th
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS unit) units
+      CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit) bits
+      GROUP BY doc_id, unit, bit),
+    words AS (
+      SELECT doc_id, unit,
+        sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+            ELSE CAST(0 AS BIGINT) END) AS w
+      FROM votes GROUP BY doc_id, unit),
+    sk128 AS (
+      SELECT doc_id,
+        CAST((w0 - CASE WHEN w0 >= 2147483648 THEN 4294967296 ELSE 0 END)
+          * 4294967296 + w1 AS BIGINT) AS hi,
+        CAST((w2 - CASE WHEN w2 >= 2147483648 THEN 4294967296 ELSE 0 END)
+          * 4294967296 + w3 AS BIGINT) AS lo
+      FROM (SELECT doc_id,
+          max(CASE WHEN unit = 0 THEN w END) AS w0,
+          max(CASE WHEN unit = 1 THEN w END) AS w1,
+          max(CASE WHEN unit = 2 THEN w END) AS w2,
+          max(CASE WHEN unit = 3 THEN w END) AS w3
+        FROM words GROUP BY doc_id))"""
 
   /** Shared CTE body computing exact word-3-gram Jaccard pairs (used by
     * q27/q28/q35 oracles; `lazy` is load-bearing — referenced from `all`,

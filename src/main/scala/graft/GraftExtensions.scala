@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash60, StopwordCount, TopKAgg}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -48,6 +48,10 @@ object GraftFunctions {
     ("graft_simhash60",
       info("graft_simhash60", "graft_simhash60(tokens) - 60-bit SimHash sketch of array<string>"),
       { case Seq(t) => SimHash60(t) }: Builder),
+    ("graft_simhash128",
+      info("graft_simhash128",
+        "graft_simhash128(tokens) - 128-bit SimHash sketch of array<string> as [hi, lo] bigints"),
+      { case Seq(t) => SimHash128(t) }: Builder),
     ("graft_polyhash",
       info("graft_polyhash", "graft_polyhash(str) - Rabin-Karp polynomial fingerprint"),
       { case Seq(s) => PolyHash(s) }: Builder),

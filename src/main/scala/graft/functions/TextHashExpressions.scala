@@ -64,6 +64,53 @@ object TextHashUtil {
     sketch
   }
 
+  /** 128-bit SimHash sketch over a token array, as [hi, lo] longs — the
+    * wide twin of [[simhash60]] for corpus-scale banding: cutting the
+    * sketch into `maxHamming + 1` bands gives ≥ 32-bit bands at Hamming
+    * ≤ 3, so unrelated documents collide per band with p = 2⁻³² and the
+    * n²/2^bits false-candidate term of the 60-bit sketch (material at
+    * n ≈ 10⁵, measured exponent 1.59 in the r9 sf1 probe) moves to
+    * n ≈ 10⁹. Bit layout: md5's 16 digest bytes read big-endian as a
+    * 128-bit value H (hi = bytes 0–7, lo = bytes 8–15); token votes test
+    * bit b of H and the sketch keeps the sign per position, ties → 0,
+    * exactly [[simhash60]]'s convention. A null element votes −1 on
+    * every bit, matching the 60-bit kernel's null semantics. */
+  def simhash128(toks: ArrayData): Array[Long] = {
+    val n = toks.numElements()
+    val votes = new Array[Int](128)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) {
+        var b = 0
+        while (b < 128) { votes(b) -= 1; b += 1 }
+      } else {
+        val d = org.apache.commons.codec.digest.DigestUtils.md5(
+          toks.getUTF8String(i).getBytes)
+        var hHi = 0L
+        var hLo = 0L
+        var k = 0
+        while (k < 8) { hHi = (hHi << 8) | (d(k) & 0xffL); k += 1 }
+        while (k < 16) { hLo = (hLo << 8) | (d(k) & 0xffL); k += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((hLo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((hHi >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) lo |= 1L << b
+      if (votes(64 + b) > 0) hi |= 1L << b
+      b += 1
+    }
+    Array(hi, lo)
+  }
+
   /** Unicode NFC normalization (already-normalized strings — the common
     * case — short-circuit on the isNormalized check without allocating). */
   def nfc(s: UTF8String): UTF8String = {
@@ -308,6 +355,33 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `graft_simhash128(tokens)` — 128-bit SimHash sketch of an array<string>,
+  * returned as `array<bigint>` [hi, lo] (see [[TextHashUtil.simhash128]]
+  * for the bit layout and the banding rationale). */
+case class SimHash128(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash128"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashUtil.simhash128(input.asInstanceOf[ArrayData]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.TextHashUtil.simhash128($c));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash128 =
     copy(child = newChild)
 }
 

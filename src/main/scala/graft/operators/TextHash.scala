@@ -61,8 +61,23 @@ object TextHash {
   private def tokens(text: Column): Column =
     array_distinct(split(trim(text), "\\s+"))
 
+  /** 128-bit SimHash sketch as `array<bigint>` [hi, lo] — the wide twin of
+    * [[simhash]] whose ≥ 32-bit bands keep banding sub-quadratic to
+    * n ≈ 10⁹ documents (the 60-bit sketch's 15-bit bands turn quadratic
+    * around 10⁵ — measured exponent 1.59 in the r9 sf1 probe). Same vote
+    * convention as [[simhash]]; bit layout and the portability contract
+    * live in [[graft.functions.TextHashUtil.simhash128]]. */
+  def simhash128(text: Column): Column =
+    call_function("graft_simhash128", tokens(text))
+
   /** Hamming distance between two simhash sketches (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Hamming distance between two 128-bit sketches given as (hi, lo) long
+    * pairs: the per-half XOR popcounts add, since the halves partition the
+    * 128 bit positions. */
+  def hamming128(hiA: Column, loA: Column, hiB: Column, loB: Column): Column =
+    bit_count(hiA.bitwiseXOR(hiB)) + bit_count(loA.bitwiseXOR(loB))
 
   private val Base = 131L
   private val Mod = 1000000007L // < 2^30, so acc*131+cp stays < 2^63

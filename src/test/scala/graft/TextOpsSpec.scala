@@ -216,6 +216,85 @@ class TextOpsSpec extends SparkSpec {
     assert(truth.nonEmpty) // the corpus really contains close sketches
   }
 
+  /** Independent driver-side 128-bit simhash reference: different md5 API
+    * (MessageDigest vs commons-codec), different loop structure — pins the
+    * engine kernel the way the HOF twin pins the 60-bit sketch. A null
+    * token votes −1 on every bit (the kernel's convention). */
+  private def simhash128Ref(toks: Seq[String]): (Long, Long) = {
+    val votes = new Array[Int](128)
+    for (t <- toks) {
+      if (t == null) { for (b <- 0 until 128) votes(b) -= 1 }
+      else {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        val hHi = (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (d(k) & 0xffL))
+        val hLo = (8 until 16).foldLeft(0L)((a, k) => (a << 8) | (d(k) & 0xffL))
+        for (b <- 0 until 64) {
+          votes(b) += (if (((hLo >>> b) & 1L) == 1L) 1 else -1)
+          votes(64 + b) += (if (((hHi >>> b) & 1L) == 1L) 1 else -1)
+        }
+      }
+    }
+    val lo = (0 until 64).foldLeft(0L)((a, b) =>
+      if (votes(b) > 0) a | (1L << b) else a)
+    val hi = (0 until 64).foldLeft(0L)((a, b) =>
+      if (votes(64 + b) > 0) a | (1L << b) else a)
+    (hi, lo)
+  }
+
+  test("simhash128 matches an independent driver-side reference on the corpus") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    val got = docs.select(col("doc_id"),
+        TextHash.simhash128(col("text")).as("sk"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) null
+          else { val a = r.getSeq[Long](1); (a(0), a(1)) })
+      }.toMap
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty)
+    for ((id, text) <- texts) {
+      if (text == null) assert(got(id) == null, s"doc $id: null text")
+      else {
+        val toks = text.trim.split("\\s+").toSeq.distinct
+        assert(got(id) == simhash128Ref(toks), s"doc $id diverges")
+      }
+    }
+    // null token element (unreachable via split, reachable via the SQL
+    // function): votes -1 on every bit, like the 60-bit kernel
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"))
+    val r = Seq(1).toDF("x")
+      .select(call_function("graft_simhash128", arr).as("sk")).head()
+    val a = r.getSeq[Long](0)
+    assert((a(0), a(1)) == simhash128Ref(Seq("a", null, "b")))
+  }
+
+  test("simhash128NearDupPairs equals the all-pairs scan, incl. spanning bands") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    val sk = docs.select(col("doc_id"), TextHash.simhash128(col("text")).as("s"))
+      .collect().filterNot(_.isNullAt(1))
+      .map(r => r.getLong(0) -> { val a = r.getSeq[Long](1); (a(0), a(1)) })
+    def truth(maxH: Int) = (for {
+      (ia, (ha, la)) <- sk; (ib, (hb, lb)) <- sk if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if h <= maxH
+    } yield (ia, ib, h.toLong)).toSet
+    // default: 4 aligned 32-bit bands
+    val got3 = NearDup.simhash128NearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got3 == truth(3), s"got=${got3.size} truth=${truth(3).size}")
+    assert(got3.nonEmpty) // the corpus really contains close 128-bit sketches
+    // 3 bands x 42 bits: band 1 covers bits 42..83, straddling the hi/lo
+    // boundary — exercises the two-word bandSlice composition; bits
+    // 126..127 uncovered (only ADDS candidates, pigeonhole intact)
+    val got2 = NearDupairsFor(docs, 2)
+    assert(got2 == truth(2), s"spanning-band got=${got2.size} truth=${truth(2).size}")
+  }
+
+  private def NearDupairsFor(docs: org.apache.spark.sql.DataFrame, maxH: Int) =
+    NearDup.simhash128NearDupPairs(docs, "doc_id", "text", maxHamming = maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
   test("native hash kernels are bit-identical to their interpreted HOF twins") {
     // the codegen'd expressions (SimHash60/PolyHash/MinGramHash) must agree
     // with the aggregate/zip_with formulations everywhere: real corpus +

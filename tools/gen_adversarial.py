@@ -281,6 +281,13 @@ def adversarial_part(tbl: pa.Table) -> pa.Table:
         (k + 3, n0 + "x", b0, t0, 50, 919.9),  # near-dup name in the same block
         (k + 4, "πart ünïcode widget", "Brand#99", "PROMO", 1, 900.0),  # unicode; fresh brand
         (0, "duplicate key part", "Brand#13", "ECONOMY", 1, 900.0),  # duplicate PK
+        # NULL brand + similar non-NULL names (r10 ADVICE): under a
+        # NULL-skipping blocking key (concat_ws) these two pair in the
+        # engine while the oracle's || NULLs the key — the divergence
+        # class the all-NULL row masks (its name-inequality filter never
+        # fires). With the NULL-propagating key neither engine pairs them.
+        (k + 5, "ghost brand widget alpha", None, "STANDARD", 2, 901.0),
+        (k + 6, "ghost brand widget alphb", None, "STANDARD", 2, 902.0),
     ]
     adv = pa.table({
         "p_partkey": pa.array([r[0] for r in rows], pa.int64()),

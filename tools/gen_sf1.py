@@ -67,9 +67,17 @@ NAME_COLS = {"part": "p_name", "customer": "c_name", "supplier": "s_name"}
 
 
 def _interleave_markers(text, i):
-    """A cp{i}m{k%7} marker after every 2 original tokens: every trigram
-    window contains a marker, so cross-copy shingle overlap is zero while
-    within-copy overlap structure is preserved exactly."""
+    """The SAME cp{i} marker after every 2 original tokens: every trigram
+    window contains a marker, so cross-copy shingle overlap is zero at any
+    document length. The marker is position-INDEPENDENT (one constant
+    token per copy, not a k-indexed variant): a shared span occurring at
+    different token offsets in two docs of the same copy keeps its shingle
+    overlap whenever the offsets agree mod 2 — a v2 position-dependent
+    marker (cp{i}m{(k//2)%7}, period 14) silently deflated the per-copy
+    dup rate for offset duplicates (r10 ADVICE). Position-ALIGNED
+    duplicate pairs — the planted-dup shape of the base corpus — are
+    perturbed identically under either scheme and keep their exact
+    within-copy Jaccard."""
     if text is None:
         return None
     toks = text.split()
@@ -77,7 +85,7 @@ def _interleave_markers(text, i):
     for k, t in enumerate(toks):
         out.append(t)
         if k % 2 == 1:
-            out.append(f"cp{i}m{(k // 2) % 7}")
+            out.append(f"cp{i}")
     return " ".join(out)
 
 

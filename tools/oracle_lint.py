@@ -29,6 +29,23 @@ full prose record lives in COVERAGE.md's round-6..9 sections):
      operand forces the int128 path and the exact product (the
      sqlDsumsq rule). Flagged = both widths <= 18 AND w1+w2 >= 19:
      the declared envelopes admit values whose product overflows.
+     The right operand's width is read by BALANCED-PAREN scan of its
+     whole CAST — a nested `CAST(CAST(y AS DECIMAL(12,2)) AS
+     DECIMAL(19,2))` is judged by the OUTER width 19 (its actual
+     storage), not the inner 12 (the r10 ADVICE false-positive).
+  6. string_agg without a coalesce guard    -> FAIL. Spark's
+     concat_ws/array_join over an empty or all-NULL collect says ''
+     where DuckDB's string_agg over zero non-NULL values says NULL
+     (q236/q108's class). Exemption: `-- agg: nonempty` marks SQL
+     whose grouping provably feeds >=1 non-NULL element per group
+     (auditable, greppable — the json rule's pattern).
+  7. isfinite in dual-dialect engine source -> FAIL. Engine-side SQL
+     helper strings may execute under BOTH spark.sql and DuckDB;
+     `isfinite(` is DuckDB-only (UNRESOLVED_ROUTINE on the Spark side
+     — the q125/q161 episode). Scans the non-catalog engine source
+     (catalog files hold oracle-only literals where isfinite is
+     legal); a `duckdb-only` comment on the line disarms a helper
+     that provably never reaches spark.sql.
 
 Usage:
     sbt "runMain graft.Verify /root/testdata/sf0.001 /tmp/lint --sql-only"
@@ -51,12 +68,103 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 INTEGRAL = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
 
-# a `*` whose LEFT operand is a CAST(... AS DECIMAL(w<=18, s)) and whose
-# RIGHT operand is another decimal CAST — the int64-storage multiply cliff
-DEC_MUL = re.compile(
-    r"AS\s+DECIMAL\((\d+)\s*,\s*\d+\)\s*\)\s*\*\s*CAST\(.{0,400}?"
-    r"AS\s+DECIMAL\((\d+)\s*,\s*\d+\)",
+# a `*` whose LEFT operand is a CAST(... AS DECIMAL(w, s)): the left
+# capture anchors on the `AS DECIMAL` immediately before the cast's
+# closing paren, so a nested left cast reads its OUTERMOST width; the
+# right operand's CAST is then parsed by balanced-paren scan below.
+DEC_MUL_LEFT = re.compile(
+    r"AS\s+DECIMAL\((\d+)\s*,\s*\d+\)\s*\)\s*\*\s*CAST\s*(?=\()",
     re.IGNORECASE | re.DOTALL)
+
+AS_DECIMAL = re.compile(r"AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*\d+\s*\)",
+                        re.IGNORECASE)
+
+
+def dec_mul_pairs(sql):
+    """(w_left, w_right) per decimal-cast multiply, where w_right is the
+    OUTERMOST `AS DECIMAL` of the right operand's CAST — found by scanning
+    its balanced parens. A leading-edge regex would bind the FIRST
+    `AS DECIMAL` inside the cast, misreading `CAST(CAST(y AS DECIMAL(12,2))
+    AS DECIMAL(19,2))` as width-12 storage (false positive: the outer cast
+    IS int128) and misattributing widths across expression boundaries."""
+    pairs = []
+    for m in DEC_MUL_LEFT.finditer(sql):
+        open_i = sql.index("(", m.end() - 1)
+        depth, j = 0, open_i
+        body_end = -1
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    body_end = j
+                    break
+            j += 1
+        if body_end < 0:
+            continue
+        body = sql[open_i + 1:body_end]
+        # the cast's own type annotation is the AS DECIMAL at depth 0 of
+        # its body; nested casts' annotations sit at depth >= 1
+        depth, j, w2 = 0, 0, None
+        while j < len(body):
+            if depth == 0:
+                dm = AS_DECIMAL.match(body, j)
+                if dm:
+                    w2 = int(dm.group(1))
+                    j = dm.end()
+                    continue
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if w2 is not None:
+            pairs.append((int(m.group(1)), w2))
+    return pairs
+
+
+# rule 7's scan surface: engine-side source where SQL helper strings may
+# be dual-dialect (executed by spark.sql AND DuckDB). Catalog files are
+# excluded — their oracle literals are DuckDB-only by contract.
+ENGINE_SRC_DIRS = ["src/main/scala/graft/functions",
+                   "src/main/scala/graft/operators",
+                   "src/main/scala/graft/streaming",
+                   "src/main/scala/graft/sources",
+                   "src/main/scala/graft/ml",
+                   "src/main/scala/graft/loan",
+                   "src/main/scala/graft/plans"]
+
+
+def isfinite_hits(text):
+    """Line numbers calling `isfinite(` without a `duckdb-only` waiver on
+    the line — the call form only, so prose mentions in comments (e.g.
+    "NOT DuckDB's isfinite") never fire."""
+    hits = []
+    for ln, line in enumerate(text.splitlines(), 1):
+        if re.search(r"\bisfinite\s*\(", line, re.I) and \
+                not re.search(r"duckdb-only", line, re.I):
+            hits.append(ln)
+    return hits
+
+
+def lint_engine_sources(root="."):
+    problems = []
+    for d in ENGINE_SRC_DIRS:
+        full = os.path.join(root, d)
+        if not os.path.isdir(full):
+            continue
+        for fn in sorted(os.listdir(full)):
+            if not fn.endswith(".scala"):
+                continue
+            path = os.path.join(full, fn)
+            for ln in isfinite_hits(open(path).read()):
+                problems.append(
+                    f"{d}/{fn}:{ln}: isfinite( in engine-side source — "
+                    f"DuckDB-only, UNRESOLVED_ROUTINE under spark.sql "
+                    f"(q125/q161 class); use isnan + an Infinity compare, "
+                    f"or waive with a duckdb-only comment")
+    return problems
 
 
 def is_floating(t):
@@ -93,30 +201,45 @@ def lint_one(con, name, sql, dumpdir=None):
         problems.append(
             "json_extract without a json_valid guard — DuckDB THROWS on "
             "malformed JSON where Spark's get_json_object returns NULL")
-    # rule 5: int64-storage decimal multiply
-    for m in DEC_MUL.finditer(sql):
-        w1, w2 = int(m.group(1)), int(m.group(2))
+    # rule 5: int64-storage decimal multiply (right width by balanced scan)
+    for w1, w2 in dec_mul_pairs(sql):
         if w1 <= 18 and w2 <= 18 and w1 + w2 >= 19:
             problems.append(
                 f"DECIMAL({w1},*) * DECIMAL({w2},*) — both stored int64 "
                 f"and the declared envelopes admit an unscaled product "
                 f"beyond int64 (w1+w2 = {w1 + w2} > 18 digits); declare "
                 f"one side width 19 to force int128 (the sqlDsumsq rule)")
-    # rule 3: NULL-order sensitivity (executable differential)
-    try:
-        con.execute("SET default_null_order='nulls_last'")
-        last = canonical_rows(con, sql)
-        con.execute("SET default_null_order='nulls_first'")
-        first = canonical_rows(con, sql)
-        if last != first:
+    # rule 6: string_agg without a coalesce guard ('' vs NULL on empty)
+    if not re.search(r"--\s*agg:\s*nonempty", sql, re.I):
+        n_all = len(re.findall(r"\bstring_agg\s*\(", sql, re.I))
+        n_guarded = len(re.findall(r"\bcoalesce\s*\(\s*string_agg\s*\(",
+                                   sql, re.I))
+        if n_all > n_guarded:
             problems.append(
-                "result changes under default_null_order flip — an "
-                "ordering key (window or LIMIT) is not total over NULLs; "
-                "COALESCE a sentinel or spell NULLS FIRST/LAST")
-    except Exception as e:
-        problems.append(f"null-order probe error: {str(e)[:160]}")
-    finally:
-        con.execute("SET default_null_order='nulls_last'")  # DuckDB default
+                f"{n_all - n_guarded} string_agg( without a coalesce( "
+                f"guard — NULL over zero non-NULL values where Spark's "
+                f"concat_ws/array_join says '' (q236/q108 class); wrap in "
+                f"coalesce or mark `-- agg: nonempty` if the grouping "
+                f"provably feeds every group")
+    # rule 3: NULL-order sensitivity (executable differential). Without
+    # an ORDER BY-bearing construct the result cannot depend on NULL
+    # placement (canonical_rows sorts), so skip the two extra executions
+    # — they tripled stage-5 DuckDB time on bigger sf dirs (r10 ADVICE).
+    if re.search(r"\bOVER\s*\(|\bORDER\s+BY\b|\bLIMIT\b", sql, re.I):
+        try:
+            con.execute("SET default_null_order='nulls_last'")
+            last = canonical_rows(con, sql)
+            con.execute("SET default_null_order='nulls_first'")
+            first = canonical_rows(con, sql)
+            if last != first:
+                problems.append(
+                    "result changes under default_null_order flip — an "
+                    "ordering key (window or LIMIT) is not total over NULLs; "
+                    "COALESCE a sentinel or spell NULLS FIRST/LAST")
+        except Exception as e:
+            problems.append(f"null-order probe error: {str(e)[:160]}")
+        finally:
+            con.execute("SET default_null_order='nulls_last'")  # DuckDB default
     # rule 2: dtype cross-check vs the Spark dump
     spark_dump = f"{dumpdir}/{name}" if dumpdir else None
     if spark_dump and os.path.isdir(spark_dump):
@@ -155,6 +278,18 @@ def selftest():
                  "json_valid"),
         "decmul": ("SELECT CAST(v AS DECIMAL(18,6)) * CAST(v AS "
                    "DECIMAL(18,6)) AS p FROM t", "force int128"),
+        # nested right cast: inner width 12 would false-fire, the OUTER
+        # width 19 is the actual (int128) storage — must stay clean
+        "decmul_nested": ("SELECT CAST(v AS DECIMAL(18,6)) * "
+                          "CAST(CAST(v AS DECIMAL(12,2)) AS DECIMAL(19,2)) "
+                          "AS p FROM t", None),
+        "stragg": ("SELECT k, string_agg(CAST(v AS VARCHAR), ',') AS s "
+                   "FROM t GROUP BY k", "coalesce"),
+        "stragg_guarded": ("SELECT k, coalesce(string_agg("
+                           "CAST(v AS VARCHAR), ','), '') AS s "
+                           "FROM t GROUP BY k", None),
+        "stragg_waived": ("SELECT k, string_agg(CAST(v AS VARCHAR), ',') "
+                          "AS s -- agg: nonempty\n FROM t GROUP BY k", None),
         "clean": ("SELECT CAST(sum(k) AS BIGINT) AS s, "
                   "CAST(round(sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS "
                   "DECIMAL(19,6))), 4) AS DOUBLE) AS ss FROM t", None),
@@ -168,11 +303,18 @@ def selftest():
         elif not any(expect in p for p in problems):
             failed.append(f"{name}: planted violation NOT caught "
                           f"(got: {problems})")
+    # rule 7 canaries: planted engine-source text, call form only
+    if not isfinite_hits("val x = sql(s\"isfinite($c)\")"):
+        failed.append("isfinite: planted call NOT caught")
+    if isfinite_hits("// NOT DuckDB's isfinite: prose mention\n"
+                     "val ok = s\"isfinite($c)\"  // duckdb-only helper"):
+        failed.append("isfinite: prose/waived line wrongly flagged")
     if failed:
         print("SELFTEST FAIL:\n  " + "\n  ".join(failed))
         sys.exit(1)
-    print(f"selftest: {len(plants)} canaries pass "
-          "(hugeint, null-order, json, dec-mul, clean)")
+    print(f"selftest: {len(plants) + 2} canaries pass "
+          "(hugeint, null-order, json, dec-mul+nested, string-agg x3, "
+          "isfinite x2, clean)")
     sys.exit(0)
 
 
@@ -184,6 +326,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rule 7: engine-source scan (repo-root relative, like gate.sh runs)
+    src_problems = lint_engine_sources(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for p in src_problems:
+        print(f"FAIL engine-src: {p}")
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
         problems = lint_one(con, name, sql, dumpdir)
         if problems:
