@@ -578,6 +578,69 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Incremental (delta-ingest) MinHash-LSH near-dup pairs over PERSISTED
+    * corpus state — the shape a production LSH pipeline actually runs
+    * daily: the corpus's banded signature table and shingle-hash table are
+    * kept warm (parquet/Delta in production; any DataFrame here), and a
+    * new batch only (a) sketches ITSELF and (b) probes its bands against
+    * the warm band table. The corpus is never re-shingled, re-hashed or
+    * re-banded — its side of the candidate join is a pure scan — so daily
+    * cost is |delta| · collision-rate, independent of how the corpus
+    * signatures were built and linear in corpus size only through the
+    * scan. Contrast [[deltaJaccardPairs]], which re-shingles the corpus
+    * each call (fine for one-off audits, wasteful for standing ingest).
+    *
+    * Emits every pair with exact Jaccard ≥ minJ and ≥ 1 delta side —
+    * delta×corpus via the band-table probe, delta×delta via the
+    * bucket-grouped expansion over the delta's own bands — i.e. exactly
+    * the rows a full [[minhashNearDupPairs]] recompute over
+    * corpus ∪ delta adds to the (unchanged) corpus-only pair set.
+    * Canonical (id_a < id_b) output; corpus and delta ids must be
+    * disjoint (fresh ingest ids, [[deltaContainmentPairs]]'s contract).
+    * Recall is minhash banding's 1−(1−J^r)^b, ≥ 1−2e-7 at J = 0.6 under
+    * the 192/3 defaults — the same guarantee [[minhashNearDupPairs]]
+    * carries against its exact oracle.
+    *
+    * @param corpusRows  warm (id, hs) shingle-hash table
+    *                    ([[shingleHashRows]] output) — verify-tier state
+    * @param corpusBands warm (id, band, bhash) signature table
+    *                    ([[minhashBands]] output) — discovery-tier state
+    * @param materialize persist the DELTA's shingle rows (referenced by
+    *                    banding + verify; the corpus state needs no cache
+    *                    — each side is referenced once) */
+  def deltaMinhashPairs(corpusRows: DataFrame, corpusBands: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      minJ: Double = 0.6, numHashes: Int = 192, bandRows: Int = 3,
+      materialize: Boolean = true): DataFrame = {
+    val dRows0 = shingleHashRows(delta, idCol, textCol, n)
+    val dRows =
+      if (materialize)
+        dRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dRows0
+    val dBands = minhashBands(dRows, numHashes, bandRows)
+    // delta × corpus: probe the warm band table. The delta side is tiny
+    // next to the corpus state, so the hash join builds on the delta —
+    // the corpus side STREAMS through a scan, never shuffles whole.
+    val dc = dBands.alias("d").join(corpusBands.alias("c"),
+        col("d.band") === col("c.band") && col("d.bhash") === col("c.bhash"))
+      .select(least(col("d.id"), col("c.id")).as("id_a"),
+        greatest(col("d.id"), col("c.id")).as("id_b"))
+    // delta × delta: two new near-dup docs in the same batch
+    val dd = lshCandidates(dBands)
+    val cand = dc.unionByName(dd).distinct()
+    // verify against exact shingle sets: corpus sets from the warm
+    // shingle table (one linear scan+group of state), delta sets from
+    // the batch — ids disjoint, so the union groups cleanly
+    val sets = shingleSets(corpusRows.unionByName(dRows))
+    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+      .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("sa.sz") + col("sb.sz") - col("common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Bits [start, start+bits) of a 128-bit sketch stored as (hi, lo)
     * longs (bit 0 = lo's LSB, bit 64 = hi's LSB), as a non-negative long.
     * Bands that straddle the hi/lo boundary are composed from both words;

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.NearDup
+
+/** Persisted-state delta ingest (q360's operator): the corpus's LSH state
+  * lives in PARQUET (as a daily pipeline would keep it) and the delta
+  * batch probes it WITHOUT re-shingling the corpus — proven two ways:
+  * the output is identical to a full recompute's delta slice, and the
+  * physical plan's only shingling window belongs to the delta side (the
+  * corpus contributes two parquet scans and nothing above them).
+  */
+class DeltaStateSpec extends SparkSpec {
+
+  test("deltaMinhashPairs over parquet state ≡ full recompute's delta slice, corpus scan-only") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+
+    // build + persist the warm state the way a pipeline would
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-lsh-state")
+      .toString
+    NearDup.shingleHashRows(corpus, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$stateDir/rows")
+    val corpusRows = spark.read.parquet(s"$stateDir/rows")
+    NearDup.minhashBands(corpusRows, 192, 3)
+      .write.mode("overwrite").parquet(s"$stateDir/bands")
+    val corpusBands = spark.read.parquet(s"$stateDir/bands")
+
+    val inc = NearDup.deltaMinhashPairs(corpusRows, corpusBands, delta,
+      "doc_id", "text", n = 3, minJ = 0.6)
+
+    // identity: full recompute over corpus ∪ delta, restricted to pairs
+    // with >= 1 delta side (the rows ingest ADDS to the corpus pair set)
+    val full = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+        n = 3, minJ = 0.6)
+      .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+    val want = full.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet
+    assert(got == want, s"inc=${got.size} full=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty) // the split really produces delta-side pairs
+
+    // scan-only corpus: the only shingling Window in the plan is the
+    // DELTA's `lead` — the plan STRING repeats that one subtree per
+    // reference (persisted delta rows are referenced by banding + both
+    // verify sides), so count DISTINCT window signatures by expression
+    // id, not occurrences. A re-shingled corpus would introduce a second
+    // lead-window over different expression ids.
+    val plan = inc.queryExecution.executedPlan.toString
+    val windowIds = "Window \\[lead\\(w0#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(windowIds.size == 1,
+      s"expected 1 distinct (delta-side) shingling window, got " +
+        s"${windowIds.size} ($windowIds)")
+    // the corpus state feeds the plan as plain parquet scans
+    val nStateScans = "graft-lsh-state".r.findAllIn(plan).size
+    assert(nStateScans >= 2, s"expected >=2 parquet state scans, got $nStateScans")
+  }
+}
