@@ -2767,5 +2767,43 @@ private[graft] trait Catalog7 extends CatalogBase {
         WHERE jaccard >= 0.6
           AND (id_a % 10 = 0 OR id_b % 10 = 0)
         ORDER BY id_a, id_b""")),
+
+    "q361_simhash_cascade" -> Q(
+      // The production dedup CASCADE the q359 operator doc prescribes:
+      // exact dedup first (q22's digest idiom — the shuffle carries
+      // (128-bit contentKey, id), never document bodies), then the
+      // 128-bit simhash pair scan over the RESIDUAL only. Exact-dup
+      // cliques are the densest pair sources (every clique of k
+      // identical docs is k(k-1)/2 Hamming-0 pairs), so removing them
+      // upstream is what keeps the near-dup tier's output — and its
+      // candidate volume — linear on real corpora. NULL-text docs are
+      // filtered both sides (the entity-key contract; a NULL text has
+      // no content to deduplicate).
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents").filter(col("text").isNotNull)
+        val keep = docs
+          .groupBy(TextStats.contentKey(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        // materialize the residual once (a 100 TB pipeline writes it to
+        // storage between tiers); the sketch scan then reads survivors,
+        // not 6 re-derivations of the semi-join
+        val residual = docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        NearDup.simhash128NearDupPairs(residual, "doc_id", "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(s"""
+        WITH residual AS MATERIALIZED (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                WHERE text IS NOT NULL GROUP BY md5(text)) k
+            ON d.doc_id = k.doc_id),
+        ${simhash128Ctes.replace("FROM documents)", "FROM residual)")}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+        FROM sk128 a JOIN sk128 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        ORDER BY id_a, id_b""")),
   )
 }

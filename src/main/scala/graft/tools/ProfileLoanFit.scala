@@ -83,6 +83,18 @@ object ProfileLoanFit {
       r
     }
 
+    // Driver-heap peak across all pools (driver == executor in local
+    // mode, so this is an UPPER bound on driver-side state; the
+    // O(params) claim holds if the peak stays flat decade-over-decade
+    // while rows grow 10x — tree histograms, imputer medians and scaler
+    // moments are all bounded aggregates).
+    def peakHeapMb(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
+    }
+
     val prepared = LoanTransforms.withLabel(LoanTransforms.cleaned(synth))
       .filter(col("label").isNotNull)
       .cache()
@@ -111,6 +123,8 @@ object ProfileLoanFit {
     println(s"[loanfit] lr iters=${lrModel.stages.last
       .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
       .summary.totalIterations}")
+    println(s"[loanfit] peak heap used (all pools, local-mode upper "
+      + s"bound on driver state): ${peakHeapMb()} MB")
     spark.stop()
   }
 }

@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Idle-box companion bench (r9 judge ask #6): the driver's per-round
+# BENCH_r{N}.json runs on a box it is also driving (r8 spread 1.66, r9
+# 1.23 — load-contaminated by its own telemetry's admission), so each
+# round ALSO pins a named builder-side min-of-5 sf0.1 artifact captured
+# when the box is idle. This script refuses to time on a busy box,
+# runs the headline tier, checks the iteration spread, and pins the
+# artifact by round name next to the history copies.
+#
+# Usage: tools/bench_idle.sh ROUND_TAG [sfDir]
+#   e.g. tools/bench_idle.sh r10   -> target/bench_history/bench_idle_r10.json
+# Env: GRAFT_BENCH_MAX_LOAD (default 4.0), SPARK_GRAFT_BENCH_ITERS (5).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+TAG=${1:?usage: tools/bench_idle.sh ROUND_TAG [sfDir]}
+SF=${2:-/root/testdata/sf0.1}
+MAXLOAD=${GRAFT_BENCH_MAX_LOAD:-4.0}
+
+load=$(cut -d' ' -f1 /proc/loadavg)
+awk -v l="$load" -v m="$MAXLOAD" 'BEGIN{exit !(l<=m)}' \
+  || { echo "box not idle (load $load > $MAXLOAD) — refusing to time"; exit 1; }
+
+SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
+  >/tmp/bench_idle_"$TAG".log 2>&1 \
+  || { tail -20 /tmp/bench_idle_"$TAG".log; exit 1; }
+
+DEST="target/bench_history/bench_idle_${TAG}.json"
+cp target/bench.json "$DEST"
+python3 - "$DEST" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+spread = d.get("spread")
+print(f"pinned {sys.argv[1]}: total={d['value']}s sf={d.get('sf')} "
+      f"spread={spread} load_avg_start={d.get('load_avg_start')}")
+if spread is not None and spread > 1.1:
+    print(f"WARN: iteration spread {spread} > 1.1 — rerun on a quieter box")
+    sys.exit(1)
+EOF
