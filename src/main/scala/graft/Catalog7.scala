@@ -2805,5 +2805,36 @@ private[graft] trait Catalog7 extends CatalogBase {
         FROM sk128 a JOIN sk128 b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         ORDER BY id_a, id_b""")),
+
+    "q362_delta_simhash_pairs" -> Q(
+      // q360's persisted-state ingest pattern on the SIMHASH tier: the
+      // warm state is just the corpus (id, hi, lo) sketch table (q358's
+      // dump shape) — banding is scan-speed arithmetic over it, so only
+      // the DELTA batch ever tokenizes text. Oracle = the full 128-bit
+      // recompute's pairs restricted to >= 1 delta side; sketches are
+      // pure content functions, so state ∪ delta ≡ recompute is exact
+      // (not just high-recall) and hash equality proves it.
+      build = (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val delta = docs.filter(col("doc_id") % 10 === 0)
+        val corpusSk = corpus.select(col("doc_id").as("id"),
+            TextHash.simhash128(col("text")).as("sk128"))
+          .select(col("id"), col("sk128").getItem(0).as("hi"),
+            col("sk128").getItem(1).as("lo"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        NearDup.deltaSimhash128Pairs(corpusSk, delta, "doc_id", "text",
+            maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(s"""
+        WITH $simhash128Ctes
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+            AS BIGINT) AS hamming
+        FROM sk128 a JOIN sk128 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+          AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+        ORDER BY id_a, id_b""")),
   )
 }

@@ -641,6 +641,74 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental (delta-ingest) 128-bit SimHash near-dup pairs over a
+    * PERSISTED corpus sketch table — [[deltaMinhashPairs]]'s pattern for
+    * the simhash tier, where the warm state is simply the (id, hi, lo)
+    * sketch table: unlike minhash there is no separate band table to
+    * keep, because band extraction from a 128-bit sketch is scan-speed
+    * column arithmetic ([[bandSlice]]) while the expensive step — the
+    * per-token hashing of the TEXT — happens only for the delta batch.
+    * The corpus text is never re-tokenized; its side of every join reads
+    * the sketch state.
+    *
+    * Emits every pair with 128-bit Hamming ≤ maxHamming and ≥ 1 delta
+    * side (delta×corpus via the band probe, delta×delta via the
+    * bucket-grouped expansion), i.e. exactly the rows a full
+    * [[simhash128NearDupPairs]] recompute over corpus ∪ delta adds to
+    * the unchanged corpus-only pair set — sketches are pure functions of
+    * the text, so state-vs-recompute identity is exact, and recall is
+    * the same maxHamming+1-band pigeonhole guarantee. Canonical
+    * (id_a < id_b) output; corpus and delta ids must be disjoint
+    * (fresh ingest ids, [[deltaContainmentPairs]]'s contract).
+    *
+    * @param corpusSketches warm (id, hi, lo) 128-bit sketch table
+    *                       ([[simhash128NearDupPairs]]'s sk shape /
+    *                       q358's sketch dump) */
+  def deltaSimhash128Pairs(corpusSketches: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val numBands = maxHamming + 1
+    val bits = math.min(128 / numBands, 63)
+    def bands(sk: DataFrame) = sk.select(col("id"),
+      posexplode(array((0 until numBands).map { i =>
+        bandSlice(col("hi"), col("lo"), i * bits, bits)
+      }: _*)).as(Seq("band", "bv")))
+    val dSk = delta.select(col(idCol).as("id"),
+      TextHash.simhash128(col(textCol)).as("sk128"))
+      .select(col("id"), col("sk128").getItem(0).as("hi"),
+        col("sk128").getItem(1).as("lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cSk = corpusSketches.select(col("id"), col("hi"), col("lo"))
+    // delta × corpus: the delta's bands probe the banded STATE scan —
+    // the hash join builds on the (tiny) delta side
+    val dc = bands(dSk).alias("d").join(bands(cSk).alias("c"),
+        col("d.band") === col("c.band") && col("d.bv") === col("c.bv"))
+      .select(least(col("d.id"), col("c.id")).as("id_a"),
+        greatest(col("d.id"), col("c.id")).as("id_b"))
+    // delta × delta: two new near-dups landing in the same batch
+    val dd = bands(dSk).groupBy(col("band"), col("bv"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val cand = dc.unionByName(dd).distinct()
+    // verify on exact 128-bit Hamming; ids are disjoint so the sketch
+    // union resolves each side unambiguously
+    val sk = cSk.unionByName(dSk)
+    cand
+      .join(sk.select(col("id").as("id_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a")), Seq("id_a"))
+      .join(sk.select(col("id").as("id_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b")), Seq("id_b"))
+      .withColumn("hamming",
+        TextHash.hamming128(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Bits [start, start+bits) of a 128-bit sketch stored as (hi, lo)
     * longs (bit 0 = lo's LSB, bit 64 = hi's LSB), as a non-negative long.
     * Bands that straddle the hi/lo boundary are composed from both words;

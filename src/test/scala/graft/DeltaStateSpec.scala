@@ -60,4 +60,47 @@ class DeltaStateSpec extends SparkSpec {
     val nStateScans = "graft-lsh-state".r.findAllIn(plan).size
     assert(nStateScans >= 2, s"expected >=2 parquet state scans, got $nStateScans")
   }
+
+  test("deltaSimhash128Pairs over parquet sketch state ≡ full recompute's delta slice, corpus never re-tokenized") {
+    val docs = graft.sources.Tables.load(spark, sf(), "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+
+    // warm sketch state on disk, as a daily pipeline keeps it
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-sh-state")
+      .toString
+    corpus.select(col("doc_id").as("id"),
+        graft.operators.TextHash.simhash128(col("text")).as("sk128"))
+      .select(col("id"), col("sk128").getItem(0).as("hi"),
+        col("sk128").getItem(1).as("lo"))
+      .write.mode("overwrite").parquet(s"$stateDir/sk")
+    val corpusSk = spark.read.parquet(s"$stateDir/sk")
+
+    val inc = NearDup.deltaSimhash128Pairs(corpusSk, delta, "doc_id", "text",
+      maxHamming = 3)
+
+    val full = NearDup.simhash128NearDupPairs(docs, "doc_id", "text",
+        maxHamming = 3)
+      .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet
+    val want = full.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSet
+    assert(got == want, s"inc=${got.size} full=${want.size} " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty)
+
+    // never re-tokenized: the only simhash128 computation in the plan is
+    // the DELTA's (one distinct expression subtree — the persisted delta
+    // sketch is referenced repeatedly, same expression ids each time);
+    // the corpus side contributes the parquet sketch scan only
+    val plan = inc.queryExecution.executedPlan.toString
+    val skIds = "graft_simhash128\\([^#)]*#(\\d+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(skIds.size == 1,
+      s"expected 1 distinct (delta-side) simhash128 computation, got " +
+        s"${skIds.size} ($skIds)")
+    assert("graft-sh-state".r.findAllIn(plan).nonEmpty,
+      "expected the corpus sketch state to appear as a parquet scan")
+  }
 }
