@@ -5,16 +5,42 @@ Mimics the driver: run Verify's parquet dumps against the DuckDB oracle in
 oracle_sql.json; for each query sort columns by name, sort rows, and compare
 row count, schema and exact values. Usage:
 
-    python3 tools/compare.py /tmp/verify_r1 /root/testdata/sf0.01
+    python3 tools/compare.py OUTDIR SFDIR [--only a,b] [--skip a,b]
+                             [--timeout SECS]
+
+--timeout interrupts any single oracle query running longer than SECS
+(reported as TIMEOUT, counted as neither pass nor fail but listed) — for
+the sf1 sweep, where a handful of deliberately-quadratic all-pairs
+oracles (exact pair scans over 5·10^5 docs) cannot finish and become the
+documented blocker list instead.
 """
 import json
 import math
 import sys
+import threading
 
 import duckdb
 import pandas as pd
 
-outdir, sfdir = sys.argv[1], sys.argv[2]
+positional, flags = [], {}
+argv = sys.argv[1:]
+i = 0
+while i < len(argv):
+    a = argv[i]
+    if a.startswith("--"):
+        if "=" in a:
+            k, v = a.split("=", 1)
+            flags[k] = v
+        else:
+            flags[a] = argv[i + 1]
+            i += 1
+    else:
+        positional.append(a)
+    i += 1
+outdir, sfdir = positional[0], positional[1]
+only = set(flags["--only"].split(",")) if "--only" in flags else None
+skip = set(flags["--skip"].split(",")) if "--skip" in flags else set()
+timeout_s = float(flags["--timeout"]) if "--timeout" in flags else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -48,11 +74,42 @@ def cell_eq(a, b):
         pass
     return a == b
 
+def sql_df(q):
+    """con.sql(q).df(), interrupted after --timeout seconds."""
+    if timeout_s is None:
+        return con.sql(q).df()
+    box = {}
+
+    def work():
+        try:
+            box["v"] = con.sql(q).df()
+        except Exception as e:  # noqa: BLE001 — re-raised below
+            box["e"] = e
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        con.interrupt()
+        t.join()
+        raise TimeoutError(f"oracle exceeded {timeout_s:.0f}s (interrupted)")
+    if "e" in box:
+        raise box["e"]
+    return box["v"]
+
+
 n_pass = n_fail = 0
+timeouts = []
 for name, sql in sorted(oracle.items()):
+    if (only is not None and name not in only) or name in skip:
+        continue
     try:
-        got = canon(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
-        want = canon(con.sql(sql).df())
+        got = canon(sql_df(f"SELECT * FROM '{outdir}/{name}/*.parquet'"))
+        want = canon(sql_df(sql))
+    except TimeoutError as e:
+        print(f"TIMEOUT {name}: {e}")
+        timeouts.append(name)
+        continue
     except Exception as e:
         print(f"FAIL {name}: exec error: {str(e)[:200]}")
         n_fail += 1
@@ -90,5 +147,6 @@ for name, sql in sorted(oracle.items()):
         print(f"PASS {name} ({len(got)} rows x {len(got.columns)} cols)")
         n_pass += 1
 
-print(f"\n{n_pass} pass, {n_fail} fail")
+tm = f", {len(timeouts)} timeout ({','.join(timeouts)})" if timeouts else ""
+print(f"\n{n_pass} pass, {n_fail} fail{tm}")
 sys.exit(1 if n_fail else 0)
