@@ -1593,7 +1593,13 @@ private[graft] trait Catalog2 extends CatalogBase {
               .cast("decimal(24,8)")), 4).cast("double").as("ema_num"),
             round(sum(round(col("decay"), 8).cast("decimal(12,8)")), 8)
               .cast("double").as("ema_den"))
-          .withColumn("ema", round(col("ema_num") / col("ema_den"), 4))
+          // floor-snap, not round(·,4): the quotient is a raw double and
+          // round() diverges on half-boundaries (Spark rounds the
+          // shortest decimal rendering, DuckDB the binary value — 319
+          // rows flipped at the r10 sf1 sweep's 10x magnitudes);
+          // floor(x·1e4+0.5) is the same IEEE sequence in both engines
+          .withColumn("ema",
+            floor(col("ema_num") / col("ema_den") * 1e4 + 0.5) / 1e4)
           .select(col("prio"), col("day"), col("ema"))
           .orderBy(col("prio"), col("day"))
       },
@@ -1612,11 +1618,11 @@ private[graft] trait Catalog2 extends CatalogBase {
             ON a.prio = b.prio AND b.dayn <= a.dayn
               AND b.dayn >= a.dayn - 30)
         SELECT prio, day,
-          round(
+          floor(
             CAST(round(sum(CAST(round(rev * decay, 8) AS DECIMAL(24,8))), 4)
               AS DOUBLE)
             / CAST(round(sum(CAST(round(decay, 8) AS DECIMAL(12,8))), 8)
-              AS DOUBLE), 4) AS ema
+              AS DOUBLE) * 1e4 + 0.5) / 1e4 AS ema
         FROM terms GROUP BY prio, day
         ORDER BY prio, day""")),
 

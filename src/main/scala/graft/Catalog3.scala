@@ -1052,15 +1052,14 @@ private[graft] trait Catalog3 extends CatalogBase {
       // both engines by construction). Cross-engine exactness: the
       // moments run on INTEGER CENTS (daily revenue is an exact
       // 2-decimal sum, so ×100 is an exact integer), every sum is exact,
-      // and every decimal→double cast is of a value < 2^53 — so the
-      // final mean/σ/z doubles are bit-identical with NO rounding step.
-      // (Both alternatives fail a hash oracle: round(·, 6) diverges on
+      // and the one cast that can exceed 2^53 — the second moment s2 —
+      // goes through Stable.portableDouble's 2^30-radix split, so the
+      // final mean/σ/z doubles are bit-identical by construction at ANY
+      // revenue magnitude. (round(·, 6) instead diverges on
       // half-boundaries — Spark rounds the shortest decimal rendering,
-      // DuckDB the binary value — and casting a >2^53·10^scale decimal
-      // to double double-rounds in DuckDB's int128 path. Both observed
-      // on sf0.01 before this formulation.) At extreme per-day revenue
-      // (>2^53 cents²·7 ≈ $10^10/day) the s2 cast would need widening —
-      // a documented bound, not a silent wrap: sums stay exact decimal.
+      // DuckDB the binary value — observed on sf0.01; the former direct
+      // s2 cast held only below ~$10^9/day and broke at the r10 sf1
+      // sweep, σ off at 1e-14 relative, cancellation-amplified.)
       build = (s, dir) => {
         val daily = table(s, dir, "orders")
           .groupBy(to_date(col("o_orderdate")).as("d"))
@@ -1069,8 +1068,12 @@ private[graft] trait Catalog3 extends CatalogBase {
         val wPrev = Window.orderBy(col("d")).rowsBetween(-7, -1)
         val c19 = col("c").cast("decimal(19,0)")
         val meanC = col("s1").cast("double") / 7.0
+        // s2 exceeds 2^53 once daily revenue passes ~$10^9 (hit at the
+        // sf1 probe), where a direct decimal→double cast stops being
+        // engine-portable — split-cast it (Stable.portableDouble; the
+        // r10 sf1 sweep caught σ off at 1e-14, cancellation-amplified)
         val sigmaC = sqrt(greatest(lit(0.0),
-          col("s2").cast("double") / 7.0 - meanC * meanC))
+          portableDouble(col("s2")) / 7.0 - meanC * meanC))
         val cD = col("c").cast("double")
         daily
           .withColumn("n7", count(col("c")).over(wPrev))
@@ -1106,7 +1109,7 @@ private[graft] trait Catalog3 extends CatalogBase {
         banded AS (
           SELECT d, rev, c,
             CAST(s1 AS DOUBLE) / 7.0 AS mean_c,
-            sqrt(greatest(0.0, CAST(s2 AS DOUBLE) / 7.0
+            sqrt(greatest(0.0, ${sqlPortableDouble("s2")} / 7.0
               - (CAST(s1 AS DOUBLE) / 7.0) * (CAST(s1 AS DOUBLE) / 7.0)))
               AS sigma_c
           FROM win WHERE n7 = 7)

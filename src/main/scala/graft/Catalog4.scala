@@ -1428,21 +1428,23 @@ private[graft] trait Catalog4 extends CatalogBase {
         SELECT prio, day, n,
           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
-            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e8 + 0.5)
+              / 1e8
           END AS slope,
-          round((CAST(sy AS DOUBLE)
+          floor((CAST(sy AS DOUBLE)
                  - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                               <> 0.0 THEN
-                      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
-                    END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
-            AS intercept
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e8
+                          + 0.5) / 1e8
+                    END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6
+            + 0.5) / 1e6 AS intercept
         FROM ols_m
         ORDER BY prio, day""")),
 

@@ -56,11 +56,18 @@ object Trend {
       col("sx").cast("double") * col("sy").cast("double")
     val den = nD * col("sxx").cast("double") -
       col("sx").cast("double") * col("sx").cast("double")
-    val slope = when(den =!= 0.0, round(num / den, 8))
+    // floor-snap, not round(): slope/intercept are raw double quotients,
+    // and round() on a double diverges between engines on half-boundary
+    // renderings (Spark rounds the shortest decimal repr, DuckDB the
+    // binary value — q230 flipped an intercept at the r10 sf1 sweep's
+    // 10x magnitudes). floor(x·10^k + 0.5) is the same IEEE sequence in
+    // both engines (half-toward-+inf for negatives, consistently).
+    val slope = when(den =!= 0.0, floor(num / den * 1e8 + 0.5) / 1e8)
     agg
       .withColumn("slope", slope)
-      .withColumn("intercept", round(
-        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) / nD, 6))
+      .withColumn("intercept", floor(
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / nD * 1e6 + 0.5) / 1e6)
       .select(grp :+ col("n") :+ col("slope") :+ col("intercept"): _*)
   }
 
@@ -727,18 +734,20 @@ object Trend {
       SELECT g, n,
         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
-          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e8 + 0.5) / 1e8
         END AS slope,
-        round((CAST(sy AS DOUBLE)
+        floor((CAST(sy AS DOUBLE)
                - (CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN
-                    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
-                  END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e8
+                        + 0.5) / 1e8
+                  END) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+          / 1e6 AS intercept
       FROM ols_m)"""
 }
