@@ -1866,31 +1866,34 @@ private[graft] trait Catalog7 extends CatalogBase {
           .withColumn("n_risk",
             col("ntot") - coalesce(sum(col("cnt")).over(wPrev), lit(0L)))
           .filter(col("d") > 0)
+          // snap(), not round(): every one of these is a raw-double
+          // rounding, the class the r10 sf1 sweep caught half-boundary
+          // flipping (se/ci here, q138/q230 elsewhere)
           .withColumn("lnterm", when(col("d") < col("n_risk"),
-              round(log(lit(1.0)
+              snap(log(lit(1.0)
                 - col("d").cast("double") / col("n_risk")), 8))
             .otherwise(lit(-99.0)))
-          .withColumn("surv", round(exp(
+          .withColumn("surv", snap(exp(
             sum(col("lnterm").cast("decimal(20,8)")).over(wCum)
               .cast("double")), 8))
           .withColumn("gwterm", when(col("d") < col("n_risk"),
-              round(col("d").cast("double") / (col("n_risk")
+              snap(col("d").cast("double") / (col("n_risk")
                 * (col("n_risk") - col("d"))), 10))
             .otherwise(lit(0.0)))
           .withColumn("gwsum",
             sum(col("gwterm").cast("decimal(24,10)")).over(wCum)
               .cast("double"))
           .withColumn("se", when(col("d") < col("n_risk"),
-            round(col("surv") * sqrt(col("gwsum")), 8)))
+            snap(col("surv") * sqrt(col("gwsum")), 8)))
           .select(col("dur").as("t_days"), col("n_risk"), col("d"),
             col("surv"), col("se"),
-            round(greatest(col("surv") - lit(1.959963985) * col("se"),
+            snap(greatest(col("surv") - lit(1.959963985) * col("se"),
               lit(0.0)), 8).as("ci_lo"),
-            round(least(col("surv") + lit(1.959963985) * col("se"),
+            snap(least(col("surv") + lit(1.959963985) * col("se"),
               lit(1.0)), 8).as("ci_hi"))
           .orderBy(col("t_days"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH t0 AS (
           SELECT user_id, min(CAST(ts AS DATE)) AS d0
           FROM events GROUP BY 1),
@@ -1921,17 +1924,16 @@ private[graft] trait Catalog7 extends CatalogBase {
         terms AS (
           SELECT dur, d, n_risk,
             CASE WHEN d < n_risk
-              THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 8)
+              THEN ${sqlSnap("ln(1.0 - CAST(d AS DOUBLE) / n_risk)", 8)}
               ELSE -99.0 END AS lnterm,
             CASE WHEN d < n_risk
-              THEN round(CAST(d AS DOUBLE)
-                / (n_risk * (n_risk - d)), 10)
+              THEN ${sqlSnap("CAST(d AS DOUBLE) / (n_risk * (n_risk - d))", 10)}
               ELSE 0.0 END AS gwterm
           FROM risk WHERE d > 0),
         cum AS (
           SELECT dur, d, n_risk,
-            round(exp(CAST(sum(CAST(lnterm AS DECIMAL(20,8)))
-              OVER w AS DOUBLE)), 8) AS surv,
+            ${sqlSnap("""exp(CAST(sum(CAST(lnterm AS DECIMAL(20,8)))
+              OVER w AS DOUBLE))""", 8)} AS surv,
             CAST(sum(CAST(gwterm AS DECIMAL(24,10))) OVER w AS DOUBLE)
               AS gwsum
           FROM terms
@@ -1940,11 +1942,11 @@ private[graft] trait Catalog7 extends CatalogBase {
         banded AS (
           SELECT dur, d, n_risk, surv,
             CASE WHEN d < n_risk
-              THEN round(surv * sqrt(gwsum), 8) END AS se
+              THEN ${sqlSnap("surv * sqrt(gwsum)", 8)} END AS se
           FROM cum)
         SELECT dur AS t_days, n_risk, d, surv, se,
-          round(greatest(surv - 1.959963985 * se, 0.0), 8) AS ci_lo,
-          round(least(surv + 1.959963985 * se, 1.0), 8) AS ci_hi
+          ${sqlSnap("greatest(surv - 1.959963985 * se, 0.0)", 8)} AS ci_lo,
+          ${sqlSnap("least(surv + 1.959963985 * se, 1.0)", 8)} AS ci_hi
         FROM banded
         ORDER BY t_days""")),
 

@@ -166,4 +166,22 @@ object Stable {
   def sqlPortableDouble(expr: String): String =
     s"(CAST(CAST($expr AS HUGEINT) // 1073741824 AS DOUBLE) * 1073741824.0" +
       s" + CAST(CAST($expr AS HUGEINT) % 1073741824 AS DOUBLE))"
+
+  /** Engine-portable k-decimal snap of a raw double: floor(x·10^k + 0.5)
+    * / 10^k — the identical IEEE sequence in both engines, where
+    * `round(double, k)` is NOT portable on half-boundary renderings
+    * (Spark rounds the shortest decimal repr, DuckDB the binary value;
+    * q138/q230/q346 each flipped rows at the r10 sf1 sweep's
+    * magnitudes). Semantics: half-toward-+inf (negatives included —
+    * deterministic, just not half-away-from-zero). |x|·10^k must stay
+    * below 2^53 for the snap to mean anything; NULL passes through.
+    * Mirror: [[sqlSnap]]. */
+  def snap(c: Column, k: Int): Column = {
+    val p = math.pow(10.0, k)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** DuckDB mirror of [[snap]] (dual-dialect: floor/arithmetic only). */
+  def sqlSnap(expr: String, k: Int): String =
+    s"(floor(($expr) * 1e$k + 0.5) / 1e$k)"
 }
