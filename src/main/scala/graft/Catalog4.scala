@@ -1775,11 +1775,17 @@ private[graft] trait Catalog4 extends CatalogBase {
             s"percentile(CASE WHEN NOT arm THEN o_totalprice END, ${p}D)")
             .as(s"qb_${(p * 10).toInt}"))
         val m = o.agg(aggs.head, aggs.tail: _*)
+        // snap(·,6), not the raw percentile doubles: the TRUE type-7
+        // decile of 2-decimal data is an exact 1e-3 multiple, while each
+        // engine's interpolation formula differs in the last ulps
+        // (Spark lo+(hi-lo)·f vs DuckDB's lerp — one row flipped at the
+        // r10 sf1 sweep). The 5e-7 snap margin dwarfs the ulp spread,
+        // so the snapped value is the exact decile in BOTH engines.
         val rows = decs.map { p =>
           val i = (p * 10).toInt
-          struct(lit(p).as("p"), col(s"qa_$i").as("q_urgent"),
-            col(s"qb_$i").as("q_rest"),
-            round(col(s"qa_$i") - col(s"qb_$i"), 6).as("qte"))
+          struct(lit(p).as("p"), snap(col(s"qa_$i"), 6).as("q_urgent"),
+            snap(col(s"qb_$i"), 6).as("q_rest"),
+            snap(snap(col(s"qa_$i"), 6) - snap(col(s"qb_$i"), 6), 6).as("qte"))
         }
         m.select(explode(array(rows: _*)).as("r"))
           .select(col("r.p").as("p"), col("r.q_urgent").as("q_urgent"),
@@ -1789,15 +1795,14 @@ private[graft] trait Catalog4 extends CatalogBase {
       oracle = Some {
         val branches = (1 to 9).map { i =>
           val p = i / 10.0
+          val qa = s"""quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice END, $p)"""
+          val qb = s"""quantile_cont(CASE WHEN NOT (o_orderpriority = '1-URGENT')
+              THEN o_totalprice END, $p)"""
           s"""SELECT CAST($p AS DOUBLE) AS p,
-            quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
-              THEN o_totalprice END, $p) AS q_urgent,
-            quantile_cont(CASE WHEN NOT (o_orderpriority = '1-URGENT')
-              THEN o_totalprice END, $p) AS q_rest,
-            round(quantile_cont(CASE WHEN o_orderpriority = '1-URGENT'
-                THEN o_totalprice END, $p)
-              - quantile_cont(CASE WHEN NOT (o_orderpriority = '1-URGENT')
-                THEN o_totalprice END, $p), 6) AS qte
+            ${sqlSnap(qa, 6)} AS q_urgent,
+            ${sqlSnap(qb, 6)} AS q_rest,
+            ${sqlSnap(s"${sqlSnap(qa, 6)} - ${sqlSnap(qb, 6)}", 6)} AS qte
           FROM orders"""
         }
         branches.mkString("", "\nUNION ALL\n", "\nORDER BY p")

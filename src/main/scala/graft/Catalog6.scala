@@ -1710,10 +1710,14 @@ private[graft] trait Catalog6 extends CatalogBase {
       // Physical-encoding advisor (the per-column profiling pass behind
       // parquet/ORC encoding selection, quantifying q305's layout story
       // at column grain): for each orders column, exact NDV plus the
-      // RUN count in insertion (orderkey) order. Runs come from the
-      // dense-key k+1 self-equi-join (q304's trick) — a hash join, not
-      // a global sort+lag — and all four columns' run starts reduce in
-      // ONE aggregate over that single join. The advice rule is integer
+      // RUN count in insertion (orderkey) order. Runs pair each row
+      // with its true SCAN predecessor via PrefixSum.withGlobalLag
+      // (bucketed windows + a broadcast boundary patch — no
+      // single-partition sort), and all four columns' run starts reduce
+      // in ONE aggregate. The former k+1 self-equi-join was WRONG on
+      // sparse keys: it counted every key GAP as a run start (caught at
+      // the r10 sf1 step — 9 copy-boundary gaps, runs 999220 vs the
+      // sorted-lag oracle's 999211). The advice rule is integer
       // arithmetic (dict when NDV <= 1% of rows, RLE when the mean run
       // >= 3), so the verdict can't flip on engine float quirks.
       build = (s, dir) => {
@@ -1730,25 +1734,22 @@ private[graft] trait Catalog6 extends CatalogBase {
         val o = table(s, dir, "orders")
           .withColumn("__rn", row_number().over(keyW))
           .filter(col("__rn") === 1).drop("__rn")
-        val prev = o.select((col("o_orderkey") + 1).as("o_orderkey"),
-          col("o_orderstatus").as("p_status"),
-          col("o_orderpriority").as("p_prio"),
-          col("o_custkey").as("p_cust"),
-          to_date(col("o_orderdate")).as("p_date"))
+          .withColumn("o_odate", to_date(col("o_orderdate")))
         def runStart(c: Column, p: Column): Column =
           sum(when(p.isNull || c =!= p, 1).otherwise(0))
-        val agg = o.join(prev, Seq("o_orderkey"), "left")
+        val agg = PrefixSum.withGlobalLag(o, "o_orderkey",
+            Seq("o_orderstatus", "o_orderpriority", "o_custkey", "o_odate"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("o_orderstatus")).as("ndv_status"),
             countDistinct(col("o_orderpriority")).as("ndv_prio"),
             countDistinct(col("o_custkey")).as("ndv_cust"),
-            countDistinct(to_date(col("o_orderdate"))).as("ndv_date"),
-            runStart(col("o_orderstatus"), col("p_status"))
+            countDistinct(col("o_odate")).as("ndv_date"),
+            runStart(col("o_orderstatus"), col("p_o_orderstatus"))
               .as("runs_status"),
-            runStart(col("o_orderpriority"), col("p_prio"))
+            runStart(col("o_orderpriority"), col("p_o_orderpriority"))
               .as("runs_prio"),
-            runStart(col("o_custkey"), col("p_cust")).as("runs_cust"),
-            runStart(to_date(col("o_orderdate")), col("p_date"))
+            runStart(col("o_custkey"), col("p_o_custkey")).as("runs_cust"),
+            runStart(col("o_odate"), col("p_o_odate"))
               .as("runs_date"))
         val cols = Seq(("o_custkey", "cust"), ("o_orderdate", "date"),
           ("o_orderpriority", "prio"), ("o_orderstatus", "status"))

@@ -104,4 +104,47 @@ object PrefixSum {
       .withColumn("cum", col("__off") + col("__lc"))
       .drop("__b", "__lc", "__off")
   }
+
+  /** Adds, for each name in `cols`, a `p_<name>` column holding that
+    * column's value on the PREVIOUS row in global `orderCol` ASC order —
+    * `lag(c) OVER (ORDER BY orderCol)` without the single-partition
+    * window: the same deterministic quantile-bucket scheme as
+    * [[running]] computes the lag within each bucket, and each bucket's
+    * FIRST row is patched from the previous bucket's last row via a
+    * broadcast join on the bounded (nBuckets-row) boundary frame.
+    * `orderCol` must be numeric, unique and non-null (it makes the order
+    * total; uniqueness also means no cross-bucket ties, so bucket order
+    * refines to exactly the global order). `p_*` is NULL on the global
+    * first row only — NOT on key gaps, which is the point: a k+1
+    * self-equi-join counts a key GAP as a missing predecessor, while
+    * this operator (like the sorted lag it replaces) pairs every row
+    * with its true scan predecessor. (q315's engine-vs-oracle run-count
+    * divergence at the r10 sf1 step — 9 copy-boundary key gaps — was
+    * exactly that confusion.) */
+  def withGlobalLag(df: DataFrame, orderCol: String, cols: Seq[String],
+      nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    val th = Binning.quantileThresholds(
+      df.select(col(orderCol).cast("double").as("v")), "v",
+      math.max(nBuckets, 2))
+    val bucketed = df.withColumn("__b",
+      Binning.binIndex(col(orderCol).cast("double"), th))
+    val wLag = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+    val lagged = cols.foldLeft(
+        bucketed.withColumn("__rn", row_number().over(wLag))) {
+      (d, c) => d.withColumn(s"p_$c", lag(col(c), 1).over(wLag))
+    }
+    // bounded boundary frame: each bucket's LAST row's attributes, keyed
+    // to the NEXT bucket (bucket ids from binIndex are dense 0..n-1, so
+    // the successor is a plain +1 join — no window over the frame)
+    val lastRows = bucketed.groupBy(col("__b"))
+      .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("__last"))
+      .select((col("__b") + 1).as("__b"), col("__last"))
+    lagged.join(broadcast(lastRows), Seq("__b"), "left")
+      .select(
+        lagged.columns.filterNot(c => c == "__rn" || c.startsWith("p_") ||
+          c == "__b").map(col) ++
+        cols.map(c => when(col("__rn") === 1, col(s"__last.$c"))
+          .otherwise(col(s"p_$c")).as(s"p_$c")): _*)
+  }
 }

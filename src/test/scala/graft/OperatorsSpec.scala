@@ -900,6 +900,32 @@ class OperatorsSpec extends SparkSpec {
     assert(distT.toSeq == naiveT.toSeq)
   }
 
+  test("PrefixSum.withGlobalLag equals the naive sorted lag, sparse keys included") {
+    // sparse, gappy keys (copy-boundary-style jumps) — the exact shape
+    // where a k+1 self-equi-join miscounts (q315's r10 sf1 bug); two
+    // lag columns, one with repeated values so runs actually form
+    val rows = (1 to 300).map { i =>
+      val k = i * 13L + (if (i > 100) 100000L else 0L) +
+        (if (i > 200) 900000L else 0L)
+      (k, s"v${i % 7}", (i % 3).toLong)
+    }
+    val df = rows.toDF("k", "s", "g").repartition(9)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+    val naive = df
+      .withColumn("p_s", lag($"s", 1).over(w))
+      .withColumn("p_g", lag($"g", 1).over(w))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(3), Option(r.get(4))))
+    val dist = PrefixSum.withGlobalLag(df, "k", Seq("s", "g"), nBuckets = 7)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("p_s"),
+        Option(r.getAs[Any]("p_g"))))
+    assert(dist.toSeq == naive.toSeq)
+    // the global first row (and only it) has NULL predecessors
+    assert(dist.head._2 == null && dist.head._3.isEmpty)
+    assert(dist.tail.forall(_._2 != null))
+  }
+
   test("PrefixSum.runningLong equals the naive global window; packSequences unchanged") {
     // skewed long values, non-contiguous ids (bucket thresholds land
     // between them), plus repartition-invariance
