@@ -17,11 +17,11 @@ generator used a 10-token document prefix, which leaves cross-copy
 trigram Jaccard ~0.8 — every doc became a 10-clique and the dedup
 family went quadratic in copies, a fixture artifact the first sf1 run
 measured the hard way). Per-copy de-duplication, structure-preserving:
-  - documents (copy i != 0): a marker token cp{i}m{j} is interleaved
-    after every 2 original tokens — every trigram window then contains a
-    marker, so cross-copy shingle overlap is ZERO at any document
-    length, while two docs inside a copy are perturbed identically and
-    keep their exact within-copy Jaccard;
+  - documents (copy i != 0): every token gets a copy-tag suffix
+    (tok~c{i}) — cross-copy shingle overlap is ZERO, within-copy Jaccard
+    and the whole shingle-df SPECTRUM are preserved exactly (see
+    _interleave_markers for the v2/v3 marker-insertion schemes this
+    replaced and the candidate blow-ups they caused);
   - embeddings (copy i != 0): dimensions rotated by i (norm-preserving,
     validity-gate-safe) plus a 1e-3 bump — cross-copy pairs then look
     like ordinary random pairs of the near-uniform corpus instead of
@@ -67,26 +67,26 @@ NAME_COLS = {"part": "p_name", "customer": "c_name", "supplier": "s_name"}
 
 
 def _interleave_markers(text, i):
-    """The SAME cp{i} marker after every 2 original tokens: every trigram
-    window contains a marker, so cross-copy shingle overlap is zero at any
-    document length. The marker is position-INDEPENDENT (one constant
-    token per copy, not a k-indexed variant): a shared span occurring at
-    different token offsets in two docs of the same copy keeps its shingle
-    overlap whenever the offsets agree mod 2 — a v2 position-dependent
-    marker (cp{i}m{(k//2)%7}, period 14) silently deflated the per-copy
-    dup rate for offset duplicates (r10 ADVICE). Position-ALIGNED
-    duplicate pairs — the planted-dup shape of the base corpus — are
-    perturbed identically under either scheme and keep their exact
-    within-copy Jaccard."""
+    """Copy-i text perturbation v4: every token gets a copy-tag SUFFIX
+    (tok -> tok~c{i}). A pure per-token function, so it is exact on all
+    three axes the earlier marker-insertion schemes traded off:
+      - within-copy Jaccard is preserved EXACTLY for any shared span at
+        ANY offsets (the r10-ADVICE offset-duplicate property — no mod-2
+        alignment condition left);
+      - cross-copy shingle overlap is zero (every token differs);
+      - shingle ENTROPY is preserved exactly: the copy-i df of a tagged
+        trigram equals the base df of the original trigram. The v2/v3
+        inserted-marker schemes put a marker inside every trigram
+        window, collapsing it to unigram (v3 constant cp{i}: hot
+        shingles blew the containment candidate stage 116x at 10x docs —
+        q354's phantom 1.95 exponent, r10) or bigram (content-derived
+        marker: still 74x) specificity.
+    Vocabulary grows 10x with the corpus — the realistic shape for 10x
+    distinct content — and doc token counts are unchanged (insertion
+    schemes inflated them 1.5x)."""
     if text is None:
         return None
-    toks = text.split()
-    out = []
-    for k, t in enumerate(toks):
-        out.append(t)
-        if k % 2 == 1:
-            out.append(f"cp{i}")
-    return " ".join(out)
+    return " ".join(f"{t}~c{i}" for t in text.split())
 
 
 def shifted(tbl: pa.Table, name: str, i: int) -> pa.Table:
