@@ -41,10 +41,13 @@ outdir, sfdir = positional[0], positional[1]
 only = set(flags["--only"].split(",")) if "--only" in flags else None
 skip = set(flags["--skip"].split(",")) if "--skip" in flags else set()
 timeout_s = float(flags["--timeout"]) if "--timeout" in flags else None
+threads = int(flags["--threads"]) if "--threads" in flags else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+if threads:
+    con.sql(f"SET threads TO {threads}")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
 
