@@ -2838,5 +2838,36 @@ private[graft] trait Catalog7 extends CatalogBase {
         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
           AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
         ORDER BY id_a, id_b""")),
+
+    "q363_stream_ingest_survivors" -> Q(
+      // The PRODUCTION shape q362's batch delta form feeds: a real
+      // Structured Streaming ingest loop (file source → foreachBatch)
+      // where each micro-batch sketches only itself, band-probes the
+      // persisted q358-shaped state, emits its survivors and appends its
+      // sketches — accepted and rejected — back to state
+      // (graft.streaming.DedupIngest; the admission policy and its
+      // batch-boundary invariance are documented there and pinned by
+      // DeltaStateSpec). The oracle is the policy as plain SQL: a doc
+      // survives iff NO smaller-id doc is within Hamming 3 of its
+      // 128-bit sketch — so hash equality proves the four-batch streamed
+      // run computed exactly the one-shot batch answer.
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.simhash128IngestSurvivors(s, dir),
+      oracle = Some(s"""
+        WITH $simhash128Ctes,
+        rej AS (
+          SELECT DISTINCT b.doc_id
+          FROM sk128 a JOIN sk128 b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                <= 3)
+        -- LEFT JOIN keeps NULL-text docs (no sk128 row): contentless
+        -- docs never pair, so they are admitted with NULL sketches on
+        -- both engines (q358's convention)
+        SELECT d.doc_id, s.hi AS sk_hi, s.lo AS sk_lo
+        FROM documents d
+        LEFT JOIN sk128 s ON s.doc_id = d.doc_id
+        LEFT JOIN rej r ON r.doc_id = d.doc_id
+        WHERE r.doc_id IS NULL
+        ORDER BY d.doc_id""")),
   )
 }

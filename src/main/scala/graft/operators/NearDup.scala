@@ -666,6 +666,22 @@ object NearDup {
     *                       q358's sketch dump) */
   def deltaSimhash128Pairs(corpusSketches: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val dSk = delta.select(col(idCol).as("id"),
+      TextHash.simhash128(col(textCol)).as("sk128"))
+      .select(col("id"), col("sk128").getItem(0).as("hi"),
+        col("sk128").getItem(1).as("lo"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deltaSimhash128PairsFromSketches(corpusSketches, dSk, maxHamming)
+  }
+
+  /** [[deltaSimhash128Pairs]] with the delta's sketches ALREADY computed
+    * — the ingest-loop form ([[graft.streaming.DedupIngest]]), where the
+    * caller sketches each batch once and reuses the frame for the pair
+    * probe AND the state append, so a document is tokenized exactly once
+    * per ingest. Both inputs are (id, hi, lo) sketch frames (q358's dump
+    * shape); ids must be disjoint across the two. */
+  def deltaSimhash128PairsFromSketches(corpusSketches: DataFrame,
+      deltaSketches: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
     val numBands = maxHamming + 1
@@ -674,11 +690,7 @@ object NearDup {
       posexplode(array((0 until numBands).map { i =>
         bandSlice(col("hi"), col("lo"), i * bits, bits)
       }: _*)).as(Seq("band", "bv")))
-    val dSk = delta.select(col(idCol).as("id"),
-      TextHash.simhash128(col(textCol)).as("sk128"))
-      .select(col("id"), col("sk128").getItem(0).as("hi"),
-        col("sk128").getItem(1).as("lo"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dSk = deltaSketches.select(col("id"), col("hi"), col("lo"))
     val cSk = corpusSketches.select(col("id"), col("hi"), col("lo"))
     // delta × corpus: the delta's bands probe the banded STATE scan —
     // the hash join builds on the (tiny) delta side

@@ -32,7 +32,8 @@ object GlobalWindows {
     "q130_stream_hll", "q151_stream_cms", "q201_stream_debounce",
     "q263_stream_topk", "q274_stream_session_window",
     "q281_stream_outer_attribution", "q289_stream_scd2",
-    "q327_stream_cusum", "q328_stream_msprt")
+    "q327_stream_cusum", "q328_stream_msprt",
+    "q363_stream_ingest_survivors")
 
   /** query name -> the bounded frame its global window runs on.
     * "PrefixSum offsets" = the nBuckets-row bucket-totals frame inside

@@ -460,4 +460,59 @@ object BoundedRuns {
       "sesswin-")
     emitted.orderBy(col("user_id"), col("s_start"))
   }
+
+  /** Bounded run of the streaming near-dup INGEST loop
+    * ([[DedupIngest.simhash128IngestSink]]): stage the documents table as
+    * `nSlices` contiguous doc_id ranges (range repartition — the
+    * monotone-id arrival the ingest contract requires), one file per
+    * micro-batch in ascending-id order (explicit distinct mtimes; the
+    * sink's contract assertion fails the run loudly if the file source
+    * ever reordered them), state seeded empty, then the drained
+    * survivors read back. Because the admission policy is batch-boundary
+    * invariant (see [[DedupIngest]]), the result is the same for ANY
+    * nSlices — DeltaStateSpec pins 1 ≡ 4 ≡ the one-shot batch
+    * computation; the q363 oracle recomputes it as plain SQL. */
+  def simhash128IngestSurvivors(spark: SparkSession, dir: String,
+      nSlices: Int = 4, maxHamming: Int = 3,
+      workDir: Option[String] = None): DataFrame = {
+    val work = workDir.getOrElse(freshDir("ingest-"))
+    val staged = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(nSlices, col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    staged.write.partitionBy("slice").parquet(s"$work/stage")
+    // ascending mtimes, 10 s apart: the file source drains oldest-first,
+    // so batch order = slice order = id order
+    val base = System.currentTimeMillis()
+    val stageDir = Paths.get(s"$work/stage")
+    Files.list(stageDir).forEach { d =>
+      val dn = d.getFileName.toString
+      if (dn.startsWith("slice=")) {
+        val i = dn.stripPrefix("slice=").toLong
+        Files.list(d).forEach { f =>
+          Files.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+        }
+      }
+    }
+    DedupIngest.initSimhash128State(spark, s"$work/state")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("slice",
+          org.apache.spark.sql.types.IntegerType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/stage")
+      .drop("slice")
+    val q = DedupIngest.simhash128IngestSink(stream, s"$work/state",
+        s"$work/survivors", "doc_id", "text", maxHamming)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/survivors").orderBy(col("doc_id"))
+  }
 }

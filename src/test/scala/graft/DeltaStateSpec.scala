@@ -103,4 +103,41 @@ class DeltaStateSpec extends SparkSpec {
     assert("graft-sh-state".r.findAllIn(plan).nonEmpty,
       "expected the corpus sketch state to appear as a parquet scan")
   }
+
+  test("streamed simhash128 ingest: survivors invariant over batch " +
+      "slicing and ≡ the one-shot batch policy; state holds every doc") {
+    val dir = sf()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+    val nDocs = docs.count()
+
+    // the one-shot batch answer the stream must reproduce: suppress any
+    // doc that pairs (Hamming <= 3 on the 128-bit sketch) with a smaller id
+    val pairs = NearDup.simhash128NearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3)
+    val want = NearDup.nearDupSurvivors(docs, pairs, "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(want.size < nDocs,
+      "fixture must contain near-dups for the test to bite")
+
+    def run(slices: Int): (Set[Long], String) = {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-ingest-$slices-").toString
+      val got = graft.streaming.BoundedRuns
+        .simhash128IngestSurvivors(spark, dir, nSlices = slices,
+          workDir = Some(work))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      (got, work)
+    }
+    val (got4, work4) = run(4)
+    val (got1, _) = run(1)
+    assert(got4 == want, s"4-batch stream diverged from batch policy: " +
+      s"missing=${(want -- got4).take(3)} extra=${(got4 -- want).take(3)}")
+    assert(got1 == want, "single-batch stream diverged from batch policy")
+
+    // the state keeps EVERY ingested doc's sketch — rejected ones too
+    // (the policy keys on "smaller id", not "smaller surviving id")
+    val state = spark.read.parquet(s"$work4/state")
+    assert(state.count() == nDocs)
+    assert(state.select(col("id")).distinct().count() == nDocs)
+  }
 }
