@@ -25,7 +25,13 @@ SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
   || { tail -20 /tmp/bench_idle_"$TAG".log; exit 1; }
 
 DEST="target/bench_history/bench_idle_${TAG}.json"
+mkdir -p target/bench_history
 cp target/bench.json "$DEST"
+# round-durable copy: target/ is wiped at round boundaries (the r10
+# session found its r10 artifacts gone), and the gate's decade leg
+# (GRAFT_EXP_SMALL/GRAFT_EXP_BIG) needs inputs that outlive the round —
+# so every pinned artifact also lands in git-tracked tools/baselines/.
+cp "$DEST" "tools/baselines/bench_idle_${TAG}.json"
 python3 - "$DEST" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
