@@ -2869,5 +2869,24 @@ private[graft] trait Catalog7 extends CatalogBase {
         LEFT JOIN rej r ON r.doc_id = d.doc_id
         WHERE r.doc_id IS NULL
         ORDER BY d.doc_id""")),
+
+    "q364_stream_minhash_ingest" -> Q(
+      // q363's streaming ingest loop on the MINHASH/LSH tier — q35's
+      // Jaccard-threshold admission policy run as a stream over TWO warm
+      // state tables (banded signatures probed, shingle-hash rows
+      // exactly verified; each batch shingles only itself and appends
+      // both frames — NearDup.deltaMinhashPairsFromRows). The oracle is
+      // q35's verbatim: survivors = docs with no smaller-id doc at true
+      // trigram Jaccard >= 0.6 — so hash equality proves the streamed
+      // four-batch run, probing persisted state, equals the one-shot
+      // batch dedup (LSH recall 1-(1-J^3)^64, candidates exactly
+      // verified, identical to q35's own guarantee).
+      build = (s, dir) =>
+        graft.streaming.BoundedRuns.minhashIngestSurvivors(s, dir),
+      oracle = Some(s"""
+        WITH $ngramPairCtes
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.6)
+        ORDER BY doc_id""")),
   )
 }

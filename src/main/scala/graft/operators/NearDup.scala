@@ -618,6 +618,22 @@ object NearDup {
         dRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else dRows0
     val dBands = minhashBands(dRows, numHashes, bandRows)
+    deltaMinhashPairsFromRows(corpusRows, corpusBands, dRows, dBands, minJ)
+  }
+
+  /** [[deltaMinhashPairs]] with the delta's shingle rows and band
+    * signatures ALREADY computed — the ingest-loop form
+    * ([[graft.streaming.DedupIngest]]), where the caller shingles each
+    * batch once and reuses both frames for the pair probe AND the state
+    * append, so a document is shingled exactly once per ingest.
+    * `deltaRows`/`deltaBands` are [[shingleHashRows]]/[[minhashBands]]
+    * output (the state tables' shapes); ids must be disjoint across
+    * corpus and delta. */
+  def deltaMinhashPairsFromRows(corpusRows: DataFrame,
+      corpusBands: DataFrame, deltaRows: DataFrame, deltaBands: DataFrame,
+      minJ: Double = 0.6): DataFrame = {
+    val dRows = deltaRows
+    val dBands = deltaBands
     // delta × corpus: probe the warm band table. The delta side is tiny
     // next to the corpus state, so the hash join builds on the delta —
     // the corpus side STREAMS through a scan, never shuffles whole.

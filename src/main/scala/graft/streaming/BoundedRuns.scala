@@ -476,16 +476,51 @@ object BoundedRuns {
       nSlices: Int = 4, maxHamming: Int = 3,
       workDir: Option[String] = None): DataFrame = {
     val work = workDir.getOrElse(freshDir("ingest-"))
+    val stream = stageDocStream(spark, dir, nSlices, work)
+    DedupIngest.initSimhash128State(spark, s"$work/state")
+    val q = DedupIngest.simhash128IngestSink(stream, s"$work/state",
+        s"$work/survivors", "doc_id", "text", maxHamming)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/survivors").orderBy(col("doc_id"))
+  }
+
+  /** Bounded run of [[DedupIngest.minhashIngestSink]] — the same staging
+    * and contract as [[simhash128IngestSurvivors]], on the Jaccard/LSH
+    * tier (q35's admission policy as a stream). */
+  def minhashIngestSurvivors(spark: SparkSession, dir: String,
+      nSlices: Int = 4, minJ: Double = 0.6,
+      workDir: Option[String] = None): DataFrame = {
+    val work = workDir.getOrElse(freshDir("ingest-"))
+    val stream = stageDocStream(spark, dir, nSlices, work)
+    DedupIngest.initMinhashState(spark, s"$work/state")
+    val q = DedupIngest.minhashIngestSink(stream, s"$work/state",
+        s"$work/survivors", "doc_id", "text", minJ = minJ)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$work/survivors").orderBy(col("doc_id"))
+  }
+
+  /** Stage the documents table as `nSlices` contiguous doc_id ranges
+    * (range repartition — the ingest contract's monotone-id arrival),
+    * one parquet file per slice, and return the file-source stream that
+    * drains them one file per micro-batch in ascending-id order.
+    * Ordering is enforced with explicit mtimes 10 s apart (the file
+    * source drains oldest-first); the ingest sinks' contract assertion
+    * fails the run loudly if the source ever reordered them. */
+  private def stageDocStream(spark: SparkSession, dir: String,
+      nSlices: Int, work: String): DataFrame = {
     val staged = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .repartitionByRange(nSlices, col("doc_id"))
       .withColumn("slice", spark_partition_id())
     staged.write.partitionBy("slice").parquet(s"$work/stage")
-    // ascending mtimes, 10 s apart: the file source drains oldest-first,
-    // so batch order = slice order = id order
     val base = System.currentTimeMillis()
-    val stageDir = Paths.get(s"$work/stage")
-    Files.list(stageDir).forEach { d =>
+    Files.list(Paths.get(s"$work/stage")).forEach { d =>
       val dn = d.getFileName.toString
       if (dn.startsWith("slice=")) {
         val i = dn.stripPrefix("slice=").toLong
@@ -495,8 +530,7 @@ object BoundedRuns {
         }
       }
     }
-    DedupIngest.initSimhash128State(spark, s"$work/state")
-    val stream = spark.readStream
+    spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -507,12 +541,5 @@ object BoundedRuns {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$work/stage")
       .drop("slice")
-    val q = DedupIngest.simhash128IngestSink(stream, s"$work/state",
-        s"$work/survivors", "doc_id", "text", maxHamming)
-      .option("checkpointLocation", s"$work/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(s"$work/survivors").orderBy(col("doc_id"))
   }
 }

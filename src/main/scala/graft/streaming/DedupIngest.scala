@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.operators.{NearDup, TextHash}
@@ -96,5 +96,74 @@ object DedupIngest {
           .write.mode("append").parquet(survivorsDir)
         bSk.write.mode("append").parquet(stateDir)
       } finally bSk.unpersist()
+    }
+
+  /** The MINHASH-tier state shapes: `rows` is [[NearDup.shingleHashRows]]
+    * output (the exact-verify side), `bands` is [[NearDup.minhashBands]]
+    * output (the probe side). */
+  val shingleRowsSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("hs", LongType)))
+  val bandsSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("band", IntegerType),
+    StructField("bhash", LongType)))
+
+  /** Seed an empty minhash state directory (`rows` + `bands` subdirs). */
+  def initMinhashState(spark: SparkSession, stateDir: String): Unit = {
+    spark.createDataFrame(new java.util.ArrayList[Row](), shingleRowsSchema)
+      .write.mode("overwrite").parquet(s"$stateDir/rows")
+    spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
+      .write.mode("overwrite").parquet(s"$stateDir/bands")
+  }
+
+  /** [[simhash128IngestSink]]'s loop on the MinHash/LSH tier — the
+    * Jaccard-threshold admission production ingests actually run (GPT-3
+    * style fuzzy dedup at ingest time). Same contract (monotone ids,
+    * suppress iff a smaller-id doc is a near-dup — here true n-gram
+    * Jaccard ≥ minJ on LSH-discovered, exactly-verified pairs; rejected
+    * docs stay in state), but the warm state is TWO tables: the banded
+    * signatures the batch probes, and the shingle-hash rows the exact
+    * verify reads — each batch shingles only itself
+    * ([[NearDup.deltaMinhashPairsFromRows]]) and appends both its frames.
+    * Recall is the 1-(1-J³)⁶⁴ LSH bound (≥ 1-2e-7 at J=0.6), identical
+    * to the batch q35 policy it mirrors; candidates are exactly verified,
+    * so admission never suppresses on a false collision.
+    *
+    * Scale shape per batch: the state band table is probed by a hash
+    * join BUILT on the batch's bands (the corpus side streams); the
+    * exact verify touches only candidate ids' shingle sets; exchanges
+    * carry (long, long) / (long, int, long) rows — never text. */
+  def minhashIngestSink(docs: DataFrame, stateDir: String,
+      survivorsDir: String, idCol: String, textCol: String, n: Int = 3,
+      minJ: Double = 0.6, numHashes: Int = 192, bandRows: Int = 3)
+      : DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val b = batch.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("__text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bRows = NearDup.shingleHashRows(b, "id", "__text", n)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bBands = NearDup.minhashBands(bRows, numHashes, bandRows)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val sRows = spark.read.parquet(s"$stateDir/rows")
+        val sBands = spark.read.parquet(s"$stateDir/bands")
+        // bounded driver scalars: the monotone-arrival contract check
+        // (over the full batch — sub-shingle-width docs carry ids too)
+        val maxState = sBands.agg(max(col("id"))).head().get(0)
+        val minBatch = b.agg(min(col("id"))).head().get(0)
+        require(maxState == null || minBatch == null ||
+          maxState.asInstanceOf[Long] < minBatch.asInstanceOf[Long],
+          s"ingest ids must be monotone across batches: state max=" +
+            s"$maxState >= batch min=$minBatch (out-of-order arrival)")
+        val rejected = NearDup
+          .deltaMinhashPairsFromRows(sRows, sBands, bRows, bBands, minJ)
+          .select(col("id_b").as("id")).distinct()
+        b.join(rejected, Seq("id"), "left_anti")
+          .select(col("id").as(idCol))
+          .write.mode("append").parquet(survivorsDir)
+        bRows.write.mode("append").parquet(s"$stateDir/rows")
+        bBands.write.mode("append").parquet(s"$stateDir/bands")
+      } finally { bBands.unpersist(); bRows.unpersist(); b.unpersist() }
     }
 }

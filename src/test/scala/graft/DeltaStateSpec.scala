@@ -140,4 +140,41 @@ class DeltaStateSpec extends SparkSpec {
     assert(state.count() == nDocs)
     assert(state.select(col("id")).distinct().count() == nDocs)
   }
+
+  test("streamed minhash ingest: survivors invariant over batch slicing " +
+      "and ≡ the one-shot q35 policy; both state tables complete") {
+    val dir = sf()
+    val docs = graft.sources.Tables.load(spark, dir, "documents")
+
+    val pairs = NearDup.minhashNearDupPairs(docs, "doc_id", "text",
+      n = 3, minJ = 0.6, numHashes = 192, bandRows = 3)
+    val want = NearDup.nearDupSurvivors(docs, pairs, "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(want.size < docs.count(),
+      "fixture must contain Jaccard near-dups for the test to bite")
+
+    def run(slices: Int): (Set[Long], String) = {
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft-mhingest-$slices-").toString
+      val got = graft.streaming.BoundedRuns
+        .minhashIngestSurvivors(spark, dir, nSlices = slices,
+          workDir = Some(work))
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      (got, work)
+    }
+    val (got3, work3) = run(3)
+    val (got1, _) = run(1)
+    assert(got3 == want, s"3-batch stream diverged from batch policy: " +
+      s"missing=${(want -- got3).take(3)} extra=${(got3 -- want).take(3)}")
+    assert(got1 == want, "single-batch stream diverged from batch policy")
+
+    // both state tables hold exactly the full-corpus recompute's rows
+    // (shingle-bearing docs only — contentless docs have no state rows)
+    val fullRows = NearDup.shingleHashRows(docs, "doc_id", "text", 3)
+    val stateRows = spark.read.parquet(s"$work3/state/rows")
+    assert(stateRows.count() == fullRows.count())
+    val stateBands = spark.read.parquet(s"$work3/state/bands")
+    assert(stateBands.count() ==
+      NearDup.minhashBands(fullRows, 192, 3).count())
+  }
 }
