@@ -107,12 +107,21 @@ object DedupIngest {
     StructField("id", LongType), StructField("band", IntegerType),
     StructField("bhash", LongType)))
 
-  /** Seed an empty minhash state directory (`rows` + `bands` subdirs). */
+  /** Seed an empty minhash state directory (`rows` + `bands` + `wm`
+    * subdirs). `wm` is the id WATERMARK table (one max-id row per
+    * ingested batch): unlike the simhash tier — whose sketch table has a
+    * row for every doc, NULL-text included — the shingle/band tables
+    * only hold shingle-BEARING docs, so the monotone-arrival check needs
+    * its own record or an out-of-order arrival whose boundary doc is
+    * contentless would slip the assertion. */
   def initMinhashState(spark: SparkSession, stateDir: String): Unit = {
     spark.createDataFrame(new java.util.ArrayList[Row](), shingleRowsSchema)
       .write.mode("overwrite").parquet(s"$stateDir/rows")
     spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
       .write.mode("overwrite").parquet(s"$stateDir/bands")
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(Seq(StructField("id", LongType))))
+      .write.mode("overwrite").parquet(s"$stateDir/wm")
   }
 
   /** [[simhash128IngestSink]]'s loop on the MinHash/LSH tier — the
@@ -148,9 +157,12 @@ object DedupIngest {
       try {
         val sRows = spark.read.parquet(s"$stateDir/rows")
         val sBands = spark.read.parquet(s"$stateDir/bands")
-        // bounded driver scalars: the monotone-arrival contract check
-        // (over the full batch — sub-shingle-width docs carry ids too)
-        val maxState = sBands.agg(max(col("id"))).head().get(0)
+        // bounded driver scalars: the monotone-arrival contract check —
+        // against the wm table, which records EVERY batch's max id
+        // (contentless docs included; the shingle/band tables would miss
+        // them)
+        val maxState = spark.read.parquet(s"$stateDir/wm")
+          .agg(max(col("id"))).head().get(0)
         val minBatch = b.agg(min(col("id"))).head().get(0)
         require(maxState == null || minBatch == null ||
           maxState.asInstanceOf[Long] < minBatch.asInstanceOf[Long],
@@ -164,6 +176,8 @@ object DedupIngest {
           .write.mode("append").parquet(survivorsDir)
         bRows.write.mode("append").parquet(s"$stateDir/rows")
         bBands.write.mode("append").parquet(s"$stateDir/bands")
+        b.agg(max(col("id")).as("id")).filter(col("id").isNotNull)
+          .write.mode("append").parquet(s"$stateDir/wm")
       } finally { bBands.unpersist(); bRows.unpersist(); b.unpersist() }
     }
 }

@@ -177,4 +177,37 @@ class DeltaStateSpec extends SparkSpec {
     assert(stateBands.count() ==
       NearDup.minhashBands(fullRows, 192, 3).count())
   }
+
+  test("ingest contract assertion dies loudly on out-of-order arrival — " +
+      "even when the violating boundary doc is contentless") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ooo-").toString
+    graft.streaming.DedupIngest.initMinhashState(spark, s"$work/state")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupIngest.minhashIngestSink(
+        in.toDF().toDF("doc_id", "text"), s"$work/state",
+        s"$work/survivors", "doc_id", "text")
+      .option("checkpointLocation", s"$work/ckpt")
+      .start()
+    try {
+      // batch 1's max id (100) is a NULL-text doc — it leaves no
+      // shingle/band state rows, only the wm watermark can see it
+      in.addData((42L, "alpha beta gamma delta"), (100L, null))
+      q.processAllAvailable()
+      in.addData((77L, "epsilon zeta eta theta")) // 77 < 100: out of order
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        throw new IllegalStateException(
+          q.exception.map(_.toString).getOrElse("stream accepted the batch"))
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("monotone"),
+        s"expected the monotone-contract failure, got: $msgs")
+    } finally q.stop()
+  }
 }
