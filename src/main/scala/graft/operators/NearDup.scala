@@ -559,7 +559,14 @@ object NearDup {
       if (materialize)
         sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sk0
-    val banded = sk.select(col("id"),
+    // NULL sketches (contentless docs, q29's contract) never band: a NULL
+    // slice would land every such doc in ONE (band, NULL) bucket — a
+    // planted skew key emitting k²/2 doomed candidates for k NULL docs
+    // (the verify's `hamming <= max` is never true on NULL, so only the
+    // wasted volume is at stake — ~10¹² rows at 0.1% contentless of 10⁹).
+    // The docs stay admitted downstream: they never reach a pair, so
+    // survivor consumers see them unchanged.
+    val banded = sk.filter(col("sk").isNotNull).select(col("id"),
       posexplode(array((0 until numBands).map { i =>
         shiftrightunsigned(col("sk"), i * bits).bitwiseAND(lit((1L << bits) - 1))
       }: _*)).as(Seq("band", "bv")))
@@ -702,10 +709,15 @@ object NearDup {
       s"maxHamming must be in [0, 31], got $maxHamming")
     val numBands = maxHamming + 1
     val bits = math.min(128 / numBands, 63)
-    def bands(sk: DataFrame) = sk.select(col("id"),
-      posexplode(array((0 until numBands).map { i =>
-        bandSlice(col("hi"), col("lo"), i * bits, bits)
-      }: _*)).as(Seq("band", "bv")))
+    // NULL-sketch guard on BOTH tiers of the probe: the dc equi-join
+    // would drop NULL band values anyway (SQL equality), but the dd
+    // path's groupBy would pool every NULL sketch into one skew bucket
+    // — [[simhashNearDupPairs]]'s planted-skew rationale
+    def bands(sk: DataFrame) = sk.filter(col("hi").isNotNull)
+      .select(col("id"),
+        posexplode(array((0 until numBands).map { i =>
+          bandSlice(col("hi"), col("lo"), i * bits, bits)
+        }: _*)).as(Seq("band", "bv")))
     val dSk = deltaSketches.select(col("id"), col("hi"), col("lo"))
     val cSk = corpusSketches.select(col("id"), col("hi"), col("lo"))
     // delta × corpus: the delta's bands probe the banded STATE scan —
@@ -790,7 +802,9 @@ object NearDup {
       if (materialize)
         sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sk0
-    val banded = sk.select(col("id"),
+    // NULL-sketch guard: same skew-key rationale as [[simhashNearDupPairs]]
+    // (hi/lo are NULL together — one word's null test covers the sketch)
+    val banded = sk.filter(col("hi").isNotNull).select(col("id"),
       posexplode(array((0 until numBands).map { i =>
         bandSlice(col("hi"), col("lo"), i * bits, bits)
       }: _*)).as(Seq("band", "bv")))

@@ -520,13 +520,20 @@ object BoundedRuns {
       .withColumn("slice", spark_partition_id())
     staged.write.partitionBy("slice").parquet(s"$work/stage")
     val base = System.currentTimeMillis()
-    Files.list(Paths.get(s"$work/stage")).forEach { d =>
-      val dn = d.getFileName.toString
-      if (dn.startsWith("slice=")) {
-        val i = dn.stripPrefix("slice=").toLong
-        Files.list(d).forEach { f =>
-          Files.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+    // Files.list holds an open directory handle until the stream is
+    // closed — drain each listing inside Using so repeated staged runs
+    // don't leak file descriptors
+    scala.util.Using.resource(Files.list(Paths.get(s"$work/stage"))) { ds =>
+      ds.forEach { d =>
+        val dn = d.getFileName.toString
+        if (dn.startsWith("slice=")) {
+          val i = dn.stripPrefix("slice=").toLong
+          scala.util.Using.resource(Files.list(d)) { fs =>
+            fs.forEach { f =>
+              Files.setLastModifiedTime(f,
+                java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+            }
+          }
         }
       }
     }

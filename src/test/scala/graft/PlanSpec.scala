@@ -369,6 +369,61 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("simhash banding is NULL-skew-proof: planted NULL-doc blocks add " +
+      "linear row volume, never a k²/2 candidate bucket") {
+    // The 100 TB hazard: contentless docs sketch to NULL (q29's
+    // contract); an unguarded band groupBy pools every NULL sketch into
+    // ONE bucket per band, whose pair expansion emits k²/2 doomed
+    // candidates for k NULL docs. The guard filters NULL sketches before
+    // banding. Proof by executed metrics: total row volume across the
+    // whole physical plan must grow LINEARLY in the planted-NULL count —
+    // at k = 800 an unguarded bucket expansion alone is ≥ 4·k²/2 ≈ 1.3M
+    // rows, while the guarded plan adds ~a handful of rows per NULL doc.
+    import spark.implicits._
+    import graft.operators.NearDup
+    def corpus(k: Int): org.apache.spark.sql.DataFrame = {
+      val real = (0L until 100L).map {
+        case i if i % 10 == 9 => // planted dup of the previous doc
+          (i, s"alpha beta gamma doc${i - 1} delta epsilon zeta eta theta")
+        case i => (i, s"alpha beta gamma doc$i delta epsilon zeta eta theta")
+      }
+      val nulls = (100000L until 100000L + k).map(i => (i, null: String))
+      (real ++ nulls).toDF("doc_id", "text")
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec        => nodes(q.plan)
+      case o                        => o.children.flatMap(nodes)
+    })
+    def rowVolume(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val n = df.count()
+      val v = nodes(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (v, n)
+    }
+    val emptySk = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      graft.streaming.DedupIngest.sketchSchema)
+    val paths: Seq[(String, Int => org.apache.spark.sql.DataFrame)] = Seq(
+      ("simhash60", k => NearDup.simhashNearDupPairs(corpus(k), "doc_id", "text", 3)),
+      ("simhash128", k => NearDup.simhash128NearDupPairs(corpus(k), "doc_id", "text", 3)),
+      ("delta-dd", k => NearDup.deltaSimhash128Pairs(emptySk, corpus(k), "doc_id", "text", 3)))
+    for ((name, mk) <- paths) {
+      val (v0, n0) = rowVolume(mk(0))
+      assert(n0 > 0, s"$name: fixture must produce pairs for the test to bite")
+      val (v400, n400) = rowVolume(mk(400))
+      val (v800, n800) = rowVolume(mk(800))
+      assert(n400 == n0 && n800 == n0,
+        s"$name: NULL docs changed the pair output ($n0 / $n400 / $n800)")
+      // linear bound: ≤ 40 plan rows per planted NULL doc (observed ~6;
+      // the unguarded quadratic bucket is ≥ 800 rows/doc at k = 800)
+      assert(v800 - v400 <= 400L * 40,
+        s"$name: super-linear row volume on planted NULLs " +
+          s"(k=400 → $v400 rows, k=800 → $v800 rows)")
+      assert(v800 <= v0 + 800L * 40,
+        s"$name: NULL docs cost ${v800 - v0} plan rows over the clean run")
+    }
+  }
+
   test("q329: the Hill tail takes its order statistics without ANY sort") {
     // The estimator's scale claim: top-100 spends come from the
     // graft_topk heap aggregate (a partial hash agg), so the plan must

@@ -8,7 +8,7 @@
 #   1. compile + Test/compile
 #   2. sbt test                       (full ScalaTest suite, both state-store providers)
 #   3. ScaleGuardSweep                (analysis-time scale contract, whole catalog)
-#   4. Verify + DuckDB compare        (358-query hash-match, ScaleGuard ON)
+#   4. Verify + DuckDB compare        (full-catalog hash-match, ScaleGuard ON)
 #   5. oracle_lint                    (selftest canaries + authoring-time oracle lint)
 #   6. metrics_diff                   (shuffle/spill tripwire: headline tier, one
 #                                      iteration at sf0.01, metrics vs the pinned
