@@ -138,34 +138,44 @@ object Stable {
     s"CAST(round(sum(CAST(${sqlFinite(s"($expr)")} AS DECIMAL(19,6)) * CAST(${sqlFinite(s"($expr)")} AS DECIMAL(19,6))),4) AS DOUBLE)"
 
   /** Cross-engine-portable double of a big exact INTEGER decimal
-    * (scale 0, |v| < 10^29): above 2^53 a direct decimal→double cast is
-    * NOT engine-portable — each engine correctly-rounds from a different
-    * internal representation (Spark's BigDecimal vs DuckDB's
+    * (scale 0, 0 ≤ v < 10^33): above 2^53 a direct decimal→double cast
+    * is NOT engine-portable — each engine correctly-rounds from a
+    * different internal representation (Spark's BigDecimal vs DuckDB's
     * int64/int128 storage) and the last ulp can differ, which a
     * variance-style cancellation then amplifies (q174's sf1 divergence:
     * s2 ≈ 6·10^20, σ off at 1e-14 relative). This splits v exactly into
-    * 2^30-radix words — each < 2^53, so each casts EXACTLY — and
-    * recombines with one IEEE multiply-add per word: every engine
-    * computes the identical float sequence on identical inputs, so the
-    * result is bit-identical by construction (it may differ from the
-    * correctly-rounded direct cast by an ulp — portability, not
-    * last-ulp accuracy, is the contract; callers immediately divide
-    * into doubles anyway). NON-NEGATIVE v only (second moments, counts):
-    * the mirrors pair Spark's floored pmod with DuckDB's truncating
-    * HUGEINT `%`, which agree iff v ≥ 0. Mirror: [[sqlPortableDouble]]. */
+    * THREE 2^30-radix words — the top word stays < 2^53 for every
+    * v < 2^113 ≈ 1.04·10^34, so each word casts EXACTLY (a single split
+    * only held to v < 2^83 ≈ 9.7·10^24; its stated 10^29 bound was
+    * wrong, caught by the r10 review) — and recombines with one IEEE
+    * multiply-add per word: every engine computes the identical float
+    * sequence on identical inputs, so the result is bit-identical by
+    * construction (it may differ from the correctly-rounded direct cast
+    * by an ulp per level — portability, not last-ulp accuracy, is the
+    * contract; callers immediately divide into doubles anyway).
+    * NON-NEGATIVE v only (second moments, counts): the mirrors pair
+    * Spark's floored pmod with DuckDB's truncating HUGEINT `%`, which
+    * agree iff v ≥ 0. Mirror: [[sqlPortableDouble]]. */
   def portableDouble(v: Column): Column = {
     val radix = 1073741824L // 2^30
-    val lo = pmod(v, lit(radix).cast("decimal(10,0)"))
-    val hi = ((v - lo) / lit(radix).cast("decimal(10,0)")).cast("decimal(29,0)")
-    hi.cast("double") * radix.toDouble + lo.cast("double")
+    val r = lit(radix).cast("decimal(10,0)")
+    val w0 = pmod(v, r)
+    val q1 = ((v - w0) / r).cast("decimal(29,0)") // < 2^83 for v < 10^33
+    val w1 = pmod(q1, r)
+    val w2 = ((q1 - w1) / r).cast("decimal(23,0)") // < 2^53 for v < 2^113
+    (w2.cast("double") * radix.toDouble + w1.cast("double")) *
+      radix.toDouble + w0.cast("double")
   }
 
   /** DuckDB mirror of [[portableDouble]] — HUGEINT words, same radix,
-    * same recombination order. `expr` must be an integer-valued decimal
-    * (scale 0), |v| < 10^29. */
-  def sqlPortableDouble(expr: String): String =
-    s"(CAST(CAST($expr AS HUGEINT) // 1073741824 AS DOUBLE) * 1073741824.0" +
+    * same three-word split and recombination order. `expr` must be an
+    * integer-valued decimal (scale 0), 0 ≤ v < 10^33. */
+  def sqlPortableDouble(expr: String): String = {
+    val q1 = s"(CAST($expr AS HUGEINT) // 1073741824)"
+    s"((CAST($q1 // 1073741824 AS DOUBLE) * 1073741824.0" +
+      s" + CAST($q1 % 1073741824 AS DOUBLE)) * 1073741824.0" +
       s" + CAST(CAST($expr AS HUGEINT) % 1073741824 AS DOUBLE))"
+  }
 
   /** Engine-portable k-decimal snap of a raw double: floor(x·10^k + 0.5)
     * / 10^k — the identical IEEE sequence in both engines, where

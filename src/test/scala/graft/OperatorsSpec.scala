@@ -1814,4 +1814,27 @@ class OperatorsSpec extends SparkSpec {
         s"step ${r.getAs[Int]("step")} weight not below n=$n")
     }
   }
+
+  test("Stable.portableDouble is bit-identical to the DuckDB mirror " +
+      "through 10^33 (three-word split; the r10 single-split bound bug)") {
+    // Expected bit patterns computed by running sqlPortableDouble
+    // verbatim in DuckDB 1.x on the same literals. The first case
+    // (10^25 + 7) sits ABOVE the old single-split portability bound
+    // 2^83 ≈ 9.7e24 — under the r10 code, Spark's hi word exceeded 2^53
+    // and the recombination was engine-dependent; the three-word split
+    // is exact-IEEE-identical by construction.
+    val cases = Seq(
+      ("10000000000000000000000007", 4981134201117475472L),
+      ("12345678901234567890123457", 4982226492974234964L),
+      ("999999999999999999999999999999999", 5100510072459938204L))
+    for ((lit25, wantBits) <- cases) {
+      val got = spark.sql(
+          s"SELECT CAST('$lit25' AS DECIMAL(38,0)) AS v")
+        .select(graft.functions.Stable.portableDouble(col("v")).as("d"))
+        .head().getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(got) == wantBits,
+        s"portableDouble($lit25) = $got " +
+          s"(bits ${java.lang.Double.doubleToLongBits(got)}, want $wantBits)")
+    }
+  }
 }

@@ -167,6 +167,48 @@ def lint_engine_sources(root="."):
     return problems
 
 
+def wide_dec_double_hits(sql):
+    """Rule 8: a direct `CAST(<expr> AS DOUBLE)` whose body declares an
+    INTEGER decimal (scale 0) of width >= 16 digits — values can exceed
+    2^53 ~ 9.0e15, where decimal->double correct-rounding is NOT
+    engine-portable (Spark rounds a BigDecimal, DuckDB its int64/int128
+    storage; q174's sf1 divergence class). Route through
+    sqlPortableDouble (whose 2^30-radix words make the body contain
+    `1073741824`, exempting it) or waive with `-- portable: bounded`
+    when the value is provably < 2^53."""
+    hits = []
+    for m in re.finditer(r"\bCAST\s*\(", sql, re.I):
+        open_i = sql.index("(", m.end() - 1)
+        depth, j, body_end = 0, open_i, -1
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    body_end = j
+                    break
+            j += 1
+        if body_end < 0:
+            continue
+        body = sql[open_i + 1:body_end]
+        if not re.search(r"AS\s+DOUBLE\s*$", body.strip(), re.I):
+            continue
+        widths = [int(w) for w in
+                  re.findall(r"AS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*0\s*\)",
+                             body, re.I)]
+        if any(w >= 16 for w in widths) and "1073741824" not in body:
+            line = sql.count("\n", 0, m.start()) + 1
+            src_line = sql.splitlines()[line - 1]
+            if not re.search(r"portable:\s*bounded", src_line, re.I):
+                hits.append(
+                    f"line {line}: CAST of a width-{max(widths)} integer "
+                    f"DECIMAL directly to DOUBLE — not engine-portable "
+                    f"above 2^53 (q174 class); use sqlPortableDouble or "
+                    f"waive with `-- portable: bounded`")
+    return hits
+
+
 def is_floating(t):
     # DECIMAL included: pandas materializes it as float64, so a DECIMAL
     # oracle against an integral Spark column is the same dtype mismatch
@@ -221,6 +263,8 @@ def lint_one(con, name, sql, dumpdir=None):
                 f"concat_ws/array_join says '' (q236/q108 class); wrap in "
                 f"coalesce or mark `-- agg: nonempty` if the grouping "
                 f"provably feeds every group")
+    # rule 8: wide integer decimal cast directly to DOUBLE
+    problems += wide_dec_double_hits(sql)
     # rule 3: NULL-order sensitivity (executable differential). Without
     # an ORDER BY-bearing construct the result cannot depend on NULL
     # placement (canonical_rows sorts), so skip the two extra executions
@@ -290,6 +334,21 @@ def selftest():
                            "FROM t GROUP BY k", None),
         "stragg_waived": ("SELECT k, string_agg(CAST(v AS VARCHAR), ',') "
                           "AS s -- agg: nonempty\n FROM t GROUP BY k", None),
+        # rule 8: 10^26 sits above the single-split portability bound
+        # 2^83 the r10 code silently assumed — a direct DOUBLE cast of a
+        # wide integer decimal must fire...
+        "widedec": ("SELECT CAST(CAST('100000000000000000000000000' AS "
+                    "DECIMAL(38,0)) AS DOUBLE) AS d", "sqlPortableDouble"),
+        # ...while the portable-split mirror (radix literal present) and
+        # an explicitly waived bounded cast both stay clean
+        "widedec_split": ("SELECT (CAST(CAST(CAST('1' AS DECIMAL(38,0)) "
+                          "AS HUGEINT) // 1073741824 AS DOUBLE) * "
+                          "1073741824.0 + CAST(CAST(CAST('1' AS "
+                          "DECIMAL(38,0)) AS HUGEINT) % 1073741824 "
+                          "AS DOUBLE)) AS d", None),
+        "widedec_waived": ("SELECT CAST(CAST(k AS DECIMAL(38,0)) "
+                           "AS DOUBLE) AS d -- portable: bounded\n"
+                           "FROM t", None),
         "clean": ("SELECT CAST(sum(k) AS BIGINT) AS s, "
                   "CAST(round(sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS "
                   "DECIMAL(19,6))), 4) AS DOUBLE) AS ss FROM t", None),
@@ -314,7 +373,7 @@ def selftest():
         sys.exit(1)
     print(f"selftest: {len(plants) + 2} canaries pass "
           "(hugeint, null-order, json, dec-mul+nested, string-agg x3, "
-          "isfinite x2, clean)")
+          "wide-dec x3, isfinite x2, clean)")
     sys.exit(0)
 
 
