@@ -474,17 +474,19 @@ object BoundedRuns {
     * computation; the q363 oracle recomputes it as plain SQL. */
   def simhash128IngestSurvivors(spark: SparkSession, dir: String,
       nSlices: Int = 4, maxHamming: Int = 3,
-      workDir: Option[String] = None): DataFrame = {
+      workDir: Option[String] = None, compactEvery: Int = 0): DataFrame = {
     val work = workDir.getOrElse(freshDir("ingest-"))
     val stream = stageDocStream(spark, dir, nSlices, work)
     DedupIngest.initSimhash128State(spark, s"$work/state")
     val q = DedupIngest.simhash128IngestSink(stream, s"$work/state",
-        s"$work/survivors", "doc_id", "text", maxHamming)
+        s"$work/survivors", "doc_id", "text", maxHamming,
+        compactEvery = compactEvery)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$work/survivors").orderBy(col("doc_id"))
+    DedupIngest.readSurvivors(spark, s"$work/survivors")
+      .orderBy(col("doc_id"))
   }
 
   /** Bounded run of [[DedupIngest.minhashIngestSink]] — the same staging
@@ -492,17 +494,19 @@ object BoundedRuns {
     * tier (q35's admission policy as a stream). */
   def minhashIngestSurvivors(spark: SparkSession, dir: String,
       nSlices: Int = 4, minJ: Double = 0.6,
-      workDir: Option[String] = None): DataFrame = {
+      workDir: Option[String] = None, compactEvery: Int = 0): DataFrame = {
     val work = workDir.getOrElse(freshDir("ingest-"))
     val stream = stageDocStream(spark, dir, nSlices, work)
     DedupIngest.initMinhashState(spark, s"$work/state")
     val q = DedupIngest.minhashIngestSink(stream, s"$work/state",
-        s"$work/survivors", "doc_id", "text", minJ = minJ)
+        s"$work/survivors", "doc_id", "text", minJ = minJ,
+        compactEvery = compactEvery)
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$work/survivors").orderBy(col("doc_id"))
+    DedupIngest.readSurvivors(spark, s"$work/survivors")
+      .orderBy(col("doc_id"))
   }
 
   /** Stage the documents table as `nSlices` contiguous doc_id ranges

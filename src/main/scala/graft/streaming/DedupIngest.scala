@@ -1,12 +1,14 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
-import graft.operators.{NearDup, TextHash}
+import graft.operators.NearDup
 
 /** Streaming near-duplicate INGEST — the frontier loop of a training-data
   * pipeline, where documents arrive continuously and each batch must be
@@ -34,73 +36,221 @@ import graft.operators.{NearDup, TextHash}
   * Ids must be monotone across batches (ingest-assigned sequence / offset
   * ids — the append-only-log shape; [[NearDup.deltaContainmentPairs]]'s
   * disjoint-id contract, strengthened to ordered). Each batch ASSERTS the
-  * contract against the state's max id and fails loudly on out-of-order
-  * arrival rather than silently emitting an order-dependent answer.
+  * contract against the PRIOR batches' max id and fails loudly on
+  * out-of-order arrival rather than silently emitting an order-dependent
+  * answer.
+  *
+  * == Exactly-once under micro-batch replay ==
+  *
+  * Every write the loop performs — state tables AND the survivor sink —
+  * is keyed by the foreachBatch `batchId`: batch b's rows land in a
+  * `b<id>` subdirectory written with OVERWRITE, and every read of prior
+  * state filters `batch < currentBatchId`. A replayed batch (crash
+  * anywhere between the first write and the checkpoint commit) therefore
+  * (a) sees EXACTLY the pre-crash state — its own partial writes are
+  * filtered out of the probe and the contract check — and (b) rewrites
+  * its own subdirectories to the identical deterministic content, so
+  * replay is a no-op rather than a duplicate append (the r10 failure
+  * modes: the simhash tier's monotone check tripping on the batch's own
+  * replayed rows and bricking the stream; the minhash tier silently
+  * double-counting replayed shingle rows into `sz`, deflating Jaccard
+  * and over-admitting). The survivor sink gets the same treatment, so
+  * its delivery is idempotent WITHOUT leaning on the checkpoint.
+  *
+  * == State compaction ==
+  *
+  * Each micro-batch adds one small parquet directory per state table —
+  * a year of 5-minute batches is ~10⁵ files per table, a real 100 TB
+  * operational cliff (every probe's scan planning lists them all). With
+  * `compactEvery = N > 0`, every Nth batch folds all state up to and
+  * including itself into a single `c<id>` directory (batch provenance
+  * column preserved, so replay filtering still works) and retires the
+  * folded `b*`/`c*` directories. The fold is crash-safe: it writes to a
+  * dot-prefixed temp dir, atomically renames to `c<id>`, and only then
+  * deletes the folded inputs — [[readState]] always resolves the newest
+  * complete `c` directory plus the live `b` directories above it, so
+  * every crash window reads a consistent snapshot, and a replayed
+  * compacting batch that finds its `c<id>` already present skips
+  * straight to retiring leftovers.
   *
   * Scale shape per batch at 100 TB: the state contributes a 24-byte-row
   * parquet scan (never re-tokenized, never re-shuffled as text); the
-  * probe exchanges are (long, int, long) band rows sized by |batch| +
-  * band collisions (2⁻³² per unrelated pair — sub-linear to n ≈ 10⁹,
-  * q359's bound); the two driver lookups are single-row contract scalars.
+  * probe exchanges are (long, int, long) band rows with the 2⁻³²
+  * collision bound; the two driver lookups are single-row contract
+  * scalars; compaction is one linear rewrite every N batches.
   */
 object DedupIngest {
 
-  /** q358's sketch-dump shape — the state table's schema. */
+  /** q358's sketch-dump shape — the state table's LOGICAL schema. On
+    * disk every state row additionally carries the writing batch's id
+    * (`batch` LONG), the replay-idempotence key. */
   val sketchSchema: StructType = StructType(Seq(
     StructField("id", LongType), StructField("hi", LongType),
     StructField("lo", LongType)))
 
-  /** Seed an EMPTY sketch-state directory (zero-row parquet with the
-    * schema on disk), so the first batch's state read plans like every
-    * later one — no cold-start special case in the loop. */
+  private def withBatch(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField("batch", LongType))
+
+  /** Seed an EMPTY batch-keyed state table (zero-row parquet with the
+    * on-disk schema in the `seed` subdirectory), so the first batch's
+    * state read plans like every later one — no cold-start special case
+    * in the loop. */
+  private def seedTable(spark: SparkSession, tableDir: String,
+      schema: StructType): Unit =
+    spark.createDataFrame(new java.util.ArrayList[Row](), withBatch(schema))
+      .write.mode("overwrite").parquet(s"$tableDir/seed")
+
+  /** Seed an empty sketch-state directory ([[simhash128IngestSink]]). */
   def initSimhash128State(spark: SparkSession, stateDir: String): Unit =
-    spark.createDataFrame(new java.util.ArrayList[Row](), sketchSchema)
-      .write.mode("overwrite").parquet(stateDir)
+    seedTable(spark, stateDir, sketchSchema)
+
+  /** The live view of a batch-keyed state table: the newest COMPLETE
+    * compaction (if any) plus every batch directory above it, plus the
+    * seed. Returns the logical rows with their `batch` provenance column
+    * — callers filter `batch < currentBatchId` for replay safety and
+    * drop it before probing. Resolution is driver-side directory listing
+    * (one metadata call — the production analog is FileSystem.listStatus
+    * on the state root). */
+  def readState(spark: SparkSession, tableDir: String): DataFrame = {
+    val (compacted, live) = batchDirs(tableDir)
+    val paths = Seq(s"$tableDir/seed") ++
+      compacted.map(b => s"$tableDir/c$b") ++
+      live.map(b => s"$tableDir/b$b")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** (newest complete compaction as a singleton, live batch ids above
+    * it, ascending). Dot-prefixed temp dirs (in-flight compactions) are
+    * never resolved. */
+  private def batchDirs(tableDir: String): (Option[Long], Seq[Long]) = {
+    val root = Paths.get(tableDir)
+    val names = scala.util.Using.resource(Files.list(root)) { s =>
+      val b = Seq.newBuilder[String]
+      s.forEach(p => b += p.getFileName.toString)
+      b.result()
+    }
+    val cMax = names.collect { case n if n.startsWith("c") &&
+      n.drop(1).forall(_.isDigit) && n.length > 1 => n.drop(1).toLong }
+      .maxOption
+    val live = names.collect { case n if n.startsWith("b") &&
+      n.drop(1).forall(_.isDigit) && n.length > 1 => n.drop(1).toLong }
+      .filter(b => cMax.forall(_ < b)).sorted
+    (cMax, live)
+  }
+
+  /** Overwrite-write `df` (logical rows) as batch `bid` of a state
+    * table — THE idempotent write: a replay of batch `bid` rewrites the
+    * same directory with the same deterministic content. */
+  private def writeBatch(df: DataFrame, tableDir: String, bid: Long): Unit =
+    df.withColumn("batch", lit(bid))
+      .write.mode("overwrite").parquet(s"$tableDir/b$bid")
+
+  /** Fold all state ≤ `bid` into one `c$bid` directory and retire the
+    * folded inputs. Crash-safe (see class doc): temp-write → atomic
+    * rename → delete; idempotent on replay (an existing complete
+    * `c$bid` short-circuits to the retire step). */
+  private def compactTable(spark: SparkSession, tableDir: String,
+      bid: Long): Unit = {
+    val target = Paths.get(s"$tableDir/c$bid")
+    if (!Files.exists(target)) {
+      val tmp = s"$tableDir/.c$bid.tmp"
+      // one linear rewrite of the live view (provenance preserved so
+      // replay filtering keeps working over compacted rows)
+      readState(spark, tableDir).filter(col("batch") <= bid)
+        .write.mode("overwrite").parquet(tmp)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    // retire everything the fold covers (any crash before this point
+    // leaves them in place; readState already prefers c$bid)
+    val root = Paths.get(tableDir)
+    scala.util.Using.resource(Files.list(root)) { s =>
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        val folded =
+          (n.startsWith("b") && n.drop(1).forall(_.isDigit) && n.length > 1 &&
+            n.drop(1).toLong <= bid) ||
+          (n.startsWith("c") && n.drop(1).forall(_.isDigit) && n.length > 1 &&
+            n.drop(1).toLong < bid)
+        if (folded) deleteRecursively(p)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      scala.util.Using.resource(Files.list(p))(_.forEach(deleteRecursively))
+    Files.deleteIfExists(p)
+  }
+
+  /** The monotone-arrival contract check over PRIOR batches only (a
+    * replayed batch's own pre-crash rows are excluded, so replay can
+    * never trip it — the r10 brick). */
+  private def assertMonotone(prior: DataFrame, batchMin: Any): Unit = {
+    val maxState = prior.agg(max(col("id"))).head().get(0)
+    require(maxState == null || batchMin == null ||
+      maxState.asInstanceOf[Long] < batchMin.asInstanceOf[Long],
+      s"ingest ids must be monotone across batches: state max=" +
+        s"$maxState >= batch min=$batchMin (out-of-order arrival)")
+  }
+
+  /** One micro-batch of the simhash-tier loop, exposed for replay /
+    * crash-recovery tests: idempotent in `batchId` (see class doc). */
+  def simhash128IngestBatch(batch: DataFrame, batchId: Long,
+      stateDir: String, survivorsDir: String, idCol: String,
+      textCol: String, maxHamming: Int = 3, compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val bSk = batch.select(col(idCol).cast("long").as("id"),
+        graft.operators.TextHash.simhash128(col(textCol)).as("sk128"))
+      .select(col("id"), col("sk128").getItem(0).as("hi"),
+        col("sk128").getItem(1).as("lo"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // prior state only: a replayed batch's own partial writes are
+      // invisible to the probe and the contract check
+      val state = readState(spark, stateDir)
+        .filter(col("batch") < batchId).drop("batch")
+      // bounded driver scalar: the monotone-arrival contract check
+      assertMonotone(state, bSk.agg(min(col("id"))).head().get(0))
+      // id_b (the greater id) is always the batch side: state ids are
+      // all smaller by the contract, and delta×delta pairs are
+      // canonical — so "pairs with a smaller doc" = distinct id_b
+      val rejected = NearDup
+        .deltaSimhash128PairsFromSketches(state, bSk, maxHamming)
+        .select(col("id_b").as("id")).distinct()
+      bSk.join(rejected, Seq("id"), "left_anti")
+        .select(col("id").as(idCol), col("hi").as("sk_hi"),
+          col("lo").as("sk_lo"))
+        .write.mode("overwrite").parquet(s"$survivorsDir/b$batchId")
+      writeBatch(bSk, stateDir, batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        compactTable(spark, stateDir, batchId)
+    } finally bSk.unpersist()
+  }
 
   /** The ingest sink: attach `.trigger(...)/.start()` (and a checkpoint
-    * location) to the returned writer. Survivors land in `survivorsDir`
-    * as (idCol, sk_hi, sk_lo) parquet appends; `stateDir` must exist
-    * ([[initSimhash128State]] for a fresh corpus, or any q358-shaped dump
-    * of an existing one). Idempotence under micro-batch REPLAY holds for
-    * the state (sketch rows re-append identically and the band probe
-    * dedups candidates) but duplicates survivor-file rows, so exactly-once
-    * delivery of `survivorsDir` relies on the checkpoint as usual. */
+    * location) to the returned writer. Survivors land under
+    * `survivorsDir` as one (idCol, sk_hi, sk_lo) parquet directory per
+    * batch ([[readSurvivors]] to load); `stateDir` must exist
+    * ([[initSimhash128State]] for a fresh corpus). Both sinks are
+    * idempotent under micro-batch replay — batch-keyed overwrite
+    * writes, not appends (class doc). */
   def simhash128IngestSink(docs: DataFrame, stateDir: String,
       survivorsDir: String, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      val bSk = batch.select(col(idCol).cast("long").as("id"),
-          TextHash.simhash128(col(textCol)).as("sk128"))
-        .select(col("id"), col("sk128").getItem(0).as("hi"),
-          col("sk128").getItem(1).as("lo"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val state = spark.read.parquet(stateDir)
-        // bounded driver scalars: the monotone-arrival contract check
-        val maxState = state.agg(max(col("id"))).head().get(0)
-        val minBatch = bSk.agg(min(col("id"))).head().get(0)
-        require(maxState == null || minBatch == null ||
-          maxState.asInstanceOf[Long] < minBatch.asInstanceOf[Long],
-          s"ingest ids must be monotone across batches: state max=" +
-            s"$maxState >= batch min=$minBatch (out-of-order arrival)")
-        // id_b (the greater id) is always the batch side: state ids are
-        // all smaller by the contract, and delta×delta pairs are
-        // canonical — so "pairs with a smaller doc" = distinct id_b
-        val rejected = NearDup
-          .deltaSimhash128PairsFromSketches(state, bSk, maxHamming)
-          .select(col("id_b").as("id")).distinct()
-        bSk.join(rejected, Seq("id"), "left_anti")
-          .select(col("id").as(idCol), col("hi").as("sk_hi"),
-            col("lo").as("sk_lo"))
-          .write.mode("append").parquet(survivorsDir)
-        bSk.write.mode("append").parquet(stateDir)
-      } finally bSk.unpersist()
+      maxHamming: Int = 3, compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      simhash128IngestBatch(batch, batchId, stateDir, survivorsDir,
+        idCol, textCol, maxHamming, compactEvery)
     }
+
+  /** Load every batch's survivor rows (the `b<id>` directories are
+    * mutually exclusive by the admission contract, so this is a plain
+    * union). */
+  def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(survivorsDir)
 
   /** The MINHASH-tier state shapes: `rows` is [[NearDup.shingleHashRows]]
     * output (the exact-verify side), `bands` is [[NearDup.minhashBands]]
-    * output (the probe side). */
+    * output (the probe side). On disk each carries the `batch` key. */
   val shingleRowsSchema: StructType = StructType(Seq(
     StructField("id", LongType), StructField("hs", LongType)))
   val bandsSchema: StructType = StructType(Seq(
@@ -115,13 +265,55 @@ object DedupIngest {
     * its own record or an out-of-order arrival whose boundary doc is
     * contentless would slip the assertion. */
   def initMinhashState(spark: SparkSession, stateDir: String): Unit = {
-    spark.createDataFrame(new java.util.ArrayList[Row](), shingleRowsSchema)
-      .write.mode("overwrite").parquet(s"$stateDir/rows")
-    spark.createDataFrame(new java.util.ArrayList[Row](), bandsSchema)
-      .write.mode("overwrite").parquet(s"$stateDir/bands")
-    spark.createDataFrame(new java.util.ArrayList[Row](),
-        StructType(Seq(StructField("id", LongType))))
-      .write.mode("overwrite").parquet(s"$stateDir/wm")
+    seedTable(spark, s"$stateDir/rows", shingleRowsSchema)
+    seedTable(spark, s"$stateDir/bands", bandsSchema)
+    seedTable(spark, s"$stateDir/wm",
+      StructType(Seq(StructField("id", LongType))))
+  }
+
+  /** One micro-batch of the minhash-tier loop, exposed for replay /
+    * crash-recovery tests: idempotent in `batchId`. All three state
+    * tables are batch-keyed, so the r10 hazard — a crash between the
+    * rows/bands writes and the wm write letting a replay double-count
+    * shingle rows into `sz` and over-admit — is closed by construction:
+    * the replay's probe reads `batch < batchId` only, and its rewrites
+    * overwrite the partial directories. */
+  def minhashIngestBatch(batch: DataFrame, batchId: Long, stateDir: String,
+      survivorsDir: String, idCol: String, textCol: String, n: Int = 3,
+      minJ: Double = 0.6, numHashes: Int = 192, bandRows: Int = 3,
+      compactEvery: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bRows = NearDup.shingleHashRows(b, "id", "__text", n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bBands = NearDup.minhashBands(bRows, numHashes, bandRows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      def prior(table: String): DataFrame =
+        readState(spark, s"$stateDir/$table")
+          .filter(col("batch") < batchId).drop("batch")
+      // bounded driver scalars: the monotone-arrival contract check —
+      // against the wm table, which records EVERY batch's max id
+      // (contentless docs included; the shingle/band tables would miss
+      // them)
+      assertMonotone(prior("wm"), b.agg(min(col("id"))).head().get(0))
+      val rejected = NearDup
+        .deltaMinhashPairsFromRows(prior("rows"), prior("bands"),
+          bRows, bBands, minJ)
+        .select(col("id_b").as("id")).distinct()
+      b.join(rejected, Seq("id"), "left_anti")
+        .select(col("id").as(idCol))
+        .write.mode("overwrite").parquet(s"$survivorsDir/b$batchId")
+      writeBatch(bRows, s"$stateDir/rows", batchId)
+      writeBatch(bBands, s"$stateDir/bands", batchId)
+      writeBatch(b.agg(max(col("id")).as("id"))
+        .filter(col("id").isNotNull), s"$stateDir/wm", batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        Seq("rows", "bands", "wm")
+          .foreach(t => compactTable(spark, s"$stateDir/$t", batchId))
+    } finally { bBands.unpersist(); bRows.unpersist(); b.unpersist() }
   }
 
   /** [[simhash128IngestSink]]'s loop on the MinHash/LSH tier — the
@@ -132,7 +324,7 @@ object DedupIngest {
     * docs stay in state), but the warm state is TWO tables: the banded
     * signatures the batch probes, and the shingle-hash rows the exact
     * verify reads — each batch shingles only itself
-    * ([[NearDup.deltaMinhashPairsFromRows]]) and appends both its frames.
+    * ([[NearDup.deltaMinhashPairsFromRows]]) and writes both its frames.
     * Recall is the 1-(1-J³)⁶⁴ LSH bound (≥ 1-2e-7 at J=0.6), identical
     * to the batch q35 policy it mirrors; candidates are exactly verified,
     * so admission never suppresses on a false collision.
@@ -143,41 +335,10 @@ object DedupIngest {
     * carry (long, long) / (long, int, long) rows — never text. */
   def minhashIngestSink(docs: DataFrame, stateDir: String,
       survivorsDir: String, idCol: String, textCol: String, n: Int = 3,
-      minJ: Double = 0.6, numHashes: Int = 192, bandRows: Int = 3)
-      : DataStreamWriter[Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
-      val b = batch.select(col(idCol).cast("long").as("id"),
-          col(textCol).as("__text"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val bRows = NearDup.shingleHashRows(b, "id", "__text", n)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val bBands = NearDup.minhashBands(bRows, numHashes, bandRows)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val sRows = spark.read.parquet(s"$stateDir/rows")
-        val sBands = spark.read.parquet(s"$stateDir/bands")
-        // bounded driver scalars: the monotone-arrival contract check —
-        // against the wm table, which records EVERY batch's max id
-        // (contentless docs included; the shingle/band tables would miss
-        // them)
-        val maxState = spark.read.parquet(s"$stateDir/wm")
-          .agg(max(col("id"))).head().get(0)
-        val minBatch = b.agg(min(col("id"))).head().get(0)
-        require(maxState == null || minBatch == null ||
-          maxState.asInstanceOf[Long] < minBatch.asInstanceOf[Long],
-          s"ingest ids must be monotone across batches: state max=" +
-            s"$maxState >= batch min=$minBatch (out-of-order arrival)")
-        val rejected = NearDup
-          .deltaMinhashPairsFromRows(sRows, sBands, bRows, bBands, minJ)
-          .select(col("id_b").as("id")).distinct()
-        b.join(rejected, Seq("id"), "left_anti")
-          .select(col("id").as(idCol))
-          .write.mode("append").parquet(survivorsDir)
-        bRows.write.mode("append").parquet(s"$stateDir/rows")
-        bBands.write.mode("append").parquet(s"$stateDir/bands")
-        b.agg(max(col("id")).as("id")).filter(col("id").isNotNull)
-          .write.mode("append").parquet(s"$stateDir/wm")
-      } finally { bBands.unpersist(); bRows.unpersist(); b.unpersist() }
+      minJ: Double = 0.6, numHashes: Int = 192, bandRows: Int = 3,
+      compactEvery: Int = 0): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      minhashIngestBatch(batch, batchId, stateDir, survivorsDir, idCol,
+        textCol, n, minJ, numHashes, bandRows, compactEvery)
     }
 }

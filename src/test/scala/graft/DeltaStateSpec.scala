@@ -136,7 +136,7 @@ class DeltaStateSpec extends SparkSpec {
 
     // the state keeps EVERY ingested doc's sketch — rejected ones too
     // (the policy keys on "smaller id", not "smaller surviving id")
-    val state = spark.read.parquet(s"$work4/state")
+    val state = graft.streaming.DedupIngest.readState(spark, s"$work4/state")
     assert(state.count() == nDocs)
     assert(state.select(col("id")).distinct().count() == nDocs)
   }
@@ -171,9 +171,11 @@ class DeltaStateSpec extends SparkSpec {
     // both state tables hold exactly the full-corpus recompute's rows
     // (shingle-bearing docs only — contentless docs have no state rows)
     val fullRows = NearDup.shingleHashRows(docs, "doc_id", "text", 3)
-    val stateRows = spark.read.parquet(s"$work3/state/rows")
+    val stateRows = graft.streaming.DedupIngest
+      .readState(spark, s"$work3/state/rows")
     assert(stateRows.count() == fullRows.count())
-    val stateBands = spark.read.parquet(s"$work3/state/bands")
+    val stateBands = graft.streaming.DedupIngest
+      .readState(spark, s"$work3/state/bands")
     assert(stateBands.count() ==
       NearDup.minhashBands(fullRows, 192, 3).count())
   }
