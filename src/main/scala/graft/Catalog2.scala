@@ -780,12 +780,23 @@ private[graft] trait Catalog2 extends CatalogBase {
             generate_series(1, len(t) - 2),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
           FROM c_toks),
+        -- inverted-index pairs (recall: exact for j >= 0.6 — a
+        -- qualifying pair shares >= 1 shingle; the all-pairs
+        -- list_intersect scan was oracle-side quadratic, ngramPairCtes'
+        -- r11 conversion)
+        c_rws AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM c_sh),
+        c_szs AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM c_rws GROUP BY doc_id),
+        c_com AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM c_rws a JOIN c_rws b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
         c_pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-          FROM c_sh a JOIN c_sh b ON a.doc_id < b.doc_id
-          WHERE len(a.s) > 0 AND len(b.s) > 0),
+          SELECT id_a, id_b,
+            CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS j
+          FROM c_com
+          JOIN c_szs sa ON sa.doc_id = id_a
+          JOIN c_szs sb ON sb.doc_id = id_b),
         nearrem AS (
           SELECT DISTINCT id_b AS doc_id FROM c_pairs WHERE j >= 0.6),
         verdict AS (
@@ -1200,16 +1211,21 @@ private[graft] trait Catalog2 extends CatalogBase {
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_intervals"),
             sum(col("w_us")).as("span_us"),
+            // value in exact CENTS so the weighted sum is a scale-0
+            // integer the portable split-cast can take: the direct
+            // decimal(38,2)→double cast was the q174 class (engine-
+            // dependent rounding past 2^53 — flushed by lint rule 8)
             sum(col("w_us").cast("decimal(20,0)")
-              * col("value").cast("decimal(12,2)"))
-              .cast("decimal(38,2)").as("swv"))
+              * (col("value").cast("decimal(12,2)") * lit(100))
+                .cast("decimal(14,0)"))
+              .cast("decimal(38,0)").as("swv100"))
           .select(col("user_id"), col("n_intervals"), col("span_us"),
-            round(col("swv").cast("double")
+            round(portableDoubleSigned(col("swv100")) / 100.0
               / col("span_us").cast("double"), 8).as("tw_avg"),
             )
           .orderBy(col("user_id"))
       },
-      oracle = Some("""
+      oracle = Some(s"""
         WITH iv AS (
           SELECT user_id, value, epoch_us(ts) AS us,
             lead(epoch_us(ts)) OVER (
@@ -1220,9 +1236,11 @@ private[graft] trait Catalog2 extends CatalogBase {
           FROM iv WHERE next_us IS NOT NULL)
         SELECT user_id, count(*) AS n_intervals,
           CAST(sum(w_us) AS BIGINT) AS span_us,
-          round(CAST(CAST(sum(CAST(w_us AS DECIMAL(20,0))
-              * CAST((CASE WHEN isfinite(value) THEN value END)
-                  AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE)
+          round(${sqlPortableDoubleSigned(
+            """CAST(sum(CAST(w_us AS DECIMAL(20,0))
+              * CAST(CAST((CASE WHEN isfinite(value) THEN value END)
+                  AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)))
+              AS DECIMAL(38,0))""")} / 100.0
             / CAST(CAST(sum(w_us) AS BIGINT) AS DOUBLE), 8) AS tw_avg
         FROM wd GROUP BY user_id
         ORDER BY user_id""")),
@@ -1741,11 +1759,16 @@ private[graft] trait Catalog2 extends CatalogBase {
         ranked.agg(
             count(lit(1)).as("n_custs"),
             dsum(col("rev")).as("total_rev"),
-            round(sum(col("i").cast("decimal(10,0)")
-              * col("rev").cast("decimal(18,2)")), 2).cast("double")
-              .as("weighted"))
+            // exact CENTS (scale-0) so the rank-weighted sum goes
+            // through the portable split-cast — Σ(i·x) reaches n²·max(x)
+            // and the direct decimal→double cast was the q174 class
+            // (lint rule 8)
+            sum(col("i").cast("decimal(10,0)")
+              * (col("rev").cast("decimal(18,2)") * lit(100))
+                .cast("decimal(20,0)"))
+              .cast("decimal(38,0)").as("weighted100"))
           .withColumn("gini", round(
-            lit(2.0) * col("weighted")
+            lit(2.0) * (portableDouble(col("weighted100")) / 100.0)
               / (col("n_custs").cast("double") * col("total_rev"))
               - (col("n_custs") + 1).cast("double")
                 / col("n_custs").cast("double"), 8))
@@ -1762,8 +1785,10 @@ private[graft] trait Catalog2 extends CatalogBase {
           FROM per_cust)
         SELECT count(*) AS n_custs,
           ${sqlDsum("rev")} AS total_rev,
-          round(2.0 * CAST(round(sum(CAST(i AS DECIMAL(19,0))
-              * CAST(rev AS DECIMAL(18,2))), 2) AS DOUBLE)
+          round(2.0 * (${sqlPortableDouble(
+            """CAST(sum(CAST(i AS DECIMAL(14,0))
+              * CAST(CAST(rev AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0)))
+              AS DECIMAL(38,0))""")} / 100.0)
             / (CAST(count(*) AS DOUBLE) * ${sqlDsum("rev")})
             - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 8)
             AS gini
@@ -2123,13 +2148,21 @@ private[graft] trait Catalog2 extends CatalogBase {
             generate_series(1, len(t) - 2),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
           FROM toks),
+        -- inverted-index pairs (recall: exact — every emitted-or-
+        -- qualifying pair shares >= 1 shingle; the all-pairs
+        -- list_intersect scan was oracle-side quadratic, r11)
+        rws AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        szs AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM rws GROUP BY doc_id),
+        com AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+          FROM rws a JOIN rws b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
         pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            len(list_intersect(a.s, b.s)) AS common,
-            len(a.s) AS sz_a, len(b.s) AS sz_b
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE len(a.s) > 0 AND len(b.s) > 0
-            AND len(list_intersect(a.s, b.s)) > 0)
+          SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b
+          FROM com
+          JOIN szs sa ON sa.doc_id = id_a
+          JOIN szs sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, common,
           CAST(common AS DOUBLE) / sz_a AS cont_a_in_b,
           CAST(common AS DOUBLE) / sz_b AS cont_b_in_a

@@ -181,17 +181,25 @@ private[graft] trait Catalog3 extends CatalogBase {
             generate_series(1, len(t) - 2),
             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
           FROM toks),
-        pairs AS (
+        -- inverted-index delta×corpus pairs (recall: exact at 0.6 — a
+        -- qualifying pair shares >= 1 shingle; the per-pair
+        -- list_intersect scan was oracle-side quadratic, r11)
+        rws AS MATERIALIZED (SELECT doc_id, unnest(s) AS g FROM sh),
+        szs AS MATERIALIZED (
+          SELECT doc_id, count(*) AS sz FROM rws GROUP BY doc_id),
+        com AS (
           SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
-            CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
-              / (len(d.s) + len(c.s) - len(list_intersect(d.s, c.s)))
-              AS jaccard
-          FROM sh d JOIN sh c
-            ON d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
-          WHERE len(d.s) > 0 AND len(c.s) > 0
-            AND len(list_intersect(d.s, c.s)) > 0
-            AND CAST(len(list_intersect(d.s, c.s)) AS DOUBLE)
-              / (len(d.s) + len(c.s) - len(list_intersect(d.s, c.s))) >= 0.6),
+            count(*) AS common
+          FROM rws d JOIN rws c
+            ON d.g = c.g AND d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT delta_id, corpus_id,
+            CAST(common AS DOUBLE) / (sd.sz + sc.sz - common) AS jaccard
+          FROM com
+          JOIN szs sd ON sd.doc_id = delta_id
+          JOIN szs sc ON sc.doc_id = corpus_id
+          WHERE CAST(common AS DOUBLE) / (sd.sz + sc.sz - common) >= 0.6),
         best AS (
           SELECT delta_id, count(*) AS n_matches, max(jaccard) AS best_j
           FROM pairs GROUP BY 1),
@@ -228,8 +236,12 @@ private[graft] trait Catalog3 extends CatalogBase {
             greatest(col("src_a"), col("src_b")).as("source_hi"),
             col("jaccard"))
           .groupBy(col("source_lo"), col("source_hi"))
+          // snap, not round: round(double, 8) is engine-dependent on
+          // half-boundary renderings — invisible at sf0.01, flushed by
+          // the r11 sf1 sweep the oracle conversion unlocked (1-ulp
+          // avg_jaccard diff; q138/q230/q346's r10 class)
           .agg(count(lit(1)).as("n_pairs"),
-            round(davg(round(col("jaccard"), 8)), 8).as("avg_jaccard"))
+            snap(davg(snap(col("jaccard"), 8)), 8).as("avg_jaccard"))
           .orderBy(col("source_lo"), col("source_hi"))
       },
       oracle = Some(s"""
@@ -243,7 +255,7 @@ private[graft] trait Catalog3 extends CatalogBase {
           JOIN documents db ON db.doc_id = p.id_b
           WHERE p.jaccard >= 0.6)
         SELECT source_lo, source_hi, count(*) AS n_pairs,
-          round(${sqlDavg("round(jaccard, 8)")}, 8) AS avg_jaccard
+          ${sqlSnap(sqlDavg(sqlSnap("jaccard", 8)), 8)} AS avg_jaccard
         FROM flagged
         GROUP BY 1, 2
         ORDER BY source_lo, source_hi""")),
@@ -1145,7 +1157,9 @@ private[graft] trait Catalog3 extends CatalogBase {
             col("n_docs").as("n_lo"))), "s_lo")
           .join(broadcast(sizes.select(col("source").as("s_hi"),
             col("n_docs").as("n_hi"))), "s_hi")
-          .withColumn("dup_rate", round(col("n_pairs").cast("double") /
+          // snap, not round: q158's r11 sf1 half-boundary class — an
+          // integer-ratio rate can render on a rounding half
+          .withColumn("dup_rate", snap(col("n_pairs").cast("double") /
             when(col("s_lo") === col("s_hi"),
               col("n_lo").cast("double") * (col("n_lo") - 1).cast("double") / 2.0)
             .otherwise(col("n_lo").cast("double") * col("n_hi").cast("double")), 8))
@@ -1165,10 +1179,12 @@ private[graft] trait Catalog3 extends CatalogBase {
           JOIN srcs b ON b.doc_id = h.id_b
           GROUP BY 1, 2)
         SELECT t.s_lo, t.s_hi, CAST(t.n_pairs AS BIGINT) AS n_pairs,
-          round(CAST(t.n_pairs AS DOUBLE) /
+          ${sqlSnap(
+            """CAST(t.n_pairs AS DOUBLE) /
             (CASE WHEN t.s_lo = t.s_hi
               THEN CAST(lo.n_docs AS DOUBLE) * CAST(lo.n_docs - 1 AS DOUBLE) / 2.0
-              ELSE CAST(lo.n_docs AS DOUBLE) * CAST(hi.n_docs AS DOUBLE) END), 8)
+              ELSE CAST(lo.n_docs AS DOUBLE) * CAST(hi.n_docs AS DOUBLE) END)""",
+            8)}
             AS dup_rate
         FROM tagged t
         JOIN sizes lo ON lo.source = t.s_lo

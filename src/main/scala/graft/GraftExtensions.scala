@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg, WordpieceTokenize}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -66,6 +66,10 @@ object GraftFunctions {
       info("graft_stopword_count",
         "graft_stopword_count(tokens, stopwords) - tokens present in the stopword set"),
       { case Seq(t, s) => StopwordCount(t, s) }: Builder),
+    ("graft_wordpiece",
+      info("graft_wordpiece",
+        "graft_wordpiece(text, vocab) - greedy longest-match WordPiece tokens"),
+      { case Seq(t, v) => WordpieceTokenize(t, v) }: Builder),
     ("graft_nfc",
       info("graft_nfc", "graft_nfc(str) - Unicode NFC normalization"),
       { case Seq(s) => NfcNormalize(s) }: Builder),

@@ -177,6 +177,20 @@ object Stable {
       s" + CAST(CAST($expr AS HUGEINT) % 1073741824 AS DOUBLE))"
   }
 
+  /** [[portableDouble]] for SIGNED integer decimals (|v| < 10^33):
+    * sign and magnitude split portably — `abs` on the exact decimal,
+    * the non-negative split-cast, one multiply by ±1. Both engines
+    * compute the identical sequence; needed where the exact integer is
+    * a DIFFERENCE that can go negative (autocovariances, centered
+    * sums). Mirror: [[sqlPortableDoubleSigned]]. */
+  def portableDoubleSigned(v: Column): Column =
+    when(v < 0, lit(-1.0)).otherwise(lit(1.0)) * portableDouble(abs(v))
+
+  /** DuckDB mirror of [[portableDoubleSigned]]. */
+  def sqlPortableDoubleSigned(expr: String): String =
+    s"((CASE WHEN ($expr) < 0 THEN -1.0 ELSE 1.0 END) * " +
+      s"${sqlPortableDouble(s"abs($expr)")})"
+
   /** Engine-portable k-decimal snap of a raw double: floor(x·10^k + 0.5)
     * / 10^k — the identical IEEE sequence in both engines, where
     * `round(double, k)` is NOT portable on half-boundary renderings

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Stable.dec
+import graft.functions.Stable.{dec, portableDouble, portableDoubleSigned, sqlPortableDouble, sqlPortableDoubleSigned}
 
 /** Per-segment Welch two-sample test — the A/B-comparison primitive
   * ("does metric X differ between arm A and arm B, within each segment")
@@ -100,8 +100,13 @@ object Hypothesis {
       .cast("decimal(38,0)")
     val sswDec = ((col("sxx_all") * lit(10000)).cast("decimal(38,0)")
       - col("b_all")).cast("decimal(38,0)")
-    val ssb = ssbDec.cast("double") / lit(1e4)
-    val ssw = sswDec.cast("double") / lit(1e4)
+    // portable split-cast, not a direct decimal(38,0)→double cast: the
+    // SS terms grow ~n·mean² and pass 2^53 at corpus row counts, where
+    // the direct cast is engine-dependent (q174 class, lint rule 8).
+    // Signed: the ×10⁴ mean snaps can push a near-zero SS a hair
+    // negative in exact arithmetic.
+    val ssb = portableDoubleSigned(ssbDec) / lit(1e4)
+    val ssw = portableDoubleSigned(sswDec) / lit(1e4)
     val fstat = (ssb / (col("k_groups") - 1).cast("double")) /
       (ssw / (col("n_total") - col("k_groups")).cast("double"))
     agg.select(
@@ -120,10 +125,10 @@ object Hypothesis {
     val x = s"CAST($valSql AS DECIMAL(19,2))"
     val meanD = "(CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))"
     val gmeanD = "(CAST(sx_all AS DOUBLE) / CAST(n_total AS DOUBLE))"
-    val ssb = "(CAST(CAST(b_all - CAST(n_total AS DECIMAL(14,0)) * g2 " +
-      "AS DECIMAL(38,0)) AS DOUBLE) / 1e4)"
-    val ssw = "(CAST(CAST(sxx_all * 10000 AS DECIMAL(38,0)) - b_all " +
-      "AS DOUBLE) / 1e4)"
+    val ssb = s"(${sqlPortableDoubleSigned(
+      "CAST(b_all - CAST(n_total AS DECIMAL(14,0)) * g2 AS DECIMAL(38,0))")} / 1e4)"
+    val ssw = s"(${sqlPortableDoubleSigned(
+      "CAST(CAST(sxx_all * 10000 AS DECIMAL(38,0)) - b_all AS DECIMAL(38,0))")} / 1e4)"
     val fstat = s"(($ssb) / CAST(k_groups - 1 AS DOUBLE)) / " +
       s"(($ssw) / CAST(n_total - k_groups AS DOUBLE))"
     s"""anova_g AS (
@@ -218,10 +223,15 @@ object Hypothesis {
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val nD = naD + nbD
-    // 2U_a = 2R_a − n_a(n_a+1), exact in decimal until the single cast
-    val u2D = (col("r2a") - col("n_a").cast("decimal(20,0)") * (col("n_a") + 1))
-      .cast("double")
-    val tieD = col("ties").cast("double")
+    // 2U_a = 2R_a − n_a(n_a+1), exact in decimal through the portable
+    // split-cast (U reaches n_a·n_b ~ n²/4 — far past 2^53 at corpus
+    // row counts, where a direct decimal→double cast is engine-
+    // dependent; q174 class, lint rule 8). U ≥ 0 and t³−t ≥ 0 exactly,
+    // so the unsigned split applies.
+    val u2D = portableDouble(
+      (col("r2a") - col("n_a").cast("decimal(20,0)") * (col("n_a") + 1))
+        .cast("decimal(38,0)"))
+    val tieD = portableDouble(col("ties"))
     val varU = naD * nbD / 12.0 * ((nD + 1.0) - tieD / (nD * (nD - 1.0)))
     agg.select(
       col("n_a"), col("n_b"),
@@ -238,9 +248,10 @@ object Hypothesis {
     val naD = "CAST(n_a AS DOUBLE)"
     val nbD = "CAST(n_b AS DOUBLE)"
     val nD = s"($naD + $nbD)"
-    val u2D = "CAST(r2a - CAST(n_a AS DECIMAL(20,0)) * (n_a + 1) AS DOUBLE)"
+    val u2D = sqlPortableDouble(
+      "CAST(r2a - CAST(n_a AS DECIMAL(20,0)) * (n_a + 1) AS DECIMAL(38,0))")
     val varU = s"$naD * $nbD / 12.0 * (($nD + 1.0) " +
-      s"- CAST(ties AS DOUBLE) / ($nD * ($nD - 1.0)))"
+      s"- ${sqlPortableDouble("ties")} / ($nD * ($nD - 1.0)))"
     s"""mw_dv AS (
       SELECT CAST($valSql AS DOUBLE) AS v, count(*) AS nv,
         count(CASE WHEN $flagSql THEN 1 END) AS na_v

@@ -108,8 +108,13 @@ object Intervals {
       * lit(1e6) + lit(0.5)).cast("decimal(24,0)")
     exploded
       .groupBy(col("month"))
+      // portable split-cast: the ×10⁶ monthly total passes 2^53 at
+      // corpus revenue volumes, where a direct decimal→double cast is
+      // engine-dependent (q174 class, lint rule 8); signed because the
+      // operator is generic over v's sign
       .agg(count(lit(1)).as("n_slices"),
-        (sum(allocScaled).cast("decimal(38,0)").cast("double") / lit(1e6))
+        (graft.functions.Stable.portableDoubleSigned(
+          sum(allocScaled).cast("decimal(38,0)")) / lit(1e6))
           .as("allocated"))
   }
 
@@ -132,7 +137,8 @@ object Intervals {
       FROM cal_x),
     cal_m AS (
       SELECT month, count(*) AS n_slices,
-        CAST(CAST(sum(alloc_scaled) AS DECIMAL(38,0)) AS DOUBLE) / 1e6
+        ${graft.functions.Stable.sqlPortableDoubleSigned(
+          "CAST(sum(alloc_scaled) AS DECIMAL(38,0))")} / 1e6
           AS allocated
       FROM cal_a GROUP BY 1)"""
 }

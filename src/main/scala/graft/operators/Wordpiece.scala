@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vocabulary-driven subword tokenization for the token-budget operators
+  * (q365/q366): greedy longest-match WordPiece over a fixed vocabulary,
+  * run as the codegen'd [[graft.functions.WordpieceTokenize]] expression
+  * (one static-kernel call per row — the `transform`/HOF formulation has
+  * no codegen, and an iterative match cannot be expressed in column HOFs
+  * at all).
+  *
+  * The vocabulary is a MODEL ARTIFACT, not data-derived: production
+  * tokenizers ship a trained vocab file and every engine loading it must
+  * tokenize identically. The fixture vocab below plays that role — ASCII
+  * pieces (full-word starts plus `##` continuations, including every
+  * single letter/digit so alphanumeric words always tokenize and `[UNK]`
+  * is reserved for genuinely out-of-alphabet input), embedded both here
+  * and in the DuckDB oracle's VALUES list so the two engines share one
+  * artifact by construction.
+  *
+  * Scale shape: tokenization is a scan-speed map (no shuffle, no state);
+  * the budget rollups aggregate (doc_id, count) rows. The vocab rides
+  * the closure as a foldable literal — at 100 TB a real vocab (30k
+  * pieces, ~300 KB) broadcasts with the task binary exactly like this.
+  */
+object Wordpiece {
+
+  /** Multi-char pieces chosen to exercise real segmentation over the
+    * fixture corpus (win + ##dow, cust + ##omer, qu + ##ery, …). */
+  private val multi: Seq[String] = Seq(
+    "the", "scan", "fast", "slow", "table", "tab", "val", "##ue", "##le",
+    "win", "##dow", "cust", "##omer", "qu", "##ery", "str", "##eam",
+    "gr", "##oup", "batch", "merge", "ord", "##er", "spark", "line",
+    "sort", "key", "agg", "row", "part", "hash", "data", "col", "##umn",
+    "join", "small", "big", "filter", "vec", "##tor")
+
+  private val single: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz" + "0123456789").map(_.toString)
+
+  /** The shared vocab artifact: multi-char pieces + every alphanumeric
+    * single char as both word-start and continuation. */
+  val vocab: Seq[String] = multi ++ single ++ single.map("##" + _)
+
+  /** Longest piece length in codepoints (continuations measured without
+    * the `##` marker) — the oracle's substring-candidate bound. */
+  val maxPieceLen: Int =
+    vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+
+  /** `(piece, is_cont)` VALUES rows for the DuckDB oracle (continuation
+    * pieces stored stripped, matching the engine kernel's sets). */
+  def sqlVocabValues: String = vocab.map { p =>
+    if (p.startsWith("##")) s"('${p.substring(2)}', true)"
+    else s"('$p', false)"
+  }.mkString(", ")
+
+  /** WordPiece tokens of a text column (array<string>; `##`-prefixed
+    * continuations, `[UNK]` for untokenizable or >100-codepoint words;
+    * NULL text → NULL). */
+  def tokens(text: Column): Column =
+    call_function("graft_wordpiece", text,
+      array(vocab.map(lit): _*))
+
+  /** Whitespace word count matching the tokenizer's word admission
+    * (Java `\s+` split, EMPTY FRAGMENTS dropped — Spark's split keeps
+    * the empty fragments a leading/trailing separator run produces, so
+    * a whitespace-only doc would otherwise count phantom words; the
+    * hostile fixture's '   \n\t  ' doc caught exactly that). */
+  def wordCount(text: Column): Column =
+    size(array_remove(split(text, "\\s+"), "")).cast("long")
+}

@@ -531,4 +531,39 @@ class TextOpsSpec extends SparkSpec {
       .select(TextStats.bpeTokenCount(col("t"))).head().getInt(0)
     assert(r == 6) // [Hello][,][ world][!][ 42][ times]
   }
+
+  test("Wordpiece.tokens: greedy longest-match segmentation, ## marks, " +
+      "[UNK] for out-of-alphabet and oversize words") {
+    def toks(t: String): Seq[String] =
+      Seq(t).toDF("t").select(Wordpiece.tokens(col("t")).as("w"))
+        .head().getSeq[String](0)
+    // longest match wins: "table" is a full piece, never tab + ##le
+    assert(toks("table") == Seq("table"))
+    assert(toks("window customer query") ==
+      Seq("win", "##dow", "cust", "##omer", "qu", "##ery"))
+    // single-char fallback keeps alphanumerics total
+    assert(toks("xyz 42") == Seq("x", "##y", "##z", "4", "##2"))
+    // out-of-alphabet (uppercase, punctuation, emoji) → one [UNK] per
+    // word — never a partial piece list
+    assert(toks("THE") == Seq("[UNK]"))
+    assert(toks("a!b") == Seq("[UNK]"))
+    assert(toks("🙂ab") == Seq("[UNK]"))
+    // HuggingFace max_input_chars_per_word: >100 codepoints → [UNK]
+    assert(toks("a" * 101) == Seq("[UNK]"))
+    assert(toks("a" * 100).length == 100)
+    // empty / whitespace-only → no tokens; NULL propagates
+    assert(toks("") == Seq.empty)
+    assert(toks("  \n\t ") == Seq.empty)
+    val n = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
+      .select(Wordpiece.tokens(col("t")).as("w")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("Wordpiece.wordCount drops the empty fragments Spark's split " +
+      "keeps on separator runs (hostile whitespace-only doc)") {
+    val r = Seq("a b  c", "", "  \n\t ", "one").toDF("t")
+      .select(Wordpiece.wordCount(col("t")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(3L, 0L, 0L, 1L))
+  }
 }
