@@ -7,20 +7,27 @@
 # runs the headline tier, checks the iteration spread, and pins the
 # artifact by round name next to the history copies.
 #
-# Usage: tools/bench_idle.sh ROUND_TAG [sfDir]
-#   e.g. tools/bench_idle.sh r10   -> target/bench_history/bench_idle_r10.json
-# Env: GRAFT_BENCH_MAX_LOAD (default 4.0), SPARK_GRAFT_BENCH_ITERS (5).
+# Usage: tools/bench_idle.sh ROUND_TAG [sfDir] [iters]
+#   e.g. tools/bench_idle.sh r10             -> bench_idle_r10.json (min-of-5)
+#        tools/bench_idle.sh r11sf1 /tmp/sf1 3 -> the DECADE leg, min-of-3
+#          (r10 judge ask #8: the sf1 artifact the stage-7 exponent gate
+#           consumes was min-of-1 — a one-sample exponent; 3 iterations
+#           give the same min-estimator discipline as the sf0.1 leg at
+#           ~40 min instead of ~65)
+# Env: GRAFT_BENCH_MAX_LOAD (default 4.0).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-TAG=${1:?usage: tools/bench_idle.sh ROUND_TAG [sfDir]}
+TAG=${1:?usage: tools/bench_idle.sh ROUND_TAG [sfDir] [iters]}
 SF=${2:-/root/testdata/sf0.1}
+ITERS=${3:-5}
 MAXLOAD=${GRAFT_BENCH_MAX_LOAD:-4.0}
 
 load=$(cut -d' ' -f1 /proc/loadavg)
 awk -v l="$load" -v m="$MAXLOAD" 'BEGIN{exit !(l<=m)}' \
   || { echo "box not idle (load $load > $MAXLOAD) — refusing to time"; exit 1; }
 
-SPARK_GRAFT_SF_DIR="$SF" sbt -batch "runMain graft.Bench" \
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ITERS="$ITERS" \
+  sbt -batch "runMain graft.Bench" \
   >/tmp/bench_idle_"$TAG".log 2>&1 \
   || { tail -20 /tmp/bench_idle_"$TAG".log; exit 1; }
 

@@ -16,11 +16,12 @@
 #               hostile fixture (non-deterministic kill points x
 #               adversarial partitions)
 #
-# Runs the pre-compiled class snapshot directly (no sbt — safe next to a
-# live background run). Usage:
-#   tools/combo_rows.sh [classDir] [cpus]   (default /tmp/graft_classes_r10, 12)
+# Runs the compiled classes directly (no sbt — safe next to a live
+# background run; gate.sh stage 8 passes the repo's own class dir after
+# its compile stage). Usage:
+#   tools/combo_rows.sh [classDir] [cpus]   (default target/scala-2.13/classes, 12)
 set -u
-CLASSES=${1:-/tmp/graft_classes_r10}
+CLASSES=${1:-target/scala-2.13/classes}
 CPUS=${2:-12}
 ADV=/tmp/sfadv
 fail=0
