@@ -549,6 +549,9 @@ private[graft] trait Catalog5 extends CatalogBase {
           FROM sp
           CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
           CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+        -- recall: exact by the operator's contract — nearest WITHIN the
+        -- 3x3 neighbor cells (search radius = cell size, stated in the
+        -- engine doc); the oracle mirrors the identical cover
         cand AS (
           SELECT c_custkey, s_suppkey,
             (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2,
@@ -2376,6 +2379,8 @@ private[graft] trait Catalog5 extends CatalogBase {
           FROM sp
           CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
           CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy),
+        -- recall: exact by the operator's contract — nearest WITHIN the
+        -- 3x3 neighbor cells (q257's cover, haversine metric)
         cand AS (
           SELECT c_custkey, c_nationkey, s_suppkey,
             round(2.0 * 6371.0088 * asin(sqrt(

@@ -96,6 +96,8 @@ object FuzzyJoin {
       UNION ALL
       SELECT s, substr(s, 1, i - 1) || substr(s, i + 1) AS sig
       FROM edit_names, unnest(generate_series(1, length(s))) u(i)),
+    -- recall: exact (FastSS 1-deletion cover — every dist<=1 pair
+    -- shares a signature; candidates re-verified with levenshtein)
     edit_cand AS (
       SELECT DISTINCT a.s AS sa, b.s AS sb
       FROM edit_sigs a JOIN edit_sigs b ON a.sig = b.sig AND a.s < b.s),

@@ -265,6 +265,16 @@ def lint_one(con, name, sql, dumpdir=None):
                 f"provably feeds every group")
     # rule 8: wide integer decimal cast directly to DOUBLE
     problems += wide_dec_double_hits(sql)
+    # rule 9: candidate-generating oracles (blocked/banded/inverted
+    # pair discovery — CTE names ending in `cand` or `sigs`) must state
+    # their recall argument IN THE SQL (`recall:` comment), so a future
+    # lossy blocking cannot silently weaken an oracle's completeness
+    if re.search(r"\b\w*(?:cand|sigs)\s+AS\s*\(", sql, re.I) and \
+            not re.search(r"recall\s*:", sql, re.I):
+        problems.append(
+            "candidate-generation CTE without a `-- recall:` statement — "
+            "blocked/banded oracles must document why no qualifying pair "
+            "can be missed (exact cover proof or quantified bound)")
     # rule 3: NULL-order sensitivity (executable differential). Without
     # an ORDER BY-bearing construct the result cannot depend on NULL
     # placement (canonical_rows sorts), so skip the two extra executions
@@ -349,6 +359,13 @@ def selftest():
         "widedec_waived": ("SELECT CAST(CAST(k AS DECIMAL(38,0)) "
                            "AS DOUBLE) AS d -- portable: bounded\n"
                            "FROM t", None),
+        # rule 9: a candidate CTE without a recall statement fires...
+        "candnorecall": ("WITH mycand AS (SELECT k FROM t) "
+                         "SELECT k FROM mycand", "recall"),
+        # ...and with one stays clean
+        "candrecall": ("WITH -- recall: exact (identity blocking)\n"
+                       "mycand AS (SELECT k FROM t) "
+                       "SELECT k FROM mycand", None),
         "clean": ("SELECT CAST(sum(k) AS BIGINT) AS s, "
                   "CAST(round(sum(CAST(v AS DECIMAL(19,6)) * CAST(v AS "
                   "DECIMAL(19,6))), 4) AS DOUBLE) AS ss FROM t", None),
@@ -373,7 +390,7 @@ def selftest():
         sys.exit(1)
     print(f"selftest: {len(plants) + 2} canaries pass "
           "(hugeint, null-order, json, dec-mul+nested, string-agg x3, "
-          "wide-dec x3, isfinite x2, clean)")
+          "wide-dec x3, cand-recall x2, isfinite x2, clean)")
     sys.exit(0)
 
 
