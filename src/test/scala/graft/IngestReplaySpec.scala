@@ -154,6 +154,84 @@ class IngestReplaySpec extends SparkSpec {
       "compacted minhash run diverged from the one-shot reference")
   }
 
+  for ((provName, provClass) <- Seq(
+    "default provider" ->
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "RocksDB provider" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  test("kill mid-stream, crash-replay the uncommitted batch, restart " +
+      s"resized: survivors ≡ one-shot ($provName)") {
+    // The full crash matrix through the REAL checkpoint machinery: the
+    // stream is killed after ≥ 2 committed batches; the next
+    // (uncommitted) batch is then run to completion OUT OF BAND —
+    // exactly the "all writes landed, commit lost" crash window — and
+    // the stream restarted from the checkpoint on a session with a
+    // DIFFERENT shuffle-partition count. The restart must re-run that
+    // batch as a no-op replay (the r10 code require-failed here and
+    // bricked the stream) and finish the backlog to the one-shot answer.
+    val w = work("graft-streamcrash-")
+    import java.nio.file.attribute.FileTime
+    val schema = docs(Seq(0L)).schema
+    val base = System.currentTimeMillis()
+    for (b <- batches.indices) {
+      val tmp = s"$w/slice$b"
+      docs(batches(b)).coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(Paths.get(s"$w/stage"))
+      val dst = Paths.get(s"$w/stage/part$b.parquet")
+      Files.move(f.toPath, dst)
+      // oldest-first drain order = ascending doc_id = the monotone
+      // contract (BoundedRuns' staging discipline)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(base + b * 10000L))
+    }
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    def start(s: org.apache.spark.sql.SparkSession) =
+      DedupIngest.simhash128IngestSink(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$w/stage"),
+        s"$w/state", s"$w/surv", "doc_id", "text")
+        .option("checkpointLocation", s"$w/ckpt")
+    val s1 = spark.newSession()
+    s1.conf.set("spark.sql.streaming.stateStore.providerClass", provClass)
+    val q1 = start(s1).start()
+    def commits: Seq[Long] = {
+      val d = Paths.get(s"$w/ckpt/commits")
+      if (!Files.exists(d)) Seq.empty
+      else scala.util.Using.resource(Files.list(d)) { st =>
+        val b = Seq.newBuilder[Long]
+        st.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.forall(_.isDigit)) b += n.toLong
+        }
+        b.result()
+      }
+    }
+    val deadline = System.currentTimeMillis() + 90000
+    while (commits.size < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    assert(commits.size >= 2, "stream committed < 2 batches before kill")
+    // the crash: the next uncommitted batch runs ALL its writes but its
+    // checkpoint commit never lands
+    val nb = commits.max + 1
+    if (nb < batches.size)
+      DedupIngest.simhash128IngestBatch(docs(batches(nb.toInt)), nb,
+        s"$w/state", s"$w/surv", "doc_id", "text")
+    // restart from the checkpoint on a RESIZED session (shuffle
+    // partitions 7, co-prime with the suite's 4)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass", provClass)
+    s2.conf.set("spark.sql.shuffle.partitions", "7")
+    val q2 = start(s2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(survivorIds(w) == oneShotSimhash(),
+      "kill + crash-replay + resized restart diverged from one-shot")
+    val state = DedupIngest.readState(spark, s"$w/state")
+    assert(state.count() == 40L && state.select("id").distinct().count() == 40L)
+  }
+
   test("streamed run with compaction on: survivors ≡ the one-shot batch " +
       "policy end-to-end (the DeltaStateSpec invariance, re-proven " +
       "across a mid-stream fold)") {
