@@ -2047,7 +2047,13 @@ private[graft] trait Catalog3 extends CatalogBase {
           .withColumn("ordk",
             datediff(col("d"), lit("1970-01-01")).cast("long") * 1000
               + col("u"))
-        val ranked = PrefixSum.running(files, "ordk", "ordk", "bytes",
+        // tie-break on u, NOT ordk itself: day*1000 + u collides once
+        // user ids pass 1000 (they do at sf1 — the r11 full-catalog
+        // sweep caught max_bucket_bytes flapping while every total
+        // matched: tied ordk rows entered the running sum in
+        // engine-dependent order and shifted one bucket boundary).
+        // (ordk, u) is a TOTAL order because (d, u) is the group key.
+        val ranked = PrefixSum.running(files, "ordk", "u", "bytes",
             descending = false)
           .withColumn("bucket",
             expr(s"CAST(cum - bytes AS BIGINT) div $target"))
@@ -2073,11 +2079,13 @@ private[graft] trait Catalog3 extends CatalogBase {
         ordf AS (
           SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
               * 1000 + u AS ordk,
-            bytes
+            u, bytes
           FROM files),
         run AS (
+          -- u tie-break: ordk collides once user ids pass 1000 (engine
+          -- comment; (ordk, u) is total because (d, u) is the group key)
           SELECT bytes,
-            sum(bytes) OVER (ORDER BY ordk ROWS UNBOUNDED PRECEDING)
+            sum(bytes) OVER (ORDER BY ordk, u ROWS UNBOUNDED PRECEDING)
               - bytes AS excum
           FROM ordf),
         bk AS (SELECT bytes, excum // 4096 AS bucket FROM run),
