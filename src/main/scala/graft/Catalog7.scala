@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Stable._
 import graft.operators._
 
-/** Catalog part 7 of 7: queries q324..q364, in original catalog
+/** Catalog part 7 of 7: queries q324..q366, in original catalog
   * order ([[Queries.all]] concatenates the parts — split from the former
   * single-file catalog purely for compile/review ergonomics; content and
   * order are unchanged).
