@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -38,46 +36,56 @@ import graft.operators.NearDup
   * disjoint-id contract, strengthened to ordered). Each batch ASSERTS the
   * contract against the PRIOR batches' max id and fails loudly on
   * out-of-order arrival rather than silently emitting an order-dependent
-  * answer.
+  * answer. Sources with BOUNDED disorder (a shuffling message bus) get
+  * the [[BoundedLateness]] admission wrapper instead of an external
+  * sorter.
   *
-  * == Exactly-once under micro-batch replay ==
+  * == Durability: batch-keyed manifest tables ==
   *
-  * Every write the loop performs — state tables AND the survivor sink —
-  * is keyed by the foreachBatch `batchId`: batch b's rows land in a
-  * `b<id>` subdirectory written with OVERWRITE, and every read of prior
-  * state filters `batch < currentBatchId`. A replayed batch (crash
-  * anywhere between the first write and the checkpoint commit) therefore
-  * (a) sees EXACTLY the pre-crash state — its own partial writes are
-  * filtered out of the probe and the contract check — and (b) rewrites
-  * its own subdirectories to the identical deterministic content, so
-  * replay is a no-op rather than a duplicate append (the r10 failure
-  * modes: the simhash tier's monotone check tripping on the batch's own
-  * replayed rows and bricking the stream; the minhash tier silently
-  * double-counting replayed shingle rows into `sz`, deflating Jaccard
-  * and over-admitting). The survivor sink gets the same treatment, so
-  * its delivery is idempotent WITHOUT leaning on the checkpoint.
+  * Every table the loop touches — the state tables AND the survivor sink —
+  * is a [[ManifestTable]]: batch b's rows land in an immutable `b<id>`
+  * data dir made live by a manifest-log commit (one new-object write — the
+  * Delta/Iceberg commit shape; no rename, no data-dir listing, Hadoop
+  * `FileSystem` API throughout, so `stateDir` can be an HDFS or
+  * s3a/abfs/gs URI as well as a local path). Exactly-once under
+  * micro-batch replay holds twice over:
   *
-  * == State compaction ==
+  *  - a crash BEFORE a table's manifest commit leaves that batch's dir
+  *    unreferenced — invisible to every read; the replay rewrites and
+  *    commits it;
+  *  - a batch that fully committed its tables but lost the CHECKPOINT
+  *    commit is replayed too — every read of prior state filters
+  *    `batch < currentBatchId` on the provenance column, so the replay
+  *    sees exactly the pre-crash state (its own committed rows are
+  *    filtered out of the probe and the contract check) and its rewrites
+  *    are deterministic no-ops. (The r10 failure modes this closes: the
+  *    simhash tier's monotone check tripping on the batch's own replayed
+  *    rows and bricking the stream; the minhash tier silently
+  *    double-counting replayed shingle rows into `sz`, deflating Jaccard
+  *    and over-admitting.)
   *
-  * Each micro-batch adds one small parquet directory per state table —
-  * a year of 5-minute batches is ~10⁵ files per table, a real 100 TB
-  * operational cliff (every probe's scan planning lists them all). With
-  * `compactEvery = N > 0`, every Nth batch folds all state up to and
-  * including itself into a single `c<id>` directory (batch provenance
-  * column preserved, so replay filtering still works) and retires the
-  * folded `b*`/`c*` directories. The fold is crash-safe: it writes to a
-  * dot-prefixed temp dir, atomically renames to `c<id>`, and only then
-  * deletes the folded inputs — [[readState]] always resolves the newest
-  * complete `c` directory plus the live `b` directories above it, so
-  * every crash window reads a consistent snapshot, and a replayed
-  * compacting batch that finds its `c<id>` already present skips
-  * straight to retiring leftovers.
+  * == Compaction ==
+  *
+  * Each micro-batch adds one small data dir per table — a year of
+  * 5-minute batches is ~10⁵ dirs per table, a real 100 TB operational
+  * cliff. With `compactEvery = N > 0`, every Nth batch folds each state
+  * table AND the survivor sink up to and including itself into a single
+  * `c<id>` dir ([[ManifestTable.compact]] — batch provenance preserved so
+  * replay filtering keeps working over compacted rows; survivor dirs are
+  * mutually exclusive by the admission contract, so their fold is a plain
+  * union rewrite). The fold is crash-safe at every window because only
+  * the manifest commit publishes it, and replay-idempotent because an
+  * already-committed `c<id>` short-circuits; retired and orphaned dirs
+  * (including partial debris from crashes) are swept by GC, which
+  * correctness never depends on.
   *
   * Scale shape per batch at 100 TB: the state contributes a 24-byte-row
   * parquet scan (never re-tokenized, never re-shuffled as text); the
   * probe exchanges are (long, int, long) band rows with the 2⁻³²
   * collision bound; the two driver lookups are single-row contract
-  * scalars; compaction is one linear rewrite every N batches.
+  * scalars; compaction is one linear rewrite every N batches; every
+  * snapshot resolution is one manifest read (no listing that grows with
+  * stream lifetime).
   */
 object DedupIngest {
 
@@ -88,99 +96,16 @@ object DedupIngest {
     StructField("id", LongType), StructField("hi", LongType),
     StructField("lo", LongType)))
 
-  private def withBatch(schema: StructType): StructType =
-    StructType(schema.fields :+ StructField("batch", LongType))
-
-  /** Seed an EMPTY batch-keyed state table (zero-row parquet with the
-    * on-disk schema in the `seed` subdirectory), so the first batch's
-    * state read plans like every later one — no cold-start special case
-    * in the loop. */
-  private def seedTable(spark: SparkSession, tableDir: String,
-      schema: StructType): Unit =
-    spark.createDataFrame(new java.util.ArrayList[Row](), withBatch(schema))
-      .write.mode("overwrite").parquet(s"$tableDir/seed")
-
-  /** Seed an empty sketch-state directory ([[simhash128IngestSink]]). */
+  /** Seed an empty sketch-state table ([[simhash128IngestSink]]). */
   def initSimhash128State(spark: SparkSession, stateDir: String): Unit =
-    seedTable(spark, stateDir, sketchSchema)
+    ManifestTable.init(spark, stateDir, sketchSchema)
 
-  /** The live view of a batch-keyed state table: the newest COMPLETE
-    * compaction (if any) plus every batch directory above it, plus the
-    * seed. Returns the logical rows with their `batch` provenance column
-    * — callers filter `batch < currentBatchId` for replay safety and
-    * drop it before probing. Resolution is driver-side directory listing
-    * (one metadata call — the production analog is FileSystem.listStatus
-    * on the state root). */
-  def readState(spark: SparkSession, tableDir: String): DataFrame = {
-    val (compacted, live) = batchDirs(tableDir)
-    val paths = Seq(s"$tableDir/seed") ++
-      compacted.map(b => s"$tableDir/c$b") ++
-      live.map(b => s"$tableDir/b$b")
-    spark.read.parquet(paths: _*)
-  }
-
-  /** (newest complete compaction as a singleton, live batch ids above
-    * it, ascending). Dot-prefixed temp dirs (in-flight compactions) are
-    * never resolved. */
-  private def batchDirs(tableDir: String): (Option[Long], Seq[Long]) = {
-    val root = Paths.get(tableDir)
-    val names = scala.util.Using.resource(Files.list(root)) { s =>
-      val b = Seq.newBuilder[String]
-      s.forEach(p => b += p.getFileName.toString)
-      b.result()
-    }
-    val cMax = names.collect { case n if n.startsWith("c") &&
-      n.drop(1).forall(_.isDigit) && n.length > 1 => n.drop(1).toLong }
-      .maxOption
-    val live = names.collect { case n if n.startsWith("b") &&
-      n.drop(1).forall(_.isDigit) && n.length > 1 => n.drop(1).toLong }
-      .filter(b => cMax.forall(_ < b)).sorted
-    (cMax, live)
-  }
-
-  /** Overwrite-write `df` (logical rows) as batch `bid` of a state
-    * table — THE idempotent write: a replay of batch `bid` rewrites the
-    * same directory with the same deterministic content. */
-  private def writeBatch(df: DataFrame, tableDir: String, bid: Long): Unit =
-    df.withColumn("batch", lit(bid))
-      .write.mode("overwrite").parquet(s"$tableDir/b$bid")
-
-  /** Fold all state ≤ `bid` into one `c$bid` directory and retire the
-    * folded inputs. Crash-safe (see class doc): temp-write → atomic
-    * rename → delete; idempotent on replay (an existing complete
-    * `c$bid` short-circuits to the retire step). */
-  private def compactTable(spark: SparkSession, tableDir: String,
-      bid: Long): Unit = {
-    val target = Paths.get(s"$tableDir/c$bid")
-    if (!Files.exists(target)) {
-      val tmp = s"$tableDir/.c$bid.tmp"
-      // one linear rewrite of the live view (provenance preserved so
-      // replay filtering keeps working over compacted rows)
-      readState(spark, tableDir).filter(col("batch") <= bid)
-        .write.mode("overwrite").parquet(tmp)
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    // retire everything the fold covers (any crash before this point
-    // leaves them in place; readState already prefers c$bid)
-    val root = Paths.get(tableDir)
-    scala.util.Using.resource(Files.list(root)) { s =>
-      s.forEach { p =>
-        val n = p.getFileName.toString
-        val folded =
-          (n.startsWith("b") && n.drop(1).forall(_.isDigit) && n.length > 1 &&
-            n.drop(1).toLong <= bid) ||
-          (n.startsWith("c") && n.drop(1).forall(_.isDigit) && n.length > 1 &&
-            n.drop(1).toLong < bid)
-        if (folded) deleteRecursively(p)
-      }
-    }
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      scala.util.Using.resource(Files.list(p))(_.forEach(deleteRecursively))
-    Files.deleteIfExists(p)
-  }
+  /** The live view of a batch-keyed state table, with the `batch`
+    * provenance column — callers filter `batch < currentBatchId` for
+    * replay safety and drop it before probing. Resolution is one
+    * manifest read ([[ManifestTable.read]]). */
+  def readState(spark: SparkSession, tableDir: String): DataFrame =
+    ManifestTable.read(spark, tableDir)
 
   /** The monotone-arrival contract check over PRIOR batches only (a
     * replayed batch's own pre-crash rows are excluded, so replay can
@@ -205,7 +130,7 @@ object DedupIngest {
         col("sk128").getItem(1).as("lo"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // prior state only: a replayed batch's own partial writes are
+      // prior state only: a replayed batch's own prior writes are
       // invisible to the probe and the contract check
       val state = readState(spark, stateDir)
         .filter(col("batch") < batchId).drop("batch")
@@ -217,22 +142,25 @@ object DedupIngest {
       val rejected = NearDup
         .deltaSimhash128PairsFromSketches(state, bSk, maxHamming)
         .select(col("id_b").as("id")).distinct()
-      bSk.join(rejected, Seq("id"), "left_anti")
-        .select(col("id").as(idCol), col("hi").as("sk_hi"),
-          col("lo").as("sk_lo"))
-        .write.mode("overwrite").parquet(s"$survivorsDir/b$batchId")
-      writeBatch(bSk, stateDir, batchId)
-      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        compactTable(spark, stateDir, batchId)
+      ManifestTable.writeBatch(
+        bSk.join(rejected, Seq("id"), "left_anti")
+          .select(col("id").as(idCol), col("hi").as("sk_hi"),
+            col("lo").as("sk_lo")),
+        survivorsDir, batchId)
+      ManifestTable.writeBatch(bSk, stateDir, batchId)
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        ManifestTable.compact(spark, stateDir, batchId)
+        ManifestTable.compact(spark, survivorsDir, batchId)
+      }
     } finally bSk.unpersist()
   }
 
   /** The ingest sink: attach `.trigger(...)/.start()` (and a checkpoint
     * location) to the returned writer. Survivors land under
-    * `survivorsDir` as one (idCol, sk_hi, sk_lo) parquet directory per
-    * batch ([[readSurvivors]] to load); `stateDir` must exist
+    * `survivorsDir` as a batch-keyed (idCol, sk_hi, sk_lo) manifest table
+    * ([[readSurvivors]] to load); `stateDir` must exist
     * ([[initSimhash128State]] for a fresh corpus). Both sinks are
-    * idempotent under micro-batch replay — batch-keyed overwrite
+    * idempotent under micro-batch replay — batch-keyed manifest-committed
     * writes, not appends (class doc). */
   def simhash128IngestSink(docs: DataFrame, stateDir: String,
       survivorsDir: String, idCol: String, textCol: String,
@@ -242,11 +170,11 @@ object DedupIngest {
         idCol, textCol, maxHamming, compactEvery)
     }
 
-  /** Load every batch's survivor rows (the `b<id>` directories are
-    * mutually exclusive by the admission contract, so this is a plain
-    * union). */
+  /** Load every batch's survivor rows (mutually exclusive across batches
+    * by the admission contract, so this is a plain union of the
+    * manifest's live dirs — never an unbounded directory listing). */
   def readSurvivors(spark: SparkSession, survivorsDir: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(survivorsDir)
+    ManifestTable.read(spark, survivorsDir).drop("batch")
 
   /** The MINHASH-tier state shapes: `rows` is [[NearDup.shingleHashRows]]
     * output (the exact-verify side), `bands` is [[NearDup.minhashBands]]
@@ -265,9 +193,9 @@ object DedupIngest {
     * its own record or an out-of-order arrival whose boundary doc is
     * contentless would slip the assertion. */
   def initMinhashState(spark: SparkSession, stateDir: String): Unit = {
-    seedTable(spark, s"$stateDir/rows", shingleRowsSchema)
-    seedTable(spark, s"$stateDir/bands", bandsSchema)
-    seedTable(spark, s"$stateDir/wm",
+    ManifestTable.init(spark, s"$stateDir/rows", shingleRowsSchema)
+    ManifestTable.init(spark, s"$stateDir/bands", bandsSchema)
+    ManifestTable.init(spark, s"$stateDir/wm",
       StructType(Seq(StructField("id", LongType))))
   }
 
@@ -303,16 +231,16 @@ object DedupIngest {
         .deltaMinhashPairsFromRows(prior("rows"), prior("bands"),
           bRows, bBands, minJ)
         .select(col("id_b").as("id")).distinct()
-      b.join(rejected, Seq("id"), "left_anti")
-        .select(col("id").as(idCol))
-        .write.mode("overwrite").parquet(s"$survivorsDir/b$batchId")
-      writeBatch(bRows, s"$stateDir/rows", batchId)
-      writeBatch(bBands, s"$stateDir/bands", batchId)
-      writeBatch(b.agg(max(col("id")).as("id"))
+      ManifestTable.writeBatch(
+        b.join(rejected, Seq("id"), "left_anti").select(col("id").as(idCol)),
+        survivorsDir, batchId)
+      ManifestTable.writeBatch(bRows, s"$stateDir/rows", batchId)
+      ManifestTable.writeBatch(bBands, s"$stateDir/bands", batchId)
+      ManifestTable.writeBatch(b.agg(max(col("id")).as("id"))
         .filter(col("id").isNotNull), s"$stateDir/wm", batchId)
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-        Seq("rows", "bands", "wm")
-          .foreach(t => compactTable(spark, s"$stateDir/$t", batchId))
+        (Seq("rows", "bands", "wm").map(t => s"$stateDir/$t") :+ survivorsDir)
+          .foreach(t => ManifestTable.compact(spark, t, batchId))
     } finally { bBands.unpersist(); bRows.unpersist(); b.unpersist() }
   }
 

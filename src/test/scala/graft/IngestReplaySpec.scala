@@ -5,17 +5,20 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.streaming.DedupIngest
+import graft.streaming.{DedupIngest, ManifestTable}
 
-/** Micro-batch REPLAY and state-compaction crash-safety of the streaming
+/** Micro-batch REPLAY and manifest-commit crash-safety of the streaming
   * dedup ingest loops — the exactly-once story (r10 ADVICE: the simhash
   * tier's monotone check bricked the stream on replay after a crash
   * between the state write and the checkpoint commit; the minhash tier
   * silently double-counted replayed shingle rows into `sz`, deflating
-  * Jaccard and over-admitting). All writes are now batch-keyed
-  * overwrites, so a replay — full or after ANY partial-write crash — is
-  * a no-op, and compaction interleaves without changing a single output
-  * row.
+  * Jaccard and over-admitting; r11 VERDICT: the rename-commit protocol
+  * assumed atomic rename and unbounded cheap listing — neither holds on
+  * the object stores 100 TB corpora live on). All writes are batch-keyed
+  * data dirs published by a [[ManifestTable]] manifest-log commit, so a
+  * replay — full or after ANY partial-write crash — is a no-op, partial
+  * debris is unreferenced by construction, and compaction (state AND
+  * survivor sink) interleaves without changing a single output row.
   */
 class IngestReplaySpec extends SparkSpec {
   import spark.implicits._
@@ -60,6 +63,16 @@ class IngestReplaySpec extends SparkSpec {
     survivorIds(w)
   }
 
+  /** Reconstruct the "crash before batch `bid`'s manifest commit" disk
+    * state: peel manifest files newest-first until the snapshot no longer
+    * lists b<bid>. The DATA dir is left in place — that is the honest
+    * crash window (rows written, commit lost, dir unreferenced). */
+  private def rollbackCommit(dir: String, bid: Long): Unit =
+    while (ManifestTable.snapshot(spark, dir).exists(_.live.contains(bid))) {
+      val seq = ManifestTable.snapshot(spark, dir).get.seq
+      Files.delete(Paths.get(f"$dir/_manifest/m$seq%020d"))
+    }
+
   test("simhash tier: full-batch replay is a no-op, not a brick — " +
       "the crash-between-state-write-and-checkpoint-commit case") {
     val w = work("graft-replay-sh-")
@@ -68,7 +81,7 @@ class IngestReplaySpec extends SparkSpec {
       DedupIngest.simhash128IngestBatch(docs(batches(b)), b,
         s"$w/state", s"$w/surv", "doc_id", "text")
     runBatch(0); runBatch(1)
-    // the replay: batch 1's state rows are ALREADY in state — the r10
+    // the replay: batch 1's state rows are ALREADY committed — the r10
     // code's monotone check read them and require-failed on every
     // restart, permanently killing the stream
     runBatch(1)
@@ -82,29 +95,24 @@ class IngestReplaySpec extends SparkSpec {
   }
 
   test("minhash tier: replay after a partial-write crash (rows/bands " +
-      "written, wm and survivors lost) neither duplicates state nor " +
-      "over-admits") {
+      "committed, wm and survivor commits lost) neither duplicates state " +
+      "nor over-admits") {
     val w = work("graft-replay-mh-")
     DedupIngest.initMinhashState(spark, s"$w/state")
     def runBatch(b: Int): Unit =
       DedupIngest.minhashIngestBatch(docs(batches(b)), b,
         s"$w/state", s"$w/surv", "doc_id", "text")
     runBatch(0); runBatch(1)
-    // simulate the r10 ADVICE crash window: rows/bands for batch 1 are
-    // on disk, wm and the survivor emit are not
-    def rm(p: String): Unit = {
-      def rec(x: java.nio.file.Path): Unit = {
-        if (Files.isDirectory(x))
-          scala.util.Using.resource(Files.list(x))(_.forEach(rec))
-        Files.deleteIfExists(x)
-      }
-      rec(Paths.get(p))
-    }
-    rm(s"$w/state/wm/b1"); rm(s"$w/surv/b1")
+    // the r10 ADVICE crash window, reconstructed at the commit level:
+    // batch 1's rows/bands manifests committed, wm and the survivor
+    // manifest commits lost (their data dirs remain on disk,
+    // unreferenced — exactly what a crash leaves behind)
+    rollbackCommit(s"$w/state/wm", 1L)
+    rollbackCommit(s"$w/surv", 1L)
     // the replay: under the r10 append-mode code this duplicated every
     // batch-1 shingle row, inflating sz (shingleSets counts rows) and
     // deflating every future Jaccard against a batch-1 doc — silent
-    // over-admission; batch-keyed overwrite makes it exact
+    // over-admission; batch-keyed manifest-committed writes make it exact
     runBatch(1)
     runBatch(2); runBatch(3)
     assert(survivorIds(w) == oneShotMinhash(),
@@ -129,11 +137,14 @@ class IngestReplaySpec extends SparkSpec {
         s"$w/state", s"$w/surv", "doc_id", "text",
         compactEvery = compactEvery)
     runBatch(0); runBatch(1); runBatch(2)
-    // batch 2 compacted: c2 present, b0..b2 retired
+    // batch 2 compacted: c2 live, b0..b2 retired (GC'd — no longer on
+    // disk, and no longer referenced by the manifest)
     assert(Files.exists(Paths.get(s"$w/state/c2")))
     assert(!Files.exists(Paths.get(s"$w/state/b0")))
     assert(!Files.exists(Paths.get(s"$w/state/b1")))
     assert(!Files.exists(Paths.get(s"$w/state/b2")))
+    val snap = ManifestTable.snapshot(spark, s"$w/state").get
+    assert(snap.compacted.contains(2L) && snap.live.isEmpty)
     // replay the compacting batch itself (crash after the fold, before
     // the checkpoint commit): must neither brick nor double anything
     runBatch(2)
@@ -152,6 +163,87 @@ class IngestReplaySpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$wm/state/wm/c2")))
     assert(survivorIds(wm) == oneShotMinhash(),
       "compacted minhash run diverged from the one-shot reference")
+  }
+
+  test("survivor sink compacts on the state cadence: 12 batches at " +
+      "compactEvery=4 ≡ one-shot, with bounded dir counts — through " +
+      "an explicit file: URI (Hadoop FileSystem addressing, not " +
+      "java.nio paths)") {
+    // 12 batches via finer slicing of the same 40-doc corpus (the
+    // admission policy is batch-boundary invariant); dirs addressed with
+    // an explicit scheme to pin that every filesystem touch goes through
+    // the Hadoop FileSystem API — java.nio cannot resolve "file:" paths
+    val plain = work("graft-survcompact-")
+    val w = s"file:$plain"
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    val slices = (0L until 40L).grouped(4).map(_.toSeq).toSeq
+    require(slices.size == 12 - 2, "40/4 = 10 slices") // 10 batches of 4
+    val all = slices ++ Seq(Seq.empty[Long], Seq.empty[Long]) // pad to 12
+    all.zipWithIndex.foreach { case (ids, b) =>
+      DedupIngest.simhash128IngestBatch(docs(ids), b.toLong,
+        s"$w/state", s"$w/surv", "doc_id", "text", compactEvery = 4)
+    }
+    assert(survivorIds(w) == oneShotSimhash(),
+      "survivor-compacted run diverged from the one-shot reference")
+    // bounded growth: after compactions at 4 and 8, each table holds one
+    // c dir + the live dirs above the watermark (b9..b11) + seed —
+    // never the 12 per-batch dirs the r11 sink accumulated forever
+    val stateDirs = ManifestTable.dataDirCount(spark, s"$w/state")
+    val survDirs = ManifestTable.dataDirCount(spark, s"$w/surv")
+    assert(stateDirs <= 5, s"state data dirs = $stateDirs, want ≤ 5")
+    assert(survDirs <= 4, s"survivor data dirs = $survDirs, want ≤ 4")
+    // the survivor fold preserved every row exactly once (dirs are
+    // mutually exclusive by the admission contract)
+    val surv = DedupIngest.readSurvivors(spark, s"$w/surv")
+    assert(surv.count() == surv.select("doc_id").distinct().count())
+  }
+
+  test("FAULT INJECTION: a non-atomic 'rename' crash (partial compaction " +
+      "dir on disk) is unreferenced under the manifest protocol; r11's " +
+      "name-based resolution would have read it and over-admitted") {
+    // Bespoke corpus: 31 (batch 3) duplicates 12 (batch 1) duplicates 3
+    // (batch 0) — suppressing 31 REQUIRES batch 1's sketch rows.
+    def t(i: Long): String =
+      if (i == 12) t(3) else if (i == 31) t(12) else s"a$i b$i c$i d$i e$i"
+    def d(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, t(i))).toDF("doc_id", "text")
+    val w = work("graft-faultinj-")
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    def runBatch(b: Int, compactEvery: Int = 0): Unit =
+      DedupIngest.simhash128IngestBatch(
+        d((b * 10L) until (b * 10L + 10L)), b,
+        s"$w/state", s"$w/surv", "doc_id", "text",
+        compactEvery = compactEvery)
+    runBatch(0); runBatch(1); runBatch(2)
+    // the fault: an object store has no rename — a compaction "renamed"
+    // via copy-then-delete crashes 1/3 through the copy, leaving a
+    // PARTIAL c2 (here: only batch 0's 10 rows of the 30 a real c2
+    // holds) at the state root with no commit anywhere
+    DedupIngest.readState(spark, s"$w/state").filter(col("batch") === 0)
+      .write.parquet(s"$w/state/c2")
+    // r11's protocol resolved BY NAME: newest complete-looking c dir +
+    // b dirs above it. Codified here verbatim, it reads the partial dir
+    // as truth — 10 state rows instead of 30, batch 1's sketches gone,
+    // so a probe for doc 31 finds no ancestor: silent over-admission
+    val r11View = spark.read.parquet(s"$w/state/c2") // cMax=2, no b>2
+    assert(r11View.count() == 10L,
+      "name-based resolution reads the partial dir as a complete snapshot")
+    assert(r11View.filter(col("id") === 12L).isEmpty,
+      "the suppressor of doc 31 is missing from the corrupt view")
+    // the manifest protocol never references the debris: the committed
+    // snapshot still reads all 30 rows
+    assert(DedupIngest.readState(spark, s"$w/state").count() == 30L)
+    // ...and the stream keeps giving the one-shot answer: 31 suppressed
+    runBatch(3, compactEvery = 3) // batch 3 also compacts (3 % 3 == 0)
+    val got = survivorIds(w)
+    assert(!got.contains(31L), "doc 31 must be suppressed (dup chain)")
+    assert(!got.contains(12L) && got.size == 40 - 2)
+    // the compaction's GC swept the debris and committed the real fold
+    assert(ManifestTable.snapshot(spark, s"$w/state").get.compacted
+      .contains(3L))
+    assert(!Files.exists(Paths.get(s"$w/state/c2")),
+      "orphaned partial dir must be GC'd")
+    assert(DedupIngest.readState(spark, s"$w/state").count() == 40L)
   }
 
   for ((provName, provClass) <- Seq(
