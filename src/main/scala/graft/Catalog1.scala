@@ -501,8 +501,8 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("lang")),
       oracle = Some("""
         SELECT lang, count(*) AS n_docs,
-          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) / count(*) AS avg_tokens
+          CAST(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS total_tokens,
+          CAST(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS DOUBLE) / count(*) AS avg_tokens
         FROM documents
         GROUP BY lang
         ORDER BY lang"""),
@@ -517,14 +517,14 @@ private[graft] trait Catalog1 extends CatalogBase {
       oracle = Some(s"""
         SELECT doc_id,
           length(text) AS q_chars,
-          len(regexp_split_to_array(trim(text), '\\s+')) AS q_tokens,
+          len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS q_tokens,
           length(regexp_replace(text, '[^.!?]', '', 'g')) AS q_punct,
-          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-            / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS avg_token_len,
+          CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE)
+            / NULLIF(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 0) AS avg_token_len,
           CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE)
             / NULLIF(length(text), 0) AS punct_ratio,
           CAST(${TextStats.sqlStopwordCount("text")} AS DOUBLE)
-            / NULLIF(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS stopword_ratio
+            / NULLIF(len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')), 0) AS stopword_ratio
         FROM documents
         ORDER BY doc_id""")),
 
@@ -1278,7 +1278,7 @@ private[graft] trait Catalog1 extends CatalogBase {
           .orderBy(col("doc_id"), col("chunk_idx")),
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents WHERE text IS NOT NULL),
         starts AS (
           SELECT doc_id, t,
@@ -1310,7 +1310,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       oracle = Some("""
         WITH tok AS (
           SELECT doc_id,
-            len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+            len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tokens
           FROM documents),
         packed AS (
           SELECT doc_id, n_tokens,
@@ -1378,7 +1378,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         sh AS (
           SELECT doc_id, source,
@@ -1551,9 +1551,9 @@ private[graft] trait Catalog1 extends CatalogBase {
         WITH ${TextStats.sqlRepetitionCtes("doc_id", "text")},
         qs AS (
           SELECT doc_id, source,
-            len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+            len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tokens,
             CAST(${TextStats.sqlStopwordCount("text")} AS DOUBLE)
-              / len(regexp_split_to_array(trim(text), '\\s+')) AS sw_ratio
+              / len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS sw_ratio
           FROM documents)
         SELECT qs.source, count(*) AS n_docs,
           CAST(sum(CASE WHEN qs.n_tokens >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
@@ -1698,7 +1698,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       // scalar — concat_ws flattens the sliced array — so the comparator
       // never sees array cells.
       build = (s, dir) => {
-        val toks = split(trim(col("text")), "\\s+")
+        val toks = split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")
         table(s, dir, "documents")
           .filter(col("doc_id") < 200)
           .select(col("doc_id"),
@@ -1711,7 +1711,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       },
       oracle = Some("""
         WITH t AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS toks
           FROM documents
           WHERE doc_id < 200)
         SELECT doc_id,
@@ -1803,7 +1803,7 @@ private[graft] trait Catalog1 extends CatalogBase {
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         sh AS (
           SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 9),
@@ -2104,7 +2104,7 @@ private[graft] trait Catalog1 extends CatalogBase {
         comp AS (SELECT id AS doc_id, min(reach) AS component FROM walk GROUP BY id),
         scored AS (
           SELECT c.component, c.doc_id,
-            CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS tok
+            CAST(len(regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS tok
           FROM comp c JOIN documents d USING (doc_id)),
         best AS (
           SELECT component, doc_id AS rep_doc_id, tok AS rep_tok

@@ -630,7 +630,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       // convention as q92's PMI).
       build = (s, dir) => {
         val terms = table(s, dir, "documents")
-          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .select(explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         val top = terms.orderBy(col("cnt").desc, col("w")).limit(1000)
         val ranked = top.withColumn("rank", row_number().over(
@@ -643,7 +643,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       oracle = Some(s"""
         WITH terms AS (
           SELECT w, count(*) AS cnt FROM (
-            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            SELECT unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
             FROM documents)
           GROUP BY w),
         topk AS (
@@ -773,7 +773,7 @@ private[graft] trait Catalog2 extends CatalogBase {
         s1 AS (SELECT k.* FROM keyed k JOIN keep1 USING (doc_id)),
         keep2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY ck),
         c_toks AS MATERIALIZED (
-          SELECT d.doc_id, regexp_split_to_array(trim(d.text), '\\s+') AS t
+          SELECT d.doc_id, regexp_split_to_array(trim(d.text), '[ \\t\\n\\x0B\\f\\r]+') AS t
           FROM documents d JOIN keep2 USING (doc_id)),
         c_sh AS MATERIALIZED (
           SELECT doc_id, list_distinct(list_transform(
@@ -1839,7 +1839,7 @@ private[graft] trait Catalog2 extends CatalogBase {
               - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)), 6) AS flesch
           FROM (
             SELECT
-              len(regexp_split_to_array(trim(text), '\\s+')) AS w,
+              len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
               greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sent,
               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
             FROM documents WHERE lang = 'en')),
@@ -2017,7 +2017,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       build = (s, dir) => {
         val toks = table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
-            explode(split(trim(col("text")), "\\s+")).as("w"))
+            explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
         val vocab = toks.groupBy(col("w"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("w")).limit(16)
@@ -2037,7 +2037,7 @@ private[graft] trait Catalog2 extends CatalogBase {
       oracle = Some(s"""
         WITH toks AS (
           SELECT doc_id, lang,
-            unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
           FROM documents),
         vocab AS (
           SELECT w FROM (
@@ -2141,7 +2141,7 @@ private[graft] trait Catalog2 extends CatalogBase {
           .orderBy(col("id_a"), col("id_b")),
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         sh AS (
           SELECT doc_id, list_distinct(list_transform(

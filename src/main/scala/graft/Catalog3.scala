@@ -174,7 +174,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         sh AS (
           SELECT doc_id, list_distinct(list_transform(
@@ -2044,16 +2044,17 @@ private[graft] trait Catalog3 extends CatalogBase {
             to_date(col("ts")).as("d"))
           .agg(sum(lit(32) + coalesce(length(col("props")), lit(0))
             + coalesce(length(col("event_type")), lit(0))).as("bytes"))
-          .withColumn("ordk",
-            datediff(col("d"), lit("1970-01-01")).cast("long") * 1000
-              + col("u"))
-        // tie-break on u, NOT ordk itself: day*1000 + u collides once
-        // user ids pass 1000 (they do at sf1 — the r11 full-catalog
-        // sweep caught max_bucket_bytes flapping while every total
-        // matched: tied ordk rows entered the running sum in
-        // engine-dependent order and shifted one bucket boundary).
-        // (ordk, u) is a TOTAL order because (d, u) is the group key.
-        val ranked = PrefixSum.running(files, "ordk", "u", "bytes",
+          .withColumn("ordd",
+            datediff(col("d"), lit("1970-01-01")).cast("long"))
+        // Scan order is (day, user) DIRECTLY — day as the sort key, user
+        // as the tie-break ((d, u) is the group key, so the order is
+        // total). The locality intent: each output bucket packs files
+        // from one day's contiguous user range, so compaction I/O stays
+        // within a day partition. An earlier radix encoding
+        // (day·1000 + user) aliased across days once user ids passed
+        // 1000 — ids from day d interleaved with day d+1 and the r11
+        // sf1 sweep caught max_bucket_bytes flapping on the tied keys.
+        val ranked = PrefixSum.running(files, "ordd", "u", "bytes",
             descending = false)
           .withColumn("bucket",
             expr(s"CAST(cum - bytes AS BIGINT) div $target"))
@@ -2076,18 +2077,13 @@ private[graft] trait Catalog3 extends CatalogBase {
             CAST(sum(32 + coalesce(len(props), 0)
               + coalesce(len(event_type), 0)) AS BIGINT) AS bytes
           FROM events GROUP BY 1, 2),
-        ordf AS (
-          SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
-              * 1000 + u AS ordk,
-            u, bytes
-          FROM files),
         run AS (
-          -- u tie-break: ordk collides once user ids pass 1000 (engine
-          -- comment; (ordk, u) is total because (d, u) is the group key)
+          -- scan order (d, u) directly — total because (d, u) is the
+          -- group key; mirrors the engine's day-locality pack order
           SELECT bytes,
-            sum(bytes) OVER (ORDER BY ordk, u ROWS UNBOUNDED PRECEDING)
+            sum(bytes) OVER (ORDER BY d, u ROWS UNBOUNDED PRECEDING)
               - bytes AS excum
-          FROM ordf),
+          FROM files),
         bk AS (SELECT bytes, excum // 4096 AS bucket FROM run),
         per AS (
           SELECT bucket, count(*) AS nf, CAST(sum(bytes) AS BIGINT) AS bb
@@ -2342,7 +2338,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       build = (s, dir) => {
         val d = table(s, dir, "documents")
           .withColumn("score", col("n_chars").cast("double")
-            / (size(split(trim(col("text")), "\\s+")) + 1))
+            / (size(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")) + 1))
         val sp = Sampling.hashSplit(d, "doc_id", valBuckets = 50)
         val tau = sp.filter(col("split") === "val")
           .groupBy(col("lang"))
@@ -2363,7 +2359,7 @@ private[graft] trait Catalog3 extends CatalogBase {
         WITH d AS (
           SELECT doc_id, lang,
             CAST(n_chars AS DOUBLE)
-              / (len(regexp_split_to_array(trim(text), '\\s+')) + 1)
+              / (len(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) + 1)
               AS score,
             ${Sampling.sqlHashBucket("doc_id", 100)} AS b
           FROM documents),
@@ -2466,7 +2462,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       // One explode over the bounded vocabulary × 3 widths.
       build = (s, dir) => {
         val toks = table(s, dir, "documents")
-          .select(split(trim(col("text")), "\\s+").as("a"))
+          .select(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("a"))
         val uni = toks.select(explode(col("a")).as("term"))
         val bi = toks.filter(size(col("a")) >= 2)
           .select(explode(expr(
@@ -2486,7 +2482,7 @@ private[graft] trait Catalog3 extends CatalogBase {
       },
       oracle = Some(s"""
         WITH toks AS (
-          SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+          SELECT regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS a
           FROM documents),
         vocab AS (
           SELECT DISTINCT term FROM (

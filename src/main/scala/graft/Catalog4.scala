@@ -922,7 +922,7 @@ private[graft] trait Catalog4 extends CatalogBase {
       // mean (davg convention).
       build = (s, dir) => {
         val toks = table(s, dir, "documents")
-          .select(col("lang"), split(trim(col("text")), "\\s+").as("tk"))
+          .select(col("lang"), split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+").as("tk"))
         val bi = toks.filter(size(col("tk")) >= 2)
           .select(col("lang"), explode(expr(
             "transform(sequence(0, size(tk) - 2)," +
@@ -945,7 +945,7 @@ private[graft] trait Catalog4 extends CatalogBase {
       },
       oracle = Some("""
         WITH tk AS (
-          SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT lang, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         bi AS (
           SELECT lang, t[i] AS w1, t[i + 1] AS w2
@@ -1499,7 +1499,7 @@ private[graft] trait Catalog4 extends CatalogBase {
       build = (s, dir) => {
         val tok = table(s, dir, "documents")
           .select(col("source").as("src"),
-            explode(split(trim(col("text")), "\\s+")).as("w"))
+            explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
         val cs = tok.groupBy(col("src"), col("w"))
           .agg(count(lit(1)).as("csw"))
         val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
@@ -1527,7 +1527,7 @@ private[graft] trait Catalog4 extends CatalogBase {
       oracle = Some("""
         WITH tok AS (
           SELECT source AS src,
-            unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS w
           FROM documents),
         cs AS (SELECT src, w, count(*) AS csw FROM tok GROUP BY 1, 2),
         cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),

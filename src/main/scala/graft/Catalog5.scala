@@ -629,7 +629,7 @@ private[graft] trait Catalog5 extends CatalogBase {
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         grams AS (
           SELECT doc_id, t[i] || ' ' || t[i+1] AS g

@@ -428,7 +428,7 @@ private[graft] trait Catalog6 extends CatalogBase {
         val k = 100
         val docs = table(s, dir, "documents")
           .select(col("doc_id"), length(col("text")).as("len"),
-            size(array_distinct(split(trim(col("text")), "\\s+")))
+            size(array_distinct(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")))
               .as("vocab"))
         def top(metric: String, rankName: String): DataFrame = {
           val t = docs.orderBy(col(metric).desc, col("doc_id")).limit(k)
@@ -450,7 +450,7 @@ private[graft] trait Catalog6 extends CatalogBase {
       oracle = Some("""
         WITH docs AS (
           SELECT doc_id, length(text) AS len,
-            len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+            len(list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')))
               AS vocab
           FROM documents),
         rl AS (
@@ -1227,7 +1227,7 @@ private[graft] trait Catalog6 extends CatalogBase {
       // row from the broadcast total.
       build = (s, dir) => {
         val counts = table(s, dir, "documents")
-          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .select(explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("r"))
         val spectrum = counts.groupBy(col("r"))
           .agg(count(lit(1)).as("n_r"))
@@ -1250,7 +1250,7 @@ private[graft] trait Catalog6 extends CatalogBase {
       oracle = Some("""
         WITH counts AS (
           SELECT w, count(*) AS r
-          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
                   AS w FROM documents)
           GROUP BY 1),
         spectrum AS (SELECT r, count(*) AS n_r FROM counts GROUP BY 1),
@@ -2244,7 +2244,7 @@ private[graft] trait Catalog6 extends CatalogBase {
         import s.implicits._
         val toks = table(s, dir, "documents")
           .select(col("doc_id"),
-            explode(split(trim(col("text")), "\\s+")).as("w"))
+            explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
         val perDoc = toks.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("tok"))
         val firsts = toks.groupBy(col("w"))
@@ -2287,7 +2287,7 @@ private[graft] trait Catalog6 extends CatalogBase {
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id,
-            unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS w
           FROM documents),
         per_doc AS (
           SELECT doc_id, count(*) AS tok FROM toks GROUP BY 1),

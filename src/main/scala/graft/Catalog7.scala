@@ -2158,7 +2158,7 @@ private[graft] trait Catalog7 extends CatalogBase {
       // double formulas.
       build = (s, dir) => {
         val counts = table(s, dir, "documents")
-          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .select(explode(split(trim(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("r"))
         val m = counts.agg(count(lit(1)).as("s_obs"),
           sum((col("r") === 1).cast("long")).as("f1"),
@@ -2179,7 +2179,7 @@ private[graft] trait Catalog7 extends CatalogBase {
       oracle = Some("""
         WITH counts AS (
           SELECT w, count(*) AS r
-          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))
                   AS w FROM documents)
           GROUP BY 1),
         m AS (
@@ -2500,7 +2500,7 @@ private[graft] trait Catalog7 extends CatalogBase {
           .orderBy(col("id_a"), col("id_b")),
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         sh AS (
           SELECT doc_id, list_distinct(list_transform(
@@ -2551,7 +2551,7 @@ private[graft] trait Catalog7 extends CatalogBase {
       },
       oracle = Some("""
         WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
           FROM documents),
         sh AS (
           SELECT doc_id, list_distinct(list_transform(
@@ -3010,7 +3010,7 @@ private[graft] trait Catalog7 extends CatalogBase {
           VALUES ${Wordpiece.sqlVocabValues}),
         wp_words AS (
           SELECT doc_id, i AS widx, t[i] AS word
-          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
                 FROM documents WHERE text IS NOT NULL),
             unnest(generate_series(1, len(t))) u(i)
           WHERE len(t[i]) > 0),

@@ -308,7 +308,7 @@ private[graft] trait CatalogBase {
     val rounds = 6
     val sb = new StringBuilder
     sb ++= """WITH toks AS MATERIALIZED (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
     rem0 AS MATERIALIZED (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -394,7 +394,7 @@ private[graft] trait CatalogBase {
     * by the q29/q47 oracles; `lazy` is load-bearing — referenced from
     * `all`, which is initialized above these definitions). */
   protected lazy val simhashCtes: String = """toks AS (
-      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
       FROM documents),
     th AS (
       SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT) AS h
@@ -423,7 +423,7 @@ private[graft] trait CatalogBase {
     * `(h >> bit) & 1` tests the right bit for every bit 0..31 of the
     * non-negative words. */
   protected lazy val simhash128Ctes: String = """toks AS (
-      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS t
+      SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS t
       FROM documents),
     th AS (
       SELECT doc_id,
@@ -480,7 +480,7 @@ private[graft] trait CatalogBase {
     * exact integers as the list_intersect/len form, so the final
     * division is bit-identical. */
   protected lazy val ngramPairCtes: String = """toks AS MATERIALIZED (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents),
     sh AS MATERIALIZED (
       SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s

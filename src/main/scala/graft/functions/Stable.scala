@@ -155,7 +155,16 @@ object Stable {
     * contract; callers immediately divide into doubles anyway).
     * NON-NEGATIVE v only (second moments, counts): the mirrors pair
     * Spark's floored pmod with DuckDB's truncating HUGEINT `%`, which
-    * agree iff v ≥ 0. Mirror: [[sqlPortableDouble]]. */
+    * agree iff v ≥ 0. Mirror: [[sqlPortableDouble]].
+    *
+    * The contract is ENFORCED, not just documented (r11 ADVICE): outside
+    * [0, 10^33) the two engines would diverge SILENTLY in different ways
+    * — Spark's decimal(29,0) intermediate overflows (NULL / ANSI error)
+    * while DuckDB's HUGEINT words keep computing a wrong value up to
+    * 2^113 — and nothing in a caller's column type (q348's g_num is
+    * decimal(38,0)) pins the bound. Both sides add a lazily-evaluated
+    * poison term that raises on an out-of-contract row, so a violation
+    * fails the gate loudly instead of hash-diverging. */
   def portableDouble(v: Column): Column = {
     val radix = 1073741824L // 2^30
     val r = lit(radix).cast("decimal(10,0)")
@@ -163,18 +172,33 @@ object Stable {
     val q1 = ((v - w0) / r).cast("decimal(29,0)") // < 2^83 for v < 10^33
     val w1 = pmod(q1, r)
     val w2 = ((q1 - w1) / r).cast("decimal(23,0)") // < 2^53 for v < 2^113
-    (w2.cast("double") * radix.toDouble + w1.cast("double")) *
-      radix.toDouble + w0.cast("double")
+    val guard = when(v.isNotNull && (v < 0 || v >= lit(PD_BOUND)),
+      raise_error(concat(lit("portableDouble out of contract [0, 1e33): "),
+        v.cast("string"))).cast("double")).otherwise(lit(0.0))
+    guard + ((w2.cast("double") * radix.toDouble + w1.cast("double")) *
+      radix.toDouble + w0.cast("double"))
   }
 
+  /** 10^33 as an exact scale-0 decimal (the [[portableDouble]] contract
+    * bound; a float literal would blur the edge). */
+  private val PD_BOUND =
+    new java.math.BigDecimal("1000000000000000000000000000000000")
+
   /** DuckDB mirror of [[portableDouble]] — HUGEINT words, same radix,
-    * same three-word split and recombination order. `expr` must be an
-    * integer-valued decimal (scale 0), 0 ≤ v < 10^33. */
+    * same three-word split and recombination order, same loud
+    * out-of-contract poison (CASE is lazy; the added 0.0 cannot perturb
+    * a non-negative result). `expr` must be an integer-valued decimal
+    * (scale 0), 0 ≤ v < 10^33. */
   def sqlPortableDouble(expr: String): String = {
     val q1 = s"(CAST($expr AS HUGEINT) // 1073741824)"
-    s"((CAST($q1 // 1073741824 AS DOUBLE) * 1073741824.0" +
+    val bound = "CAST('1000000000000000000000000000000000' AS HUGEINT)"
+    s"((CASE WHEN ($expr) IS NOT NULL AND (($expr) < 0 OR" +
+      s" CAST($expr AS HUGEINT) >= $bound)" +
+      s" THEN error('portableDouble out of contract [0, 1e33): ' ||" +
+      s" ($expr)) ELSE 0.0 END)" +
+      s" + ((CAST($q1 // 1073741824 AS DOUBLE) * 1073741824.0" +
       s" + CAST($q1 % 1073741824 AS DOUBLE)) * 1073741824.0" +
-      s" + CAST(CAST($expr AS HUGEINT) % 1073741824 AS DOUBLE))"
+      s" + CAST(CAST($expr AS HUGEINT) % 1073741824 AS DOUBLE)))"
   }
 
   /** [[portableDouble]] for SIGNED integer decimals (|v| < 10^33):

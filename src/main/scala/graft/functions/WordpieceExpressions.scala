@@ -17,8 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `[UNK]`, never a partial piece list.
   *
   * Portability contract (the DuckDB oracle mirrors every rule):
-  * whitespace words are Java-regex `\s+` splits (ASCII whitespace — same
-  * class RE2 gives DuckDB's `regexp_split_to_array`); empty words are
+  * whitespace words are splits on the EXPLICIT class
+  * `[ \t\n\x0B\f\r]+` — spelled out in both the kernel and the oracle
+  * regex, because the engines' `\s` shorthands disagree on exactly one
+  * member: Java's `\s` includes vertical tab U+000B, RE2's excludes it
+  * (r11 ADVICE — a `\x0B`-bearing doc would have word-split differently
+  * per engine); empty words are
   * skipped; matching positions count CODEPOINTS, not UTF-16 units, so a
   * supplementary char costs 1 exactly like DuckDB's `substr`/`len`; the
   * vocabulary must be ASCII (checked at bind time) so piece lengths are
@@ -64,11 +68,15 @@ case class WordpieceTokenize(left: Expression, right: Expression)
 
   private val UNK = UTF8String.fromString("[UNK]")
 
+  /** Precompiled (String.split recompiles any multi-char pattern per
+    * call — a per-ROW regex compile in this kernel's hot path). */
+  private val WS = java.util.regex.Pattern.compile("[ \\t\\n\\x0B\\f\\r]+")
+
   /** Public for generated code (called via a codegen reference object). */
   def tokenize(text: UTF8String): ArrayData = {
     val (startSet, contSet, maxLen) = vocabSets
     val out = new java.util.ArrayList[UTF8String]()
-    val words = text.toString.split("\\s+")
+    val words = WS.split(text.toString)
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)

@@ -31,7 +31,7 @@ object Divergence {
   def klVsCorpus(docs: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
     val tok = docs.select(col(groupCol).as("g"),
-      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      explode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
     val src = tok.groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
     val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val nSrc = src.groupBy(col("g")).agg(sum(col("c")).as("ns"))
@@ -54,7 +54,7 @@ object Divergence {
   def sqlKlCtes(tbl: String, gSql: String, textSql: String): String = s"""
     kl_tok AS (
       SELECT $gSql AS g,
-        unnest(regexp_split_to_array(trim($textSql), '\\s+')) AS w
+        unnest(regexp_split_to_array(trim($textSql), '[ \\t\\n\\x0B\\f\\r]+')) AS w
       FROM $tbl),
     kl_src AS (SELECT g, w, count(*) AS c FROM kl_tok GROUP BY g, w),
     kl_corp AS (SELECT w, count(*) AS cw FROM kl_tok GROUP BY w),

@@ -67,7 +67,7 @@ object HeavyHitters {
     import spark.implicits._
 
     val tok = df.select(
-      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      explode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val candidates = tok.as[String]
       .mapPartitions(it => mgSummary(it, k))
       .toDF("term").distinct()
@@ -84,7 +84,7 @@ object HeavyHitters {
   /** DuckDB mirror: the exact GROUP BY / HAVING the sketch short-cuts. */
   def sqlFrequentTerms(textCol: String, phiDen: Long = 1000L): String =
     s"""WITH tok AS (
-       |  SELECT unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS term
+       |  SELECT unnest(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS term
        |  FROM documents),
        |n AS (SELECT count(*) AS n_tok FROM tok)
        |SELECT term, count(*) AS cnt, n_tok

@@ -25,7 +25,7 @@ object LangId {
 
   /** Per-language score columns named `score_<lang>`. */
   def scores(text: Column): Seq[Column] = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     profiles.map { case (lang, markers) =>
       markerCount(toks, markers).as(s"score_$lang")
     }
@@ -36,7 +36,7 @@ object LangId {
     * 0). Built as a fold of `when` clauses — first strictly-greater wins,
     * which equals argmax with declaration-order tie-break. */
   def predicted(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = split(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+")
     val scored = profiles.map { case (lang, m) => lang -> markerCount(toks, m) }
     val best = greatest(scored.map(_._2): _*)
     val allZero = scored.map(_._2 === 0).reduce(_ && _)
@@ -80,7 +80,7 @@ object LangId {
   // --- DuckDB oracle mirrors ----------------------------------------------
 
   private def sqlToks(expr: String): String =
-    s"regexp_split_to_array(lower(trim($expr)), '\\s+')"
+    s"regexp_split_to_array(lower(trim($expr)), '[ \\t\\n\\x0B\\f\\r]+')"
 
   private def sqlSubstringCount(expr: String, t: String): String = {
     val lit = t.replace("'", "''")

@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object NearDup {
 
   /** Whitespace tokens (matches the oracle's `regexp_split_to_array`). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\x0B\\f\\r]+")
 
   /** Distinct word n-gram shingles from an already-computed token array.
     * Documents shorter than n tokens yield an empty set (Spark's

@@ -59,7 +59,7 @@ object TextHash {
   }
 
   private def tokens(text: Column): Column =
-    array_distinct(split(trim(text), "\\s+"))
+    array_distinct(split(trim(text), "[ \\t\\n\\x0B\\f\\r]+"))
 
   /** 128-bit SimHash sketch as `array<bigint>` [hi, lo] — the wide twin of
     * [[simhash]] whose ≥ 32-bit bands keep banding sub-quadratic to

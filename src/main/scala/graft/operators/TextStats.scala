@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** Whitespace token count. `split` + `size` stays inside codegen. */
-  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  def tokenCount(text: Column): Column = size(split(trim(text), "[ \\t\\n\\x0B\\f\\r]+"))
 
   /** Count of sentence-ending punctuation ([.!?]). */
   def punctCount(text: Column): Column =
@@ -44,7 +44,7 @@ object TextStats {
     * space. Everything stays codegen'd (NFC is one static call per row
     * with an isNormalized fast path). */
   def canonicalText(text: Column): Column =
-    regexp_replace(trim(lower(call_function("graft_nfc", text))), "\\s+", " ")
+    regexp_replace(trim(lower(call_function("graft_nfc", text))), "[ \\t\\n\\x0B\\f\\r]+", " ")
 
   /** Dedup key over the canonical form — catches case/whitespace/Unicode
     * -form variants that byte-exact [[contentKey]] treats as distinct. */
@@ -52,7 +52,7 @@ object TextStats {
 
   /** DuckDB mirror of [[canonicalText]]. */
   def sqlCanonicalText(expr: String): String =
-    s"regexp_replace(trim(lower(nfc_normalize($expr))), '\\s+', ' ', 'g')"
+    s"regexp_replace(trim(lower(nfc_normalize($expr))), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')"
 
   /** Compact English stopword list for the stopword-ratio quality signal
     * (a C4/Gopher-style filter input: natural prose has a healthy share of
@@ -67,7 +67,7 @@ object TextStats {
     * WholeStageCodegen; a `filter` HOF would run interpreted). */
   def stopwordCount(text: Column): Column =
     call_function("graft_stopword_count",
-      split(trim(lower(text)), "\\s+"),
+      split(trim(lower(text)), "[ \\t\\n\\x0B\\f\\r]+"),
       lit(Stopwords.toArray))
 
   /** Adds deterministic per-document quality-signal columns:
@@ -86,7 +86,7 @@ object TextStats {
       .withColumn("q_tokens", tokenCount(t))
       .withColumn("q_punct", punctCount(t))
       .withColumn("avg_token_len",
-        over(length(regexp_replace(t, "\\s+", "")).cast("double"), col("q_tokens")))
+        over(length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]+", "")).cast("double"), col("q_tokens")))
       .withColumn("punct_ratio", over(col("q_punct").cast("double"), col("q_chars")))
       .withColumn("stopword_ratio",
         over(stopwordCount(t).cast("double"), col("q_tokens")))
@@ -95,7 +95,7 @@ object TextStats {
   /** DuckDB mirror of [[stopwordCount]]. */
   def sqlStopwordCount(expr: String): String = {
     val list = Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""len(list_filter(regexp_split_to_array(trim(lower($expr)), '\\s+'),
+    s"""len(list_filter(regexp_split_to_array(trim(lower($expr)), '[ \\t\\n\\x0B\\f\\r]+'),
        |  t -> t IN ($list)))""".stripMargin
   }
 
@@ -113,7 +113,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val tok = df.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w0")))
+      posexplode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as(Seq("pos", "w0")))
     val tokStats = tok.groupBy(col("id")).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("w0")).as("n_distinct"))
@@ -151,7 +151,7 @@ object TextStats {
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(idCol).as("id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      explode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
     val tf = tok.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val n = df.agg(count(lit(1)).as("n_docs"))
@@ -174,7 +174,7 @@ object TextStats {
     * columns id, rank, term, tf, df_docs, score). */
   def sqlTfidfCtes(idCol: String, textCol: String, k: Int = 3): String =
     s"""tok AS (
-       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS term
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS term
        |  FROM documents),
        |tf AS (SELECT id, term, count(*) AS tf FROM tok GROUP BY id, term),
        |dfc AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
@@ -212,7 +212,7 @@ object TextStats {
   def bm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
+      split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .withColumn("dl", size(col("toks")))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
@@ -246,8 +246,8 @@ object TextStats {
       termsList: String): String =
     s"""docs AS (
        |  SELECT $idCol AS id,
-       |    len(regexp_split_to_array(trim($textCol), '\\s+')) AS dl,
-       |    regexp_split_to_array(trim($textCol), '\\s+') AS toks
+       |    len(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS dl,
+       |    regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+') AS toks
        |  FROM documents),
        |bmstats AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
@@ -287,7 +287,7 @@ object TextStats {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")
     // chunk starts: 1, 1+stride, ... while start <= max(1, n - stride)
     // guarantees full coverage with no trailing chunk fully contained in
     // the previous one
@@ -339,7 +339,7 @@ object TextStats {
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
       .select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        explode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
     tf.groupBy(col("id"))
       .agg(
@@ -356,7 +356,7 @@ object TextStats {
     * columns id, n_tokens, n_distinct, entropy). */
   def sqlTokenEntropyCtes(idCol: String, textCol: String): String =
     s"""tok AS (
-       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM documents),
        |tf AS (SELECT id, w, count(*) AS c FROM tok GROUP BY id, w),
        |ent AS (
@@ -386,7 +386,7 @@ object TextStats {
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df
       .select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        explode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
     val freq = tf.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val total = freq.agg(sum(col("cw")).as("n_total"))
@@ -408,7 +408,7 @@ object TextStats {
     * columns id, n_tokens, mean_surprisal). */
   def sqlUnigramSurprisalCtes(idCol: String, textCol: String): String =
     s"""tok AS (
-       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |  FROM documents),
        |tf AS (SELECT id, w, count(*) AS c FROM tok GROUP BY id, w),
        |freq AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY w),
@@ -441,7 +441,7 @@ object TextStats {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val toks = df.select(col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w1")))
+      posexplode(split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+")).as(Seq("pos", "w1")))
     val big = toks
       .withColumn("w2", lead(col("w1"), 1).over(w))
       .filter(col("w2").isNotNull)
@@ -463,7 +463,7 @@ object TextStats {
   def sqlPmiCollocations(idCol: String, textCol: String,
       minCount: Long = 5L, k: Int = 100): String =
     s"""WITH toks AS (
-       |  SELECT $idCol AS id, regexp_split_to_array(trim($textCol), '\\s+') AS t
+       |  SELECT $idCol AS id, regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+') AS t
        |  FROM documents),
        |uni AS (SELECT unnest(t) AS w FROM toks),
        |cx AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
@@ -524,8 +524,8 @@ object TextStats {
     * top_bigram_fraction` from `rep`). */
   def sqlRepetitionCtes(idCol: String, textCol: String): String =
     s"""tok AS (
-       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '\\s+')) AS w,
-       |    generate_subscripts(regexp_split_to_array(trim($textCol), '\\s+'), 1) AS pos
+       |  SELECT $idCol AS id, unnest(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+')) AS w,
+       |    generate_subscripts(regexp_split_to_array(trim($textCol), '[ \\t\\n\\x0B\\f\\r]+'), 1) AS pos
        |  FROM documents),
        |tok_stats AS (
        |  SELECT id, count(*) AS n_tokens, count(DISTINCT w) AS n_distinct

@@ -38,7 +38,7 @@ object Winnowing {
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
     val toks = docs.select(col(idCol).as("id"),
-      split(trim(col(textCol)), "\\s+").as("t"))
+      split(trim(col(textCol)), "[ \\t\\n\\x0B\\f\\r]+").as("t"))
     // sequence() descends for negative spans, so short docs must yield
     // an EMPTY gram array, not a descending index walk into slice()
     val grams = toks
@@ -110,7 +110,7 @@ object Winnowing {
   def sqlFingerprintCtes(tbl: String, idSql: String, textSql: String,
       k: Int = 3, w: Int = 4): String = s"""win_toks AS (
       SELECT $idSql AS id,
-        regexp_split_to_array(trim($textSql), '\\s+') AS t
+        regexp_split_to_array(trim($textSql), '[ \\t\\n\\x0B\\f\\r]+') AS t
       FROM $tbl),
     win_grams AS (
       SELECT id, i - 1 AS pos,

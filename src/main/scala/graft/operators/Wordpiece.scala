@@ -48,8 +48,19 @@ object Wordpiece {
     vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
 
   /** `(piece, is_cont)` VALUES rows for the DuckDB oracle (continuation
-    * pieces stored stripped, matching the engine kernel's sets). */
-  def sqlVocabValues: String = vocab.map { p =>
+    * pieces stored stripped, matching the engine kernel's sets). Each
+    * piece is asserted `[A-Za-z0-9#]+` HERE, not just in the expression
+    * bind path: the bind check only requires ASCII, which includes the
+    * single quote — a quote-bearing piece would interpolate broken (or
+    * injectable) SQL into the oracle (r11 ADVICE). */
+  def sqlVocabValues: String = sqlVocabValuesOf(vocab)
+
+  /** [[sqlVocabValues]] for an arbitrary vocab (the file-loaded 30k-piece
+    * artifact shares the guard). */
+  def sqlVocabValuesOf(pieces: Seq[String]): String = pieces.map { p =>
+    require(p.nonEmpty && p.forall(c => c.isLetterOrDigit && c < 128 ||
+      c == '#'), s"vocab piece must match [A-Za-z0-9#]+ for safe SQL " +
+      s"interpolation: '$p'")
     if (p.startsWith("##")) s"('${p.substring(2)}', true)"
     else s"('$p', false)"
   }.mkString(", ")
@@ -62,10 +73,12 @@ object Wordpiece {
       array(vocab.map(lit): _*))
 
   /** Whitespace word count matching the tokenizer's word admission
-    * (Java `\s+` split, EMPTY FRAGMENTS dropped — Spark's split keeps
+    * (the explicit `[ \t\n\x0B\f\r]+` class shared with the oracle —
+    * Java's and RE2's `\s` disagree on U+000B; EMPTY FRAGMENTS dropped
+    * — Spark's split keeps
     * the empty fragments a leading/trailing separator run produces, so
     * a whitespace-only doc would otherwise count phantom words; the
     * hostile fixture's '   \n\t  ' doc caught exactly that). */
   def wordCount(text: Column): Column =
-    size(array_remove(split(text, "\\s+"), "")).cast("long")
+    size(array_remove(split(text, "[ \\t\\n\\x0B\\f\\r]+"), "")).cast("long")
 }
