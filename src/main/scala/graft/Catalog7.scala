@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Stable._
 import graft.operators._
 
-/** Catalog part 7 of 7: queries q324..q366, in original catalog
+/** Catalog part 7 of 7: queries q324..q367, in original catalog
   * order ([[Queries.all]] concatenates the parts — split from the former
   * single-file catalog purely for compile/review ergonomics; content and
   * order are unchanged).
@@ -2993,9 +2993,68 @@ private[graft] trait Catalog7 extends CatalogBase {
         FROM counts
         GROUP BY 1
         ORDER BY bucket""")),
+
+    "q367_wordpiece_vocab30k" -> Q(
+      // q365's tokenizer at PRODUCTION vocabulary scale (r11 judge ask
+      // #4): the checked-in 30,000-piece artifact (~300 KB,
+      // tools/gen_vocab30k.py) loaded from FILE — not source-embedded —
+      // and broadcast as one array literal, the way a real trained
+      // vocab ships. Exercises the trie kernel where it matters: max
+      // piece length 12 (vs the fixture's 5), 30k pieces (vs 112), and
+      // the hash compare still pins the exact SEGMENTATION string per
+      // doc. The oracle is the same recursive-CTE greedy walk reading
+      // the SAME file via read_csv — no transcription between engines.
+      // Scale shape identical to q365: scan-speed map, no shuffle; the
+      // trie builds once per executor from the broadcast literal.
+      build = (s, dir) => {
+        val t = col("text")
+        val toks = Wordpiece.tokensWith(t, Wordpiece.vocab30k)
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            when(t.isNull, lit(null)).otherwise(Wordpiece.wordCount(t))
+              .as("n_words"),
+            size(toks).cast("long").as("n_tokens"),
+            (size(toks) - size(array_remove(toks, "[UNK]"))).cast("long")
+              .as("n_unk"),
+            array_join(toks, " ").as("toks_str"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $wordpiece30kCtes
+        SELECT d.doc_id,
+          CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(coalesce(p.n_words, 0) AS BIGINT) END AS n_words,
+          CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(coalesce(p.n_tokens, 0) AS BIGINT) END AS n_tokens,
+          CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(coalesce(p.n_unk, 0) AS BIGINT) END AS n_unk,
+          CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(p.toks_str, '') END AS toks_str
+        FROM documents d
+        LEFT JOIN wp_perdoc p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      bench = true),
   )
 
-  /** Shared WordPiece oracle machinery (q365/q366): the greedy
+  /** [[wordpieceCtesFor]] over the source-embedded fixture vocab
+    * (q365/q366). */
+  protected lazy val wordpieceCtes: String =
+    wordpieceCtesFor(s"VALUES ${Wordpiece.sqlVocabValues}",
+      Wordpiece.maxPieceLen)
+
+  /** [[wordpieceCtesFor]] over the 30k-piece FILE artifact (q367): the
+    * oracle reads the same file the engine loads — `read_csv` on the
+    * piece-per-line text, continuations stripped in SQL exactly like the
+    * kernel's two sets. */
+  protected lazy val wordpiece30kCtes: String = wordpieceCtesFor(
+    s"""SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+            ELSE piece END,
+          piece LIKE '##%'
+        FROM read_csv('${Wordpiece.vocab30kPath}', header=false,
+          columns={'piece': 'VARCHAR'})""",
+    Wordpiece.maxPieceLenOf(Wordpiece.vocab30k))
+
+  /** Shared WordPiece oracle machinery (q365/q366/q367): the greedy
     * longest-match walk as a recursive CTE. `best` precomputes, for
     * every (word, codepoint position), the longest vocab piece matching
     * there (continuations looked up stripped — the engine kernel's two
@@ -3006,8 +3065,9 @@ private[graft] trait Catalog7 extends CatalogBase {
     * (HuggingFace's max_input_chars_per_word convention). Emits
     * `wp_perdoc(doc_id, n_words, n_tokens, n_unk, toks_str)` for
     * word-bearing docs; callers LEFT JOIN and coalesce. */
-  protected lazy val wordpieceCtes: String = s"""vocab(piece, is_cont) AS (
-          VALUES ${Wordpiece.sqlVocabValues}),
+  protected def wordpieceCtesFor(vocabBody: String,
+      maxPieceLen: Int): String = s"""vocab(piece, is_cont) AS (
+          $vocabBody),
         wp_words AS (
           SELECT doc_id, i AS widx, t[i] AS word
           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
@@ -3022,7 +3082,7 @@ private[graft] trait Catalog7 extends CatalogBase {
           SELECT doc_id, widx, word, pos, L,
             substr(word, pos, L) AS frag, pos > 1 AS cont
           FROM wp_pos,
-            unnest(generate_series(1, ${Wordpiece.maxPieceLen})) v(L)
+            unnest(generate_series(1, $maxPieceLen)) v(L)
           WHERE pos + L - 1 <= len(word)),
         wp_best AS (
           SELECT s.doc_id, s.widx, s.pos, max(s.L) AS adv

@@ -42,28 +42,32 @@ case class WordpieceTokenize(left: Expression, right: Expression)
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
 
-  /** (word-start pieces, continuation pieces stripped of `##`, max piece
-    * codepoint length) — built once per expression instance from the
-    * foldable vocab. */
-  @transient private lazy val vocabSets
-      : (java.util.HashSet[String], java.util.HashSet[String], Int) = {
+  /** (word-start trie, continuation trie over stripped `##` pieces) —
+    * built once per expression instance from the foldable vocab. The
+    * r11 kernel kept two HashSets and probed every position maxLen→1,
+    * each probe a fresh String allocation + hash; at a production vocab
+    * (30k pieces, max piece length 12) that is ~12 allocations per
+    * MISSED position. The trie walks each position FORWARD once, zero
+    * allocations until a token is actually emitted, and its longest
+    * surviving path IS the greedy longest match — identical output by
+    * construction (OperatorsSpec pins fixture-vocab segmentation;
+    * q365/q367 hash-pin both vocab sizes against the oracle). */
+  @transient private lazy val vocabTries: (AsciiTrie, AsciiTrie) = {
     val arr = right.eval().asInstanceOf[ArrayData]
-    val start = new java.util.HashSet[String]()
-    val cont = new java.util.HashSet[String]()
-    var maxLen = 1
+    val start = new AsciiTrie
+    val cont = new AsciiTrie
     var i = 0
     while (i < arr.numElements()) {
       val p = arr.getUTF8String(i).toString
       require(p.forall(_ < 128),
         s"$prettyName vocab must be ASCII (codepoint-length contract): $p")
-      val (set, piece) =
+      val (trie, piece) =
         if (p.startsWith("##")) (cont, p.substring(2)) else (start, p)
       require(piece.nonEmpty, s"$prettyName vocab piece is empty: '$p'")
-      set.add(piece)
-      if (piece.length > maxLen) maxLen = piece.length
+      trie.add(piece)
       i += 1
     }
-    (start, cont, maxLen)
+    (start, cont)
   }
 
   private val UNK = UTF8String.fromString("[UNK]")
@@ -74,7 +78,7 @@ case class WordpieceTokenize(left: Expression, right: Expression)
 
   /** Public for generated code (called via a codegen reference object). */
   def tokenize(text: UTF8String): ArrayData = {
-    val (startSet, contSet, maxLen) = vocabSets
+    val (startTrie, contTrie) = vocabTries
     val out = new java.util.ArrayList[UTF8String]()
     val words = WS.split(text.toString)
     var wi = 0
@@ -88,21 +92,15 @@ case class WordpieceTokenize(left: Expression, right: Expression)
           var pos = 0
           var failed = false
           while (pos < cps.length && !failed) {
-            var l = math.min(maxLen, cps.length - pos)
-            var adv = -1
-            while (l >= 1 && adv < 0) {
-              val frag = new String(cps, pos, l)
-              val hit =
-                if (pos == 0) startSet.contains(frag)
-                else contSet.contains(frag)
-              if (hit) {
-                toks.add(UTF8String.fromString(
-                  if (pos > 0) "##" + frag else frag))
-                adv = l
-              }
-              l -= 1
+            val trie = if (pos == 0) startTrie else contTrie
+            val adv = trie.longestMatch(cps, pos)
+            if (adv < 0) failed = true
+            else {
+              val frag = new String(cps, pos, adv)
+              toks.add(UTF8String.fromString(
+                if (pos > 0) "##" + frag else frag))
+              pos += adv
             }
-            if (adv < 0) failed = true else pos += adv
           }
           if (failed) out.add(UNK) else out.addAll(toks)
         }
@@ -125,4 +123,94 @@ case class WordpieceTokenize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WordpieceTokenize =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codepoint trie over an ASCII piece set, tuned for the tokenize hot
+  * loop: edges live in one open-addressed int→int table keyed
+  * `(node << 7) | codepoint` (vocab is ASCII-enforced, so 7 bits cover
+  * every edge label; a non-ASCII text codepoint simply ends the walk —
+  * no ASCII piece can match through it), terminals in a growable bitset
+  * by node id. `longestMatch` is the whole greedy step: walk forward
+  * from `pos`, remember the deepest terminal, return its depth (the
+  * longest vocab piece matching at `pos`) or -1 — one pass, no
+  * allocation, no per-length re-hash of the prefix. */
+private[functions] final class AsciiTrie {
+  private var nNodes = 1 // 0 = root
+  private var terminal = new Array[Long](16) // bitset by node id
+
+  // open-addressed int→int edge map; keys are non-negative by
+  // construction, EMPTY marks a free slot, power-of-two capacity
+  private val EMPTY = -1
+  private var cap = 1 << 12
+  private var keys = Array.fill(cap)(EMPTY)
+  private var vals = new Array[Int](cap)
+  private var size = 0
+
+  private def slot(key: Int, ks: Array[Int]): Int = {
+    val mask = ks.length - 1
+    // Fibonacci hash spreads the sequential node-id high bits
+    var i = (key * 0x9e3779b9) >>> (32 - Integer.numberOfTrailingZeros(ks.length))
+    while (ks(i) != EMPTY && ks(i) != key) i = (i + 1) & mask
+    i
+  }
+
+  private def put(key: Int, value: Int): Unit = {
+    if (size * 4 >= cap * 3) { // grow at 3/4 load
+      val nk = Array.fill(cap * 2)(EMPTY)
+      val nv = new Array[Int](cap * 2)
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != EMPTY) {
+          val s = slot(keys(i), nk); nk(s) = keys(i); nv(s) = vals(i)
+        }
+        i += 1
+      }
+      keys = nk; vals = nv; cap *= 2
+    }
+    val s = slot(key, keys)
+    if (keys(s) == EMPTY) { keys(s) = key; vals(s) = value; size += 1 }
+  }
+
+  private def get(key: Int): Int = {
+    val s = slot(key, keys)
+    if (keys(s) == key) vals(s) else EMPTY
+  }
+
+  def add(piece: String): Unit = {
+    var node = 0
+    var i = 0
+    while (i < piece.length) {
+      val key = (node << 7) | piece.charAt(i)
+      var next = get(key)
+      if (next == EMPTY) {
+        next = nNodes; nNodes += 1
+        require(nNodes < (1 << 24), "AsciiTrie: vocab too large")
+        // every allocated node id must be coverable by the terminal
+        // bitset — longestMatch probes INTERMEDIATE nodes too
+        if (nNodes >>> 6 >= terminal.length)
+          terminal = java.util.Arrays.copyOf(terminal, terminal.length * 2)
+        put(key, next)
+      }
+      node = next
+      i += 1
+    }
+    terminal(node >>> 6) |= 1L << (node & 63)
+  }
+
+  /** Length of the longest piece matching `cps` at `pos`, or -1. */
+  def longestMatch(cps: Array[Int], pos: Int): Int = {
+    var node = 0
+    var i = pos
+    var best = -1
+    while (i < cps.length) {
+      val c = cps(i)
+      if (c > 127) return best // ASCII vocab cannot match through it
+      node = get((node << 7) | c)
+      if (node == EMPTY) return best
+      i += 1
+      if ((terminal(node >>> 6) & (1L << (node & 63))) != 0L)
+        best = i - pos
+    }
+    best
+  }
 }

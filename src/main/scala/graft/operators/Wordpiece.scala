@@ -67,10 +67,42 @@ object Wordpiece {
 
   /** WordPiece tokens of a text column (array<string>; `##`-prefixed
     * continuations, `[UNK]` for untokenizable or >100-codepoint words;
-    * NULL text → NULL). */
-  def tokens(text: Column): Column =
-    call_function("graft_wordpiece", text,
-      array(vocab.map(lit): _*))
+    * NULL text → NULL). The vocab rides as ONE array literal — a 30k-
+    * element `array(lit, …)` would put 30k child expressions in the
+    * plan tree; a single Literal is one node regardless of vocab size. */
+  def tokens(text: Column): Column = tokensWith(text, vocab)
+
+  /** [[tokens]] over an arbitrary piece list (the file-loaded artifact). */
+  def tokensWith(text: Column, pieces: Seq[String]): Column =
+    call_function("graft_wordpiece", text, lit(pieces.toArray))
+
+  // ---- the production-scale vocabulary artifact (q367) ----
+
+  /** Checked-in 30,000-piece synthetic vocab (tools/gen_vocab30k.py —
+    * deterministic LCG, reproducible byte-for-byte). Loaded as a FILE,
+    * not source-embedded: a real trained vocab ships exactly like this
+    * (~300 KB riding the task binary / broadcast), and the DuckDB oracle
+    * reads the SAME file via read_csv, so both engines share one
+    * artifact with no transcription step. */
+  val vocab30kPath = "/root/repo/tools/artifacts/wordpiece_vocab_30k.txt"
+
+  /** The loaded artifact, validated once: [A-Za-z0-9#]+ (the SQL-
+    * interpolation guard class — also what keeps the kernel's ASCII
+    * codepoint-length contract trivially true). */
+  lazy val vocab30k: Seq[String] = {
+    val pieces = scala.util.Using.resource(
+      scala.io.Source.fromFile(vocab30kPath))(_.getLines().toList)
+    require(pieces.size == 30000, s"vocab artifact: ${pieces.size} pieces")
+    pieces.foreach(p => require(p.nonEmpty &&
+      p.forall(c => c.isLetterOrDigit && c < 128 || c == '#'),
+      s"vocab piece must match [A-Za-z0-9#]+: '$p'"))
+    pieces
+  }
+
+  /** Longest stripped piece length of an arbitrary vocab (the oracle's
+    * substring-candidate bound for [[vocab30k]]). */
+  def maxPieceLenOf(pieces: Seq[String]): Int =
+    pieces.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
 
   /** Whitespace word count matching the tokenizer's word admission
     * (the explicit `[ \t\n\x0B\f\r]+` class shared with the oracle —

@@ -246,6 +246,52 @@ class IngestReplaySpec extends SparkSpec {
     assert(DedupIngest.readState(spark, s"$w/state").count() == 40L)
   }
 
+  test("bounded-lateness admission: shuffled-within-L arrival ≡ one-shot " +
+      "(with a replay mid-stream); a release-reordering late arrival " +
+      "still fails loudly") {
+    val w = work("graft-lateness-")
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    val core = (released: DataFrame, bid: Long) =>
+      DedupIngest.simhash128IngestBatch(released, bid,
+        s"$w/state", s"$w/surv", "doc_id", "text")
+    def runBatch(ids: Seq[Long], b: Long): Unit =
+      DedupIngest.boundedLatenessBatch(docs(ids), b, s"$w/pending", 5L,
+        "doc_id", "text", core)
+    // value displacement ≤ 3 (< L = 5): 4-blocks reversed — every batch
+    // arrives internally shuffled AND trailing ids spill across batch
+    // boundaries through the reorder buffer
+    val arrival = (0L until 40L).grouped(4).flatMap(_.reverse).toSeq
+    val slices = arrival.grouped(10).toSeq
+    slices.zipWithIndex.foreach { case (ids, b) => runBatch(ids, b.toLong) }
+    // crash-replay the last batch through the buffer: pending resolution
+    // reads the snapshot committed BELOW it, so the release set and the
+    // core writes recompute identically
+    runBatch(slices.last, slices.size - 1L)
+    // drain the disorder window
+    DedupIngest.boundedLatenessFlush(spark, slices.size.toLong,
+      s"$w/pending", core)
+    assert(survivorIds(w) == oneShotSimhash(),
+      "shuffled-within-L run diverged from the one-shot reference")
+    val state = DedupIngest.readState(spark, s"$w/state")
+    assert(state.count() == 40L && state.select("id").distinct().count() == 40L)
+    // past-L: doc 2 arrives after the watermark has passed it AND a
+    // fresh high id forces its release — the core's monotone assertion
+    // must kill the batch, not emit an order-dependent answer
+    val ex = intercept[IllegalArgumentException] {
+      runBatch(Seq(2L, 45L), slices.size + 1L)
+    }
+    assert(ex.getMessage.contains("monotone"))
+    // null ids are rejected loudly too (unorderable)
+    val exNull = intercept[IllegalArgumentException] {
+      DedupIngest.boundedLatenessBatch(
+        Seq((java.lang.Long.valueOf(50L), "x x x"),
+          (null.asInstanceOf[java.lang.Long], "y y y"))
+          .toDF("doc_id", "text"),
+        slices.size + 2L, s"$w/pending", 5L, "doc_id", "text", core)
+    }
+    assert(exNull.getMessage.contains("non-null ids"))
+  }
+
   for ((provName, provClass) <- Seq(
     "default provider" ->
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",

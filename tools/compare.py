@@ -48,6 +48,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 con = duckdb.connect()
 if threads:
     con.sql(f"SET threads TO {threads}")
+# Bounded DuckDB resources for the sf1 sweep (r11: q325's oracle filled
+# the box's disk quota with spill temp): --duck-mem caps the buffer pool,
+# --duck-tmp routes spill to an explicit directory (point it somewhere
+# with known headroom; an empty value disables spilling entirely).
+if "--duck-mem" in flags:
+    con.sql(f"SET memory_limit='{flags['--duck-mem']}'")
+if "--duck-tmp" in flags:
+    con.sql(f"SET temp_directory='{flags['--duck-tmp']}'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS FROM '{sfdir}/{t}.parquet'")
 

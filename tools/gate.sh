@@ -33,6 +33,16 @@
 #                                      GRAFT_COMBO=1; ~35 min of full-catalog
 #                                      sweeps, so it is standing-but-optional like
 #                                      the decade gate.)
+#   9. sf1 full-catalog sweep         (r11 judge ask #6: the decade-scale
+#                                      hash-verification that caught q192's
+#                                      bin-packing collision — engine dump at 16
+#                                      threads over /tmp/sf1 (regenerated from
+#                                      sf0.1 if absent), compare.py --timeout 1800
+#                                      with bounded DuckDB memory/spill; any
+#                                      FAIL/TIMEOUT not listed in
+#                                      tools/baselines/sf1_waivers.txt fails the
+#                                      gate. Env-gated: set GRAFT_SF1=1; ~60-90
+#                                      min.)
 #
 # Timing bench is intentionally not included (timing work belongs on an idle
 # box; run `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Bench"`
@@ -44,39 +54,39 @@ cd "$(dirname "$0")/.."
 SF=${1:-/root/testdata/sf0.01}
 OUT=$(mktemp -d /tmp/graft-gate-XXXX)
 
-echo "== 1/8 compile =="
+echo "== 1/9 compile =="
 sbt -batch "compile; Test/compile" >"$OUT/compile.log" 2>&1 \
   || { tail -30 "$OUT/compile.log"; exit 1; }
 
-echo "== 2/8 sbt test =="
+echo "== 2/9 sbt test =="
 sbt -batch test >"$OUT/test.log" 2>&1 \
   || { grep -E "FAILED|Tests: " "$OUT/test.log" | tail -20; exit 1; }
 grep -E "Tests: " "$OUT/test.log" | tail -1
 
-echo "== 3/8 ScaleGuardSweep =="
+echo "== 3/9 ScaleGuardSweep =="
 sbt -batch "runMain graft.tools.ScaleGuardSweep /root/testdata/sf0.001" \
   >"$OUT/sweep.log" 2>&1 || { tail -20 "$OUT/sweep.log"; exit 1; }
 grep -E "GUARD-FAIL|sweep:" "$OUT/sweep.log" | sed 's/^\[info\] //' | tail -5
 grep -q "0 fail" "$OUT/sweep.log" || exit 1
 
-echo "== 4/8 Verify + compare ($SF) =="
+echo "== 4/9 Verify + compare ($SF) =="
 sbt -batch "runMain graft.Verify $SF $OUT/verify" >"$OUT/verify.log" 2>&1 \
   || { grep "\[verify\]" "$OUT/verify.log" | tail; exit 1; }
 python3 tools/compare.py "$OUT/verify" "$SF" | tail -2
 python3 tools/compare.py "$OUT/verify" "$SF" | grep -q " 0 fail" || exit 1
 
-echo "== 5/8 oracle_lint =="
+echo "== 5/9 oracle_lint =="
 python3 tools/oracle_lint.py --selftest
 python3 tools/oracle_lint.py "$OUT/verify" "$SF" "$OUT/verify" | tail -1
 
-echo "== 6/8 metrics_diff (shuffle/spill tripwire) =="
+echo "== 6/9 metrics_diff (shuffle/spill tripwire) =="
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ITERS=1 SPARK_GRAFT_BENCH_ALL=0 \
   sbt -batch "runMain graft.Bench" >"$OUT/bench.log" 2>&1 \
   || { tail -20 "$OUT/bench.log"; exit 1; }
 python3 tools/metrics_diff.py tools/baselines/metrics_sf001.json \
   target/bench.json 10 | tail -5
 
-echo "== 7/8 exponent gate =="
+echo "== 7/9 exponent gate =="
 python3 tools/scale_exponents.py --selftest
 if [[ -n "${GRAFT_EXP_SMALL:-}" && -n "${GRAFT_EXP_BIG:-}" ]]; then
   python3 tools/scale_exponents.py --gate "$GRAFT_EXP_SMALL" "$GRAFT_EXP_BIG"
@@ -85,12 +95,42 @@ else
   echo "   sf0.1 / sf1 bench artifacts to enforce the 1.3 exponent bar)"
 fi
 
-echo "== 8/8 combo rows (hostile data x hostile execution) =="
+echo "== 8/9 combo rows (hostile data x hostile execution) =="
 if [[ "${GRAFT_COMBO:-0}" == "1" ]]; then
   tools/combo_rows.sh target/scala-2.13/classes || exit 1
 else
   echo "  (combo rows skipped: set GRAFT_COMBO=1 to run the interp/spill/"
   echo "   chaoskill matrix over the adversarial fixture — ~35 min)"
+fi
+
+echo "== 9/9 sf1 full-catalog sweep =="
+if [[ "${GRAFT_SF1:-0}" == "1" ]]; then
+  SF1DIR=${GRAFT_SF1_DIR:-/tmp/sf1}
+  if [[ ! -d "$SF1DIR" ]]; then
+    echo "  regenerating $SF1DIR from /root/testdata/sf0.1 (gen_sf1.py x10)"
+    python3 tools/gen_sf1.py /root/testdata/sf0.1 "$SF1DIR" 10
+  fi
+  SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.Verify $SF1DIR $OUT/verify_sf1" \
+    >"$OUT/verify_sf1.log" 2>&1 \
+    || { grep "\[verify\]" "$OUT/verify_sf1.log" | tail; exit 1; }
+  mkdir -p "$OUT/ducktmp"
+  # compare exits nonzero on ANY fail — waiver filtering below decides
+  # whether the gate fails, so tolerate the exit code here
+  python3 tools/compare.py "$OUT/verify_sf1" "$SF1DIR" --timeout 1800 \
+    --duck-mem 48GB --duck-tmp "$OUT/ducktmp" \
+    | tee "$OUT/sf1_compare.log" | tail -2 || true
+  grep -E '^(FAIL|TIMEOUT) ' "$OUT/sf1_compare.log" | sed 's/[:].*//;s/^[A-Z]* //' \
+    | sort > "$OUT/sf1_bad.txt" || true
+  grep -vE '^\s*(#|$)' tools/baselines/sf1_waivers.txt | sort > "$OUT/sf1_waived.txt" || true
+  if comm -23 "$OUT/sf1_bad.txt" "$OUT/sf1_waived.txt" | grep -q .; then
+    echo "  NON-WAIVED sf1 mismatches:"; comm -23 "$OUT/sf1_bad.txt" "$OUT/sf1_waived.txt"
+    exit 1
+  fi
+  echo "  sf1 sweep clean (waived: $(paste -sd, "$OUT/sf1_waived.txt" 2>/dev/null || true))"
+else
+  echo "  (sf1 sweep skipped: set GRAFT_SF1=1 to hash-verify the whole catalog"
+  echo "   at decade scale against /tmp/sf1 — ~60-90 min; the r11 sweep found"
+  echo "   a real engine bug (q192) nothing smaller caught)"
 fi
 
 echo "GATE GREEN ($OUT)"
