@@ -68,22 +68,26 @@ import graft.operators.NearDup
   *
   * Each micro-batch adds one small data dir per table — a year of
   * 5-minute batches is ~10⁵ dirs per table, a real 100 TB operational
-  * cliff. With `compactEvery = N > 0`, every Nth batch folds each state
-  * table AND the survivor sink up to and including itself into a single
-  * `c<id>` dir ([[ManifestTable.compact]] — batch provenance preserved so
-  * replay filtering keeps working over compacted rows; survivor dirs are
-  * mutually exclusive by the admission contract, so their fold is a plain
-  * union rewrite). The fold is crash-safe at every window because only
-  * the manifest commit publishes it, and replay-idempotent because an
-  * already-committed `c<id>` short-circuits; retired and orphaned dirs
-  * (including partial debris from crashes) are swept by GC, which
-  * correctness never depends on.
+  * cliff. With `compactEvery = N > 0`, every Nth batch TIERED-folds each
+  * state table AND the survivor sink up to and including itself
+  * ([[ManifestTable.compact]]: live batch dirs fold into an `l<id>` L1
+  * run — I/O proportional to the new data — and only every
+  * [[ManifestTable.L2_FANIN]]th fold rewrites the `c<id>` base; batch
+  * provenance preserved so replay filtering keeps working over compacted
+  * rows; survivor dirs are mutually exclusive by the admission contract,
+  * so their fold is a plain union rewrite). Every fold is crash-safe at
+  * every window because only the manifest commit publishes it, and
+  * replay-idempotent because an already-committed fold short-circuits on
+  * the manifest; orphaned debris and dirs retired beyond the
+  * [[ManifestTable.GC_HORIZON]] reader-retention horizon are swept by
+  * GC, which correctness never depends on.
   *
   * Scale shape per batch at 100 TB: the state contributes a 24-byte-row
   * parquet scan (never re-tokenized, never re-shuffled as text); the
   * probe exchanges are (long, int, long) band rows with the 2⁻³²
   * collision bound; the two driver lookups are single-row contract
-  * scalars; compaction is one linear rewrite every N batches; every
+  * scalars; compaction folds only the new batch dirs (the base rewrite
+  * is amortized to 1 in L2_FANIN·N batches); every
   * snapshot resolution is one manifest read (no listing that grows with
   * stream lifetime).
   */
@@ -305,7 +309,13 @@ object DedupIngest {
   def boundedLatenessBatch(batch: DataFrame, batchId: Long,
       pendingDir: String, lateness: Long, idCol: String, textCol: String,
       core: (DataFrame, Long) => Unit): Unit = {
-    require(lateness >= 0, s"lateness must be >= 0, got $lateness")
+    // lateness == 0 is rejected, not accepted-and-unsupportable (r12
+    // ADVICE): the watermark here is reconstructed as max(pending ∪
+    // batch), which survives across batches only because the max-id row
+    // itself stays parked — true iff L >= 1. L = 0 IS the strict
+    // monotone contract; use the plain (unbuffered) ingest sinks for it.
+    require(lateness >= 1, s"lateness must be >= 1 — a zero-lateness " +
+      s"source is the strict monotone contract (use the unbuffered sink)")
     val spark = batch.sparkSession
     val bSel = batch.select(col(idCol).cast("long").as(idCol),
       col(textCol).as(textCol))

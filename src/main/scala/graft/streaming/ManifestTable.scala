@@ -29,17 +29,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * == The protocol ==
   *
   * A table is a directory holding immutable parquet data dirs (`b<id>` per
-  * ingested batch, `c<id>` per compaction, optional `seed`) plus a tiny
-  * `_manifest/` log of versioned manifest files `m<seq>`. The CURRENT
-  * snapshot is the highest-seq manifest; it lists, by name, exactly the
-  * data dirs that are live. Every filesystem touch goes through the Hadoop
-  * [[FileSystem]] API, and the protocol needs only two primitives every
-  * store provides:
+  * ingested batch, `l<id>` per L1 compaction run, `c<id>` per base
+  * compaction, optional `seed`) plus a tiny `_manifest/` log of versioned
+  * manifest files `m<seq>`. The CURRENT snapshot is the highest-seq
+  * manifest; it lists, by name, exactly the data dirs that are live.
+  * Every filesystem touch goes through the Hadoop [[FileSystem]] API, and
+  * the protocol needs only two primitives every store provides:
   *
   *  - '''new-object write''' (create-no-overwrite + close / S3 PUT —
   *    atomic visibility: readers see the whole object or nothing). Both
   *    the data dirs and the manifest files are written as NEW objects
-  *    under fresh names; nothing live is ever mutated in place.
+  *    under fresh names; nothing live is ever mutated in place. On
+  *    local/HDFS filesystems a file IS visible (empty or truncated) the
+  *    moment it is created, so a crash between create and close can
+  *    leave a partial top manifest — [[snapshot]] treats an unparseable
+  *    or zero-length TOP manifest as that uncommitted write and falls
+  *    back one level (exactly one crash window exists under the
+  *    single-writer contract; a second bad manifest is real corruption
+  *    and throws), and [[commit]] clears such debris before re-creating
+  *    the name.
   *  - '''a LIST bounded to the manifest log''' (≤ [[KEEP_MANIFESTS]] small
   *    objects — S3 LIST has been strongly consistent since 2020). Data-dir
   *    resolution never lists: [[read]] opens exactly the paths the
@@ -54,13 +62,44 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * `batch` provenance column: see [[DedupIngest]]'s `batch < currentBatchId`
   * reads for the batch-that-fully-committed-but-lost-its-checkpoint case).
   *
+  * == Tiered compaction ==
+  *
+  * [[compact]] is a two-level fold (the size-tiered shape every LSM store
+  * uses, reduced to two levels because dedup state is small relative to
+  * the corpus):
+  *
+  *  - '''L1''': the live `b<id>` dirs fold into one `l<id>` run —
+  *    per-commit I/O proportional to the NEW data since the last fold,
+  *    never to accumulated state;
+  *  - '''L2''': only when [[L2_FANIN]] L1 runs have accumulated do the
+  *    runs and the previous base fold into a new `c<id>` — the only
+  *    commit that rewrites total state, amortized to 1 in
+  *    `L2_FANIN × compactEvery` batches.
+  *
+  * A single-level policy (every fold rewrites the whole base) would make
+  * cumulative write volume quadratic in stream lifetime — the r12 watch
+  * item this closes. Read fan-in stays bounded: ≤ 1 base + [[L2_FANIN]]
+  * runs + `compactEvery` live batch dirs.
+  *
+  * == GC retention horizon ==
+  *
   * Single-writer assumption (what lets commits be plain new-object writes
   * rather than put-if-absent): exactly one loop instance appends to a
   * table, the Structured Streaming checkpoint contract. Concurrent
-  * SNAPSHOT readers are safe — they resolve some committed manifest and
-  * every dir it names is immutable until a later compaction's GC retires
-  * it (readers racing a GC by more than one compaction cycle are out of
-  * contract, same as Delta's VACUUM horizon).
+  * SNAPSHOT readers — the downstream batch jobs a production deployment
+  * runs against live state — resolve some committed manifest and open the
+  * dirs it names. [[gcOrphans]] therefore keeps every dir referenced by
+  * ANY of the newest [[GC_HORIZON]] manifests (Delta-VACUUM-style
+  * retention, made possible by the [[KEEP_MANIFESTS]]-deep log). The
+  * horizon is sized to one full batch cycle — the write + L1 + L2
+  * commits a single compacting batch can emit — so a reader that
+  * resolved any snapshot since the previous compaction can still open
+  * every dir it names while the current compaction commits and GCs
+  * mid-read. Only dirs retired a full cycle ago — and never-referenced
+  * crash debris — are swept. Readers staler than that are out of
+  * contract (same as Delta's VACUUM horizon) and fail LOUDLY
+  * (FileNotFound — manifest-named dirs are always complete, so a
+  * partial read is impossible).
   */
 object ManifestTable {
 
@@ -68,14 +107,33 @@ object ManifestTable {
     * bounds the one LIST the protocol performs. */
   val KEEP_MANIFESTS = 8
 
-  /** A committed snapshot: the newest compaction (all rows from batches
-    * `<= compacted`), the live batch dirs above it, and whether the table
-    * was seeded with an empty typed parquet dir (so empty reads plan). */
+  /** GC keeps every data dir referenced by any of this many newest
+    * manifests (must be ≤ [[KEEP_MANIFESTS]]). 3 = the most commits one
+    * ingest batch cycle can emit (batch write + L1 fold + L2 fold), so a
+    * reader that resolved ANY snapshot since the previous compaction
+    * survives the current compaction's GC — only readers staler than a
+    * full compaction cycle are out of contract (and fail loudly). */
+  val GC_HORIZON = 3
+
+  /** L1 runs that trigger the base (L2) fold. */
+  val L2_FANIN = 4
+
+  /** A committed snapshot: the newest base compaction (`c<id>`, all rows
+    * from batches `<= compacted` not in a later run), the L1 runs above
+    * it, the live batch dirs above those, and whether the table was
+    * seeded with an empty typed parquet dir (so empty reads plan). */
   final case class Snapshot(seq: Long, compacted: Option[Long],
-      live: Seq[Long], seeded: Boolean) {
+      runs: Seq[Long], live: Seq[Long], seeded: Boolean) {
     def dataPaths(dir: String): Seq[String] =
       (if (seeded) Seq(s"$dir/seed") else Nil) ++
-        compacted.map(c => s"$dir/c$c") ++ live.map(b => s"$dir/b$b")
+        compacted.map(c => s"$dir/c$c") ++ runs.map(r => s"$dir/l$r") ++
+        live.map(b => s"$dir/b$b")
+    /** Highest batch id folded into a compaction tier (base or run). */
+    def folded: Option[Long] = (compacted.toSeq ++ runs).maxOption
+    /** Data dir NAMES this snapshot references (GC keep-set entries). */
+    def dirNames: Seq[String] =
+      (if (seeded) Seq("seed") else Nil) ++ compacted.map("c" + _) ++
+        runs.map("l" + _) ++ live.map("b" + _)
   }
 
   private def fs(dir: String, conf: Configuration): (FileSystem, Path) = {
@@ -90,52 +148,87 @@ object ManifestTable {
 
   private def manifestName(seq: Long): String = f"m$seq%020d"
 
-  /** The highest-seq committed manifest, or None for an uninitialized
-    * table. The ONLY list call in the read path, bounded to the manifest
-    * log. */
+  private def readManifest(f: FileSystem, md: Path, name: String): Snapshot = {
+    val text = scala.util.Using.resource(f.open(new Path(md, name))) { in =>
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+    parse(name.drop(1).toLong, text)
+  }
+
+  /** Manifest file names present in the log, sorted newest-first. */
+  private def manifestNames(f: FileSystem, md: Path): Seq[String] =
+    if (!f.exists(md)) Nil
+    else f.listStatus(md).map(_.getPath.getName)
+      .filter(n => n.startsWith("m") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit))
+      .sortBy(-_.drop(1).toLong).toSeq
+
+  /** The newest committed manifest, or None for an uninitialized table.
+    * The ONLY list call in the read path, bounded to the manifest log.
+    *
+    * Crash tolerance: on local/HDFS filesystems the manifest file is
+    * visible from create time, so a crash between create and close
+    * leaves a truncated (usually zero-length) TOP manifest. Exactly one
+    * such window exists under the single-writer contract, so an
+    * unparseable top manifest falls back to the next-lower seq; a second
+    * unparseable manifest is genuine corruption and throws. */
   def snapshot(spark: SparkSession, dir: String): Option[Snapshot] = {
     val (f, root) = fs(dir, hconf(spark))
     val md = manifestDir(root)
-    if (!f.exists(md)) return None
-    val names = f.listStatus(md).map(_.getPath.getName)
-      .filter(n => n.startsWith("m") && n.drop(1).forall(_.isDigit))
+    val names = manifestNames(f, md)
     if (names.isEmpty) return None
-    val top = names.maxBy(_.drop(1).toLong)
-    val text = scala.util.Using.resource(f.open(new Path(md, top))) { in =>
-      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    try Some(readManifest(f, md, names.head))
+    catch {
+      case e: Exception if names.size >= 2 =>
+        try Some(readManifest(f, md, names(1)))
+        catch { case _: Exception => throw e } // two bad: real corruption
+      case _: Exception if names.size == 1 =>
+        None // the only manifest is an uncommitted partial: empty table
     }
-    Some(parse(top.drop(1).toLong, text))
   }
 
   private def parse(seq: Long, text: String): Snapshot = {
     val kv = text.linesIterator.filter(_.contains(":")).map { l =>
       val i = l.indexOf(':'); (l.take(i), l.drop(i + 1))
     }.toMap
-    require(kv.get("format").contains("graft-manifest-v1"),
+    // v1 manifests (pre-tiering) carry no `runs` key — read as zero runs
+    require(kv.get("format").exists(v => v == "graft-manifest-v1" ||
+      v == "graft-manifest-v2"),
       s"unrecognized manifest format: ${kv.get("format")}")
+    def ids(s: String): Seq[Long] =
+      if (s.isEmpty) Nil else s.split(',').toSeq.map(_.toLong)
     Snapshot(seq,
       kv("compacted") match { case "-" => None; case s => Some(s.toLong) },
-      kv("live") match {
-        case "" => Nil
-        case s  => s.split(',').toSeq.map(_.toLong)
-      },
+      ids(kv.getOrElse("runs", "")),
+      ids(kv("live")),
       kv("seeded") == "1")
   }
 
   /** Commit `next` as a NEW manifest object (create-no-overwrite — the
-    * single-writer contract makes a name collision a loud error, never a
-    * race to resolve) and trim the log to [[KEEP_MANIFESTS]]. */
+    * single-writer contract makes a PARSEABLE name collision a loud
+    * error, never a race to resolve; unparseable debris at the target
+    * name is the previous crashed attempt's partial write and is cleared
+    * first) and trim the log to [[KEEP_MANIFESTS]]. */
   private def commit(spark: SparkSession, dir: String, next: Snapshot): Unit = {
     val (f, root) = fs(dir, hconf(spark))
     val md = manifestDir(root)
     if (!f.exists(md)) f.mkdirs(md)
-    val body = ("format:graft-manifest-v1\n" +
+    val target = new Path(md, manifestName(next.seq))
+    if (f.exists(target)) {
+      val committed =
+        try { readManifest(f, md, target.getName); true }
+        catch { case _: Exception => false }
+      if (committed) sys.error(s"manifest ${target.getName} already " +
+        s"committed at $dir — single-writer contract violated")
+      f.delete(target, false) // truncated debris from a crashed commit
+    }
+    val body = ("format:graft-manifest-v2\n" +
       s"compacted:${next.compacted.map(_.toString).getOrElse("-")}\n" +
+      s"runs:${next.runs.mkString(",")}\n" +
       s"live:${next.live.mkString(",")}\n" +
       s"seeded:${if (next.seeded) "1" else "0"}\n")
       .getBytes(StandardCharsets.UTF_8)
-    scala.util.Using.resource(
-      f.create(new Path(md, manifestName(next.seq)), false))(_.write(body))
+    scala.util.Using.resource(f.create(target, false))(_.write(body))
     // trim the log (not a correctness step — a crash here just leaves a
     // longer history for the next commit to trim)
     f.listStatus(md).map(_.getPath)
@@ -153,7 +246,7 @@ object ManifestTable {
   def init(spark: SparkSession, dir: String, schema: StructType): Unit = {
     spark.createDataFrame(new java.util.ArrayList[Row](), withBatch(schema))
       .write.mode("overwrite").parquet(s"$dir/seed")
-    commit(spark, dir, Snapshot(0L, None, Nil, seeded = true))
+    commit(spark, dir, Snapshot(0L, None, Nil, Nil, seeded = true))
   }
 
   /** The live view: every committed row with its `batch` provenance
@@ -170,60 +263,81 @@ object ManifestTable {
 
   /** Write `df` (+ `batch` = `bid`) as data dir `b<bid>`, then commit —
     * THE idempotent ingest write. A replayed batch whose write is already
-    * committed (live or folded into a compaction) is a pure NO-OP: the
-    * content is deterministic, and skipping — rather than rewriting — is
-    * what keeps every referenced dir immutable (an in-place rewrite of a
-    * live dir would reopen the partial-read crash window the manifest
-    * exists to close). An UNcommitted leftover dir (crash between data
-    * write and commit) is simply overwritten. Auto-initializes a
-    * seed-less table on first write (survivor sinks). */
+    * committed (live, folded into a run, or folded into the base) is a
+    * pure NO-OP: the content is deterministic, and skipping — rather than
+    * rewriting — is what keeps every referenced dir immutable (an
+    * in-place rewrite of a live dir would reopen the partial-read crash
+    * window the manifest exists to close). An UNcommitted leftover dir
+    * (crash between data write and commit) is simply overwritten.
+    * Auto-initializes a seed-less table on first write (survivor sinks). */
   def writeBatch(df: DataFrame, dir: String, bid: Long): Unit = {
     val spark = df.sparkSession
     val prev = snapshot(spark, dir)
-      .getOrElse(Snapshot(-1L, None, Nil, seeded = false))
-    if (prev.compacted.exists(bid <= _) || prev.live.contains(bid)) return
+      .getOrElse(Snapshot(-1L, None, Nil, Nil, seeded = false))
+    if (prev.folded.exists(bid <= _) || prev.live.contains(bid)) return
     df.withColumn("batch", lit(bid))
       .write.mode("overwrite").parquet(s"$dir/b$bid")
     commit(spark, dir, prev.copy(seq = prev.seq + 1,
       live = (prev.live :+ bid).sorted))
   }
 
-  /** Fold every live row from batches `<= bid` into one `c<bid>` dir,
-    * commit, then GC the retired dirs. Crash-safe at every window: the
-    * fold writes an unreferenced dir; the commit is one new-object write;
-    * GC failures leave unreferenced garbage the NEXT compaction sweeps
-    * (gcOrphans runs first, so a planted or half-"renamed" partial dir
-    * from a previous crash is removed before `c<bid>` is written fresh).
-    * Idempotent on replay: an already-committed `c<bid>` short-circuits
-    * to GC. */
+  /** Tiered compaction up to batch `bid` (class doc): L1 folds the live
+    * `b<id>` dirs `<= bid` into run `l<bid>`; when [[L2_FANIN]] runs have
+    * accumulated, L2 folds the base + runs into a new `c<id>`. Each fold
+    * is crash-safe at every window — it writes an unreferenced dir, and
+    * only the one-new-object manifest commit publishes it — and replay-
+    * idempotent: an already-committed fold short-circuits on the manifest
+    * (crash BETWEEN the L1 and L2 commits included: the replay skips L1
+    * and re-runs L2). Retired dirs stay on disk for concurrent snapshot
+    * readers until they age past [[GC_HORIZON]]; older debris is swept. */
   def compact(spark: SparkSession, dir: String, bid: Long): Unit = {
     val prev = snapshot(spark, dir).getOrElse(
       sys.error(s"no manifest at $dir — nothing to compact"))
-    if (!prev.compacted.contains(bid)) {
-      if (prev.compacted.exists(bid < _)) return // replay below watermark
-      gcOrphans(spark, dir, prev)
-      val foldPaths = (if (prev.seeded) Seq(s"$dir/seed") else Nil) ++
-        prev.compacted.map(c => s"$dir/c$c") ++
-        prev.live.filter(_ <= bid).map(b => s"$dir/b$b")
+    // L1: fold the live batch dirs — I/O proportional to new data only
+    if (!prev.folded.exists(bid <= _)) {
+      val folded = prev.live.filter(_ <= bid)
+      if (folded.nonEmpty) {
+        spark.read.parquet(folded.map(b => s"$dir/b$b"): _*)
+          .write.mode("overwrite").parquet(s"$dir/l$bid")
+        commit(spark, dir, prev.copy(seq = prev.seq + 1,
+          runs = (prev.runs :+ bid).sorted,
+          live = prev.live.filter(_ > bid)))
+      }
+    }
+    // L2: fold base + runs when the fan-in threshold is reached — the
+    // only commit whose I/O is proportional to total state
+    val mid = snapshot(spark, dir).get
+    if (mid.runs.size >= L2_FANIN) {
+      val top = mid.runs.max
+      val foldPaths = mid.compacted.map(c => s"$dir/c$c").toSeq ++
+        mid.runs.map(r => s"$dir/l$r")
       spark.read.parquet(foldPaths: _*)
-        .write.mode("overwrite").parquet(s"$dir/c$bid")
-      commit(spark, dir, prev.copy(seq = prev.seq + 1,
-        compacted = Some(bid), live = prev.live.filter(_ > bid)))
+        .write.mode("overwrite").parquet(s"$dir/c$top")
+      commit(spark, dir, mid.copy(seq = mid.seq + 1,
+        compacted = Some(top), runs = Nil))
     }
     gcOrphans(spark, dir, snapshot(spark, dir).get)
   }
 
-  /** Delete every data dir the committed snapshot does not reference —
-    * retired batch dirs, superseded compactions, and partial dirs left by
-    * crashes (the debris a non-atomic copy-then-delete "rename" would
-    * have silently READ under the r11 protocol; here it is unreferenced
-    * by construction). The list call is maintenance-only: correctness
-    * never depends on it, and a crash mid-GC just defers the sweep. */
+  /** Delete every data dir that no manifest within the retention horizon
+    * references: crash debris (partial dirs a non-atomic copy-then-delete
+    * "rename" would have silently READ under the r11 protocol — here
+    * unreferenced by construction) and dirs retired more than
+    * [[GC_HORIZON]] commits ago. Dirs referenced by any of the newest
+    * [[GC_HORIZON]] manifests are KEPT, so a concurrent reader that
+    * resolved a recent snapshot can still open every dir it names (class
+    * doc). The list calls are maintenance-only: correctness never depends
+    * on them, and a crash mid-GC just defers the sweep. */
   def gcOrphans(spark: SparkSession, dir: String, snap: Snapshot): Unit = {
     val (f, root) = fs(dir, hconf(spark))
     if (!f.exists(root)) return
-    val keep = (Seq("_manifest") ++ (if (snap.seeded) Seq("seed") else Nil) ++
-      snap.compacted.map("c" + _) ++ snap.live.map("b" + _)).toSet
+    val md = manifestDir(root)
+    val retained = manifestNames(f, md).take(GC_HORIZON).flatMap { n =>
+      try Some(readManifest(f, md, n))
+      catch { case _: Exception => None } // partial top: references nothing
+    }
+    val keep = (Seq("_manifest") ++ snap.dirNames ++
+      retained.flatMap(_.dirNames)).toSet
     f.listStatus(root).map(_.getPath)
       .filter(p => !keep.contains(p.getName))
       .foreach(p => f.delete(p, true))
@@ -234,7 +348,8 @@ object ManifestTable {
   def dataDirCount(spark: SparkSession, dir: String): Int = {
     val (f, root) = fs(dir, hconf(spark))
     f.listStatus(root).map(_.getPath.getName)
-      .count(n => n == "seed" || ((n.startsWith("b") || n.startsWith("c")) &&
+      .count(n => n == "seed" || ((n.startsWith("b") || n.startsWith("c") ||
+        n.startsWith("l")) &&
         n.length > 1 && n.drop(1).forall(_.isDigit)))
   }
 

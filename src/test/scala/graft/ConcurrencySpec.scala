@@ -78,4 +78,95 @@ class ConcurrencySpec extends SparkSpec {
         "concurrent same-query runs diverged from the serial result")
     } finally { pool.shutdown(); sweepCaches() }
   }
+
+  for ((provName, provClass) <- Seq(
+    "default provider" ->
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "RocksDB provider" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+  test("concurrent snapshot readers against a LIVE compacting ingest " +
+      s"stream only ever see committed snapshots ($provName)") {
+    // The production shape the r12 GC-horizon watch item was about:
+    // downstream batch jobs reading dedup state WHILE the single-writer
+    // ingest loop appends and compacts. Under r12's zero-horizon GC a
+    // reader that resolved a manifest just before a compaction could
+    // have its named dirs deleted mid-read (FileNotFound). With the
+    // [[graft.streaming.ManifestTable.GC_HORIZON]] retention window,
+    // every read must (a) never throw and (b) observe exactly a
+    // committed per-batch snapshot — state counts on batch boundaries,
+    // survivor counts in the prefix-count set (admission is monotone in
+    // doc_id, so every committed prefix count is derivable one-shot).
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.DedupIngest
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val w = Files.createTempDirectory("graft-concread-").toString
+    // 40 docs, planted dup chains so survivors < docs
+    def text(i: Long): String =
+      if (i == 12) text(3) else if (i == 21) text(12)
+      else if (i == 15) text(14) else s"w$i x$i y$i z$i v$i"
+    def docs(ids: Seq[Long]) = ids.map(i => (i, text(i))).toDF("doc_id", "text")
+    val slices = (0L until 40L).grouped(4).toSeq // 10 batches of 4
+    // one-shot reference → the committed-prefix observation sets
+    val ref = Files.createTempDirectory("graft-concread-ref-").toString
+    DedupIngest.initSimhash128State(spark, s"$ref/state")
+    DedupIngest.simhash128IngestBatch(docs(0L until 40L), 0,
+      s"$ref/state", s"$ref/surv", "doc_id", "text")
+    val oneShot = DedupIngest.readSurvivors(spark, s"$ref/surv")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val validState = (0 to 10).map(k => 4L * k).toSet
+    val validSurv = (0 to 10).map(k => oneShot.count(_ < 4L * k).toLong).toSet
+    // stage the slices as an mtime-ordered file-source stream
+    val base = System.currentTimeMillis()
+    Files.createDirectories(Paths.get(s"$w/stage"))
+    slices.zipWithIndex.foreach { case (ids, b) =>
+      val tmp = s"$w/slice$b"
+      docs(ids).coalesce(1).write.parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = Paths.get(s"$w/stage/part$b.parquet")
+      Files.move(f.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + b * 10000L))
+    }
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done) {
+        try {
+          val sc = DedupIngest.readState(spark, s"$w/state").count()
+          if (!validState.contains(sc)) bad.add(s"state=$sc")
+          try {
+            val vc = DedupIngest.readSurvivors(spark, s"$w/surv").count()
+            if (!validSurv.contains(vc)) bad.add(s"surv=$vc")
+          } catch {
+            // before the survivor sink's very first commit the table
+            // legitimately has no manifest — not a race, skip
+            case e: RuntimeException if e.getMessage != null &&
+              e.getMessage.contains("no manifest") => ()
+          }
+        } catch { case t: Throwable => errs.add(t); done = true }
+      }
+    }, "graft-concurrent-reader")
+    reader.start()
+    try {
+      val sess = spark.newSession()
+      sess.conf.set("spark.sql.streaming.stateStore.providerClass", provClass)
+      val q = DedupIngest.simhash128IngestSink(
+          sess.readStream.schema(docs(Seq(0L)).schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$w/stage"),
+          s"$w/state", s"$w/surv", "doc_id", "text", compactEvery = 2)
+        .option("checkpointLocation", s"$w/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally { done = true; reader.join(30000) }
+    assert(errs.isEmpty, s"reader threw mid-stream: ${errs.peek()}")
+    assert(bad.isEmpty, s"uncommitted observation(s): ${bad.peek()}")
+    val finalSurv = DedupIngest.readSurvivors(spark, s"$w/surv")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(finalSurv == oneShot, "streamed survivors diverged from one-shot")
+  }
 }

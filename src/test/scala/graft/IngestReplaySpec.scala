@@ -137,14 +137,17 @@ class IngestReplaySpec extends SparkSpec {
         s"$w/state", s"$w/surv", "doc_id", "text",
         compactEvery = compactEvery)
     runBatch(0); runBatch(1); runBatch(2)
-    // batch 2 compacted: c2 live, b0..b2 retired (GC'd — no longer on
-    // disk, and no longer referenced by the manifest)
-    assert(Files.exists(Paths.get(s"$w/state/c2")))
-    assert(!Files.exists(Paths.get(s"$w/state/b0")))
-    assert(!Files.exists(Paths.get(s"$w/state/b1")))
-    assert(!Files.exists(Paths.get(s"$w/state/b2")))
+    // batch 2 compacted: the L1 run l2 is live, b0..b2 are retired from
+    // the manifest (no longer referenced) — but stay ON DISK inside the
+    // GC_HORIZON retention window, so a concurrent reader holding the
+    // pre-compaction snapshot can still open them (the r12 watch item)
+    assert(Files.exists(Paths.get(s"$w/state/l2")))
+    assert(Files.exists(Paths.get(s"$w/state/b0")))
     val snap = ManifestTable.snapshot(spark, s"$w/state").get
-    assert(snap.compacted.contains(2L) && snap.live.isEmpty)
+    assert(snap.compacted.isEmpty && snap.runs == Seq(2L) &&
+      snap.live.isEmpty)
+    assert(!snap.dataPaths(s"$w/state").exists(_.contains("/b0")),
+      "retired dir must be unreferenced even while horizon-retained")
     // replay the compacting batch itself (crash after the fold, before
     // the checkpoint commit): must neither brick nor double anything
     runBatch(2)
@@ -159,8 +162,8 @@ class IngestReplaySpec extends SparkSpec {
     (0 until 4).foreach(b => DedupIngest.minhashIngestBatch(
       docs(batches(b)), b, s"$wm/state", s"$wm/surv", "doc_id", "text",
       compactEvery = 2))
-    assert(Files.exists(Paths.get(s"$wm/state/rows/c2")))
-    assert(Files.exists(Paths.get(s"$wm/state/wm/c2")))
+    assert(Files.exists(Paths.get(s"$wm/state/rows/l2")))
+    assert(Files.exists(Paths.get(s"$wm/state/wm/l2")))
     assert(survivorIds(wm) == oneShotMinhash(),
       "compacted minhash run diverged from the one-shot reference")
   }
@@ -185,13 +188,22 @@ class IngestReplaySpec extends SparkSpec {
     }
     assert(survivorIds(w) == oneShotSimhash(),
       "survivor-compacted run diverged from the one-shot reference")
-    // bounded growth: after compactions at 4 and 8, each table holds one
-    // c dir + the live dirs above the watermark (b9..b11) + seed —
-    // never the 12 per-batch dirs the r11 sink accumulated forever
+    // bounded growth, two bounds: READ FAN-IN (dirs the live snapshot
+    // references — seed + runs l4,l8 + live b9..b11) stays small, and
+    // ON-DISK dirs exceed it only by the GC_HORIZON retention overhead
+    // (one compaction window of retired b dirs kept for concurrent
+    // readers) — never the 12 per-batch dirs the r11 sink accumulated
+    // forever
+    val stateRefs = ManifestTable.snapshot(spark, s"$w/state").get
+      .dataPaths(s"$w/state").size
+    val survRefs = ManifestTable.snapshot(spark, s"$w/surv").get
+      .dataPaths(s"$w/surv").size
+    assert(stateRefs <= 6, s"state read fan-in = $stateRefs, want ≤ 6")
+    assert(survRefs <= 5, s"survivor read fan-in = $survRefs, want ≤ 5")
     val stateDirs = ManifestTable.dataDirCount(spark, s"$w/state")
     val survDirs = ManifestTable.dataDirCount(spark, s"$w/surv")
-    assert(stateDirs <= 5, s"state data dirs = $stateDirs, want ≤ 5")
-    assert(survDirs <= 4, s"survivor data dirs = $survDirs, want ≤ 4")
+    assert(stateDirs <= 10, s"state data dirs = $stateDirs, want ≤ 10")
+    assert(survDirs <= 9, s"survivor data dirs = $survDirs, want ≤ 9")
     // the survivor fold preserved every row exactly once (dirs are
     // mutually exclusive by the admission contract)
     val surv = DedupIngest.readSurvivors(spark, s"$w/surv")
@@ -238,8 +250,10 @@ class IngestReplaySpec extends SparkSpec {
     val got = survivorIds(w)
     assert(!got.contains(31L), "doc 31 must be suppressed (dup chain)")
     assert(!got.contains(12L) && got.size == 40 - 2)
-    // the compaction's GC swept the debris and committed the real fold
-    assert(ManifestTable.snapshot(spark, s"$w/state").get.compacted
+    // the compaction's GC swept the debris (never referenced by ANY
+    // manifest, so the retention horizon does not protect it) and
+    // committed the real fold (an L1 run under the tiered policy)
+    assert(ManifestTable.snapshot(spark, s"$w/state").get.folded
       .contains(3L))
     assert(!Files.exists(Paths.get(s"$w/state/c2")),
       "orphaned partial dir must be GC'd")
@@ -290,6 +304,15 @@ class IngestReplaySpec extends SparkSpec {
         slices.size + 2L, s"$w/pending", 5L, "doc_id", "text", core)
     }
     assert(exNull.getMessage.contains("non-null ids"))
+    // lateness = 0 is rejected UP FRONT (r12 ADVICE: the old require
+    // accepted it, but the reconstructed watermark cannot honor the
+    // L=0 contract once pending drains — the strict monotone sinks ARE
+    // the zero-disorder contract)
+    val exZero = intercept[IllegalArgumentException] {
+      DedupIngest.boundedLatenessBatch(docs(Seq(60L)), slices.size + 3L,
+        s"$w/pending", 0L, "doc_id", "text", core)
+    }
+    assert(exZero.getMessage.contains("lateness must be >= 1"))
   }
 
   for ((provName, provClass) <- Seq(
@@ -386,7 +409,115 @@ class IngestReplaySpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(got == want, s"missing=${(want -- got).take(3)} " +
       s"extra=${(got -- want).take(3)}")
-    // the stream really compacted (4 batches → c2 exists)
-    assert(Files.exists(Paths.get(s"$w/state/c2")))
+    // the stream really compacted (4 batches → the l2 L1 run exists)
+    assert(Files.exists(Paths.get(s"$w/state/l2")))
+  }
+
+  test("GC retention horizon: a reader holding the pre-compaction " +
+      "snapshot reads every row through a compaction that retires its " +
+      "dirs; dirs aged past the horizon are swept") {
+    val w = work("graft-gchorizon-")
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    def runBatch(b: Int): Unit =
+      DedupIngest.simhash128IngestBatch(docs(batches(b)), b,
+        s"$w/state", s"$w/surv", "doc_id", "text")
+    runBatch(0); runBatch(1); runBatch(2)
+    // the concurrent reader — a downstream batch job against live state —
+    // resolves its snapshot NOW: seed + b0..b2
+    val held = ManifestTable.snapshot(spark, s"$w/state").get
+    val heldPaths = held.dataPaths(s"$w/state")
+    assert(heldPaths.exists(_.endsWith("/b0")))
+    // a compaction commits MID-READ, retiring b0..b2 into run l2 —
+    // under r12's zero-horizon GC the read below threw FileNotFound
+    // (the dirs were deleted by the SAME compaction that retired them)
+    ManifestTable.compact(spark, s"$w/state", 2L)
+    assert(spark.read.parquet(heldPaths: _*).count() == 30L,
+      "pre-compaction snapshot must stay readable inside the horizon")
+    // aging past the horizon: one more batch + compaction later, b0..b2
+    // are referenced by no retained-horizon manifest and are swept —
+    // bounded disk growth, loud (FileNotFound) failure for a reader
+    // more than GC_HORIZON-1 commits stale (the documented contract)
+    runBatch(3)
+    ManifestTable.compact(spark, s"$w/state", 3L)
+    assert(!Files.exists(Paths.get(s"$w/state/b0")),
+      "dirs retired beyond the horizon must be swept")
+    assert(DedupIngest.readState(spark, s"$w/state").count() == 40L)
+  }
+
+  test("crash-truncated top manifest (create visible before close on " +
+      "local/HDFS): snapshot falls back to the committed manifest, the " +
+      "next commit clears the debris — the stream never bricks") {
+    import spark.implicits._
+    val w = work("graft-manifestcrash-") + "/t"
+    ManifestTable.init(spark, w, DedupIngest.sketchSchema)
+    def df(ids: Long*) = ids.map(i => (i, i * 7L, i * 11L))
+      .toDF("id", "hi", "lo")
+    ManifestTable.writeBatch(df(1L), w, 0L)
+    ManifestTable.writeBatch(df(2L), w, 1L)
+    val good = ManifestTable.snapshot(spark, w).get
+    // the crash: a commit died between create and close — on local/HDFS
+    // the file is already VISIBLE, zero-length. r12's snapshot() picked
+    // it as the top manifest and threw on the format require on every
+    // subsequent resolution: the table was bricked until hand-repair.
+    Files.createFile(Paths.get(f"$w/_manifest/m${good.seq + 1}%020d"))
+    val fell = ManifestTable.snapshot(spark, w).get
+    assert(fell == good, "must fall back to the last committed manifest")
+    assert(ManifestTable.read(spark, w).count() == 2L)
+    // the single writer recovers: its next commit lands on the debris
+    // name, detects it is uncommitted garbage, and replaces it
+    ManifestTable.writeBatch(df(3L), w, 2L)
+    val next = ManifestTable.snapshot(spark, w).get
+    assert(next.seq == good.seq + 1 && next.live == Seq(0L, 1L, 2L))
+    assert(ManifestTable.read(spark, w).count() == 3L)
+    // same tolerance for a HALF-written (garbage-content) manifest
+    Files.write(Paths.get(f"$w/_manifest/m${next.seq + 1}%020d"),
+      "format:graft-man".getBytes)
+    assert(ManifestTable.snapshot(spark, w).get == next)
+    ManifestTable.writeBatch(df(4L), w, 3L)
+    assert(ManifestTable.read(spark, w).count() == 4L)
+  }
+
+  test("tiered compaction: L2 folds at L2_FANIN runs; survivors ≡ " +
+      "one-shot across a crash between the L1 and L2 commits; L1 write " +
+      "volume tracks the fold window, not accumulated state") {
+    val w = work("graft-tiered-")
+    DedupIngest.initSimhash128State(spark, s"$w/state")
+    // 20 batches of 2 docs, compactEvery=2: L1 folds at b=2,4,6,8 —
+    // the 4th run triggers the first L2 fold into base c8
+    val slices = (0L until 40L).grouped(2).toSeq
+    def runBatch(b: Int): Unit =
+      DedupIngest.simhash128IngestBatch(docs(slices(b)), b,
+        s"$w/state", s"$w/surv", "doc_id", "text", compactEvery = 2)
+    (0 until 9).foreach(runBatch)
+    val after = ManifestTable.snapshot(spark, s"$w/state").get
+    assert(after.compacted.contains(8L) && after.runs.isEmpty, s"$after")
+    // THE COST PROPERTY (r12 watch item #2): each L1 fold wrote only its
+    // window's rows (2 batches × 2 docs) even as accumulated state grew
+    // 6 → 18 — per-commit I/O proportional to new data; the full-state
+    // rewrite happens only at the 1-in-L2_FANIN L2 fold (c8, 18 rows).
+    // The retired runs are still on disk courtesy of the GC horizon.
+    assert(spark.read.parquet(s"$w/state/l4").count() == 4L)
+    assert(spark.read.parquet(s"$w/state/l6").count() == 4L)
+    assert(spark.read.parquet(s"$w/state/l8").count() == 4L)
+    assert(spark.read.parquet(s"$w/state/c8").count() == 18L)
+    // crash BETWEEN the L1 and L2 commits: peel the L2 manifest — disk
+    // shows 4 committed runs plus an unreferenced c8 dir (fold complete,
+    // commit lost)
+    Files.delete(Paths.get(f"$w/state/_manifest/m${after.seq}%020d"))
+    val mid = ManifestTable.snapshot(spark, s"$w/state").get
+    assert(mid.runs == Seq(2L, 4L, 6L, 8L) && mid.compacted.isEmpty)
+    runBatch(8) // the replay: writeBatch no-op, L1 short-circuit, L2 redo
+    val redo = ManifestTable.snapshot(spark, s"$w/state").get
+    assert(redo.compacted.contains(8L) && redo.runs.isEmpty)
+    (9 until 20).foreach(runBatch)
+    assert(survivorIds(w) == oneShotSimhash(),
+      "tiered-compacted run diverged from the one-shot reference")
+    val state = DedupIngest.readState(spark, s"$w/state")
+    assert(state.count() == 40L && state.select("id").distinct().count() == 40L)
+    // final shape: base c16 (second L2 fold) + one run + one live dir —
+    // read fan-in stays ≤ 1 base + L2_FANIN runs + compactEvery live
+    val fin = ManifestTable.snapshot(spark, s"$w/state").get
+    assert(fin.compacted.contains(16L) && fin.runs == Seq(18L) &&
+      fin.live == Seq(19L), s"$fin")
   }
 }
