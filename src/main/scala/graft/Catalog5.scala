@@ -990,7 +990,7 @@ private[graft] trait Catalog5 extends CatalogBase {
       // back from directory names, not data pages, and the aggregate
       // matches the direct oracle bit-for-bit.
       build = (s, dir) => {
-        val out = "/root/repo/target/graft/part_orders_" +
+        val out = graft.sources.Artifacts.path("target/graft/part_orders_") +
           dir.replaceAll("[^a-zA-Z0-9]", "_")
         table(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -1020,7 +1020,7 @@ private[graft] trait Catalog5 extends CatalogBase {
       // nothing. sum_keys pins row identity, n_with_date pins the NULL
       // backfill boundary.
       build = (s, dir) => {
-        val out = "/root/repo/target/graft/evo_orders_" +
+        val out = graft.sources.Artifacts.path("target/graft/evo_orders_") +
           dir.replaceAll("[^a-zA-Z0-9]", "_")
         val o = table(s, dir, "orders")
         o.filter(col("o_orderpriority") === lit("1-URGENT"))

@@ -79,7 +79,8 @@ private[graft] trait CatalogBase {
     * quantizer oracle-checkable at all. Absolute path: Verify/Bench run
     * under sbt with the repo root as CWD, but nothing should depend on
     * that. */
-  protected val ivfCentroidPath = "/root/repo/target/graft/ivf_centroids"
+  protected val ivfCentroidPath =
+    graft.sources.Artifacts.path("target/graft/ivf_centroids")
 
   /** Shared oracle for q02 and its salted twin q50 — by construction the
     * salted join must produce identical rows. */

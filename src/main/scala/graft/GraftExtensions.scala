@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg, WordpieceTokenize}
+import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, ImageStats, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg, WordpieceTokenize}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -85,7 +85,12 @@ object GraftFunctions {
       info("graft_topk",
         "graft_topk(ord, key, k) - bounded-heap top-k aggregate: k largest " +
           "(ord, key) pairs per group, ord desc / key asc, O(k) state"),
-      { case Seq(o, ky, kk) => TopKAgg(o, ky, kk) }: Builder))
+      { case Seq(o, ky, kk) => TopKAgg(o, ky, kk) }: Builder),
+    ("graft_image_stats",
+      info("graft_image_stats",
+        "graft_image_stats(payload) - decoded width/height/channels + exact " +
+          "pixel-sum aggregates of a PNG/JPEG binary, NULL if undecodable"),
+      { case Seq(p) => ImageStats(p) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

@@ -84,7 +84,8 @@ object Wordpiece {
     * (~300 KB riding the task binary / broadcast), and the DuckDB oracle
     * reads the SAME file via read_csv, so both engines share one
     * artifact with no transcription step. */
-  val vocab30kPath = "/root/repo/tools/artifacts/wordpiece_vocab_30k.txt"
+  val vocab30kPath: String =
+    graft.sources.Artifacts.path("tools/artifacts/wordpiece_vocab_30k.txt")
 
   /** The loaded artifact, validated once: [A-Za-z0-9#]+ (the SQL-
     * interpolation guard class — also what keeps the kernel's ASCII

@@ -46,7 +46,7 @@ object BoundedRuns {
     * each invocation gets a fresh dir so Verify/Bench re-runs never share
     * checkpoints. */
   private def freshDir(prefix: String): String = {
-    val root = Paths.get("/root/repo/target/graft/stream")
+    val root = Paths.get(graft.sources.Artifacts.path("target/graft/stream"))
     Files.createDirectories(root)
     Files.createTempDirectory(root, prefix).toString
   }

@@ -10,7 +10,8 @@ import graft.streaming.BoundedRuns
 object CalibrateStream {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val out = if (args.length > 1) args(1) else "/root/repo/target/graft/calib"
+    val out = if (args.length > 1) args(1)
+      else graft.sources.Artifacts.path("target/graft/calib")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -15,8 +15,22 @@ class MultimodalSpec extends SparkSpec {
   private def payload(id: Long, w: Int, h: Int, frames: Int): Array[Byte] =
     Array.tabulate(frames * w * h)(i => ((id * 31 + i) % 256).toByte)
 
+  /** REAL PNG bytes (pure-JDK encode) with pixel (y,x) = (id*31 + y*w+x)
+    * mod 256 — the image ops decode actual images now, FakeCodec is
+    * video/audio only. */
+  private def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raw = payload(id, w, h, 1)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, raw(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def image(id: Long, w: Int, h: Int): MediaRow =
-    MediaRow(id, "image", MediaMeta("fake-gray", w, h, 1, 0), payload(id, w, h, 1))
+    MediaRow(id, "image", MediaMeta("png", w, h, 1, 0), pngBytes(id, w, h))
 
   private def video(id: Long, w: Int, h: Int, frames: Int): MediaRow =
     MediaRow(id, "video", MediaMeta("fake-gray", w, h, frames, 0),
@@ -44,6 +58,48 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width == 2 && r.height == 2)
     // sy = y*4/2 in {0,2}, sx likewise -> indices 0,2,8,10
     assert(r.pixels.map(_ & 0xff).toSeq == Seq(0, 2, 8, 10))
+  }
+
+  test("undecodable payloads are dropped by the typed image ops and " +
+      "NULL — not a throw — under graft_image_stats") {
+    val corrupt = MediaRow(9L, "image", MediaMeta("png", 4, 4, 1, 0),
+      pngBytes(9, 4, 4).take(20))
+    val ds = Seq(image(1, 4, 4), corrupt).toDS()
+    assert(Multimodal.imageFeatures(ds).collect().map(_.media_id).toSeq
+      == Seq(1L))
+    assert(Multimodal.resize(ds, 2, 2).collect().map(_.media_id).toSeq
+      == Seq(1L))
+    // expression path: per-row NULL accounting, geometry from decode
+    val got = Multimodal.asTable(ds)
+      .select($"media_id",
+        org.apache.spark.sql.functions.call_function(
+          "graft_image_stats", $"payload").as("st"))
+      .select($"media_id", $"st.width", $"st.pixel_count")
+      .orderBy($"media_id").collect()
+    assert(got(0).getInt(1) == 4 && got(0).getLong(2) == 16L)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+  }
+
+  test("graft_image_stats decode inverts a lossless RGB encode exactly") {
+    // 3-band PNG: channels from the decode, pixel_sum against the raw
+    // raster computed independently here
+    val w = 5; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var want = 0L
+    for (y <- 0 until h; x <- 0 until w; b <- 0 until 3) {
+      val v = (x * 41 + y * 17 + b * 89) % 256
+      img.getRaster.setSample(x, y, b, v)
+      want += v
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val row = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+      .selectExpr("graft_image_stats(payload) AS st")
+      .select($"st.width", $"st.height", $"st.channels", $"st.pixel_sum",
+        $"st.pixel_count").head()
+    assert(row.getInt(0) == w && row.getInt(1) == h && row.getInt(2) == 3)
+    assert(row.getLong(3) == want && row.getLong(4) == w.toLong * h * 3)
   }
 
   test("sampleFrames keeps every k-th frame with correct bytes") {
