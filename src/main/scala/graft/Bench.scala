@@ -167,9 +167,16 @@ object Bench {
     // non-headline queries (r6 ask: q142/q162 min+median).
     val only: Option[Seq[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    // SPARK_GRAFT_BENCH_STRESS=only times the STRESS tier instead of the
+    // headline tier (q30's deliberate no-prune regime — r12 ask #4: its
+    // variance drowned the decade signal of the other headline queries,
+    // so it pins as its own artifact, bench_idle_*_stress.json)
     val names = only match {
       case Some(sel) => Queries.all.map(_._1).filter(n => sel.exists(n.startsWith))
-      case None => Queries.benchNames
+      case None =>
+        if (sys.env.get("SPARK_GRAFT_BENCH_STRESS").contains("only"))
+          Queries.stressNames
+        else Queries.benchNames
     }
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     require(iters > 0,

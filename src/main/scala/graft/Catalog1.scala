@@ -644,7 +644,14 @@ private[graft] trait Catalog1 extends CatalogBase {
         WHERE sim >= 0.4
         ORDER BY sim DESC, id_a, id_b
         LIMIT 50"""),
-      bench = true),
+      // stress tier (r12 ask #4): the documented no-prune regime — a
+      // 0.4 threshold over near-uniform random vectors has no selective
+      // structure, so this row deliberately measures the dense-verify
+      // floor. At sf1 it alone was 71% of the headline decade leg and
+      // its variance swamped the other 48 queries' signal; it now times
+      // under SPARK_GRAFT_BENCH_STRESS=only into its own pinned
+      // artifact (exponent exemption unchanged).
+      bench = true, stress = true),
 
     // ------------------------------------------------------------------
     // Text analysis: language id, fingerprints, BPE-ish token accounting

@@ -15,7 +15,14 @@ private[graft] final case class Q(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = false,
-    whyNoOracle: Option[String] = None)
+    whyNoOracle: Option[String] = None,
+    // stress = true: benched, but in the dedicated STRESS tier, not the
+    // headline tier (r12 judge ask #4 — q30's deliberate no-prune regime
+    // was 71% of the sf1 headline leg, drowning the other 48 queries'
+    // decade signal in one outlier's variance). Bench times the stress
+    // tier only under SPARK_GRAFT_BENCH_STRESS=only; bench_idle.sh pins
+    // it as bench_idle_*_stress.json.
+    stress: Boolean = false)
 
 private[graft] trait CatalogBase {
 

@@ -33,6 +33,14 @@ object Queries
       n -> q.oracle.get.trim
     }.toMap
 
-  /** Headline queries for Bench. */
-  def benchNames: Seq[String] = all.collect { case (n, q) if q.bench => n }
+  /** Headline queries for Bench (stress-tier entries excluded — they
+    * time separately so one deliberate outlier cannot drown the
+    * round-over-round decade signal of the rest). */
+  def benchNames: Seq[String] =
+    all.collect { case (n, q) if q.bench && !q.stress => n }
+
+  /** The stress tier: benched deliberately-adversarial regimes, pinned
+    * as their own artifact (bench_idle_*_stress.json). */
+  def stressNames: Seq[String] =
+    all.collect { case (n, q) if q.bench && q.stress => n }
 }

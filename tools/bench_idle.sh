@@ -14,7 +14,12 @@
 #           consumes was min-of-1 — a one-sample exponent; 3 iterations
 #           give the same min-estimator discipline as the sf0.1 leg at
 #           ~40 min instead of ~65)
-# Env: GRAFT_BENCH_MAX_LOAD (default 4.0).
+#        GRAFT_BENCH_STRESS=only tools/bench_idle.sh r13close_sf1_stress /tmp/sf1 3
+#          -> the STRESS tier (q30's no-prune regime) as its own pinned
+#           artifact (r12 judge ask #4: it was 71% of the sf1 headline
+#           leg; split out so headline totals compare round-over-round)
+# Env: GRAFT_BENCH_MAX_LOAD (default 4.0), GRAFT_BENCH_STRESS (=only for
+#      the stress tier).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG=${1:?usage: tools/bench_idle.sh ROUND_TAG [sfDir] [iters]}
@@ -27,6 +32,7 @@ awk -v l="$load" -v m="$MAXLOAD" 'BEGIN{exit !(l<=m)}' \
   || { echo "box not idle (load $load > $MAXLOAD) — refusing to time"; exit 1; }
 
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_ITERS="$ITERS" \
+  SPARK_GRAFT_BENCH_STRESS="${GRAFT_BENCH_STRESS:-}" \
   sbt -batch "runMain graft.Bench" \
   >/tmp/bench_idle_"$TAG".log 2>&1 \
   || { tail -20 /tmp/bench_idle_"$TAG".log; exit 1; }
