@@ -33,7 +33,8 @@ object GlobalWindows {
     "q263_stream_topk", "q274_stream_session_window",
     "q281_stream_outer_attribution", "q289_stream_scd2",
     "q327_stream_cusum", "q328_stream_msprt",
-    "q363_stream_ingest_survivors", "q364_stream_minhash_ingest")
+    "q363_stream_ingest_survivors", "q364_stream_minhash_ingest",
+    "q369_pipeline_e2e")
 
   /** query name -> the bounded frame its global window runs on.
     * "PrefixSum offsets" = the nBuckets-row bucket-totals frame inside
