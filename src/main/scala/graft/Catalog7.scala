@@ -3045,9 +3045,13 @@ private[graft] trait Catalog7 extends CatalogBase {
       // from the raw raster BEFORE encoding, so a green hash proves the
       // engine's decode byte-exactly inverts an independent lossless
       // encode; JPEG goldens are generation-time decodes of the same
-      // bytes (lossy format, documented in the generator); hostile rows
-      // (truncated PNG/JPEG, garbage, empty, foreign magic, NULL
-      // payload) must come back NULL — never a throw, never a zero.
+      // bytes (lossy format, documented in the generator); palette-
+      // indexed and RGBA rows pin the component-expansion contract
+      // (channels = 3, palette-resolved sums, alpha dropped — raw
+      // raster samples would aggregate palette INDICES); hostile rows
+      // (truncated PNG/JPEG, garbage, empty, foreign magic, a
+      // forged-IHDR decompression bomb, NULL payload) must come back
+      // NULL — never a throw, never an OOM, never a zero.
       // Scale shape: scan-speed map over binary payloads, no shuffle,
       // no driver collect; 100 TB media lakes run exactly this plan
       // with payload bytes streaming through one codegen stage.

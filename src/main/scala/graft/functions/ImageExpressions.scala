@@ -1,8 +1,10 @@
 package graft.functions
 
+import java.awt.image.{BufferedImage, ComponentColorModel}
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -40,60 +42,138 @@ object ImageUtil {
     StructField("pixel_sum", LongType),
     StructField("pixel_count", LongType)))
 
-  /** Decode `bytes` and aggregate in one pass: (width, height, bands,
-    * sum of every sample over every band, total sample count). Returns
-    * null when the payload is not a decodable image. Public for
-    * generated code. */
+  /** Decompression-bomb guard: reject payloads whose DECLARED geometry
+    * exceeds this many pixels BEFORE any raster is allocated. A crafted
+    * header (a few hundred bytes on disk claiming 60000x60000) would
+    * otherwise force a multi-GB allocation whose OutOfMemoryError is
+    * not an Exception and would escape the NULL contract, killing the
+    * task. 2^26 = 67M pixels clears every real 8K frame. */
+  val MAX_PIXELS: Long = 1L << 26
+
+  /** Decode via an explicit in-MEMORY image input stream + reader.
+    * `ImageIO.read(InputStream)` would consult the global disk-cache
+    * default (`useCache=true`): one temp-file create/write/delete per
+    * row in a scan-speed kernel, and a full/unwritable tmpdir turns
+    * EVERY row's decode into the silent NULL the failure contract
+    * reserves for corrupt bytes. Going through the reader also exposes
+    * the header-declared geometry for the bomb guard before the raster
+    * exists. Null when not a decodable in-contract image. */
+  private def decode(bytes: Array[Byte]): BufferedImage =
+    try {
+      val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MAX_PIXELS) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null } // truncated/corrupt: NULL
+
+  /** True when the raster's samples ARE the image's color components: a
+    * component color model with no alpha (grayscale and RGB — the
+    * dominant crawl shapes; also CMYK-style N-band component images,
+    * whose bands are reported honestly). Palette-indexed images
+    * (raster = palette INDICES) and alpha-carrying images need
+    * component expansion first — summing their raw samples would
+    * aggregate indices or fold alpha into "luma". */
+  private def rasterIsComponents(img: BufferedImage): Boolean =
+    img.getColorModel.isInstanceOf[ComponentColorModel] &&
+      !img.getColorModel.hasAlpha
+
+  /** Decode `bytes` and aggregate in one pass: (width, height, channels,
+    * sum of every color sample over every channel, total sample count).
+    * Component images aggregate the raster directly (bit-exact, no
+    * color-management path). Palette-indexed and alpha-carrying images
+    * expand to (r, g, b) through the color model — a deterministic
+    * palette lookup / component read, alpha dropped, channels reported
+    * as 3. Returns null when the payload is not a decodable image.
+    * Public for generated code. */
   def stats(bytes: Array[Byte]): InternalRow = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null } // truncated/corrupt: NULL row
+    val img = decode(bytes)
     if (img == null) return null
-    val r = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
-    val bands = r.getNumBands
     var sum = 0L
-    var b = 0
-    while (b < bands) {
+    if (rasterIsComponents(img)) {
+      val r = img.getRaster
+      val bands = r.getNumBands
+      var b = 0
+      while (b < bands) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += r.getSample(x, y, b); x += 1 }
+          y += 1
+        }
+        b += 1
+      }
+      new GenericInternalRow(Array[Any](w, h, bands,
+        sum, w.toLong * h * bands))
+    } else {
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { sum += r.getSample(x, y, b); x += 1 }
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          sum += ((argb >>> 16) & 0xFF) + ((argb >>> 8) & 0xFF) +
+            (argb & 0xFF)
+          x += 1
+        }
         y += 1
       }
-      b += 1
+      new GenericInternalRow(Array[Any](w, h, 3, sum, w.toLong * h * 3))
     }
-    new GenericInternalRow(Array[Any](w, h, bands,
-      sum, w.toLong * h * bands))
   }
 
   /** Decode to a row-major LUMA raster — the single-channel shape every
     * downstream raster op ([[graft.operators.Multimodal.resize]],
-    * histograms) consumes. Multi-band pixels reduce by integer mean of
-    * the bands (deterministic — no platform color-management path);
-    * single-band images pass through exactly. None when undecodable. */
+    * histograms) consumes. Component pixels reduce by integer mean of
+    * the raster bands (deterministic — no platform color-management
+    * path; single-band passes through exactly); palette-indexed and
+    * alpha-carrying pixels expand to (r, g, b) through the color model
+    * first, alpha dropped. None when undecodable. */
   def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = decode(bytes)
     if (img == null) return None
-    val r = img.getRaster
     val w = img.getWidth
     val h = img.getHeight
-    val bands = r.getNumBands
     val out = new Array[Byte](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        var s = 0
-        var b = 0
-        while (b < bands) { s += r.getSample(x, y, b); b += 1 }
-        out(y * w + x) = (s / bands).toByte
-        x += 1
+    if (rasterIsComponents(img)) {
+      val r = img.getRaster
+      val bands = r.getNumBands
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var s = 0
+          var b = 0
+          while (b < bands) { s += r.getSample(x, y, b); b += 1 }
+          out(y * w + x) = (s / bands).toByte
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val s = ((argb >>> 16) & 0xFF) + ((argb >>> 8) & 0xFF) +
+            (argb & 0xFF)
+          out(y * w + x) = (s / 3).toByte
+          x += 1
+        }
+        y += 1
+      }
     }
     Some((w, h, out))
   }

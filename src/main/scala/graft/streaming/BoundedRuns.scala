@@ -534,17 +534,7 @@ object BoundedRuns {
       .drop("arr")
     staged.write.partitionBy("slice").parquet(s"$work/stage")
     orderSliceMtimes(s"$work/stage")
-    val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("slice",
-          org.apache.spark.sql.types.IntegerType))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$work/stage")
-      .drop("slice")
+    val stream = streamStaged(spark, work)
     DedupIngest.initSimhash128State(spark, s"$work/state")
     val q = DedupIngest.simhash128IngestSinkBounded(stream,
         s"$work/state", s"$work/surv", s"$work/pending",
@@ -553,8 +543,10 @@ object BoundedRuns {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // end-of-stream drain of the disorder window (same core as the sink)
-    DedupIngest.boundedLatenessFlush(spark, nSlices.toLong,
+    // end-of-stream drain of the disorder window (same core as the
+    // sink); the flush id derives from the pending manifest, so it can
+    // never collide with a trailing stream micro-batch
+    DedupIngest.boundedLatenessFlushAuto(spark,
       s"$work/pending", (released, bid) =>
         DedupIngest.simhash128IngestBatch(released, bid,
           s"$work/state", s"$work/surv", "doc_id", "text"))
@@ -599,6 +591,13 @@ object BoundedRuns {
       .withColumn("slice", spark_partition_id())
     staged.write.partitionBy("slice").parquet(s"$work/stage")
     orderSliceMtimes(s"$work/stage")
+    streamStaged(spark, work)
+  }
+
+  /** The file-source stream over `work/stage` (one staged file per
+    * micro-batch, mtime order) — the ONE place the staged layout's
+    * schema lives, shared by every staged-stream entry point. */
+  private def streamStaged(spark: SparkSession, work: String): DataFrame =
     spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -610,5 +609,4 @@ object BoundedRuns {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$work/stage")
       .drop("slice")
-  }
 }

@@ -350,7 +350,13 @@ object DedupIngest {
 
   /** Release EVERY parked row as one final core batch (end-of-stream
     * drain for bounded runs; a live production loop keeps running and
-    * never needs it). Idempotent in `batchId` like any other batch. */
+    * never needs it). Idempotent in `batchId` like any other batch.
+    * `batchId` must be STRICTLY above every id the stream itself ran —
+    * a collision makes the core's survivor write a silent no-op on the
+    * stream's already-committed batch and the parked rows never
+    * release; prefer [[boundedLatenessFlushAuto]], which derives a safe
+    * id from the pending manifest instead of assuming the stream ran
+    * exactly one micro-batch per staged file. */
   def boundedLatenessFlush(spark: SparkSession, batchId: Long,
       pendingDir: String, core: (DataFrame, Long) => Unit): Unit = {
     val pending = ManifestTable
@@ -358,6 +364,17 @@ object DedupIngest {
     core(pending, batchId)
     ManifestTable.writeBatch(pending.where(lit(false)), pendingDir, batchId)
     ManifestTable.pruneSnapshots(spark, pendingDir, batchId)
+  }
+
+  /** [[boundedLatenessFlush]] at `max(committed pending batch) + 1` —
+    * by construction above every micro-batch the stream executed
+    * (each one committed a pending snapshot), so the drain can never
+    * collide with a trailing/renumbered stream batch id. */
+  def boundedLatenessFlushAuto(spark: SparkSession, pendingDir: String,
+      core: (DataFrame, Long) => Unit): Unit = {
+    val bid = ManifestTable.snapshot(spark, pendingDir)
+      .flatMap(_.live.maxOption).getOrElse(-1L) + 1L
+    boundedLatenessFlush(spark, bid, pendingDir, core)
   }
 
   /** [[simhash128IngestSink]] with the reorder buffer in front — the

@@ -293,30 +293,34 @@ object ManifestTable {
   def compact(spark: SparkSession, dir: String, bid: Long): Unit = {
     val prev = snapshot(spark, dir).getOrElse(
       sys.error(s"no manifest at $dir — nothing to compact"))
+    // each commit's Snapshot value is threaded forward rather than
+    // re-resolved — one manifest LIST per compaction, not three (the
+    // committed state IS the value just passed to commit, single-writer)
+    var cur = prev
     // L1: fold the live batch dirs — I/O proportional to new data only
     if (!prev.folded.exists(bid <= _)) {
       val folded = prev.live.filter(_ <= bid)
       if (folded.nonEmpty) {
         spark.read.parquet(folded.map(b => s"$dir/b$b"): _*)
           .write.mode("overwrite").parquet(s"$dir/l$bid")
-        commit(spark, dir, prev.copy(seq = prev.seq + 1,
+        cur = prev.copy(seq = prev.seq + 1,
           runs = (prev.runs :+ bid).sorted,
-          live = prev.live.filter(_ > bid)))
+          live = prev.live.filter(_ > bid))
+        commit(spark, dir, cur)
       }
     }
     // L2: fold base + runs when the fan-in threshold is reached — the
     // only commit whose I/O is proportional to total state
-    val mid = snapshot(spark, dir).get
-    if (mid.runs.size >= L2_FANIN) {
-      val top = mid.runs.max
-      val foldPaths = mid.compacted.map(c => s"$dir/c$c").toSeq ++
-        mid.runs.map(r => s"$dir/l$r")
+    if (cur.runs.size >= L2_FANIN) {
+      val top = cur.runs.max
+      val foldPaths = cur.compacted.map(c => s"$dir/c$c").toSeq ++
+        cur.runs.map(r => s"$dir/l$r")
       spark.read.parquet(foldPaths: _*)
         .write.mode("overwrite").parquet(s"$dir/c$top")
-      commit(spark, dir, mid.copy(seq = mid.seq + 1,
-        compacted = Some(top), runs = Nil))
+      cur = cur.copy(seq = cur.seq + 1, compacted = Some(top), runs = Nil)
+      commit(spark, dir, cur)
     }
-    gcOrphans(spark, dir, snapshot(spark, dir).get)
+    gcOrphans(spark, dir, cur)
   }
 
   /** Delete every data dir that no manifest within the retention horizon

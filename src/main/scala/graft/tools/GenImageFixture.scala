@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.awt.image.BufferedImage
+import java.awt.image.{BufferedImage, IndexColorModel}
 import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -14,8 +14,10 @@ import graft.sources.Artifacts
 /** Generator for the checked-in REAL-image fixture
   * (`tools/artifacts/image_fixture.parquet`) behind q368 — deterministic
   * LCG rasters encoded to actual PNG/JPEG bytes with `javax.imageio`
-  * (pure JDK, no external codec), plus hostile rows (truncated PNG,
-  * garbage, empty, foreign magic, truncated JPEG, NULL payload).
+  * (pure JDK, no external codec) — gray + RGB component images,
+  * palette-indexed and RGBA PNGs (the raster-is-not-components shapes)
+  * — plus hostile rows (truncated PNG, garbage, empty, foreign magic,
+  * truncated JPEG, a forged-IHDR decompression bomb, NULL payload).
   *
   * GOLDEN DISCIPLINE (the q367 shared-artifact pattern, strengthened):
   *  - PNG rows: goldens are computed from the RAW raster BEFORE
@@ -55,6 +57,66 @@ object GenImageFixture {
     for (y <- 0 until h; x <- 0 until w; b <- 0 until 3)
       r.setSample(x, y, b, nextInt(256))
     img
+  }
+
+  /** Palette-indexed image (PNG color-type 3 after encode) + the
+    * pre-encode golden pixel sum over the palette's (r, g, b) values —
+    * the raster holds INDICES, so the component-expansion contract
+    * (channels = 3, alpha-free sRGB sums) is what the golden pins. */
+  private def indexed(w: Int, h: Int): (BufferedImage, Long) = {
+    val size = 64
+    val rC = new Array[Byte](size)
+    val gC = new Array[Byte](size)
+    val bC = new Array[Byte](size)
+    for (i <- 0 until size) {
+      rC(i) = nextInt(256).toByte
+      gC(i) = nextInt(256).toByte
+      bC(i) = nextInt(256).toByte
+    }
+    val cm = new IndexColorModel(8, size, rC, gC, bC)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val idx = nextInt(size)
+      raster.setSample(x, y, 0, idx)
+      sum += (rC(idx) & 0xFF) + (gC(idx) & 0xFF) + (bC(idx) & 0xFF)
+    }
+    (img, sum)
+  }
+
+  /** RGBA image (PNG color-type 6 after encode) + the pre-encode golden
+    * sum over (r, g, b) ONLY — the contract drops alpha rather than
+    * folding it into the aggregates. Alpha stays >= 1 so no encoder may
+    * legally discard the color samples under full transparency. */
+  private def rgba(w: Int, h: Int): (BufferedImage, Long) = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    var sum = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = nextInt(256); val g = nextInt(256); val b = nextInt(256)
+      val a = 1 + nextInt(255)
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+      sum += r + g + b
+    }
+    (img, sum)
+  }
+
+  /** Decompression bomb: a structurally valid PNG whose IHDR claims
+    * `dim x dim` pixels (CRC recomputed, so header parsing succeeds) on
+    * a tiny body — the declared-geometry guard must return NULL before
+    * any raster allocation, not OOM the task. */
+  private def bombPng(base: Array[Byte], dim: Int): Array[Byte] = {
+    val out = base.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    putInt(16, dim) // IHDR width  (8B sig + 4B len + 4B type)
+    putInt(20, dim) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 17) // chunk type + 13-byte IHDR data
+    putInt(29, crc.getValue.toInt)
+    out
   }
 
   private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
@@ -106,8 +168,28 @@ object GenImageFixture {
         Some(gw), Some(gh), Some(gc), Some(gs), Some(gn)))
     }
 
+    // 12 palette-indexed + RGBA PNGs: raster samples are NOT color
+    // components (indices / alpha-carrying), so these rows pin the
+    // component-expansion contract — channels = 3, palette-resolved
+    // sRGB sums, alpha dropped — against pre-encode truth
+    for ((w, h) <- sizes; isRgba <- Seq(false, true)) {
+      val (img, gs) = if (isRgba) rgba(w, h) else indexed(w, h)
+      val bytes = encode(img, "png")
+      val got = ImageUtil.stats(bytes)
+      val gn = w.toLong * h * 3
+      require(got != null && got.getInt(0) == w && got.getInt(1) == h &&
+        got.getInt(2) == 3 && got.getLong(3) == gs && got.getLong(4) == gn,
+        s"${if (isRgba) "RGBA" else "indexed"} PNG decode does not match " +
+          s"pre-encode components at ${w}x$h: $got (want sum $gs)")
+      add(Row(id, if (isRgba) "png_rgba" else "png_indexed", bytes,
+        Some(w), Some(h), Some(3), Some(gs), Some(gn)))
+    }
+
     // 12 JPEGs: geometry goldens pre-encode; pixel goldens from the
-    // generation-time decode of the checked-in bytes (lossy format)
+    // generation-time decode of the checked-in bytes. JPEG decoding is
+    // NOT bit-specified, so these goldens couple q368 to the decoder of
+    // the JDK that ran this generator (java.version recorded below) —
+    // regenerate the artifact when the toolchain's JDK major changes.
     for ((w, h) <- sizes; isRgb <- Seq(false, true)) {
       val img = if (isRgb) rgb(w, h) else gray(w, h)
       val bytes = encode(img, "jpg")
@@ -130,7 +212,10 @@ object GenImageFixture {
       "garbage" -> Array.tabulate[Byte](100)(i => nextInt(256).toByte),
       "empty" -> Array.emptyByteArray,
       "foreign_riff" -> ("RIFF1234WAVE" + "x" * 50).getBytes("US-ASCII"),
-      "text" -> "this is not an image at all".getBytes("UTF-8"))
+      "text" -> "this is not an image at all".getBytes("UTF-8"),
+      // structurally valid header claiming 50000x50000 = 2.5G pixels:
+      // the declared-geometry bomb guard must answer NULL, never OOM
+      "bomb_png_50k" -> bombPng(goodPng, 50000))
     for ((kind, bytes) <- hostile) {
       require(ImageUtil.stats(bytes) == null,
         s"hostile payload '$kind' must decode to NULL")
@@ -148,7 +233,9 @@ object GenImageFixture {
       .filter(_.getName.endsWith(".parquet")).head
     Files.createDirectories(Paths.get(out).getParent)
     Files.move(part.toPath, Paths.get(out), StandardCopyOption.REPLACE_EXISTING)
-    println(s"[genimg] wrote ${all.size} rows to $out")
+    println(s"[genimg] wrote ${all.size} rows to $out " +
+      s"(JPEG goldens pinned by java.version=" +
+      s"${System.getProperty("java.version")})")
     spark.stop()
   }
 }

@@ -281,9 +281,10 @@ class IngestReplaySpec extends SparkSpec {
     // reads the snapshot committed BELOW it, so the release set and the
     // core writes recompute identically
     runBatch(slices.last, slices.size - 1L)
-    // drain the disorder window
-    DedupIngest.boundedLatenessFlush(spark, slices.size.toLong,
-      s"$w/pending", core)
+    // drain the disorder window (the auto variant derives the flush id
+    // from the pending manifest — here max committed batch + 1 =
+    // slices.size, the value the explicit form would be handed)
+    DedupIngest.boundedLatenessFlushAuto(spark, s"$w/pending", core)
     assert(survivorIds(w) == oneShotSimhash(),
       "shuffled-within-L run diverged from the one-shot reference")
     val state = DedupIngest.readState(spark, s"$w/state")

@@ -102,6 +102,64 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getLong(3) == want && row.getLong(4) == w.toLong * h * 3)
   }
 
+  test("palette-indexed and RGBA PNGs expand to color components — " +
+      "never palette indices or alpha-folded sums") {
+    // indexed: raster holds INDICES; stats must resolve them through
+    // the palette (channels = 3), not sum the index bytes
+    val pal = Array.tabulate[Byte](4)(i => (i * 60 + 10).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 4,
+      pal, pal.map(b => (b + 5).toByte), pal.map(b => (b + 9).toByte))
+    val idxImg = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    var wantIdx = 0L
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val i = (x + y) % 4
+      idxImg.getRaster.setSample(x, y, 0, i)
+      wantIdx += ((pal(i) & 0xFF) + (pal(i) + 5 & 0xFF) + (pal(i) + 9 & 0xFF))
+    }
+    // rgba: alpha must be DROPPED, not averaged into the aggregates
+    val rgbaImg = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    var wantRgb = 0L
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (r, g, b) = (x * 100 + 7, y * 90 + 11, x * 50 + y * 30 + 3)
+      rgbaImg.setRGB(x, y, (200 << 24) | (r << 16) | (g << 8) | b)
+      wantRgb += r + g + b
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq((1L, png(idxImg)), (2L, png(rgbaImg)))
+      .toDF("id", "payload")
+      .selectExpr("id", "graft_image_stats(payload) AS st")
+      .select($"id", $"st.channels", $"st.pixel_sum", $"st.pixel_count")
+      .orderBy($"id").collect()
+    assert(rows(0).getInt(1) == 3 && rows(0).getLong(2) == wantIdx &&
+      rows(0).getLong(3) == 3L * 2 * 3)
+    assert(rows(1).getInt(1) == 3 && rows(1).getLong(2) == wantRgb &&
+      rows(1).getLong(3) == 2L * 2 * 3)
+  }
+
+  test("forged-geometry decompression bomb answers NULL before any " +
+      "raster allocation") {
+    // valid 4x4 PNG with IHDR rewritten to claim 50000x50000 (CRC
+    // fixed): reader accepts the header, the declared-geometry guard
+    // must reject it — a real decode would allocate 2.5G pixels
+    val out = pngBytes(3, 4, 4).clone()
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    putInt(16, 50000); putInt(20, 50000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 12, 17)
+    putInt(29, crc.getValue.toInt)
+    assert(graft.functions.ImageUtil.stats(out) == null)
+    assert(graft.functions.ImageUtil.decodeLuma(out).isEmpty)
+  }
+
   test("sampleFrames keeps every k-th frame with correct bytes") {
     val ds = Seq(video(2, 2, 2, 6)).toDS()
     val frames = Multimodal.sampleFrames(ds, everyK = 2).collect().sortBy(_.frame_idx)

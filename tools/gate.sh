@@ -98,7 +98,12 @@ fi
 # (r12 judge ask #4) and gates separately so its variance never masks —
 # or is masked by — the headline tier
 if [[ -n "${GRAFT_EXP_STRESS_SMALL:-}" && -n "${GRAFT_EXP_STRESS_BIG:-}" ]]; then
-  python3 tools/scale_exponents.py --gate "$GRAFT_EXP_STRESS_SMALL" "$GRAFT_EXP_STRESS_BIG"
+  # the stress tier gates at its OWN bar with NO exemptions: q30's
+  # no-prune regime is ~n^2 by construction, so the bar is "no worse
+  # than the designed quadratic" (2.1) — keeping it in the exemption
+  # file would make this stage vacuously green
+  python3 tools/scale_exponents.py --gate --bar 2.1 --no-exempt \
+    "$GRAFT_EXP_STRESS_SMALL" "$GRAFT_EXP_STRESS_BIG"
 else
   echo "  (stress-tier decade gate skipped: set GRAFT_EXP_STRESS_SMALL/"
   echo "   GRAFT_EXP_STRESS_BIG to the bench_idle_*_stress.json pair)"

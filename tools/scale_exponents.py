@@ -88,21 +88,21 @@ def report(small, big, ratio):
     return flagged
 
 
-def gate(small, big, ratio, exempt):
+def gate(small, big, ratio, exempt, bar=GATE_BAR):
     rows, _ = exponents(small, big, ratio)
     offenders = [(q, t) for q, t, _, _ in rows
-                 if t is not None and t > GATE_BAR and q not in exempt]
+                 if t is not None and t > bar and q not in exempt]
     waived = [(q, t) for q, t, _, _ in rows
-              if t is not None and t > GATE_BAR and q in exempt]
+              if t is not None and t > bar and q in exempt]
     for q, t in waived:
         print(f"[exp-gate] waived {q} t_exp={t:.2f} (exemption on file)")
     if offenders:
         for q, t in offenders:
-            print(f"[exp-gate] FAIL {q} t_exp={t:.2f} > {GATE_BAR} and not in "
+            print(f"[exp-gate] FAIL {q} t_exp={t:.2f} > {bar} and not in "
                   f"{os.path.relpath(EXEMPT_FILE)} — super-linear scaling "
                   f"needs a fix or a COVERAGE-documented exemption")
         return 1
-    print(f"[exp-gate] OK: {len(rows)} queries <= {GATE_BAR} "
+    print(f"[exp-gate] OK: {len(rows)} queries <= {bar} "
           f"({len(waived)} documented exemptions)")
     return 0
 
@@ -123,6 +123,13 @@ def selftest():
         fails.append("planted exponent-2.0 canary NOT flagged")
     if gate(linear_small, canary_big, 10.0, {"q2"}) != 0:
         fails.append("exempted canary still flagged")
+    # stress-tier bar: a designed-quadratic row passes its own 2.1 bar
+    # with NO exemption, and a worse-than-designed regression fails it
+    stress_big = art({"q1": 10.0, "q2": 400.0})     # q2 exp 2.3
+    if gate(linear_small, canary_big, 10.0, set(), bar=2.1) != 0:
+        fails.append("designed-quadratic stress row flagged at bar 2.1")
+    if gate(linear_small, stress_big, 10.0, set(), bar=2.1) != 1:
+        fails.append("worse-than-designed stress regression NOT flagged")
     # the real exemption file must exist, parse, and carry the
     # COVERAGE-documented entries — a deleted/emptied file would
     # otherwise silently turn the waivers into hard failures mid-round.
@@ -136,7 +143,7 @@ def selftest():
     if fails:
         print("[exp-gate] SELFTEST FAIL: " + "; ".join(fails))
         return 1
-    print("[exp-gate] selftest OK (3 gate cases + exemption file)")
+    print("[exp-gate] selftest OK (5 gate cases + exemption file)")
     return 0
 
 
@@ -147,11 +154,25 @@ def main():
     gating = bool(args) and args[0] == "--gate"
     if gating:
         args = args[1:]
+    # --bar X: tier-specific exponent bar (the STRESS tier gates at its
+    # own bar with NO exemptions — q30's no-prune regime is ~n^2 BY
+    # CONSTRUCTION, so its bar is "no worse than the designed quadratic"
+    # rather than the headline 1.3; an exemption there would make the
+    # stress gate vacuous, exactly what the tier split exists to avoid).
+    bar, exempt = GATE_BAR, None
+    while args and args[0] in ("--bar", "--no-exempt"):
+        if args[0] == "--bar":
+            bar = float(args[1])
+            args = args[2:]
+        else:
+            exempt = set()
+            args = args[1:]
     small = json.load(open(args[0]))
     big = json.load(open(args[1]))
     ratio = float(args[2]) if len(args) > 2 else 10.0
     if gating:
-        sys.exit(gate(small, big, ratio, load_exemptions()))
+        sys.exit(gate(small, big, ratio,
+                      load_exemptions() if exempt is None else exempt, bar))
     report(small, big, ratio)
 
 
