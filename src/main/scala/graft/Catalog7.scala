@@ -3142,6 +3142,87 @@ private[graft] trait Catalog7 extends CatalogBase {
         GROUP BY 1
         ORDER BY bucket"""),
       bench = true),
+
+    "q370_audio_decode" -> Q(
+      // REAL audio decoding — WAV/PCM through the JDK's own
+      // javax.sound.sampled (zero external deps), the same capability
+      // upgrade q368 made for images; FakeCodec now stands in for
+      // VIDEO alone. The checked-in fixture of actual WAV bytes
+      // (tools/GenAudioFixture.scala, pure-JDK encode) is decoded by
+      // the codegen'd graft_audio_stats expression. WAV is a LOSSLESS
+      // PCM container, so EVERY golden is computed from the raw sample
+      // array BEFORE encoding — a green hash proves the engine decode
+      // byte-exactly inverts an independent encode (16-bit signed
+      // amplitudes; 8-bit unsigned centered to v-128 so silence sums
+      // to 0 in both widths). Hostile rows (truncated header/DATA,
+      // garbage, foreign magic, out-of-contract a-law tag, a
+      // forged-frame-count bomb, NULL payload) must come back NULL —
+      // never a throw, never an OOM, never a zero. Scale shape:
+      // scan-speed map over binary payloads, no shuffle, no driver
+      // collect — the q368 plan with a different codec.
+      build = (s, dir) => {
+        s.read.parquet(graft.sources.Artifacts
+            .path("tools/artifacts/audio_fixture.parquet"))
+          .select(col("media_id"), col("kind"),
+            call_function("graft_audio_stats", col("payload")).as("st"))
+          .select(col("media_id"), col("kind"),
+            col("st.sample_rate").as("sample_rate"),
+            col("st.channels").as("channels"),
+            col("st.frames").as("frames"),
+            col("st.sample_sum").as("sample_sum"),
+            col("st.sample_abs_sum").as("sample_abs_sum"),
+            col("st.sample_count").as("sample_count"))
+          .orderBy(col("media_id"))
+      },
+      oracle = Some(s"""
+        SELECT media_id, kind, g_sample_rate AS sample_rate,
+          g_channels AS channels, g_frames AS frames,
+          g_sample_sum AS sample_sum, g_sample_abs_sum AS sample_abs_sum,
+          g_sample_count AS sample_count
+        FROM read_parquet('${graft.sources.Artifacts
+          .path("tools/artifacts/audio_fixture.parquet")}')
+        ORDER BY media_id""")),
+
+    "q371_video_demux" -> Q(
+      // REAL video demuxing — MJPEG-in-AVI through an in-repo RIFF
+      // chunk walker, every frame decoded by the SAME guarded javax.imageio
+      // path q368 pins. The fixture (tools/GenVideoFixture.scala) is
+      // honest about independence: the CONTAINER round-trips against
+      // the in-repo writer (the census golden proves the demuxer
+      // recovers the writer's frame layout from raw bytes), while the
+      // FRAME pixel goldens go through the independent JDK JPEG codec
+      // (generation-time decode, q368's JPEG discipline). The
+      // corrupt_frame row pins the mid-stream bad-JPEG contract: the
+      // container stays decodable, frames vs frames_decoded reports
+      // the gap, sums cover exactly the surviving frames — one bad
+      // frame must not poison the file OR vanish silently. Hostile
+      // containers (truncated header/movi, forged chunk size, garbage,
+      // RIFF-but-WAVE, empty, NULL) answer NULL, never a throw. With
+      // this entry every media slot decodes for REAL — FakeCodec
+      // survives only as the raw-raster framing convention for
+      // pre-decoded buffers. Scale shape: scan-speed map over binary
+      // payloads, zero shuffle, zero collect.
+      build = (s, dir) => {
+        s.read.parquet(graft.sources.Artifacts
+            .path("tools/artifacts/video_fixture.parquet"))
+          .select(col("media_id"), col("kind"),
+            call_function("graft_video_stats", col("payload")).as("st"))
+          .select(col("media_id"), col("kind"),
+            col("st.frames").as("frames"),
+            col("st.frames_decoded").as("frames_decoded"),
+            col("st.width").as("width"), col("st.height").as("height"),
+            col("st.pixel_sum").as("pixel_sum"),
+            col("st.pixel_count").as("pixel_count"))
+          .orderBy(col("media_id"))
+      },
+      oracle = Some(s"""
+        SELECT media_id, kind, g_frames AS frames,
+          g_frames_decoded AS frames_decoded, g_width AS width,
+          g_height AS height, g_pixel_sum AS pixel_sum,
+          g_pixel_count AS pixel_count
+        FROM read_parquet('${graft.sources.Artifacts
+          .path("tools/artifacts/video_fixture.parquet")}')
+        ORDER BY media_id""")),
   )
 
   /** [[wordpieceCtesFor]] over the source-embedded fixture vocab

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, ImageStats, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg, WordpieceTokenize}
+import graft.functions.{AudioStats, CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, ImageStats, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg, VideoStats, WordpieceTokenize}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -90,7 +90,18 @@ object GraftFunctions {
       info("graft_image_stats",
         "graft_image_stats(payload) - decoded width/height/channels + exact " +
           "pixel-sum aggregates of a PNG/JPEG binary, NULL if undecodable"),
-      { case Seq(p) => ImageStats(p) }: Builder))
+      { case Seq(p) => ImageStats(p) }: Builder),
+    ("graft_audio_stats",
+      info("graft_audio_stats",
+        "graft_audio_stats(payload) - decoded rate/channels/frames + exact " +
+          "sample-sum aggregates of a WAV/PCM binary, NULL if undecodable"),
+      { case Seq(p) => AudioStats(p) }: Builder),
+    ("graft_video_stats",
+      info("graft_video_stats",
+        "graft_video_stats(payload) - MJPEG-AVI frame census + exact " +
+          "pixel aggregates over decodable frames, NULL if the container " +
+          "is undecodable"),
+      { case Seq(p) => VideoStats(p) }: Builder))
 
   /** Idempotently register the functions on a live session. */
   def register(spark: SparkSession): Unit = {

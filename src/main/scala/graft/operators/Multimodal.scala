@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   * stub, undecodable payloads dropped (the catalog's q368 pins the
   * NULL-not-throw contract per row against pre-encode goldens).
   *
-  * STUB BOUNDARY — video/audio ONLY: this container ships no
-  * video/audio codecs, so [[FakeCodec]] stands in for frame extraction
-  * (a deterministic row-major grayscale raster format, dimensions from
-  * the metadata struct); [[audioWindows]] treats payload bytes as 8-bit
-  * PCM. Swapping in a real demuxer changes ONLY [[FakeCodec.frame]] —
-  * every schema, signature and partitioning decision stays.
+  * AUDIO IS REAL TOO (r13): the JDK ships `javax.sound.sampled`, so
+  * WAV/PCM payloads decode through [[graft.functions.AudioUtil]] and
+  * the codegen'd `graft_audio_stats` expression (q370 pins decode
+  * against pre-encode goldens — WAV is lossless). [[audioWindows]]
+  * keeps its separate RAW-signal framing contract (payload bytes AS
+  * the 8-bit sample stream) for already-decoded buffers.
+  *
+  * VIDEO TOO (r13): MJPEG-in-AVI containers demux through
+  * [[graft.functions.VideoUtil]] (in-repo RIFF walk, frames decoded by
+  * the same guarded `javax.imageio` path; q371 pins census + sums per
+  * row). Every media slot now decodes for REAL; [[FakeCodec]] survives
+  * only as the raw-raster FRAMING convention for pre-decoded buffers —
+  * `nFrames` concatenated row-major `width*height` grayscale rasters,
+  * the shape [[sampleFrames]]/[[videoFeatures]] consume after an
+  * upstream decode — not as a codec stand-in.
   */
 object Multimodal {
 
@@ -46,11 +55,11 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, width: Int,
       height: Int, pixels: Array[Byte])
 
-  /** The stand-in VIDEO demuxer (STUB — video/audio slots only, see
-    * class doc; images decode for real via
-    * [[graft.functions.ImageUtil]]). Treats the payload as
-    * `nFrames` concatenated row-major `width*height` grayscale
-    * rasters. */
+  /** The raw-raster FRAMING convention for pre-decoded video buffers
+    * (see class doc — real containers demux via
+    * [[graft.functions.VideoUtil]]; this object frames payloads that
+    * are ALREADY `nFrames` concatenated row-major `width*height`
+    * grayscale rasters, the shape a decode stage emits). */
   object FakeCodec {
     /** Frame `i` of a video payload (frames concatenated row-major). */
     def frame(meta: MediaMeta, payload: Array[Byte], i: Int): Array[Byte] = {

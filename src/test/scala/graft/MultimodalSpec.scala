@@ -160,6 +160,148 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.ImageUtil.decodeLuma(out).isEmpty)
   }
 
+  test("graft_audio_stats decode inverts a lossless WAV encode exactly " +
+      "(16-bit signed + 8-bit unsigned centering)") {
+    def wav(pcm: Array[Byte], fmt: javax.sound.sampled.AudioFormat,
+        frames: Long): Array[Byte] = {
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 16-bit signed stereo: 3 frames with known samples
+    val s16 = Array[Short](1000, -2000, 32767, -32768, 0, 5)
+    val pcm16 = new Array[Byte](12)
+    for (i <- s16.indices) {
+      pcm16(2 * i) = (s16(i) & 0xFF).toByte
+      pcm16(2 * i + 1) = ((s16(i) >> 8) & 0xFF).toByte
+    }
+    val fmt16 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      16000f, 16, 2, 4, 16000f, false)
+    val row16 = Seq((1L, wav(pcm16, fmt16, 3)))
+      .toDF("id", "payload")
+      .selectExpr("graft_audio_stats(payload) AS st")
+      .select($"st.sample_rate", $"st.channels", $"st.frames",
+        $"st.sample_sum", $"st.sample_abs_sum", $"st.sample_count")
+      .head()
+    assert(row16.getInt(0) == 16000 && row16.getInt(1) == 2 &&
+      row16.getLong(2) == 3L)
+    assert(row16.getLong(3) == s16.map(_.toLong).sum)
+    assert(row16.getLong(4) == s16.map(v => math.abs(v.toLong)).sum)
+    assert(row16.getLong(5) == 6L)
+    // 8-bit unsigned mono: 0x80 is digital silence and must sum to 0
+    val u8 = Array[Int](128, 0, 255, 200)
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val got8 = graft.functions.AudioUtil.stats(
+      wav(u8.map(_.toByte), fmt8, 4))
+    assert(got8 != null && got8.getLong(2) == 4L)
+    assert(got8.getLong(3) == u8.map(_ - 128).sum.toLong)
+    assert(got8.getLong(4) == u8.map(v => math.abs(v - 128)).sum.toLong)
+    // silence-only: sum 0, abs 0
+    val silent = graft.functions.AudioUtil.stats(
+      wav(Array.fill[Byte](8)(0x80.toByte), fmt8, 8))
+    assert(silent != null && silent.getLong(3) == 0L &&
+      silent.getLong(4) == 0L)
+  }
+
+  test("hostile WAV payloads answer NULL: truncation, out-of-contract " +
+      "codec tag, forged-frame bomb") {
+    val pcm = Array.fill[Byte](1024)(7)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 512)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val good = bos.toByteArray
+    assert(graft.functions.AudioUtil.stats(good) != null)
+    // truncated DATA: header claims 512 frames, body carries half
+    assert(graft.functions.AudioUtil.stats(good.take(good.length / 2)) == null)
+    // truncated header
+    assert(graft.functions.AudioUtil.stats(good.take(8)) == null)
+    // a-law format tag: container parses, codec out of contract
+    val alaw = good.clone(); alaw(20) = 6
+    assert(graft.functions.AudioUtil.stats(alaw) == null)
+    // forged data-chunk size claiming 2^28 frames on the tiny body
+    val bomb = good.clone()
+    def putLE(off: Int, v: Int): Unit = {
+      bomb(off) = (v & 0xFF).toByte
+      bomb(off + 1) = ((v >> 8) & 0xFF).toByte
+      bomb(off + 2) = ((v >> 16) & 0xFF).toByte
+      bomb(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    putLE(4, 36 + (1 << 29)); putLE(40, 1 << 29)
+    assert(graft.functions.AudioUtil.stats(bomb) == null)
+  }
+
+  test("graft_video_stats demuxes an MJPEG AVI: census, geometry, and " +
+      "sums match per-frame JPEG decodes; bad frames gap the census") {
+    def jpeg(w: Int, h: Int, s: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w; b <- 0 until 3)
+        img.getRaster.setSample(x, y, b, (x * 31 + y * 17 + b * 67 + s) % 256)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def le32(v: Long): Array[Byte] = Array((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if ((body.length & 1) == 1) Array[Byte](0)
+        else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = chunk("LIST", "movi".getBytes("US-ASCII") ++
+        frames.map(f => chunk("00dc", f))
+          .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val body = "AVI ".getBytes("US-ASCII") ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body
+    }
+    val fs = Seq(jpeg(9, 7, 0), jpeg(9, 7, 50), jpeg(9, 7, 111))
+    val expected = fs.map(graft.functions.ImageUtil.stats)
+    val row = Seq((1L, avi(fs))).toDF("id", "payload")
+      .selectExpr("graft_video_stats(payload) AS st")
+      .select($"st.frames", $"st.frames_decoded", $"st.width",
+        $"st.height", $"st.pixel_sum", $"st.pixel_count").head()
+    assert(row.getInt(0) == 3 && row.getInt(1) == 3)
+    assert(row.getInt(2) == 9 && row.getInt(3) == 7)
+    assert(row.getLong(4) == expected.map(_.getLong(3)).sum)
+    assert(row.getLong(5) == expected.map(_.getLong(4)).sum)
+    // mid-stream corrupt frame: census gap, sums over survivors only
+    val broken = avi(Seq(fs(0), fs(1).take(6), fs(2)))
+    val got = graft.functions.VideoUtil.stats(broken)
+    assert(got != null && got.getInt(0) == 3 && got.getInt(1) == 2)
+    assert(got.getLong(4) ==
+      expected(0).getLong(3) + expected(2).getLong(3))
+    // hostile containers: NULL, never a throw
+    assert(graft.functions.VideoUtil.stats(avi(fs).take(20)) == null)
+    assert(graft.functions.VideoUtil.stats(Array[Byte](1, 2, 3)) == null)
+    assert(graft.functions.VideoUtil.stats(
+      "RIFF".getBytes("US-ASCII") ++ le32(4) ++
+        "WAVE".getBytes("US-ASCII")) == null)
+    // forged chunk size overrunning the payload
+    val forged = avi(fs)
+    val at = forged.indices.find(i => i + 8 <= forged.length &&
+      forged(i) == '0' && forged(i + 1) == '0' &&
+      forged(i + 2) == 'd' && forged(i + 3) == 'c').get
+    System.arraycopy(le32(0x7FFF0000L), 0, forged, at + 4, 4)
+    assert(graft.functions.VideoUtil.stats(forged) == null)
+    // decodeFrames: typed path skips the bad frame, keeps its index gap
+    val frames = graft.functions.VideoUtil.decodeFrames(broken).get
+    assert(frames.map(_._1) == Seq(0, 2) &&
+      frames.forall(f => f._2 == 9 && f._3 == 7))
+  }
+
   test("sampleFrames keeps every k-th frame with correct bytes") {
     val ds = Seq(video(2, 2, 2, 6)).toDS()
     val frames = Multimodal.sampleFrames(ds, everyK = 2).collect().sortBy(_.frame_idx)
