@@ -909,8 +909,12 @@ private[graft] trait Catalog2 extends CatalogBase {
       // oracle-checked EXACTLY against a DuckDB recursive CTE running
       // the identical integer recurrence.
       build = (s, dir) => {
-        val li = table(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        // fan-out before the self-join: the pair expansion + partial
+        // aggregation run on the probe side's partitioning, which is a
+        // row-group-starved 1-task scan at bench SFs (Par.fanOut doc;
+        // no-op at scale)
+        val li = graft.operators.Par.fanOut(table(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
         // support >= 2 denoises: pairs co-bought once are coincidence and
         // would be 99.7% of the edges at sf0.1 — the pair-count HAVING
         // does in ONE aggregation what 10 PageRank rounds would otherwise
@@ -1970,11 +1974,14 @@ private[graft] trait Catalog2 extends CatalogBase {
       // band bounds the length variety that remains (~11% candidate
       // trim on the replicated-name worst case, near-free).
       build = (s, dir) => {
-        val p = table(s, dir, "part").select(
+        // fan-out on the blocking key: the scoring kernel runs on the
+        // block join's probe side, which is a row-group-starved 1-task
+        // scan at bench SFs (Par.fanOut doc; no-op at scale)
+        val p = graft.operators.Par.fanOut(table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
           pipeKey(col("p_brand"),
             split(col("p_name"), " ").getItem(0),
-            shiftright(length(col("p_name")), 3)).as("blk"))
+            shiftright(length(col("p_name")), 3)).as("blk")), "blk")
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
@@ -2298,11 +2305,14 @@ private[graft] trait Catalog2 extends CatalogBase {
       // so only boundary-straddling pairs are traded for the bounded
       // block size — see q144's note).
       build = (s, dir) => {
-        val p = table(s, dir, "part").select(
+        // fan-out on the blocking key: the scoring kernel runs on the
+        // block join's probe side, which is a row-group-starved 1-task
+        // scan at bench SFs (Par.fanOut doc; no-op at scale)
+        val p = graft.operators.Par.fanOut(table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
           pipeKey(col("p_brand"),
             split(col("p_name"), " ").getItem(0),
-            shiftright(length(col("p_name")), 3)).as("blk"))
+            shiftright(length(col("p_name")), 3)).as("blk")), "blk")
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         a.join(b, Seq("blk"))
@@ -2397,10 +2407,12 @@ private[graft] trait Catalog2 extends CatalogBase {
       // components cost one shuffle per round of cluster diameter, and
       // the canonical join is on the bounded component table.
       build = (s, dir) => {
-        val p = table(s, dir, "part").select(
+        // fan-out on the blocking key — same probe-side rationale as
+        // q144 (Par.fanOut; no-op at scale)
+        val p = graft.operators.Par.fanOut(table(s, dir, "part").select(
           col("p_partkey").as("id"), col("p_name").as("name"),
           pipeKey(col("p_brand"),
-            split(col("p_name"), " ").getItem(0)).as("blk"))
+            split(col("p_name"), " ").getItem(0)).as("blk")), "blk")
         val a = p.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
         val b = p.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
         val edges = a.join(b, Seq("blk"))

@@ -2923,7 +2923,11 @@ private[graft] trait Catalog7 extends CatalogBase {
       build = (s, dir) => {
         val t = col("text")
         val toks = Wordpiece.tokens(t)
-        table(s, dir, "documents")
+        // fan-out before the tokenizer kernel: the greedy trie walk is
+        // the whole query's cost and must not inherit a row-group-
+        // starved scan's 1-task parallelism (Par.fanOut; no-op at scale)
+        graft.operators.Par.fanOut(table(s, dir, "documents")
+            .select(col("doc_id"), col("text")), "doc_id")
           .select(col("doc_id"),
             when(t.isNull, lit(null)).otherwise(Wordpiece.wordCount(t))
               .as("n_words"),
@@ -3009,7 +3013,10 @@ private[graft] trait Catalog7 extends CatalogBase {
       build = (s, dir) => {
         val t = col("text")
         val toks = Wordpiece.tokensWith(t, Wordpiece.vocab30k)
-        table(s, dir, "documents")
+        // fan-out before the 30k-vocab trie kernel (same rationale as
+        // q365; Par.fanOut — no-op at scale)
+        graft.operators.Par.fanOut(table(s, dir, "documents")
+            .select(col("doc_id"), col("text")), "doc_id")
           .select(col("doc_id"),
             when(t.isNull, lit(null)).otherwise(Wordpiece.wordCount(t))
               .as("n_words"),
@@ -3098,7 +3105,8 @@ private[graft] trait Catalog7 extends CatalogBase {
         val surv = graft.streaming.BoundedRuns.pipelineSurvivors(s, dir)
         val n = size(Wordpiece.tokensWith(col("text"), Wordpiece.vocab30k))
           .cast("long")
-        table(s, dir, "documents")
+        graft.operators.Par.fanOut(table(s, dir, "documents")
+            .select(col("doc_id"), col("text")), "doc_id")
           .join(surv, Seq("doc_id"), "left_semi")
           .filter(col("text").isNotNull)
           .select(

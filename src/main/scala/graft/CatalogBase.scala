@@ -35,7 +35,13 @@ private[graft] trait CatalogBase {
     * (q135) deliberately bypass this and read [[table]] directly. */
   protected def emb(s: SparkSession, dir: String): DataFrame =
     graft.operators.Vectors.validEmbeddings(
-      table(s, dir, "embeddings"), "embedding")
+      // scale-adaptive fan-out BEFORE the validity gate: every consumer
+      // of this frame runs O(dims)-per-row (or O(n·dims)-per-row probe)
+      // vector kernels, and the embeddings fixture is a single parquet
+      // row group — without this the whole similarity tier inherits a
+      // 1-task scan at bench SFs (Par.fanOut doc; no-op at scale)
+      graft.operators.Par.fanOut(table(s, dir, "embeddings"), "vec_id"),
+      "embedding")
 
   /** Oracle-side mirror of [[emb]]: WHERE predicate over the raw
     * `embedding` column. Every gated query's oracle filters through it so

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AudioStats, CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, ImageStats, JaroWinkler, MinGramHash, NfcNormalize, PolyHash, SimHash128, SimHash60, StopwordCount, TopKAgg, VideoStats, WordpieceTokenize}
+import graft.functions.{AudioStats, CosineSimilarity, DamerauLevenshtein, DotProduct, HyperplaneBuckets, ImageStats, JaroWinkler, MinGramHash, MinhashBands, NfcNormalize, PolyHash, ShingleHashes, ShingleSpans, SimHash128, SimHash60, StopwordCount, TopKAgg, VideoStats, WordpieceTokenize}
 
 /** graft's engine extensions: native codegen'd SQL functions.
   *
@@ -86,6 +86,21 @@ object GraftFunctions {
         "graft_topk(ord, key, k) - bounded-heap top-k aggregate: k largest " +
           "(ord, key) pairs per group, ord desc / key asc, O(k) state"),
       { case Seq(o, ky, kk) => TopKAgg(o, ky, kk) }: Builder),
+    ("graft_minhash_bands",
+      info("graft_minhash_bands",
+        "graft_minhash_bands(sh, numHashes, bandRows) - per-document MinHash " +
+          "band hashes over a distinct shingle-hash array, indexed by band"),
+      { case Seq(sh, nh, br) => MinhashBands(sh, nh, br) }: Builder),
+    ("graft_shingle_spans",
+      info("graft_shingle_spans",
+        "graft_shingle_spans(text, n) - every word n-gram span (duplicates kept), " +
+          "single-pass kernel form of split/lead/concat_ws shingling"),
+      { case Seq(t, n) => ShingleSpans(t, n) }: Builder),
+    ("graft_shingle_hashes",
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(text, n) - distinct xxhash64 keys of every word " +
+          "n-gram span, single-pass kernel form of shingle+hash+distinct"),
+      { case Seq(t, n) => ShingleHashes(t, n) }: Builder),
     ("graft_image_stats",
       info("graft_image_stats",
         "graft_image_stats(payload) - decoded width/height/channels + exact " +

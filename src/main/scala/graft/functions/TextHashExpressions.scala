@@ -272,8 +272,36 @@ object TextHashUtil {
     * O(|a|·|b|) time, O(|a|·|b|) ints — intended for short keys (names,
     * codes), gated behind blocking like every pairwise metric here. */
   def damerauLevenshtein(a: UTF8String, b: UTF8String): Int = {
-    val s1 = a.toString
-    val s2 = b.toString
+    val f1 = a.toString
+    val f2 = b.toString
+    // Common prefix/suffix stripping (r13): blocked callers (q150 keys
+    // on brand + FIRST TOKEN, and the sf1 fixture prefixes every name)
+    // hand this kernel pairs sharing long identical affixes, and the DP
+    // is quadratic in what remains. Safe for the unrestricted metric:
+    // an optimal Lowrance-Wagner script never needs to edit an
+    // identical affix — pinned empirically by ShingleKernelSpec's
+    // small-alphabet fuzz against the unstripped kernel (the regime
+    // where a boundary-transposition counterexample would surface) on
+    // top of the existing 3000-pair DuckDB fuzz.
+    var p = 0
+    val maxP = math.min(f1.length, f2.length)
+    while (p < maxP && f1.charAt(p) == f2.charAt(p)) p += 1
+    var sfx = 0
+    val maxS = maxP - p
+    while (sfx < maxS &&
+      f1.charAt(f1.length - 1 - sfx) == f2.charAt(f2.length - 1 - sfx)) sfx += 1
+    dlCore(f1.substring(p, f1.length - sfx), f2.substring(p, f2.length - sfx))
+  }
+
+  /** The unstripped Lowrance-Wagner DP — [[damerauLevenshtein]] without
+    * the affix strip, kept as the fuzz reference for the stripping
+    * optimization (ShingleKernelSpec pins strip ≡ no-strip on a
+    * small-alphabet fuzz where boundary-transposition counterexamples
+    * would surface). */
+  private[graft] def damerauLevenshteinRef(a: String, b: String): Int =
+    dlCore(a, b)
+
+  private def dlCore(s1: String, s2: String): Int = {
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0) return l2

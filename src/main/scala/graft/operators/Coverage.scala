@@ -36,14 +36,32 @@ object Coverage {
     * document, strongest first; stops early when nothing remains.
     * Ties break toward the smaller doc id — the determinism that makes
     * the sweep oracle-checkable against an unrolled SQL mirror (q254).
-    */
+    *
+    * r13 shape (was: per-round `left_anti` against the winner's features
+    * followed by a fresh `localCheckpoint` of the whole shrunk frame —
+    * i.e. the full pair set REWRITTEN to storage every round): the pair
+    * frame is now checkpointed exactly ONCE and never rewritten; covered
+    * features accumulate in a driver-side hash set applied as a
+    * map-side `InSet` filter under each round's gain aggregation. The
+    * covered set is bounded by the union of the ≤ `rounds` winners'
+    * feature sets — the same "one document's worth per round, always
+    * broadcastable" bound the anti-join already relied on — so per
+    * round the work drops from (rewrite + anti-join build + agg) to one
+    * filtered aggregation over the warm cache, and rounds 2..k stop
+    * paying round-1's storage write. Gains are identical: count of a
+    * doc's features not yet covered. */
   def greedySelect(pairs: DataFrame, docCol: String, featCol: String,
       rounds: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    var remaining = pairs.select(col(docCol).as("doc"), col(featCol).as("f"))
+    val base = pairs.select(col(docCol).as("doc"), col(featCol).as("f"))
       .localCheckpoint()
+    val covered = new java.util.HashSet[Any]()
+    def remaining: DataFrame =
+      if (covered.isEmpty) base
+      else base.filter(!col("f").isInCollection(
+        scala.jdk.CollectionConverters.SetHasAsScala(covered).asScala.toSeq))
     val picks = new ArrayBuffer[(Int, Long, Long)]
     var r = 1
     var done = false
@@ -58,18 +76,16 @@ object Coverage {
         val gain = top(0).getLong(0)
         val doc = top(0).getLong(1)
         picks += ((r, doc, gain))
-        val winnerFeats = remaining.filter(col("doc") === lit(doc)).select("f")
-        val prev = remaining
-        remaining = remaining
-          .join(broadcast(winnerFeats), Seq("f"), "left_anti")
-          .localCheckpoint()
-        // the new checkpoint has materialized; the prior round's blocks
-        // would otherwise pin executor storage for the session's lifetime
-        prev.unpersist()
+        // winner's still-uncovered features join the covered set (its
+        // already-covered ones are in it by construction) — one bounded
+        // driver collect per round, the same cardinality the anti-join
+        // broadcast shipped
+        remaining.filter(col("doc") === lit(doc)).select("f")
+          .collect().foreach(row => covered.add(row.get(0)))
         r += 1
       }
     }
-    remaining.unpersist()
+    base.unpersist()
     picks.toSeq.toDF("round", "doc_id", "gain")
   }
 }

@@ -31,6 +31,12 @@ object NearDup {
   /** Whitespace tokens (matches the oracle's `regexp_split_to_array`). */
   def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\x0B\\f\\r]+")
 
+  /** Scale-adaptive fan-out for kernel-heavy stages rooted at a scan —
+    * see [[Par.fanOut]] (shared across the kernel operators; the
+    * measured rationale lives there). */
+  private def fanOut(df: DataFrame, key: String): DataFrame =
+    Par.fanOut(df, key)
+
   /** Distinct word n-gram shingles from an already-computed token array.
     * Documents shorter than n tokens yield an empty set (Spark's
     * `sequence(1,0)` would count DOWN, so the guard is load-bearing).
@@ -48,20 +54,31 @@ object NearDup {
     shinglesFromTokens(tokens(text), n)
 
   /** (id, s): every word n-gram occurrence as ROWS (NOT deduplicated — a
-    * span appearing k times in a document yields k rows), fully codegen'd:
-    * posexplode the tokens, window-`lead` the next n-1 words per document,
-    * concat. The only shuffle is the window sort, and it carries narrow
-    * (id, pos, word) rows — the n-gram text is assembled AFTER the
-    * exchange, so full spans never move. Documents shorter than n tokens
-    * vanish (their lead(n-1) is null), matching the empty-set semantics
-    * of [[shinglesFromTokens]].
+    * span appearing k times in a document yields k rows), via the
+    * single-pass [[graft.functions.ShingleUtil]] kernel: one codegen'd
+    * expression per document, then `explode` — ZERO exchanges, where the
+    * round-12 relational form (posexplode → window `lead` → concat_ws,
+    * kept below as [[shingleRowsAllRelational]], the executable spec the
+    * NearDupSpec A/B fuzz pins this kernel against) paid a
+    * hash-partition + sort of the full token row set per consumer.
+    * Documents shorter than n tokens yield an empty array and vanish at
+    * the explode, matching the spec's `lead(n−1) IS NULL` semantics.
     *
-    * Use this form when the consumer can key on a hash of the span
-    * (occurrence counting, inverted indexes) — deduplicating here would
-    * shuffle the span text itself; hash-keyed consumers dedupe on
-    * `(xxhash64(s), id)` longs instead and resolve text only for the rows
-    * that survive. [[shingleRows]] adds the per-document distinct. */
+    * Use this form when the consumer counts occurrences; set-shaped
+    * consumers use [[shingleHashRows]], whose kernel also folds in the
+    * hash + per-document distinct. */
   def shingleRowsAll(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      .select(col("id"),
+        explode(call_function("graft_shingle_spans",
+          col("__text"), lit(n))).as("s"))
+
+  /** Round-12 relational formulation of [[shingleRowsAll]] — the
+    * executable specification the kernel is A/B-fuzzed against (same
+    * convention as TextHash's `*Hof` twins). Pays one window exchange +
+    * sort over the token rows; not for hot paths. */
+  def shingleRowsAllRelational(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val exploded = docs.select(col(idCol).as("id"),
@@ -95,15 +112,42 @@ object NearDup {
     * fails the gate loudly rather than passing silently. */
   def shingleHashRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    shingleRowsAll(docs, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("s")).as("hs"))
-      .distinct()
+    shingleHashArrays(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("hs"))
 
-  /** (id, sh, sz): per-document shingle-hash set + cardinality, for exact
-    * verification (array_intersect over longs). */
+  /** (id, sh, sz): per-document DISTINCT shingle-hash ARRAY + its
+    * cardinality, straight from the [[graft.functions.ShingleUtil]]
+    * kernel — zero exchanges. This is the set form consumers previously
+    * rebuilt with a `count() over (partition by id)` window (one
+    * exchange + sort) and a `collect_list` aggregation (another
+    * exchange): both now read THIS frame for free. Documents shorter
+    * than n tokens carry an empty array (sz = 0) — row-shaped consumers
+    * explode, which drops them exactly as the round-12 pipeline did. */
+  def shingleHashArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    fanOut(docs.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+      .select(col("id"),
+        call_function("graft_shingle_hashes", col("__text"), lit(n)).as("sh"))
+      .withColumn("sz", size(col("sh")).cast("long"))
+
+  /** (id, sh, sz): per-document shingle-hash set + cardinality from an
+    * (id, hs) ROW frame, for exact verification (array_intersect over
+    * longs) — one collect_list exchange. Pipelines that shingle their
+    * own documents read [[shingleHashArrays]] instead (zero exchanges);
+    * this form remains for set recovery from warm STATE row tables
+    * (delta-ingest paths), whose shape is fixed by the stored state. */
   private def shingleSets(rows: DataFrame): DataFrame =
     rows.groupBy(col("id"))
       .agg(collect_list(col("hs")).as("sh"), count(lit(1)).as("sz"))
+
+  /** (id, sz, hs) rows with the per-document cardinality attached — the
+    * explode of [[shingleHashArrays]]. Replaces the round-12
+    * `count() over (partition by id)` window (exchange + full sort) with
+    * a column already known at shingle time: zero exchanges. */
+  private def sizedHashRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleHashArrays(docs, idCol, textCol, n)
+      .select(col("id"), col("sz"), explode(col("sh")).as("hs"))
 
   /** Exact all-pairs n-gram Jaccard ≥ minJ via a distributed inverted
     * index: self-join the (id, shingle-hash) rows on the hash (docs
@@ -114,8 +158,7 @@ object NearDup {
     * text. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJ: Double = 0.6): DataFrame = {
-    val inv = shingleHashRows(docs, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val inv = sizedHashRows(docs, idCol, textCol, n)
     // self-join via alias (renames ABOVE the join): both sides canonicalize
     // to the same subtree, so the exchange can be computed once and reused
     inv.alias("a").join(inv.alias("b"),
@@ -143,8 +186,7 @@ object NearDup {
     * beyond ~10^7 docs. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minC: Double = 0.15): DataFrame = {
-    val inv = shingleHashRows(docs, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val inv = sizedHashRows(docs, idCol, textCol, n)
     inv.alias("a").join(inv.alias("b"),
         col("a.hs") === col("b.hs") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -194,19 +236,23 @@ object NearDup {
       textCol: String, n: Int = 3, minC: Double = 0.5,
       materialize: Boolean = true): DataFrame = {
     require(minC > 0.0 && minC <= 1.0, s"minC must be in (0, 1], got $minC")
-    val rows0 = shingleHashRows(docs, idCol, textCol, n)
-    val rows =
+    // persist the per-document ARRAY frame (one row per doc), not the
+    // exploded rows — same coverage (every downstream reference derives
+    // from it), strictly less cached state
+    val arrs0 = shingleHashArrays(docs, idCol, textCol, n)
+    val arrs =
       if (materialize)
-        rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else rows0
-    val cand = containmentCandidates(rows, minC)
+        arrs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else arrs0
+    val sized = arrs.select(col("id"), col("sz"), explode(col("sh")).as("hs"))
+    val cand = containmentCandidatesSized(sized, minC)
     // merge hints here too: the per-doc shingle-SET side is corpus-sized
     // (it carries every shingle hash), so broadcasting it is wrong at
     // scale — and at small SF its cached-size estimate straddles the
     // broadcast threshold, flipping AQE's choice run-to-run (the r9
     // metrics tripwire caught the verify stage flapping after the
     // candidate join was pinned)
-    val sets = shingleSets(rows)
+    val sets = arrs
     cand.join(sets.alias("sa").hint("merge"), col("id_a") === col("sa.id"))
       .join(sets.alias("sb").hint("merge"), col("id_b") === col("sb.id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
@@ -224,10 +270,16 @@ object NearDup {
     * Guaranteed to contain every pair with max-direction containment
     * ≥ minC (prefix theorem in [[containmentCandidatePairs]]'s doc);
     * callers confirm with the exact measure. */
-  def containmentCandidates(rows: DataFrame, minC: Double): DataFrame = {
-    val freq = rows.groupBy(col("hs")).agg(count(lit(1)).as("df"))
-    val sized = rows
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+  def containmentCandidates(rows: DataFrame, minC: Double): DataFrame =
+    containmentCandidatesSized(
+      rows.withColumn("sz",
+        count(lit(1)).over(Window.partitionBy(col("id")))), minC)
+
+  /** [[containmentCandidates]] over (id, hs, sz) rows whose per-document
+    * cardinality is ALREADY attached (the [[shingleHashArrays]] explode)
+    * — skips the window that recomputed it from bare rows. */
+  def containmentCandidatesSized(sized: DataFrame, minC: Double): DataFrame = {
+    val freq = sized.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val prefix = sized
       // merge hint: the (hs -> df) frequency table is shingle-
       // vocabulary-sized — never broadcastable at corpus scale, and at
@@ -263,10 +315,8 @@ object NearDup {
     * exchanges and exact-integer Jaccard as [[jaccardPairs]]. */
   def deltaJaccardPairs(corpus: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minJ: Double = 0.6): DataFrame = {
-    val cInv = shingleHashRows(corpus, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
-    val dInv = shingleHashRows(delta, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val cInv = sizedHashRows(corpus, idCol, textCol, n)
+    val dInv = sizedHashRows(delta, idCol, textCol, n)
     dInv.alias("d").join(cInv.alias("c"), col("d.hs") === col("c.hs"))
       .select(col("d.id").as("delta_id"), col("c.id").as("corpus_id"),
         col("d.sz").as("sz_d"), col("c.sz").as("sz_c"))
@@ -303,14 +353,16 @@ object NearDup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJ: Double = 0.6, materialize: Boolean = true): DataFrame = {
     require(minJ > 0.0 && minJ <= 1.0, s"minJ must be in (0, 1], got $minJ")
-    val rows0 = shingleHashRows(docs, idCol, textCol, n)
-    val rows =
+    // persist the per-document ARRAY frame — one row per doc, every
+    // reference (freq pass, rank pass, verify sets) derives from it
+    val arrs0 = shingleHashArrays(docs, idCol, textCol, n)
+    val arrs =
       if (materialize)
-        rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else rows0
+        arrs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else arrs0
+    val rows = arrs.select(col("id"), col("sz"), explode(col("sh")).as("hs"))
     val freq = rows.groupBy(col("hs")).agg(count(lit(1)).as("df"))
     val ranked = rows
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
       // merge hint: the (hs -> df) frequency table is shingle-
       // vocabulary-sized — never broadcastable at corpus scale, and at
       // small SF its estimate straddles the broadcast threshold (the
@@ -333,7 +385,7 @@ object NearDup {
       .distinct()
     // merge hints: same scale rationale and the same measured AQE
     // broadcast flip as containmentCandidatePairs' verify stage
-    val sets = shingleSets(rows)
+    val sets = arrs
     cand.join(sets.alias("sa").hint("merge"), col("id_a") === col("sa.id"))
       .join(sets.alias("sb").hint("merge"), col("id_b") === col("sb.id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
@@ -356,10 +408,8 @@ object NearDup {
   def deltaContainmentPairs(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       minC: Double = 0.5): DataFrame = {
-    val dSized = shingleHashRows(delta, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
-    val cSized = shingleHashRows(corpus, idCol, textCol, n)
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val dSized = sizedHashRows(delta, idCol, textCol, n)
+    val cSized = sizedHashRows(corpus, idCol, textCol, n)
     // delta side vs (corpus ∪ delta): a delta-corpus pair meets once; a
     // delta-delta pair is deduplicated by id order at the JOIN (cheaper
     // than a post-hoc distinct over canonicalized pairs)
@@ -427,6 +477,21 @@ object NearDup {
     * group aggregates only `bandRows` conditional mins; (b) map-side
     * partial aggregation collapses the exploded rows before the shuffle,
     * which carries numBands rows of (two ints, long) per document. */
+  /** [[minhashBands]] from the per-document shingle-hash ARRAY frame
+    * ([[shingleHashArrays]]) — one codegen'd kernel call per document
+    * ([[graft.functions.MinhashUtil]]), then posexplode of the finished
+    * band hashes: the numHashes-way seed explode, its per-row hash-agg
+    * probes and the banding shuffle of partial rows are all gone; the
+    * first exchange of the LSH pipeline now carries numBands finished
+    * (id, band, bhash) rows per document. Bit-identical to the
+    * aggregation form (ShingleKernelSpec A/B), which remains below for
+    * ROW-shaped inputs (warm state tables). */
+  def minhashBandsFromArrays(arrs: DataFrame, numHashes: Int,
+      bandRows: Int): DataFrame =
+    arrs.select(col("id"),
+      posexplode(call_function("graft_minhash_bands",
+        col("sh"), lit(numHashes), lit(bandRows))).as(Seq("band", "bhash")))
+
   def minhashBands(rows: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
     val seeded = rows
       // the shingle string was hashed once upstream; the per-seed family
@@ -495,12 +560,19 @@ object NearDup {
       if (materialize)
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df
-    val rows = mat(shingleHashRows(docs, idCol, textCol, n))
-    val bands = minhashBands(rows, numHashes, bandRows)
+    // persist the per-document ARRAY frame — the banding kernel and the
+    // verify sets both derive from it, and it is one row per doc
+    val arrs = mat(shingleHashArrays(docs, idCol, textCol, n))
+    val bands = minhashBandsFromArrays(arrs, numHashes, bandRows)
     val cand = lshCandidates(bands)
-    val sets = shingleSets(rows)
-    cand.join(sets.alias("sa"), col("id_a") === col("sa.id"))
-      .join(sets.alias("sb"), col("id_b") === col("sb.id"))
+    val sets = arrs
+    // merge hints: the set side is corpus-sized (one row per doc carrying
+    // its whole shingle set) — never broadcastable at scale, and at small
+    // SF the cached array frame's size estimate straddles the broadcast
+    // threshold (the same measured AQE flip the containment/prefix verify
+    // joins pin against)
+    cand.join(sets.alias("sa").hint("merge"), col("id_a") === col("sa.id"))
+      .join(sets.alias("sb").hint("merge"), col("id_b") === col("sb.id"))
       .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
       .withColumn("jaccard",
         col("common").cast("double") / (col("sa.sz") + col("sb.sz") - col("common")))
@@ -553,8 +625,12 @@ object NearDup {
       s"maxHamming must be in [0, 29], got $maxHamming")
     val numBands = maxHamming + 1
     val bits = 60 / numBands
-    val sk0 = docs.select(col(idCol).as("id"),
-      TextHash.simhash(col(textCol)).as("sk"))
+    // fan-out before the sketch kernel: the md5-per-token sketch is the
+    // expensive stage, and it must not inherit a row-group-starved
+    // scan's parallelism (Par.fanOut doc; no-op at scale)
+    val sk0 = fanOut(docs.select(col(idCol).as("id"),
+        col(textCol).as("__text")), "id")
+      .select(col("id"), TextHash.simhash(col("__text")).as("sk"))
     val sk =
       if (materialize)
         sk0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -619,12 +695,13 @@ object NearDup {
       delta: DataFrame, idCol: String, textCol: String, n: Int = 3,
       minJ: Double = 0.6, numHashes: Int = 192, bandRows: Int = 3,
       materialize: Boolean = true): DataFrame = {
-    val dRows0 = shingleHashRows(delta, idCol, textCol, n)
-    val dRows =
+    val dArrs0 = shingleHashArrays(delta, idCol, textCol, n)
+    val dArrs =
       if (materialize)
-        dRows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else dRows0
-    val dBands = minhashBands(dRows, numHashes, bandRows)
+        dArrs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else dArrs0
+    val dRows = dArrs.select(col("id"), explode(col("sh")).as("hs"))
+    val dBands = minhashBandsFromArrays(dArrs, numHashes, bandRows)
     deltaMinhashPairsFromRows(corpusRows, corpusBands, dRows, dBands, minJ)
   }
 
@@ -794,8 +871,11 @@ object NearDup {
       s"maxHamming must be in [0, 31], got $maxHamming")
     val numBands = maxHamming + 1
     val bits = math.min(128 / numBands, 63)
-    val sk0 = docs.select(col(idCol).as("id"),
-      TextHash.simhash128(col(textCol)).as("sk128"))
+    // fan-out before the sketch kernel — same rationale as the 60-bit
+    // pipeline (Par.fanOut doc; no-op at scale)
+    val sk0 = fanOut(docs.select(col(idCol).as("id"),
+        col(textCol).as("__text")), "id")
+      .select(col("id"), TextHash.simhash128(col("__text")).as("sk128"))
       .select(col("id"), col("sk128").getItem(0).as("hi"),
         col("sk128").getItem(1).as("lo"))
     val sk =

@@ -218,9 +218,13 @@ object DedupIngest {
     val b = batch.select(col(idCol).cast("long").as("id"),
         col(textCol).as("__text"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bRows = NearDup.shingleHashRows(b, "id", "__text", n)
+    // one shingle pass per batch: the ARRAY frame feeds both the banding
+    // kernel and (exploded) the state-shape row table / exact verify —
+    // the r13 kernel path (NearDup.shingleHashArrays doc)
+    val bArrs = NearDup.shingleHashArrays(b, "id", "__text", n)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bBands = NearDup.minhashBands(bRows, numHashes, bandRows)
+    val bRows = bArrs.select(col("id"), explode(col("sh")).as("hs"))
+    val bBands = NearDup.minhashBandsFromArrays(bArrs, numHashes, bandRows)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       def prior(table: String): DataFrame =
@@ -245,7 +249,7 @@ object DedupIngest {
       if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
         (Seq("rows", "bands", "wm").map(t => s"$stateDir/$t") :+ survivorsDir)
           .foreach(t => ManifestTable.compact(spark, t, batchId))
-    } finally { bBands.unpersist(); bRows.unpersist(); b.unpersist() }
+    } finally { bBands.unpersist(); bArrs.unpersist(); b.unpersist() }
   }
 
   /** [[simhash128IngestSink]]'s loop on the MinHash/LSH tier — the

@@ -44,18 +44,19 @@ class DeltaStateSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     assert(want.nonEmpty) // the split really produces delta-side pairs
 
-    // scan-only corpus: the only shingling Window in the plan is the
-    // DELTA's `lead` — the plan STRING repeats that one subtree per
-    // reference (persisted delta rows are referenced by banding + both
-    // verify sides), so count DISTINCT window signatures by expression
-    // id, not occurrences. A re-shingled corpus would introduce a second
-    // lead-window over different expression ids.
+    // scan-only corpus: the only shingling KERNEL application in the
+    // plan is the DELTA's `graft_shingle_hashes` (the r13 kernel that
+    // replaced the lead-window pipeline) — the plan STRING repeats that
+    // one subtree per reference (persisted delta arrays are referenced
+    // by banding + both verify sides), so count DISTINCT kernel
+    // signatures by input expression id, not occurrences. A re-shingled
+    // corpus would introduce a second kernel over different ids.
     val plan = inc.queryExecution.executedPlan.toString
-    val windowIds = "Window \\[lead\\(w0#(\\d+)".r
+    val kernelIds = "graft_shingle_hashes\\(__text#(\\d+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
-    assert(windowIds.size == 1,
-      s"expected 1 distinct (delta-side) shingling window, got " +
-        s"${windowIds.size} ($windowIds)")
+    assert(kernelIds.size == 1,
+      s"expected 1 distinct (delta-side) shingle kernel, got " +
+        s"${kernelIds.size} ($kernelIds)")
     // the corpus state feeds the plan as plain parquet scans
     val nStateScans = "graft-lsh-state".r.findAllIn(plan).size
     assert(nStateScans >= 2, s"expected >=2 parquet state scans, got $nStateScans")
