@@ -63,9 +63,32 @@ object Components {
     // still compute the subtree twice); the count doubles as the
     // empty-graph early exit
     val nEdges = e.count()
-    var comp = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+    if (nEdges == 0) {
+      val all = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.unpersist()
+      return all
+    }
+    // r13: iterate over the EDGE-TOUCHED vertices only. A vertex with no
+    // edge keeps comp = id through every round by construction, yet the
+    // round-12 loop re-persisted and re-counted it `diameter` times —
+    // on dedup-shaped graphs the edge-touched set is a small fraction of
+    // the corpus (pairs are the exception, not the rule), so every
+    // per-round persist/scan/convergence-count now runs on |endpoints|
+    // rows instead of |V| (guide §1.2 per-row work, §5 cache volume).
+    // The node table is scanned and persisted ONCE, flagged by a single
+    // left join against the endpoint set (same one-pass cost the old
+    // round-0 persist paid); the loop filters the flagged slice and the
+    // unflagged singletons rejoin after the fixpoint, labeled comp = id
+    // straight off the cache.
+    val endpoints = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val marked = nodes.select(col(idCol).as("id"))
+      .join(endpoints.select(col("id"), lit(true).as("__e")), Seq("id"), "left")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (nEdges == 0) { e.unpersist(); return comp }
+    var comp = marked.filter(col("__e"))
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // symmetrized view over the cached edges: two cache scans + a
     // projection per round — cheaper than persisting a second 2× copy
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -99,6 +122,7 @@ object Components {
       i += 1
     }
     if (!converged) {
+      marked.unpersist()
       cached.unpersist()
       e.unpersist()
       throw new IllegalStateException(
@@ -106,12 +130,17 @@ object Components {
           "the graph diameter exceeds maxIter; raise it (rounds are cheap: " +
           "one shuffle each) rather than consuming a split clustering")
     }
-    // re-cache the narrow (id, comp) result and free the loop frame (which
-    // carries the chg flag) + the edge cache — the caller sees exactly one
-    // persisted frame, served from cache, with nothing else pinned
-    val result = comp.select(col("id"), col("comp"))
+    // re-cache the narrow (id, comp) result — singletons (vertices with
+    // no edge) rejoin here, labeled comp = id by a cache-local filter of
+    // the marked node frame — and free the node/loop/edge caches: the
+    // caller sees exactly one persisted frame, served from cache, with
+    // nothing else pinned
+    val singles = marked.filter(col("__e").isNull)
+      .select(col("id"), col("id").as("comp"))
+    val result = comp.select(col("id"), col("comp")).union(singles)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    marked.unpersist()
     cached.unpersist()
     e.unpersist()
     result

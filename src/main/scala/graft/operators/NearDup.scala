@@ -597,17 +597,17 @@ object NearDup {
     * which only ever ADDS candidates, so the guarantee survives non-dividing
     * band counts (maxHamming ≤ 29 keeps every band ≥ 2 bits).
     *
-    * Scale shape: `maxHamming + 1` (id, band, value) rows per document —
-    * linear map-side expansion of 16-byte rows — then the bucket-grouped
-    * pair expansion used by [[lshCandidates]], then two id equi-joins to
-    * re-attach sketches for the verify. The sketch table is REFERENCED
-    * three times (banding + both verify sides) and Spark recomputes it
-    * per reference; each recompute is a scan-speed codegen'd pass, and
-    * measured at sf0.1 (tools/AbMaterialize) caching it is a slight LOSS
-    * for a run-once action (1.78 s recomputed vs 1.98 s cached) — the
-    * cache write costs more than three scan-speed passes, so the knob
-    * defaults off here while [[minhashNearDupPairs]]' defaults on (its
-    * re-referenced subtree carries a window + distinct shuffle).
+    * Scale shape: `maxHamming + 1` (id, sk, band, value) rows per
+    * document — linear map-side expansion of 24-byte rows — then the
+    * bucket-grouped pair expansion with the 8-byte sketch riding along
+    * as a struct member, so the Hamming verify reads it straight off the
+    * candidate row: ONE sketch-kernel pass and zero joins (r13; the
+    * round-12 shape re-attached sketches via two corpus-sized id
+    * equi-joins, each of which also re-ran the unpersisted sketch
+    * subtree). `materialize` is now a no-op knob kept for API
+    * compatibility — the sketch table is referenced exactly once, so
+    * there is nothing left to cache (the r12 AbMaterialize measurement
+    * that sized this trade-off is moot under the single-reference plan).
     * Unrelated documents (uniform sketches) collide per band with
     * probability 2^-bits (2^-15 at the default), so false candidates are
     * rare at small n — but the expected false-candidate COUNT is
@@ -642,20 +642,28 @@ object NearDup {
     // wasted volume is at stake — ~10¹² rows at 0.1% contentless of 10⁹).
     // The docs stay admitted downstream: they never reach a pair, so
     // survivor consumers see them unchanged.
-    val banded = sk.filter(col("sk").isNotNull).select(col("id"),
+    // r13: the sketch RIDES THROUGH the band buckets as a struct member
+    // (8 bytes next to the 8-byte id) instead of being re-attached by two
+    // post-candidate id equi-joins — which cost two corpus-sized shuffled
+    // joins at scale AND re-ran the md5-per-token sketch kernel twice
+    // more here (sk is unpersisted; Spark recomputes per reference). One
+    // kernel pass, one bucket exchange, one distinct — no joins. The
+    // distinct keys on (id_a, id_b, sk_a, sk_b); sketches are functions
+    // of the ids, so it deduplicates exactly the (id_a, id_b) pairs, as
+    // before (guide §3.1 join elimination, §2.2 shuffle fewer bytes).
+    val banded = sk.filter(col("sk").isNotNull).select(col("id"), col("sk"),
       posexplode(array((0 until numBands).map { i =>
         shiftrightunsigned(col("sk"), i * bits).bitwiseAND(lit((1L << bits) - 1))
       }: _*)).as(Seq("band", "bv")))
-    val cand = banded.groupBy(col("band"), col("bv"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    banded.groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("id"), col("sk"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sk").as("sk_a"), col("b.sk").as("sk_b"))
       .distinct()
-    cand
-      .join(sk.select(col("id").as("id_a"), col("sk").as("sk_a")), Seq("id_a"))
-      .join(sk.select(col("id").as("id_b"), col("sk").as("sk_b")), Seq("id_b"))
       .withColumn("hamming", TextHash.hamming(col("sk_a"), col("sk_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -858,11 +866,11 @@ object NearDup {
     * ADD candidates. Verify recomputes true 128-bit Hamming, so output ≡
     * the all-pairs scan.
     *
-    * Scale shape: maxHamming+1 (id, band, value) rows per document, one
-    * bucket-grouped expansion, two id equi-joins for the verify — all
-    * exchanges carry (long, int, long) rows. The sketch table is three
-    * scan-speed codegen'd references; `materialize` defaults off for the
-    * same measured reason as [[simhashNearDupPairs]]. maxHamming ≤ 31
+    * Scale shape: maxHamming+1 (id, hi, lo, band, value) rows per
+    * document, one bucket-grouped expansion with the 16-byte sketch
+    * riding as struct members — one sketch pass, zero joins (r13, same
+    * rewrite as [[simhashNearDupPairs]]); `materialize` is a no-op knob
+    * kept for API compatibility. maxHamming ≤ 31
     * keeps every band ≥ 4 bits (beyond that the collision rate makes
     * banding pointless — use the exact scan). */
   def simhash128NearDupPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -884,22 +892,25 @@ object NearDup {
       else sk0
     // NULL-sketch guard: same skew-key rationale as [[simhashNearDupPairs]]
     // (hi/lo are NULL together — one word's null test covers the sketch)
-    val banded = sk.filter(col("hi").isNotNull).select(col("id"),
+    // r13: sketch halves ride through the band buckets as struct members
+    // — same join-elimination rewrite as [[simhashNearDupPairs]] (one
+    // kernel pass, one bucket exchange, one distinct; the two
+    // post-candidate id equi-joins and their sketch recomputes are gone)
+    val banded = sk.filter(col("hi").isNotNull).select(col("id"), col("hi"),
+      col("lo"),
       posexplode(array((0 until numBands).map { i =>
         bandSlice(col("hi"), col("lo"), i * bits, bits)
       }: _*)).as(Seq("band", "bv")))
-    val cand = banded.groupBy(col("band"), col("bv"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    banded.groupBy(col("band"), col("bv"))
+      .agg(collect_list(struct(col("id"), col("hi"), col("lo"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.hi").as("hi_a"), col("a.lo").as("lo_a"),
+        col("b.hi").as("hi_b"), col("b.lo").as("lo_b"))
       .distinct()
-    cand
-      .join(sk.select(col("id").as("id_a"), col("hi").as("hi_a"),
-        col("lo").as("lo_a")), Seq("id_a"))
-      .join(sk.select(col("id").as("id_b"), col("hi").as("hi_b"),
-        col("lo").as("lo_b")), Seq("id_b"))
       .withColumn("hamming",
         TextHash.hamming128(col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
           .cast("long"))
