@@ -22,6 +22,13 @@ private[graft] trait Catalog1 extends CatalogBase {
     "q01_pricing_summary" -> Q(
       build = (s, dir) => {
         val cutoff = lit("1998-09-02").cast("timestamp")
+        // No fan-out here, deliberately (r13): A/B-measured at sf0.1
+        // (min-of-7, idle box) — scan-rooted partial aggregation 1.00 s
+        // vs 1.05 s with a pre-agg fan-out exchange. The decimal partial
+        // agg is as cheap as the exchange's single-task shuffle write,
+        // so the map-side-combine-first plan stays exchange-free (the
+        // 100 TB-correct shape) — contrast q08, where the fanned stage
+        // carries a join probe and measured 2x.
         table(s, dir, "lineitem")
           .filter(col("l_shipdate") <= cutoff)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -149,7 +156,13 @@ private[graft] trait Catalog1 extends CatalogBase {
 
     "q08_brand_revenue" -> Q(
       build = (s, dir) => {
-        val li = table(s, dir, "lineitem")
+        // fan-out the broadcast-join PROBE side (same rationale as q01 —
+        // the join probe + partial agg otherwise run on the 1-row-group
+        // scan's single task; no-op at scale per Par.fanOut)
+        val li = graft.operators.Par.fanOut(
+          table(s, dir, "lineitem").select(col("l_partkey"),
+            col("l_extendedprice"), col("l_discount"), col("l_quantity")),
+          "l_partkey")
         val p = table(s, dir, "part")
         li.join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))

@@ -70,6 +70,21 @@ object ProfileQ369 {
         }
       } finally ds.close()
     }
+    // per-micro-batch duration split from the progress events — where
+    // inside a batch the time goes (source listing, offset/commit log,
+    // or the foreachBatch body)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+        def onQueryProgress(e: org.apache.spark.sql.streaming
+            .StreamingQueryListener.QueryProgressEvent): Unit =
+          println(s"[q369-profile]   batch ${e.progress.batchId} " +
+            s"rows=${e.progress.numInputRows} " +
+            s"durations=${e.progress.durationMs}")
+        def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     t("stream-4-batches") {
       val stream = spark.readStream
         .schema("doc_id LONG, text STRING, slice INT")
